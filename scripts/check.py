@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local dev mirror of the driver's correctness gate: run graft.Verify
+(via sbt) output against the DuckDB oracle and diff values.
+
+Usage: python3 scripts/check.py [sfdir] [outdir] [--no-run] [names...]
+"""
+import json, math, os, subprocess, sys
+
+SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 and not sys.argv[2].startswith("--") else "/tmp/verify_out"
+NO_RUN = "--no-run" in sys.argv
+ONLY = [a for a in sys.argv[3:] if not a.startswith("--")]
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def run_verify():
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}']
+    r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True)
+    tail = (r.stdout + r.stderr)[-3000:]
+    if r.returncode != 0:
+        print(tail)
+        sys.exit(1)
+    for line in (r.stdout + r.stderr).splitlines():
+        if "[verify]" in line:
+            print(line)
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    return v
+
+
+def main():
+    import duckdb
+    if not NO_RUN:
+        run_verify()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        if ONLY and name not in ONLY:
+            continue
+        try:
+            exp = con.execute(sql).fetch_df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_bad += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").fetch_df()
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing: {e}")
+            n_bad += 1
+            continue
+        gcols, ecols = sorted(got.columns), sorted(exp.columns)
+        if gcols != ecols:
+            print(f"FAIL {name}: columns spark={gcols} oracle={ecols}")
+            n_bad += 1
+            continue
+        g = got[gcols].apply(lambda c: c.map(norm)).sort_values(gcols).reset_index(drop=True)
+        e = exp[ecols].apply(lambda c: c.map(norm)).sort_values(ecols).reset_index(drop=True)
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows spark={len(g)} oracle={len(e)}")
+            n_bad += 1
+            continue
+        if g.equals(e):
+            print(f"OK   {name}: {len(g)} rows")
+            n_ok += 1
+        else:
+            neq = (g != e).any(axis=1)
+            print(f"FAIL {name}: {int(neq.sum())}/{len(g)} rows differ; first diffs:")
+            print("  spark:", g[neq].head(3).to_dict("records"))
+            print("  oracle:", e[neq].head(3).to_dict("records"))
+            n_bad += 1
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()

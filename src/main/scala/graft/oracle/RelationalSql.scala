@@ -1,0 +1,140 @@
+package graft.oracle
+
+/**
+ * DuckDB oracle SQL for [[graft.operators.Relational]]. Each statement
+ * must produce the SAME column names and value-equal rows as its Spark
+ * twin at sf0.01 (the driver sorts columns by name and hash-compares
+ * values). Floats are rounded identically on both sides.
+ */
+object RelationalSql {
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       round(sum(l_extendedprice), 4) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        |       round(l_extendedprice * (1 - l_discount), 4) AS net_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount > 0.05""".stripMargin,
+
+    "q03_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q04_topk_parts_per_flag" ->
+      """WITH rev AS (
+        |  SELECT l_returnflag, l_partkey,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |  FROM lineitem GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY l_returnflag ORDER BY revenue DESC, l_partkey ASC) AS rk
+        |  FROM rev
+        |)
+        |SELECT l_returnflag, l_partkey, revenue, CAST(rk AS INTEGER) AS rk
+        |FROM ranked WHERE rk <= 3""".stripMargin,
+
+    "q05_distinct_counts" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(DISTINCT l_orderkey) AS n_orders,
+        |       count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+
+    "q06_daily_events" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        |       count(*) AS n,
+        |       round(sum(value), 4) AS sum_value,
+        |       round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q07_event_buckets" ->
+      """SELECT event_type,
+        |       CASE WHEN value < 50 THEN 'low'
+        |            WHEN value < 150 THEN 'mid'
+        |            ELSE 'high' END AS bucket,
+        |       count(*) AS n,
+        |       round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q08_customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q09_top_customer_per_nation" ->
+      """WITH ranked AS (
+        |  SELECT n_name, c_custkey, c_acctbal, row_number() OVER (
+        |    PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |)
+        |SELECT n_name, c_custkey, round(c_acctbal, 4) AS best_acctbal
+        |FROM ranked WHERE rk = 1""".stripMargin,
+
+    "q10_user_item_stats" ->
+      s"""WITH ${graft.sources.Tables.ratingsSql}
+         |SELECT user_id, count(*) AS n_items,
+         |       round(avg(rating), 4) AS mean_rating,
+         |       round(min(rating), 4) AS min_rating,
+         |       round(max(rating), 4) AS max_rating
+         |FROM ratings GROUP BY 1""".stripMargin,
+
+    "q11_user_baskets" ->
+      """SELECT o_custkey AS user_id,
+        |       CAST(l_shipdate AS DATE) AS basket_date,
+        |       array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS items,
+        |       count(DISTINCT l_partkey) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q12_part_strings" ->
+      """SELECT p_partkey,
+        |       lower(p_brand) AS brand_lc,
+        |       CAST(length(p_name) AS INTEGER) AS name_len,
+        |       string_split(p_type, ' ')[1] AS type_head,
+        |       printf('%s_%d', p_brand, p_size) AS brand_size
+        |FROM part""".stripMargin,
+
+    "q13_order_lifecycle" ->
+      """SELECT o_custkey,
+        |       min(o_orderdate) AS first_order,
+        |       max(o_orderdate) AS last_order,
+        |       count(*) AS n_orders,
+        |       date_diff('day', min(o_orderdate), max(o_orderdate)) AS active_days
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q14_period_ids" ->
+      """SELECT order_date,
+        |       row_number() OVER (ORDER BY order_date) - 1 AS period_id
+        |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date FROM orders)""".stripMargin,
+
+    "q15_array_hof" ->
+      """SELECT l_orderkey,
+        |       CAST(len(parts) AS INTEGER) AS n_parts,
+        |       CAST(len(list_filter(parts, x -> x % 2 = 1)) AS INTEGER) AS n_odd_parts,
+        |       array_to_string(parts, ',') AS parts_csv
+        |FROM (
+        |  SELECT l_orderkey, list_sort(list(l_partkey)) AS parts
+        |  FROM lineitem GROUP BY 1
+        |)""".stripMargin
+  )
+}

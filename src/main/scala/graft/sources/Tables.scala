@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Table readers over the driver-generated parquet star schema
+ * (see /root/repo/TESTDATA.md) plus the derived long-form views the
+ * recommender operators run on.
+ *
+ * The reference engine reads headerless TSV ratings with an explicit
+ * 4-column schema (reference Main.scala:33-51); this rebuild reads
+ * parquet and derives the same `(user_id, item_id, rating)` long-form
+ * shape from the TPC-H-ish tables, per FIXTURES.md §3. All readers are
+ * plain parquet scans so Catalyst can push filters/projections down to
+ * the source (`PushedFilters` / `ReadSchema`).
+ */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects; read it as a nanos long
+    * (legacy conf) and rebuild a micros timestamp with integer
+    * division — `DIV`, not `/`, because nanos ≈ 1.7e18 exceeds double
+    * mantissa precision. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /**
+   * Long-form ratings triples `(user_id, item_id, rating)` — the
+   * rebuild's replacement for the reference's driver-side dense
+   * user×item matrix (reference BaseRecommender.scala:87-132). Derived
+   * deterministically as customer→part interactions weighted by
+   * quantity; the average is rounded at the source so every downstream
+   * float is reproducible bit-for-bit against the DuckDB oracle.
+   *
+   * At scale this is the only materialization the engine ever needs:
+   * one shuffle on (user, item); never a densified matrix.
+   */
+  def ratings(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir).select("l_orderkey", "l_partkey", "l_quantity")
+    val o  = orders(spark, dir).select("o_orderkey", "o_custkey")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+      .agg(round(avg(col("l_quantity")), 6).as("rating"))
+  }
+
+  /** Shared SQL fragment defining the same `ratings` view for the
+    * DuckDB oracle — MUST stay semantically identical to [[ratings]]. */
+  val ratingsSql: String =
+    """ratings AS (
+      |  SELECT o_custkey AS user_id, l_partkey AS item_id,
+      |         round(avg(l_quantity), 6) AS rating
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+}
