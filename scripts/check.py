@@ -49,40 +49,47 @@ def main():
         if ONLY and name not in ONLY:
             continue
         try:
-            exp = con.execute(sql).fetch_df()
+            n_ok, n_bad = check_one(con, name, sql, n_ok, n_bad)
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
-            n_bad += 1
-            continue
-        try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").fetch_df()
-        except Exception as e:
-            print(f"FAIL {name}: spark output missing: {e}")
-            n_bad += 1
-            continue
-        gcols, ecols = sorted(got.columns), sorted(exp.columns)
-        if gcols != ecols:
-            print(f"FAIL {name}: columns spark={gcols} oracle={ecols}")
-            n_bad += 1
-            continue
-        g = got[gcols].apply(lambda c: c.map(norm)).sort_values(gcols).reset_index(drop=True)
-        e = exp[ecols].apply(lambda c: c.map(norm)).sort_values(ecols).reset_index(drop=True)
-        if len(g) != len(e):
-            print(f"FAIL {name}: rows spark={len(g)} oracle={len(e)}")
-            n_bad += 1
-            continue
-        if g.equals(e):
-            print(f"OK   {name}: {len(g)} rows")
-            n_ok += 1
-        else:
-            neq = (g != e).any(axis=1)
-            print(f"FAIL {name}: {int(neq.sum())}/{len(g)} rows differ; first diffs:")
-            print("  spark:", g[neq].head(3).to_dict("records"))
-            print("  oracle:", e[neq].head(3).to_dict("records"))
+            print(f"FAIL {name}: compare crashed: {e}")
             n_bad += 1
     print(f"== {n_ok} ok, {n_bad} bad ==")
     sys.exit(1 if n_bad else 0)
+
+
+def check_one(con, name, sql, n_ok, n_bad):
+    try:
+        exp = con.execute(sql).fetch_df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle SQL error: {e}")
+        return n_ok, n_bad + 1
+    try:
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").fetch_df()
+    except Exception as e:
+        print(f"FAIL {name}: spark output missing: {e}")
+        return n_ok, n_bad + 1
+    gcols, ecols = sorted(got.columns), sorted(exp.columns)
+    if gcols != ecols:
+        print(f"FAIL {name}: columns spark={gcols} oracle={ecols}")
+        return n_ok, n_bad + 1
+    # sort on stringified keys: normed cells can mix str ("NaN") and
+    # float, which plain sort_values can't compare
+    g = got[gcols].apply(lambda c: c.map(norm)).sort_values(
+        gcols, key=lambda c: c.astype(str)).reset_index(drop=True)
+    e = exp[ecols].apply(lambda c: c.map(norm)).sort_values(
+        ecols, key=lambda c: c.astype(str)).reset_index(drop=True)
+    if len(g) != len(e):
+        print(f"FAIL {name}: rows spark={len(g)} oracle={len(e)}")
+        return n_ok, n_bad + 1
+    if g.equals(e):
+        print(f"OK   {name}: {len(g)} rows")
+        return n_ok + 1, n_bad
+    neq = (g != e).any(axis=1)
+    print(f"FAIL {name}: {int(neq.sum())}/{len(g)} rows differ; first diffs:")
+    print("  spark:", g[neq].head(3).to_dict("records"))
+    print("  oracle:", e[neq].head(3).to_dict("records"))
+    return n_ok, n_bad + 1
 
 
 if __name__ == "__main__":

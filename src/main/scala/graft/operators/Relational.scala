@@ -12,7 +12,7 @@ import graft.sources.Tables
  * declarative DataFrame pipelines that Catalyst can push down, prune
  * and (where the dimension side is small) broadcast.
  *
- * Every query here is paired with ANSI SQL in [[graft.oracle.OracleSql]]
+ * Every query here is paired with ANSI SQL in [[graft.oracle.RelationalSql]]
  * for the DuckDB hash-match gate. Floating aggregates are rounded to
  * 4 dp in BOTH engines so accumulation-order noise can't flip the hash.
  */

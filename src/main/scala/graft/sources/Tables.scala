@@ -29,14 +29,14 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
     * Spark's vectorized reader rejects; read it as a nanos long
-    * (legacy conf) and rebuild a micros timestamp with integer
-    * division — `DIV`, not `/`, because nanos ≈ 1.7e18 exceeds double
-    * mantissa precision. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * (requires `spark.sql.legacy.parquet.nanosAsLong=true`, set ONCE at
+    * session construction by Verify/Bench/test entry points — a reader
+    * must not mutate session config as a side effect) and rebuild a
+    * micros timestamp with integer division — `DIV`, not `/`, because
+    * nanos ≈ 1.7e18 exceeds double mantissa precision. */
+  def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
