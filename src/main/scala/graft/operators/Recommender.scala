@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.functions.Rounding.{r4, r6}
+
+/**
+ * Collaborative-filtering kNN recommenders (SURVEY.md §2.10 R1-R5,
+ * §2.9 K1, §2.6 T1/T2) as fully distributed DataFrame pipelines over
+ * the long-form `ratings` view — the rebuild of the reference's
+ * driver-side dense-matrix scoring (reference
+ * UserBasedTopKRecommender.scala:72-91, UserBasedRatingRecommender
+ * .scala:34-77, ItemBasedRatingRecommender.scala:36-72,
+ * ItemBasedTopKRecommender.scala:44-94) with joins + windows instead
+ * of collected matrices.
+ *
+ * Scale design: every stage is a keyed shuffle — no all-pairs
+ * crossJoin anywhere. Pair similarities come from a self-equi-join on
+ * the shared dimension (item for user-user, user for item-item), so
+ * only co-rated pairs materialize (Σ n_k² over keys, not N²). Per-user
+ * norm/mean dimensions are broadcast. Cosine ranks are computed on
+ * values rounded to 6 dp with a deterministic id tie-break so top-k
+ * selection is stable across engines and accumulation orders; final
+ * scores round to 4 dp (the repo-wide oracle convention).
+ */
+object Recommender {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_user_knn_topk" -> q16,
+    "q17_item_knn_topk" -> q17
+  )
+
+  val K_NEIGHBORS = 25 // reference flagship k (Main.scala:351-352)
+  val K_ITEMS = 5
+  val K_ITEM_NEIGHBORS = 8 // item-based kNeighbours (ItemBasedTopKRecommender)
+
+  /** R3 flagship: top-5 recommendations for every user, user-based
+    * cosine kNN (k=25). Pipeline per SURVEY §7.3:
+    * profiles → co-rated pair dot products → cosine → top-25 neighbors
+    * per user (T2) → mean-centered weighted score
+    * r̂(u,i) = mean(u) + Σ_v sim(u,v)·(r(v,i) − mean(v)) / Σ_v sim(u,v)
+    * (reference UserBasedRatingRecommender.scala:56-64; denominator is
+    * the plain sum, not Σ|sim|) → anti-join items already rated →
+    * top-5 per user (T1).
+    *
+    * The cosine over full sparse profiles equals the dot over shared
+    * items divided by whole-profile norms — zero cells contribute
+    * nothing to the dot, so the equi-join on item_id computes exactly
+    * the reference's full-vector cosine (CosineSimilarity.scala:24-33)
+    * without densifying. */
+  private def q16(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.ratings(spark, dir)
+    val stats = r.groupBy("user_id").agg(
+      avg(col("rating")).as("umean"),
+      sqrt(sum(col("rating") * col("rating"))).as("unorm"))
+
+    val a = r.select(col("user_id").as("u"), col("item_id"), col("rating").as("ra"))
+    val b = r.select(col("user_id").as("v"), col("item_id"), col("rating").as("rb"))
+    // co-rated pairs only: shuffle on item_id, then one keyed agg
+    val dots = a.join(b, Seq("item_id"))
+      .filter(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(sum(col("ra") * col("rb")).as("dot"))
+
+    val sims = dots
+      .join(broadcast(stats.select(col("user_id").as("u"), col("unorm").as("nu"))), Seq("u"))
+      .join(broadcast(stats.select(col("user_id").as("v"), col("unorm").as("nv"))), Seq("v"))
+      .select(col("u"), col("v"),
+        r6(col("dot") / (col("nu") * col("nv"))).as("sim"))
+
+    val wNb = Window.partitionBy(col("u")).orderBy(col("sim").desc, col("v").asc)
+    val neighbors = sims.withColumn("nrk", row_number().over(wNb))
+      .filter(col("nrk") <= K_NEIGHBORS)
+      .select(col("u"), col("v"), col("sim"))
+
+    // neighbors is |users|·k rows — broadcastable at bench scale; at
+    // cluster scale this becomes a shuffle-hash join on v (AQE picks it)
+    val scores = r.select(col("user_id").as("v"), col("item_id"), col("rating"))
+      .join(broadcast(stats.select(col("user_id").as("v"), col("umean").as("vmean"))), Seq("v"))
+      .join(neighbors.hint("broadcast"), Seq("v"))
+      .groupBy(col("u"), col("item_id"))
+      .agg(sum(col("sim") * (col("rating") - col("vmean"))).as("num"),
+        sum(col("sim")).as("den"))
+
+    val rated = r.select(col("user_id").as("u"), col("item_id"))
+    val preds = scores.join(rated, Seq("u", "item_id"), "left_anti")
+      .join(broadcast(stats.select(col("user_id").as("u"), col("umean"))), Seq("u"))
+      .select(col("u").as("user_id"), col("item_id"),
+        r4(col("umean") + col("num") / col("den")).as("score"))
+
+    val wTop = Window.partitionBy(col("user_id"))
+      .orderBy(col("score").desc, col("item_id").asc)
+    preds.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= K_ITEMS)
+      .select("user_id", "item_id", "score", "rk")
+  }
+
+  /** R5: item-based kNN top-5 for the `user_id % 20 = 0` cohort.
+    * Neighbors of a candidate item are the items the user actually
+    * rated (reference ItemBasedTopKRecommender.scala:44-94), ranked by
+    * item-item cosine, top-8; score preserves the reference's
+    * Σ|sim| denominator quirk (ItemBasedRatingRecommender.scala:54-62:
+    * `reduce((a,b) => |a|+|b|)` ≡ sum(abs(sim))), unlike the
+    * user-based plain-sum denominator. Cohort slice bounds the scoring
+    * fan-out (users × rated × co-rated partners); the item-pair
+    * similarity stage itself is full-table and keyed, never all-pairs. */
+  private def q17(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.ratings(spark, dir)
+    val inorm = r.groupBy("item_id").agg(
+      sqrt(sum(col("rating") * col("rating"))).as("inorm"))
+
+    val a = r.select(col("user_id"), col("item_id").as("i"), col("rating").as("ra"))
+    val b = r.select(col("user_id"), col("item_id").as("j"), col("rating").as("rb"))
+    val dots = a.join(b, Seq("user_id"))
+      .filter(col("i") =!= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("ra") * col("rb")).as("dot"))
+
+    val sims = dots
+      .join(broadcast(inorm.select(col("item_id").as("i"), col("inorm").as("ni"))), Seq("i"))
+      .join(broadcast(inorm.select(col("item_id").as("j"), col("inorm").as("nj"))), Seq("j"))
+      .select(col("i"), col("j"),
+        r6(col("dot") / (col("ni") * col("nj"))).as("sim"))
+
+    // target cohort's rated items feed the neighbor join on j
+    val tgt = r.filter(col("user_id") % 20 === 0)
+      .select(col("user_id").as("u"), col("item_id").as("j"), col("rating").as("r_uj"))
+    val cand = tgt.join(sims, Seq("j"))
+      .select(col("u"), col("i"), col("j"), col("sim"), col("r_uj"))
+
+    val rated = r.select(col("user_id").as("u"), col("item_id").as("i"))
+    val unseen = cand.join(rated, Seq("u", "i"), "left_anti")
+
+    val wNb = Window.partitionBy(col("u"), col("i"))
+      .orderBy(col("sim").desc, col("j").asc)
+    val scored = unseen.withColumn("nrk", row_number().over(wNb))
+      .filter(col("nrk") <= K_ITEM_NEIGHBORS)
+      .groupBy(col("u"), col("i"))
+      .agg(r4(sum(col("sim") * col("r_uj")) / sum(abs(col("sim")))).as("score"))
+
+    val wTop = Window.partitionBy(col("u")).orderBy(col("score").desc, col("i").asc)
+    scored.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= K_ITEMS)
+      .select(col("u").as("user_id"), col("i").as("item_id"), col("score"), col("rk"))
+  }
+}

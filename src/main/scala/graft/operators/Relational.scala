@@ -115,7 +115,10 @@ object Relational {
       .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("value")), 4).as("sum_value"),
-        round(avg(col("value")), 4).as("avg_value"))
+        // engine-stable rounding: avg over power-of-two group sizes
+        // lands on exact-half decimal reprs that Spark's round() and
+        // DuckDB's disagree on (see graft.functions.Rounding)
+        graft.functions.Rounding.r4(avg(col("value"))).as("avg_value"))
 
   /** P7/F5 — CASE WHEN bucketing (reference's period-clamp idiom,
     * SequentialTopKRecommender.scala:374-381). */

@@ -1,0 +1,95 @@
+package graft.oracle
+
+import graft.sources.Tables.ratingsSql
+
+/**
+ * DuckDB oracle SQL for [[graft.operators.Recommender]] — the same
+ * kNN pipelines in ANSI SQL. Rounding discipline mirrors the Spark
+ * side exactly: similarities to 6 dp BEFORE ranking (with id
+ * tie-breaks), scores to 4 dp on emit.
+ */
+object RecommenderSql {
+
+  val oracle: Map[String, String] = Map(
+    "q16_user_knn_topk" ->
+      s"""WITH $ratingsSql,
+         |stats AS (
+         |  SELECT user_id, avg(rating) AS umean,
+         |         sqrt(sum(rating*rating)) AS unorm
+         |  FROM ratings GROUP BY 1),
+         |dots AS (
+         |  SELECT a.user_id AS u, b.user_id AS v, sum(a.rating*b.rating) AS dot
+         |  FROM ratings a JOIN ratings b ON a.item_id = b.item_id
+         |  WHERE a.user_id <> b.user_id GROUP BY 1, 2),
+         |sims AS (
+         |  SELECT u, v, floor(dot / (su.unorm * sv.unorm) * 1000000.0 + 0.5) / 1000000.0 AS sim
+         |  FROM dots
+         |  JOIN stats su ON su.user_id = u
+         |  JOIN stats sv ON sv.user_id = v),
+         |neighbors AS (
+         |  SELECT u, v, sim FROM (
+         |    SELECT u, v, sim, row_number() OVER (
+         |      PARTITION BY u ORDER BY sim DESC, v ASC) AS nrk
+         |    FROM sims)
+         |  WHERE nrk <= 25),
+         |scores AS (
+         |  SELECT nb.u, r.item_id,
+         |         sum(nb.sim * (r.rating - sv.umean)) AS num,
+         |         sum(nb.sim) AS den
+         |  FROM neighbors nb
+         |  JOIN ratings r ON r.user_id = nb.v
+         |  JOIN stats sv ON sv.user_id = nb.v
+         |  GROUP BY 1, 2),
+         |preds AS (
+         |  SELECT s.u AS user_id, s.item_id,
+         |         floor((su.umean + s.num / s.den) * 10000.0 + 0.5) / 10000.0 AS score
+         |  FROM scores s
+         |  JOIN stats su ON su.user_id = s.u
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM ratings r
+         |    WHERE r.user_id = s.u AND r.item_id = s.item_id))
+         |SELECT user_id, item_id, score, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY user_id ORDER BY score DESC, item_id ASC) AS rk
+         |  FROM preds)
+         |WHERE rk <= 5""".stripMargin,
+
+    "q17_item_knn_topk" ->
+      s"""WITH $ratingsSql,
+         |inorm AS (
+         |  SELECT item_id, sqrt(sum(rating*rating)) AS inorm
+         |  FROM ratings GROUP BY 1),
+         |dots AS (
+         |  SELECT a.item_id AS i, b.item_id AS j, sum(a.rating*b.rating) AS dot
+         |  FROM ratings a JOIN ratings b ON a.user_id = b.user_id
+         |  WHERE a.item_id <> b.item_id GROUP BY 1, 2),
+         |sims AS (
+         |  SELECT i, j, floor(dot / (ni.inorm * nj.inorm) * 1000000.0 + 0.5) / 1000000.0 AS sim
+         |  FROM dots
+         |  JOIN inorm ni ON ni.item_id = i
+         |  JOIN inorm nj ON nj.item_id = j),
+         |tgt AS (
+         |  SELECT user_id AS u, item_id AS j, rating AS r_uj
+         |  FROM ratings WHERE user_id % 20 = 0),
+         |cand AS (
+         |  SELECT t.u, s.i, s.j, s.sim, t.r_uj
+         |  FROM tgt t JOIN sims s ON s.j = t.j
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM ratings r
+         |    WHERE r.user_id = t.u AND r.item_id = s.i)),
+         |scored AS (
+         |  SELECT u, i,
+         |         floor(sum(sim * r_uj) / sum(abs(sim)) * 10000.0 + 0.5) / 10000.0 AS score
+         |  FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY u, i ORDER BY sim DESC, j ASC) AS nrk
+         |    FROM cand)
+         |  WHERE nrk <= 8
+         |  GROUP BY 1, 2)
+         |SELECT u AS user_id, i AS item_id, score, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY u ORDER BY score DESC, i ASC) AS rk
+         |  FROM scored)
+         |WHERE rk <= 5""".stripMargin
+  )
+}

@@ -64,7 +64,7 @@ object RelationalSql {
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
         |       count(*) AS n,
         |       round(sum(value), 4) AS sum_value,
-        |       round(avg(value), 4) AS avg_value
+        |       floor(avg(value) * 10000.0 + 0.5) / 10000.0 AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q07_event_buckets" ->
