@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.VectorFns
+import graft.functions.Rounding.r4
+
+/**
+ * Document deduplication operators over the `documents` table — the
+ * LLM-training-pipeline family (exact hash dedup, MinHash+LSH near-dup,
+ * SimHash fingerprints). The reference engine has no text path; these
+ * follow the standard published designs (Broder MinHash/LSH banding,
+ * Charikar SimHash) expressed as keyed DataFrame pipelines.
+ *
+ * Scale design: the near-dup join is BUCKETED — documents only meet
+ * inside an (band_id, band_hash) bucket, never all-pairs. Signature
+ * hashing uses an md5-prefix base hash (portable across engines, unlike
+ * Murmur3) with 16 affine permutations mod 2^31-1; every step is
+ * integer arithmetic, so results are bit-stable across engines and
+ * partitionings.
+ */
+object Dedup {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_exact_dedup" -> q18,
+    "q19_minhash_bands" -> q19,
+    "q20_neardup_pairs" -> q20,
+    "q21_simhash" -> q21
+  )
+
+  val NUM_PERMS = 16
+  val NUM_BANDS = 4 // 4 rows per band
+  val P31 = 2147483647L // 2^31 - 1
+
+  /** Whitespace-collapsed lowercase normal form shared by all dedup ops. */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Portable 28-bit base hash: first 7 hex chars of md5. Murmur3/xxhash
+    * differ across engines; md5 is identical everywhere. */
+  def baseHash(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  /** Distinct word-3-shingles per doc (doc_id, s); docs shorter than 3
+    * tokens drop out in both engines identically. */
+  private def shingleSet(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(VectorFns.shingles(VectorFns.tokens(normText(col("text"))), 3)).as("s"))
+      .distinct()
+
+  /** Exact dedup: group by md5 of the normalized text; one row per
+    * distinct content with the canonical (minimum) id and the member
+    * list. The groupBy-hash shape is the 100-TB path — the hash is the
+    * shuffle key, so identical docs co-locate regardless of volume. */
+  private def q18(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(normText(col("text"))).as("text_hash"))
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_docs"),
+        concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string"))).as("doc_ids_csv"))
+
+  /** MinHash signatures banded for LSH: 16 affine permutations
+    * (aᵢ·h + bᵢ) mod 2³¹-1 over the shingle base hashes, min per doc,
+    * grouped into 4 bands of 4 rows; band_hash = md5 of the joined
+    * band slice. Emits (doc_id, band_id, band_hash) — the bucket key
+    * for the q20 join. */
+  private def q19(spark: SparkSession, dir: String): DataFrame =
+    minhashBands(shingleSet(spark, dir))
+
+  private[operators] def minhashBands(sh: DataFrame): DataFrame = {
+    val h = sh.select(col("doc_id"), baseHash(col("s")).as("h0"))
+    val mins = (0 until NUM_PERMS).map { i =>
+      min((col("h0") * lit(2L * i + 1) + lit(7919L * i + 13)) % P31).as(s"s$i")
+    }
+    val sig = h.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bands = (0 until NUM_BANDS).map { b =>
+      val slice = (0 until NUM_PERMS / NUM_BANDS).map(r => col(s"s${b * 4 + r}"))
+      struct(lit(b).as("band_id"), md5(concat_ws("_", slice: _*)).as("band_hash"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"),
+        col("band.band_hash").as("band_hash"))
+  }
+
+  /** Near-duplicate pairs: LSH candidates (same band hash in ≥1 band,
+    * a bucketed self-join — NEVER all-pairs) verified with the exact
+    * shingle Jaccard. Emits every candidate pair with its verified
+    * similarity so downstream thresholds stay a filter, not a re-join. */
+  private def q20(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSet(spark, dir).cache()
+    val bands = minhashBands(sh)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    cand.join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        r4(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+  }
+
+  /** SimHash: 32-bit locality-sensitive fingerprint from token counts.
+    * Bit j is set when the count-weighted sum of (2·bitⱼ(h)−1) over all
+    * tokens is positive; all-integer, so engine-exact. Near-dup search
+    * then becomes Hamming distance on a single long — the cheapest
+    * scale path of the three. */
+  private def q21(spark: SparkSession, dir: String): DataFrame = {
+    val tokCnt = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(VectorFns.tokens(normText(col("text")))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val h = tokCnt.select(col("doc_id"), col("cnt"),
+      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h0"))
+    h.select(col("doc_id"), col("cnt"), col("h0"),
+        explode(sequence(lit(0), lit(31))).as("j"))
+      .withColumn("contrib",
+        when(expr("(h0 DIV shiftleft(CAST(1 AS BIGINT), j)) % 2") === 1, col("cnt"))
+          .otherwise(-col("cnt")))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("contrib")).as("w"))
+      .withColumn("bit",
+        when(col("w") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bit")).as("simhash"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.oracle
+
+import SqlFragments._
+
+/** DuckDB oracle SQL for [[graft.operators.Dedup]]. */
+object DedupSql {
+
+  val oracle: Map[String, String] = Map(
+    "q18_exact_dedup" ->
+      s"""SELECT md5(${normTextSql("text")}) AS text_hash,
+         |       min(doc_id) AS canonical_id,
+         |       count(*) AS n_docs,
+         |       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids_csv
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q19_minhash_bands" ->
+      s"""WITH $minhashBandsSql
+         |SELECT doc_id, band_id, band_hash FROM bands""".stripMargin,
+
+    "q20_neardup_pairs" ->
+      s"""WITH $minhashBandsSql,
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a
+         |  JOIN bands b ON a.band_id = b.band_id
+         |    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+         |  GROUP BY 1, 2)
+         |SELECT c.doc_a, c.doc_b,
+         |       floor(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         |             / (ca.n_sh + cb.n_sh - COALESCE(i.n_inter, 0))
+         |             * 10000.0 + 0.5) / 10000.0 AS jaccard
+         |FROM cand c
+         |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |JOIN counts ca ON ca.doc_id = c.doc_a
+         |JOIN counts cb ON cb.doc_id = c.doc_b""".stripMargin,
+
+    "q21_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${tokensSql(normTextSql("text"))} AS tk
+         |  FROM documents),
+         |tokcnt AS (
+         |  SELECT doc_id, t, count(*) AS cnt
+         |  FROM toks, UNNEST(tk) AS u(t) GROUP BY 1, 2),
+         |hashes AS (
+         |  SELECT doc_id, cnt,
+         |         CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS h0
+         |  FROM tokcnt),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |         sum(CASE WHEN (h0 >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS w
+         |  FROM hashes, (SELECT unnest(generate_series(0, 31)) AS j)
+         |  GROUP BY 1, 2)
+         |SELECT doc_id,
+         |       CAST(sum(CASE WHEN w > 0
+         |                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY 1""".stripMargin
+  )
+}
