@@ -19,12 +19,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.Recommender.queries ++
-      operators.Dedup.queries
+      operators.Dedup.queries ++
+      operators.Similarity.queries ++
+      operators.TextOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     oracle.RelationalSql.oracle ++
       oracle.RecommenderSql.oracle ++
-      oracle.DedupSql.oracle
+      oracle.DedupSql.oracle ++
+      oracle.SimilaritySql.oracle ++
+      oracle.TextSql.oracle
 }

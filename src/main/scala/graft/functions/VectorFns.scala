@@ -21,6 +21,10 @@ object VectorFns {
   def dotArr(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Σ aᵢ . */
+  def sumArr(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x)
+
   /** Σ aᵢ² . */
   def sqNorm(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x * x)

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.functions.VectorFns._
+import graft.functions.Rounding.{r4, r6}
+
+/**
+ * Vector-similarity operators over the `embeddings` table: brute-force
+ * cosine top-k (the exact ANN baseline) and the full K1-K5 kernel
+ * matrix (SURVEY.md §2.9) — the reference's similarity SPI
+ * (reference similarity/BaseSimilarity.scala:20-22) re-expressed as
+ * codegen'd higher-order-function columns instead of driver-side
+ * Array[Double] loops.
+ *
+ * All kernels fold left-to-right over `array<double>` casts of the
+ * float vectors, so both engines walk identical IEEE sequences; rank
+ * keys round to 6 dp with id tie-breaks (engine-stable selection),
+ * emitted scores to 4 dp.
+ */
+object Similarity {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_ann_cosine" -> q22,
+    "q23_kernel_matrix" -> q23
+  )
+
+  val TOP_K = 10
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Exact top-10 cosine neighbors for the `vec_id % 25 = 0` query
+    * cohort: a broadcast nested-loop of the (small) query set against
+    * the corpus — the right baseline shape when |queries| ≪ |corpus|
+    * (queries ride the broadcast; the corpus never shuffles). For
+    * corpus-×-corpus workloads the bucketed LSH path (see
+    * [[Dedup.minhashBands]] and the SimHash variant) replaces this —
+    * an unbucketed self-crossJoin is never acceptable at scale. */
+  private def q22(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        r6(cosineArr(col("qv"), col("v"))).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TOP_K)
+      .select(col("q_id"), col("n_id"), r4(col("cos")).as("cosine"), col("rk"))
+  }
+
+  /** K1-K5 kernel matrix on a deterministic pair sample
+    * (vec_id % 50 = 0) × (vec_id % 37 = 0): cosine (K1,
+    * reference CosineSimilarity.scala:24-33), Pearson with the
+    * reference's whole-vector mean — zeros included
+    * (K2, PearsonSimilarity.scala:24-37), positional binary Jaccard
+    * (K3, JaccardSimilarity.scala:22-29; binarized at > 0),
+    * inverse Euclidean (K4, EuclideanSimilarity.scala:24-28) and the
+    * sim==0 Euclidean fallback (K5,
+    * ContentBasedRatingRecommender.scala:34-42). */
+  private def q23(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val a = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("a_id"), col("v").as("va"))
+    val b = e.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("b_id"), col("v").as("vb"))
+    val va = col("va"); val vb = col("vb")
+    val n = size(va).cast("double")
+    val dot = dotArr(va, vb)
+    val ma = sumArr(va) / n
+    val mb = sumArr(vb) / n
+    val pearson = (dot - n * ma * mb) /
+      (sqrt(sqNorm(va) - n * ma * ma) * sqrt(sqNorm(vb) - n * mb * mb))
+    val interB = size(filter(zip_with(va, vb, (x, y) => x > 0 && y > 0), p => p))
+    val unionB = size(filter(zip_with(va, vb, (x, y) => x > 0 || y > 0), p => p))
+    val jaccard = when(unionB === 0, lit(0.0))
+      .otherwise(interB.cast("double") / unionB.cast("double"))
+    val cos = cosineArr(va, vb)
+    val invEuc = invEuclideanArr(va, vb)
+    a.crossJoin(broadcast(b)) // deliberate: |a|·|b| is a fixed small sample grid
+      .select(col("a_id"), col("b_id"),
+        r4(cos).as("cosine"),
+        r4(pearson).as("pearson"),
+        r4(jaccard).as("jaccard_bin"),
+        r4(invEuc).as("inv_euclid"),
+        // K5: fallback fires on exact zero similarity only
+        r4(when(cos === 0.0, invEuc).otherwise(cos)).as("sim_k5"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.functions.VectorFns
+import graft.functions.Rounding.r4
+
+/**
+ * Text-analysis operators over `documents`: per-doc quality statistics,
+ * stopword-profile language identification and positional fingerprints
+ * — the text leg of the LLM-data-pipeline family. Everything runs as
+ * higher-order array functions on the token array (no UDFs), so the
+ * whole pipeline stays inside whole-stage codegen and scales as one
+ * narrow map + keyed agg.
+ */
+object TextOps {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_text_stats" -> q24,
+    "q25_lang_id" -> q25,
+    "q26_doc_fingerprint" -> q26
+  )
+
+  val STOPWORDS = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** (lang, stopword) marker profiles for the n-gram-free heuristic
+    * language ID — tiny, broadcast. zh has no Latin markers: its score
+    * is always 0, exercising the all-zero tie path. */
+  val LANG_PROFILES: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of",
+    "es" -> "el", "es" -> "la", "es" -> "de",
+    "fr" -> "le", "fr" -> "et", "fr" -> "les",
+    "de" -> "der", "de" -> "und", "de" -> "das")
+  val LANGS = Seq("de", "en", "es", "fr", "zh")
+
+  /** Per-doc token/quality statistics: counts, type-token ratio,
+    * average token length, stopword ratio, and a deterministic
+    * composite quality score (length-capped, stopword-penalized). */
+  private def q24(spark: SparkSession, dir: String): DataFrame = {
+    val tk = VectorFns.tokens(col("text"))
+    val nTok = size(tk)
+    val nDis = size(array_distinct(tk))
+    val sumLen = aggregate(tk, lit(0), (acc, x) => acc + length(x))
+    val nStop = size(filter(tk, t => t.isin(STOPWORDS: _*)))
+    val stopRatio = nStop.cast("double") / nTok.cast("double")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      nDis.as("n_distinct"),
+      r4(nDis.cast("double") / nTok.cast("double")).as("ttr"),
+      r4(sumLen.cast("double") / nTok.cast("double")).as("avg_token_len"),
+      r4(stopRatio).as("stopword_ratio"),
+      r4(least(lit(1.0), nTok.cast("double") / 100.0) * (lit(1.0) - stopRatio))
+        .as("quality_score"))
+  }
+
+  /** Stopword-profile language ID → confusion matrix against the
+    * labeled `lang` column. Profiles are a broadcast dimension; the
+    * argmax is a per-doc window with (hits desc, lang asc) tie-break. */
+  private def q25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val profiles = spark.createDataFrame(LANG_PROFILES).toDF("plang", "pword")
+    val langs = spark.createDataFrame(LANGS.map(Tuple1(_))).toDF("plang")
+    val hits = docs
+      .select(col("doc_id"), explode(VectorFns.tokens(col("text"))).as("tok"))
+      .join(broadcast(profiles), col("tok") === col("pword"))
+      .groupBy(col("doc_id"), col("plang"))
+      .agg(count(lit(1)).as("hits"))
+    val scored = docs.select(col("doc_id"), col("lang"))
+      .crossJoin(broadcast(langs))
+      .join(hits, Seq("doc_id", "plang"), "left")
+      .na.fill(0L, Seq("hits"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("plang").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("lang"), col("plang").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Positional rolling fingerprint: Σ position·(md5-hash(token) mod
+    * 1000003) mod 2³¹-1 — order-sensitive (a permuted doc fingerprints
+    * differently), all-integer, engine-exact. */
+  private def q26(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(VectorFns.tokens(col("text"))))
+      .select(col("doc_id"), col("pos"),
+        (Dedup.baseHash(col("col")) % 1000003L).as("h"))
+      .groupBy(col("doc_id"))
+      .agg((sum((col("pos") + 1) * col("h")) % 2147483647L).as("fingerprint"),
+        count(lit(1)).as("n_tokens"))
+}

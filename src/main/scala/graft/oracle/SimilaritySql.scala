@@ -1,0 +1,67 @@
+package graft.oracle
+
+/**
+ * DuckDB oracle SQL for [[graft.operators.Similarity]]. The vector
+ * folds are written as list_transform + list_sum over DOUBLE[] casts so
+ * both engines walk the same IEEE sequence as Spark's `aggregate` HOFs.
+ */
+object SimilaritySql {
+
+  private val embCte =
+    "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+  val oracle: Map[String, String] = Map(
+    "q22_ann_cosine" ->
+      s"""WITH $embCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 25 = 0),
+         |pairs AS (
+         |  SELECT q.q_id, e.vec_id AS n_id,
+         |         floor(list_sum(list_transform(list_zip(q.qv, e.v), z -> z[1]*z[2]))
+         |               / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
+         |                  * sqrt(list_sum(list_transform(e.v, x -> x*x))))
+         |               * 1000000.0 + 0.5) / 1000000.0 AS cos
+         |  FROM emb e JOIN q ON e.vec_id <> q.q_id)
+         |SELECT q_id, n_id,
+         |       floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine,
+         |       CAST(rk AS INTEGER) AS rk
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+         |      FROM pairs)
+         |WHERE rk <= 10""".stripMargin,
+
+    "q23_kernel_matrix" ->
+      s"""WITH $embCte,
+         |a AS (SELECT vec_id AS a_id, v AS va FROM emb WHERE vec_id % 50 = 0),
+         |b AS (SELECT vec_id AS b_id, v AS vb FROM emb WHERE vec_id % 37 = 0),
+         |parts AS (
+         |  SELECT a_id, b_id,
+         |         CAST(len(va) AS DOUBLE) AS n,
+         |         list_sum(list_transform(list_zip(va, vb), z -> z[1]*z[2])) AS dot,
+         |         list_sum(va) AS sa, list_sum(vb) AS sb,
+         |         list_sum(list_transform(va, x -> x*x)) AS qa,
+         |         list_sum(list_transform(vb, x -> x*x)) AS qb,
+         |         list_sum(list_transform(list_zip(va, vb),
+         |                  z -> (z[1]-z[2])*(z[1]-z[2]))) AS sqd,
+         |         len(list_filter(list_zip(va, vb), z -> z[1] > 0 AND z[2] > 0)) AS interb,
+         |         len(list_filter(list_zip(va, vb), z -> z[1] > 0 OR z[2] > 0)) AS unionb
+         |  FROM a, b),
+         |k AS (
+         |  SELECT a_id, b_id, n, dot, qa, qb, sqd, interb, unionb,
+         |         sa / n AS ma, sb / n AS mb,
+         |         dot / (sqrt(qa) * sqrt(qb)) AS cosv,
+         |         1.0 / (sqrt(sqd) + 1.0) AS inveuc
+         |  FROM parts)
+         |SELECT a_id, b_id,
+         |       floor(cosv * 10000.0 + 0.5) / 10000.0 AS cosine,
+         |       floor((dot - n * ma * mb)
+         |             / (sqrt(qa - n * ma * ma) * sqrt(qb - n * mb * mb))
+         |             * 10000.0 + 0.5) / 10000.0 AS pearson,
+         |       floor((CASE WHEN unionb = 0 THEN 0.0
+         |              ELSE CAST(interb AS DOUBLE) / CAST(unionb AS DOUBLE) END)
+         |             * 10000.0 + 0.5) / 10000.0 AS jaccard_bin,
+         |       floor(inveuc * 10000.0 + 0.5) / 10000.0 AS inv_euclid,
+         |       floor((CASE WHEN cosv = 0.0 THEN inveuc ELSE cosv END)
+         |             * 10000.0 + 0.5) / 10000.0 AS sim_k5
+         |FROM k""".stripMargin
+  )
+}

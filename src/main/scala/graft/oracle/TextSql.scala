@@ -1,0 +1,67 @@
+package graft.oracle
+
+import SqlFragments.tokensSql
+
+/** DuckDB oracle SQL for [[graft.operators.TextOps]]. */
+object TextSql {
+
+  private val toksCte =
+    s"toks AS (SELECT doc_id, lang, ${tokensSql("lower(trim(text))")} AS tk FROM documents)"
+
+  val oracle: Map[String, String] = Map(
+    "q24_text_stats" ->
+      s"""WITH $toksCte,
+         |stats AS (
+         |  SELECT doc_id,
+         |         len(tk) AS n_tokens,
+         |         len(list_distinct(tk)) AS n_distinct,
+         |         CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) AS sum_len,
+         |         CAST(len(list_filter(tk, t -> t IN
+         |           ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS n_stop
+         |  FROM toks)
+         |SELECT doc_id,
+         |       CAST(n_tokens AS INTEGER) AS n_tokens,
+         |       CAST(n_distinct AS INTEGER) AS n_distinct,
+         |       floor(CAST(n_distinct AS DOUBLE) / n_tokens * 10000.0 + 0.5) / 10000.0 AS ttr,
+         |       floor(sum_len / n_tokens * 10000.0 + 0.5) / 10000.0 AS avg_token_len,
+         |       floor(n_stop / n_tokens * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+         |       floor(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+         |             * (1.0 - n_stop / n_tokens) * 10000.0 + 0.5) / 10000.0 AS quality_score
+         |FROM stats""".stripMargin,
+
+    "q25_lang_id" ->
+      s"""WITH $toksCte,
+         |profiles(plang, pword) AS (VALUES
+         |  ('en','the'), ('en','a'), ('en','of'),
+         |  ('es','el'), ('es','la'), ('es','de'),
+         |  ('fr','le'), ('fr','et'), ('fr','les'),
+         |  ('de','der'), ('de','und'), ('de','das')),
+         |langs(plang) AS (VALUES ('de'), ('en'), ('es'), ('fr'), ('zh')),
+         |hits AS (
+         |  SELECT doc_id, plang, count(*) AS hits
+         |  FROM toks, UNNEST(tk) AS u(tok)
+         |  JOIN profiles ON tok = pword
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT d.doc_id, d.lang, l.plang, COALESCE(h.hits, 0) AS hits
+         |  FROM documents d CROSS JOIN langs l
+         |  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.plang = l.plang)
+         |SELECT lang, plang AS pred_lang, count(*) AS n_docs
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY doc_id ORDER BY hits DESC, plang ASC) AS rk
+         |      FROM scored)
+         |WHERE rk = 1
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q26_doc_fingerprint" ->
+      s"""WITH $toksCte,
+         |ph AS (
+         |  SELECT doc_id, i AS o,
+         |         CAST(('0x' || substr(md5(tk[i]), 1, 7)) AS BIGINT) % 1000003 AS h
+         |  FROM toks, UNNEST(generate_series(1, len(tk))) AS u(i))
+         |SELECT doc_id,
+         |       CAST(sum(o * h) AS BIGINT) % 2147483647 AS fingerprint,
+         |       count(*) AS n_tokens
+         |FROM ph GROUP BY 1""".stripMargin
+  )
+}
