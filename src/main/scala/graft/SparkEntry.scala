@@ -21,7 +21,9 @@ object SparkEntry {
       operators.Recommender.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
-      operators.TextOps.queries
+      operators.TextOps.queries ++
+      operators.Evaluation.queries ++
+      operators.Sequential.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +32,6 @@ object SparkEntry {
       oracle.RecommenderSql.oracle ++
       oracle.DedupSql.oracle ++
       oracle.SimilaritySql.oracle ++
-      oracle.TextSql.oracle
+      oracle.TextSql.oracle ++
+      oracle.EvalSeqSql.oracle
 }

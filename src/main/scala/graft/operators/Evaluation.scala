@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.functions.Rounding.r4
+
+/**
+ * Evaluation operators (SURVEY.md §2.11 E1-E5): ranking metrics
+ * (precision/recall/AP@k, reference RankingMetrics.scala:33-53) for a
+ * deterministic popularity recommender against the rating≥30 relevance
+ * threshold (E5 analog of Main.scala:101-103), plus prediction metrics
+ * RMSE/MAE (reference PredictionMetrics.scala:31-43) for the user-mean
+ * predictor — all as DataFrame aggregations, no accumulators
+ * (the reference's I1/I2 executor→driver channel is replaced by the
+ * result DataFrame itself).
+ *
+ * AP@k follows the reference formula (Σᵢ |sel[..i] ∩ rel| / i) / k —
+ * but over the RANKED list, fixing the latent unordered-Set bug
+ * (RankingMetrics.scala:49-53); divisor is k, not min(k, |rel|),
+ * preserving reference semantics.
+ */
+object Evaluation {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_eval_metrics" -> q27
+  )
+
+  val K = 10
+  val REL_THRESHOLD = 30.0
+
+  private def q27(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.ratings(spark, dir)
+    val umean = r.groupBy("user_id").agg(avg(col("rating")).as("umean"))
+
+    // popularity top-10: global window over the aggregated item
+    // dimension (|items| rows, already reduced) — not over raw facts
+    val pop = r.groupBy("item_id").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cnt").desc, col("item_id").asc)))
+      .filter(col("rn") <= K)
+      .select(col("item_id"), col("rn"))
+
+    val rel = r.filter(col("rating") >= REL_THRESHOLD)
+      .select(col("user_id"), col("item_id"))
+    val nrel = rel.groupBy("user_id").agg(count(lit(1)).as("n_rel"))
+
+    val grid = r.select("user_id").distinct().crossJoin(broadcast(pop))
+    val hits = grid
+      .join(rel.withColumn("hit_", lit(1)), Seq("user_id", "item_id"), "left")
+      .withColumn("hit", coalesce(col("hit_"), lit(0)))
+    val cum = hits.withColumn("cum",
+      sum(col("hit")).over(Window.partitionBy(col("user_id")).orderBy(col("rn"))))
+
+    val perUser = cum.groupBy("user_id").agg(
+        (sum(col("hit")) / lit(10.0)).as("prec10"),
+        (sum(col("cum").cast("double") / col("rn")) / lit(10.0)).as("ap10"),
+        sum(col("hit")).as("nhits"))
+      .join(nrel, Seq("user_id"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .withColumn("rec10",
+        when(col("n_rel") > 0, col("nhits").cast("double") / col("n_rel"))
+          .otherwise(lit(0.0)))
+
+    val rankMetrics = perUser.agg(
+      r4(avg(col("prec10"))).as("avg_precision_at_10"),
+      r4(avg(col("rec10"))).as("avg_recall_at_10"),
+      r4(avg(col("ap10"))).as("map_at_10"))
+
+    val predMetrics = r.join(broadcast(umean), Seq("user_id"))
+      .select((col("rating") - col("umean")).as("err"))
+      .agg(r4(sqrt(avg(col("err") * col("err")))).as("rmse"),
+        r4(avg(abs(col("err")))).as("mae"))
+
+    rankMetrics.crossJoin(predMetrics)
+  }
+}
