@@ -71,7 +71,9 @@ object Dedup {
   private def q19(spark: SparkSession, dir: String): DataFrame =
     minhashBands(shingleSet(spark, dir))
 
-  private[operators] def minhashBands(sh: DataFrame): DataFrame = {
+  /** Reusable library surface: band signatures for any (doc_id, s)
+    * shingle DataFrame. */
+  def minhashBands(sh: DataFrame): DataFrame = {
     val h = sh.select(col("doc_id"), baseHash(col("s")).as("h0"))
     val mins = (0 until NUM_PERMS).map { i =>
       min((col("h0") * lit(2L * i + 1) + lit(7919L * i + 13)) % P31).as(s"s$i")

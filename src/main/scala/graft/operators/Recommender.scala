@@ -50,8 +50,13 @@ object Recommender {
     * nothing to the dot, so the equi-join on item_id computes exactly
     * the reference's full-vector cosine (CosineSimilarity.scala:24-33)
     * without densifying. */
-  private def q16(spark: SparkSession, dir: String): DataFrame = {
-    val r = Tables.ratings(spark, dir)
+  private def q16(spark: SparkSession, dir: String): DataFrame =
+    userKnnTopK(Tables.ratings(spark, dir), K_NEIGHBORS, K_ITEMS)
+
+  /** Reusable library surface: user-based cosine kNN top-N over any
+    * long-form `(user_id, item_id, rating)` DataFrame. */
+  def userKnnTopK(ratings: DataFrame, kNeighbors: Int, kItems: Int): DataFrame = {
+    val r = ratings
     val stats = r.groupBy("user_id").agg(
       avg(col("rating")).as("umean"),
       sqrt(sum(col("rating") * col("rating"))).as("unorm"))
@@ -72,7 +77,7 @@ object Recommender {
 
     val wNb = Window.partitionBy(col("u")).orderBy(col("sim").desc, col("v").asc)
     val neighbors = sims.withColumn("nrk", row_number().over(wNb))
-      .filter(col("nrk") <= K_NEIGHBORS)
+      .filter(col("nrk") <= kNeighbors)
       .select(col("u"), col("v"), col("sim"))
 
     // neighbors is |users|·k rows — broadcastable at bench scale; at
@@ -93,7 +98,7 @@ object Recommender {
     val wTop = Window.partitionBy(col("user_id"))
       .orderBy(col("score").desc, col("item_id").asc)
     preds.withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= K_ITEMS)
+      .filter(col("rk") <= kItems)
       .select("user_id", "item_id", "score", "rk")
   }
 
@@ -106,8 +111,15 @@ object Recommender {
     * user-based plain-sum denominator. Cohort slice bounds the scoring
     * fan-out (users × rated × co-rated partners); the item-pair
     * similarity stage itself is full-table and keyed, never all-pairs. */
-  private def q17(spark: SparkSession, dir: String): DataFrame = {
-    val r = Tables.ratings(spark, dir)
+  private def q17(spark: SparkSession, dir: String): DataFrame =
+    itemKnnTopK(Tables.ratings(spark, dir), col("user_id") % 20 === 0,
+      K_ITEM_NEIGHBORS, K_ITEMS)
+
+  /** Reusable library surface: item-based kNN top-N for the users
+    * selected by `targetUsers`, over any long-form ratings DataFrame. */
+  def itemKnnTopK(ratings: DataFrame, targetUsers: Column,
+                  kNeighbors: Int, kItems: Int): DataFrame = {
+    val r = ratings
     val inorm = r.groupBy("item_id").agg(
       sqrt(sum(col("rating") * col("rating"))).as("inorm"))
 
@@ -125,7 +137,7 @@ object Recommender {
         r6(col("dot") / (col("ni") * col("nj"))).as("sim"))
 
     // target cohort's rated items feed the neighbor join on j
-    val tgt = r.filter(col("user_id") % 20 === 0)
+    val tgt = r.filter(targetUsers)
       .select(col("user_id").as("u"), col("item_id").as("j"), col("rating").as("r_uj"))
     val cand = tgt.join(sims, Seq("j"))
       .select(col("u"), col("i"), col("j"), col("sim"), col("r_uj"))
@@ -136,13 +148,13 @@ object Recommender {
     val wNb = Window.partitionBy(col("u"), col("i"))
       .orderBy(col("sim").desc, col("j").asc)
     val scored = unseen.withColumn("nrk", row_number().over(wNb))
-      .filter(col("nrk") <= K_ITEM_NEIGHBORS)
+      .filter(col("nrk") <= kNeighbors)
       .groupBy(col("u"), col("i"))
       .agg(r4(sum(col("sim") * col("r_uj")) / sum(abs(col("sim")))).as("score"))
 
     val wTop = Window.partitionBy(col("u")).orderBy(col("score").desc, col("i").asc)
     scored.withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= K_ITEMS)
+      .filter(col("rk") <= kItems)
       .select(col("u").as("user_id"), col("i").as("item_id"), col("score"), col("rk"))
   }
 }

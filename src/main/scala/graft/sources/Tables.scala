@@ -59,6 +59,27 @@ object Tables {
       .agg(round(avg(col("l_quantity")), 6).as("rating"))
   }
 
+  /** S1: headerless tab-separated ratings ingest with the reference's
+    * explicit 4-column schema (reference Main.scala:33-51), except the
+    * unix-seconds column becomes a real TimestampType instead of the
+    * reference's `from_unixtime` string detour — downstream windowing
+    * then needs no re-parse. */
+  def ratingsTsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("user_id INT, item_id INT, rating DOUBLE, ts LONG")
+      .option("sep", "\t")
+      .csv(path)
+      .withColumn("ts", timestamp_seconds(col("ts")))
+
+  /** S2: headered CSV item-features ingest with schema inference
+    * (reference Main.scala:53-59); columns beyond `id` are the feature
+    * flags, ready for array assembly. */
+  def featuresCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(path)
+
   /** Shared SQL fragment defining the same `ratings` view for the
     * DuckDB oracle — MUST stay semantically identical to [[ratings]]. */
   val ratingsSql: String =

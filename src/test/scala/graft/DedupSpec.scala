@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** MinHash/normalization unit coverage for the dedup family. */
+class DedupSpec extends SparkSuite {
+
+  test("normText collapses whitespace and case") {
+    val df = spark.range(1).select(lit("  Foo   BAR\t baz ").as("text"))
+    assert(df.select(Dedup.normText(col("text"))).head.getString(0) == "foo bar baz")
+  }
+
+  test("baseHash is the md5-prefix integer (portable across engines)") {
+    val df = spark.range(1).select(lit("hello world").as("s"))
+    // int(md5("hello world")[:7], 16) — precomputed independently
+    assert(df.select(Dedup.baseHash(col("s"))).head.getLong(0) == 99312571L)
+  }
+
+  test("identical docs share all band hashes; disjoint docs share none") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different words appear in this other document here")
+    ).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      explode(graft.functions.VectorFns.shingles(
+        graft.functions.VectorFns.tokens(Dedup.normText(col("text"))), 3)).as("s"))
+      .distinct()
+    val bands = Dedup.minhashBands(sh).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val byDoc = bands.groupBy(_._1).view.mapValues(_.map(b => (b._2, b._3)).toSet)
+    assert(byDoc(1L) == byDoc(2L))
+    assert(byDoc(1L).intersect(byDoc(3L)).isEmpty)
+    assert(byDoc(1L).size == Dedup.NUM_BANDS)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Recommender
+
+/** Hand-computed 3-user × 4-item fixture (FIXTURES.md §2) exercising
+  * the R2/R3 user-based formula (mean-centered, plain-sum denominator)
+  * and the R4/R5 item-based formula (Σ|sim| denominator). Expected
+  * values derived independently from the reference formulas
+  * (UserBasedRatingRecommender.scala:56-64,
+  * ItemBasedRatingRecommender.scala:54-62). */
+class RecommenderSpec extends SparkSuite {
+
+  private lazy val tiny = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1, 1, 5.0), (1, 2, 3.0),
+      (2, 1, 4.0), (2, 2, 2.0), (2, 3, 4.0),
+      (3, 2, 5.0), (3, 3, 3.0), (3, 4, 1.0)
+    ).toDF("user_id", "item_id", "rating")
+  }
+
+  test("user-based kNN top-K matches hand-computed fixture") {
+    val got = Recommender.userKnnTopK(tiny, kNeighbors = 2, kItems = 2)
+      .orderBy("user_id", "rk")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    val want = Seq(
+      (1, 3, 4.4206, 1), (1, 4, 2.0, 2),
+      (2, 4, 1.3333, 1),
+      (3, 1, 3.8041, 1))
+    assert(got == want)
+  }
+
+  test("item-based kNN top-K matches hand-computed fixture") {
+    val got = Recommender.itemKnnTopK(tiny, lit(true), kNeighbors = 2, kItems = 2)
+      .orderBy("user_id", "rk")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    val want = Seq(
+      (1, 3, 3.8022, 1), (1, 4, 3.0, 2),
+      (2, 4, 2.8504, 1),
+      (3, 1, 4.0766, 1))
+    assert(got == want)
+  }
+
+  test("recommendations never include already-rated items") {
+    val rated = tiny.select(col("user_id"), col("item_id"))
+    val recs = Recommender.userKnnTopK(tiny, 2, 4)
+    assert(recs.join(rated, Seq("user_id", "item_id")).count() == 0)
+  }
+}

@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Shared local SparkSession for all suites — one per JVM (tests fork
+  * a single JVM; getOrCreate dedups across suites). */
+trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-test")
+    .getOrCreate()
+
+  def resourcePath(name: String): String =
+    getClass.getClassLoader.getResource(name).getPath
+}
