@@ -19,6 +19,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.Recommender.queries ++
+      operators.Content.queries ++
+      operators.Hybrid.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.TextOps.queries ++
@@ -30,6 +32,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracle.RelationalSql.oracle ++
       oracle.RecommenderSql.oracle ++
+      oracle.ContentHybridSql.oracle ++
       oracle.DedupSql.oracle ++
       oracle.SimilaritySql.oracle ++
       oracle.TextSql.oracle ++

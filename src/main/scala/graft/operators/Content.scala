@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.functions.VectorFns.{cosineArr, invEuclideanArr}
+import graft.functions.Rounding.{r4, r6}
+
+/**
+ * Content-based recommender (SURVEY.md §2.10 R6/R7): item similarity
+ * computed on FEATURE vectors instead of co-rating patterns, with the
+ * K5 Euclidean fallback when the configured kernel returns exactly 0
+ * (reference ContentBasedRatingRecommender.scala:34-42,
+ * ContentBasedTopKRecommender.scala:42-98). The `embeddings` table
+ * stands in for the reference's assembled genre flags (R6,
+ * ContentRecommender.scala:36-53) — the operator shape is identical:
+ * a per-item dense feature vector joined by item id.
+ *
+ * Scale design: the reference looked features up by a driver-side
+ * linear scan per call (O(n) each, ContentBasedRatingRecommender
+ * .scala:64-66); here features join by item_id and the per-user
+ * candidate×rated grid is keyed on user_id, so each user's block
+ * computes locally in one shuffle. Feature vectors never densify into
+ * a matrix.
+ */
+object Content {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_content_topk" -> q32
+  )
+
+  val K_NEIGHBORS = 8
+  val K_ITEMS = 5
+
+  /** R7 top-K for the `user_id % 50 = 0` cohort: candidates are
+    * feature-bearing items the user has NOT rated; neighbors are the
+    * feature-bearing items the user HAS rated, ranked by
+    * cosine(feature_i, feature_j) with the K5 inverse-Euclidean
+    * fallback; score = Σ sim·r(u,j) / Σ|sim| (the R4-family
+    * denominator), top-5 per user. */
+  private def q32(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("item_id"),
+        col("embedding").cast("array<double>").as("fv"))
+    contentTopK(Tables.ratings(spark, dir), feats,
+      col("user_id") % 50 === 0, K_NEIGHBORS, K_ITEMS)
+  }
+
+  /** Reusable library surface: content-based top-N over long-form
+    * ratings plus an item-feature DataFrame `(item_id, fv)`. */
+  def contentTopK(ratings: DataFrame, features: DataFrame,
+                  targetUsers: Column, kNeighbors: Int, kItems: Int): DataFrame = {
+    val rated = ratings.filter(targetUsers)
+      .select(col("user_id").as("u"), col("item_id").as("j"), col("rating").as("r_uj"))
+      .join(features.select(col("item_id").as("j"), col("fv").as("vj")), Seq("j"))
+
+    val users = rated.select(col("u")).distinct()
+    val cand = users.crossJoin(
+        features.select(col("item_id").as("i"), col("fv").as("vi")))
+      .join(ratings.select(col("user_id").as("u"), col("item_id").as("i")),
+        Seq("u", "i"), "left_anti")
+
+    // per-user candidate × rated grid, keyed on u — local to each block
+    val sim0 = r6(cosineArr(col("vi"), col("vj")))
+    val simK5 = when(sim0 === 0.0, r6(invEuclideanArr(col("vi"), col("vj"))))
+      .otherwise(sim0)
+    val pairs = cand.join(rated, Seq("u"))
+      .filter(col("i") =!= col("j"))
+      .select(col("u"), col("i"), col("j"), simK5.as("sim"), col("r_uj"))
+
+    val wNb = Window.partitionBy(col("u"), col("i"))
+      .orderBy(col("sim").desc, col("j").asc)
+    val scored = pairs.withColumn("nrk", row_number().over(wNb))
+      .filter(col("nrk") <= kNeighbors)
+      .groupBy(col("u"), col("i"))
+      .agg(sum(col("sim") * col("r_uj")).as("num"), sum(abs(col("sim"))).as("den"))
+      .filter(col("den") =!= 0.0)
+      .select(col("u"), col("i"), r4(col("num") / col("den")).as("score"))
+
+    val wTop = Window.partitionBy(col("u")).orderBy(col("score").desc, col("i").asc)
+    scored.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= kItems)
+      .select(col("u").as("user_id"), col("i").as("item_id"), col("score"), col("rk"))
+  }
+}

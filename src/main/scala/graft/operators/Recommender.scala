@@ -29,7 +29,9 @@ object Recommender {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_user_knn_topk" -> q16,
-    "q17_item_knn_topk" -> q17
+    "q17_item_knn_topk" -> q17,
+    "q30_user_rating_predict" -> q30,
+    "q31_item_rating_predict" -> q31
   )
 
   val K_NEIGHBORS = 25 // reference flagship k (Main.scala:351-352)
@@ -156,5 +158,120 @@ object Recommender {
     scored.withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= kItems)
       .select(col("u").as("user_id"), col("i").as("item_id"), col("score"), col("rk"))
+  }
+
+  /** R2: user-based rating prediction for the `user_id % 17 = 3`
+    * held-out cohort — predict each cohort pair's rating from the
+    * OTHER users who rated that item (reference
+    * UserBasedRatingRecommender.scala:34-77): neighbors of (u,i) are
+    * the raters of i ranked by cosine(u,v), top-25, then
+    * r̂ = mean(u) + Σ sim·(r(v,i) − mean(v)) / Σ sim — the plain-sum
+    * denominator, unlike the item-based Σ|sim|. Emits actual vs
+    * predicted plus the error, the E4 feed. */
+  private def q30(spark: SparkSession, dir: String): DataFrame =
+    userPredictRatings(Tables.ratings(spark, dir),
+      col("user_id") % 17 === 3, K_NEIGHBORS)
+
+  /** Reusable library surface: user-based rating prediction for the
+    * (user, item) pairs selected by `heldOut` over long-form ratings.
+    * Scale shape: the only quadratic-ish stage is the co-rated pair
+    * dot, and it is keyed on item_id with the a-side pre-filtered to
+    * cohort users — Σ_item (cohort_raters × raters), never |U|². */
+  def userPredictRatings(ratings: DataFrame, heldOut: Column,
+                         kNeighbors: Int): DataFrame = {
+    val r = ratings
+    val stats = r.groupBy("user_id").agg(
+      avg(col("rating")).as("umean"),
+      sqrt(sum(col("rating") * col("rating"))).as("unorm"))
+    val cohort = r.filter(heldOut)
+      .select(col("user_id").as("u"), col("item_id"), col("rating").as("actual"))
+    val cohortUsers = cohort.select(col("u")).distinct()
+
+    // cohort users' FULL profiles feed the similarity side
+    val a = r.join(broadcast(cohortUsers), r("user_id") === cohortUsers("u"))
+      .select(col("u"), col("item_id"), col("rating").as("ra"))
+    val b = r.select(col("user_id").as("v"), col("item_id"), col("rating").as("rb"))
+    val dots = a.join(b, Seq("item_id"))
+      .filter(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(sum(col("ra") * col("rb")).as("dot"))
+    val sims = dots
+      .join(broadcast(stats.select(col("user_id").as("u"), col("unorm").as("nu"))), Seq("u"))
+      .join(broadcast(stats.select(col("user_id").as("v"), col("unorm").as("nv"))), Seq("v"))
+      .select(col("u"), col("v"), r6(col("dot") / (col("nu") * col("nv"))).as("sim"))
+
+    // neighbors of (u, i): other users v who rated i, by sim desc
+    val raters = r.select(col("user_id").as("v"), col("item_id"), col("rating").as("r_vi"))
+    val cand = cohort.join(raters, Seq("item_id"))
+      .filter(col("v") =!= col("u"))
+      .join(sims, Seq("u", "v"))
+      .join(broadcast(stats.select(col("user_id").as("v"), col("umean").as("vmean"))), Seq("v"))
+    val wNb = Window.partitionBy(col("u"), col("item_id"))
+      .orderBy(col("sim").desc, col("v").asc)
+    cand.withColumn("nrk", row_number().over(wNb))
+      .filter(col("nrk") <= kNeighbors)
+      .groupBy(col("u"), col("item_id"), col("actual"))
+      .agg(sum(col("sim") * (col("r_vi") - col("vmean"))).as("num"),
+        sum(col("sim")).as("den"))
+      .join(broadcast(stats.select(col("user_id").as("u"), col("umean"))), Seq("u"))
+      .filter(col("den") =!= 0.0)
+      .select(col("u").as("user_id"), col("item_id"),
+        r4(col("actual")).as("actual"),
+        r4(col("umean") + col("num") / col("den")).as("predicted"),
+        r4(abs(col("actual") - (col("umean") + col("num") / col("den")))).as("abs_err"))
+  }
+
+  /** R4: item-based rating prediction for the `user_id % 23 = 5`
+    * held-out cohort — neighbors of (u,i) are the OTHER items u rated,
+    * ranked by item-item cosine, top-8; r̂ = Σ sim·r(u,j) / Σ|sim|
+    * (reference ItemBasedRatingRecommender.scala:36-72 — the
+    * `reduce(|a|+|b|)` fold ≡ Σ|sim| denominator quirk, preserved).
+    * Pairs whose denominator is exactly 0 drop out, mirroring the
+    * reference's empty-neighbor guard. */
+  private def q31(spark: SparkSession, dir: String): DataFrame =
+    itemPredictRatings(Tables.ratings(spark, dir),
+      col("user_id") % 23 === 5, K_ITEM_NEIGHBORS)
+
+  /** Reusable library surface: item-based rating prediction for the
+    * (user, item) pairs selected by `heldOut`. The item-pair dot is
+    * keyed on user_id with one side pre-filtered to cohort items. */
+  def itemPredictRatings(ratings: DataFrame, heldOut: Column,
+                         kNeighbors: Int): DataFrame = {
+    val r = ratings
+    val inorm = r.groupBy("item_id").agg(
+      sqrt(sum(col("rating") * col("rating"))).as("inorm"))
+    val cohort = r.filter(heldOut)
+      .select(col("user_id").as("u"), col("item_id").as("i"), col("rating").as("actual"))
+    val cohortItems = cohort.select(col("i")).distinct()
+
+    val a = r.join(cohortItems, r("item_id") === cohortItems("i"))
+      .select(col("user_id"), col("item_id").as("i"), col("rating").as("ra"))
+    val b = r.select(col("user_id"), col("item_id").as("j"), col("rating").as("rb"))
+    val dots = a.join(b, Seq("user_id"))
+      .filter(col("i") =!= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("ra") * col("rb")).as("dot"))
+    val sims = dots
+      .join(broadcast(inorm.select(col("item_id").as("i"), col("inorm").as("ni"))), Seq("i"))
+      .join(broadcast(inorm.select(col("item_id").as("j"), col("inorm").as("nj"))), Seq("j"))
+      .select(col("i"), col("j"), r6(col("dot") / (col("ni") * col("nj"))).as("sim"))
+
+    // neighbors of (u, i): items j the user actually rated
+    val rated = r.select(col("user_id").as("u"), col("item_id").as("j"), col("rating").as("r_uj"))
+    val cand = cohort.join(rated, Seq("u"))
+      .filter(col("j") =!= col("i"))
+      .join(sims, Seq("i", "j"))
+    val wNb = Window.partitionBy(col("u"), col("i"))
+      .orderBy(col("sim").desc, col("j").asc)
+    cand.withColumn("nrk", row_number().over(wNb))
+      .filter(col("nrk") <= kNeighbors)
+      .groupBy(col("u"), col("i"), col("actual"))
+      .agg(sum(col("sim") * col("r_uj")).as("num"),
+        sum(abs(col("sim"))).as("den"))
+      .filter(col("den") =!= 0.0)
+      .select(col("u").as("user_id"), col("i").as("item_id"),
+        r4(col("actual")).as("actual"),
+        r4(col("num") / col("den")).as("predicted"),
+        r4(abs(col("actual") - col("num") / col("den"))).as("abs_err"))
   }
 }

@@ -90,6 +90,81 @@ object RecommenderSql {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY u ORDER BY score DESC, i ASC) AS rk
          |  FROM scored)
-         |WHERE rk <= 5""".stripMargin
+         |WHERE rk <= 5""".stripMargin,
+
+    "q30_user_rating_predict" ->
+      s"""WITH $ratingsSql,
+         |stats AS (
+         |  SELECT user_id, avg(rating) AS umean,
+         |         sqrt(sum(rating*rating)) AS unorm
+         |  FROM ratings GROUP BY 1),
+         |cohort AS (
+         |  SELECT user_id AS u, item_id, rating AS actual
+         |  FROM ratings WHERE user_id % 17 = 3),
+         |dots AS (
+         |  SELECT a.user_id AS u, b.user_id AS v, sum(a.rating*b.rating) AS dot
+         |  FROM ratings a JOIN ratings b ON a.item_id = b.item_id
+         |  WHERE a.user_id % 17 = 3 AND a.user_id <> b.user_id
+         |  GROUP BY 1, 2),
+         |sims AS (
+         |  SELECT u, v, floor(dot / (su.unorm * sv.unorm) * 1000000.0 + 0.5) / 1000000.0 AS sim
+         |  FROM dots
+         |  JOIN stats su ON su.user_id = u
+         |  JOIN stats sv ON sv.user_id = v),
+         |cand AS (
+         |  SELECT c.u, c.item_id, c.actual, s.sim, r.rating AS r_vi, sv.umean AS vmean,
+         |         row_number() OVER (
+         |           PARTITION BY c.u, c.item_id ORDER BY s.sim DESC, r.user_id ASC) AS nrk
+         |  FROM cohort c
+         |  JOIN ratings r ON r.item_id = c.item_id AND r.user_id <> c.u
+         |  JOIN sims s ON s.u = c.u AND s.v = r.user_id
+         |  JOIN stats sv ON sv.user_id = r.user_id),
+         |agg AS (
+         |  SELECT u, item_id, actual,
+         |         sum(sim * (r_vi - vmean)) AS num, sum(sim) AS den
+         |  FROM cand WHERE nrk <= 25 GROUP BY 1, 2, 3)
+         |SELECT a.u AS user_id, a.item_id,
+         |       floor(a.actual * 10000.0 + 0.5) / 10000.0 AS actual,
+         |       floor((su.umean + a.num / a.den) * 10000.0 + 0.5) / 10000.0 AS predicted,
+         |       floor(abs(a.actual - (su.umean + a.num / a.den)) * 10000.0 + 0.5) / 10000.0 AS abs_err
+         |FROM agg a JOIN stats su ON su.user_id = a.u
+         |WHERE a.den <> 0""".stripMargin,
+
+    "q31_item_rating_predict" ->
+      s"""WITH $ratingsSql,
+         |inorm AS (
+         |  SELECT item_id, sqrt(sum(rating*rating)) AS inorm
+         |  FROM ratings GROUP BY 1),
+         |cohort AS (
+         |  SELECT user_id AS u, item_id AS i, rating AS actual
+         |  FROM ratings WHERE user_id % 23 = 5),
+         |dots AS (
+         |  SELECT a.item_id AS i, b.item_id AS j, sum(a.rating*b.rating) AS dot
+         |  FROM ratings a JOIN ratings b ON a.user_id = b.user_id
+         |  WHERE a.item_id IN (SELECT DISTINCT i FROM cohort)
+         |    AND a.item_id <> b.item_id
+         |  GROUP BY 1, 2),
+         |sims AS (
+         |  SELECT i, j, floor(dot / (ni.inorm * nj.inorm) * 1000000.0 + 0.5) / 1000000.0 AS sim
+         |  FROM dots
+         |  JOIN inorm ni ON ni.item_id = i
+         |  JOIN inorm nj ON nj.item_id = j),
+         |cand AS (
+         |  SELECT c.u, c.i, c.actual, s.sim, r.rating AS r_uj,
+         |         row_number() OVER (
+         |           PARTITION BY c.u, c.i ORDER BY s.sim DESC, r.item_id ASC) AS nrk
+         |  FROM cohort c
+         |  JOIN ratings r ON r.user_id = c.u AND r.item_id <> c.i
+         |  JOIN sims s ON s.i = c.i AND s.j = r.item_id),
+         |agg AS (
+         |  SELECT u, i, actual,
+         |         sum(sim * r_uj) AS num, sum(abs(sim)) AS den
+         |  FROM cand WHERE nrk <= 8 GROUP BY 1, 2, 3)
+         |SELECT u AS user_id, i AS item_id,
+         |       floor(actual * 10000.0 + 0.5) / 10000.0 AS actual,
+         |       floor(num / den * 10000.0 + 0.5) / 10000.0 AS predicted,
+         |       floor(abs(actual - num / den) * 10000.0 + 0.5) / 10000.0 AS abs_err
+         |FROM agg
+         |WHERE den <> 0""".stripMargin
   )
 }
