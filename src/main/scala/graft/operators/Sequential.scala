@@ -2,22 +2,34 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.functions.Rounding.r6
+import graft.functions.VectorFns._
+import graft.functions.Rounding.{r4, r6}
 
 /**
- * Sequential-pipeline operators (SURVEY.md §2.10 R8 fragments):
- * derived-width time periods with end-clamp (W2, reference
- * SequentialTopKRecommender.scala:349-401) and association-rule
+ * Sequential-pipeline operators (SURVEY.md §2.10 R8/R9): derived-width
+ * time periods with end-clamp (W2, reference
+ * SequentialTopKRecommender.scala:349-401), association-rule
  * support/confidence recounted through a broadcast containment join
  * (A11/U6, reference `getSupport` closure at :492-519 — re-expressed
- * as a join instead of a collected-transactions UDF).
+ * as a join instead of a collected-transactions UDF), deterministic
+ * Lloyd clustering over embeddings (the SOM stage at :403-416 —
+ * substituted per SURVEY §2.10 R8 with a k-means step behind the same
+ * "cluster the profiles" surface), FPGrowth frequent itemsets
+ * (reference :468-475 uses ml.fpm.FPGrowth directly) and the R9
+ * transform that scores mined rules against each user's basket
+ * (reference :219-239: score = |antecedent ∩ items|·support·conf,
+ * argmax rule, recommend its consequent).
  */
 object Sequential {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_periods_w2" -> q28,
-    "q29_rule_support" -> q29
+    "q29_rule_support" -> q29,
+    "q34_kmeans_assign" -> q34,
+    "q35_freq_itemsets" -> q35,
+    "q36_seq_transform" -> q36
   )
 
   val NUM_PERIODS = 8
@@ -56,8 +68,14 @@ object Sequential {
     * containment predicate — the scale shape for rule scoring: rules
     * are small and ride the broadcast; baskets never leave their
     * partitions. */
-  private def q29(spark: SparkSession, dir: String): DataFrame = {
-    val r = Tables.ratings(spark, dir).select(col("user_id"), col("item_id"))
+  private def q29(spark: SparkSession, dir: String): DataFrame =
+    pairRules(Tables.ratings(spark, dir))
+
+  /** Reusable library surface: mine single-item→single-item rules with
+    * recounted support/confidence over long-form `(user_id, item_id)`
+    * interactions — the A11/U6 stage as a standalone operator. */
+  def pairRules(ratings: DataFrame): DataFrame = {
+    val r = ratings.select(col("user_id"), col("item_id"))
     val baskets = r.groupBy("user_id").agg(collect_set(col("item_id")).as("items"))
     val nb = baskets.agg(count(lit(1)).as("n_baskets"))
     val icnt = r.groupBy("item_id").agg(count(lit(1)).as("cnt_i"))
@@ -81,5 +99,106 @@ object Sequential {
       .select(col("i").as("antecedent"), col("j").as("consequent"),
         r6(col("cnt2").cast("double") / col("n_baskets")).as("support"),
         r6(col("cnt2").cast("double") / col("cnt_i")).as("confidence"))
+  }
+
+  val KMEANS_SEEDS = Seq(3L, 67L, 131L, 195L, 259L, 323L, 387L, 451L)
+  val KMEANS_ITERS = 2
+
+  /** R8 clustering stage: Lloyd k-means over the embedding vectors
+    * from k=8 FIXED seed vectors (deterministic — the reference seeds
+    * its SOM with a fixed RNG seed 42, SequentialTopKRecommender
+    * .scala:403-416; fixed seed VECTORS make the whole trajectory
+    * engine-reproducible, so even the DuckDB oracle can replay it).
+    * Each iteration: assign every vector to the nearest centroid
+    * (squared L2, 6-dp-rounded with cluster-id tie-break), then
+    * recompute centroids as per-position means (6-dp-rounded, so both
+    * engines quantize accumulation noise identically).
+    *
+    * Scale design: centroids are k×dim ≈ tiny and ride a broadcast;
+    * assignment is a narrow map over the corpus (k distance evals per
+    * row, argmin via min_by-shaped window) and the centroid update is
+    * one keyed agg on (cluster, pos) — no iteration state ever
+    * collects beyond the k centroids themselves. */
+  private def q34(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    kmeansAssign(e, KMEANS_SEEDS, KMEANS_ITERS)
+  }
+
+  /** Reusable library surface: deterministic Lloyd assignment over a
+    * `(vec_id, v: array<double>)` DataFrame; returns the final
+    * per-vector assignment with its squared distance. */
+  def kmeansAssign(vecs: DataFrame, seedIds: Seq[Long], iters: Int): DataFrame = {
+    val sqDist = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+
+    def assign(centroids: DataFrame): DataFrame = {
+      val pairs = vecs.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("v"), col("cluster"),
+          r6(sqDist(col("v"), col("cv"))).as("d2"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2").asc, col("cluster").asc)
+      pairs.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("cluster"), col("d2"))
+    }
+    def recenter(assigned: DataFrame): DataFrame =
+      assigned.select(col("cluster"), posexplode(col("v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(r6(avg(col("col"))).as("x"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
+          s => s.getField("x")).as("cv"))
+
+    val c0 = vecs.filter(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
+    val last = (1 to iters).foldLeft(c0)((c, _) => recenter(assign(c)))
+    assign(last).select(col("vec_id"), col("cluster"), r4(col("d2")).as("dist2"))
+  }
+
+  val FP_MIN_SUPPORT = 0.005
+
+  /** R8 rule-mining stage: `ml.fpm.FPGrowth` (the library the
+    * reference itself calls, SequentialTopKRecommender.scala:468-475)
+    * over per-user baskets, emitting the frequent itemsets of size ≤ 2
+    * (the slice an exact SQL oracle can recount: singles and pairs).
+    * FPGrowth's minCount = ceil(minSupport · n_baskets) — mirrored
+    * bit-for-bit in the oracle's threshold arithmetic. */
+  private def q35(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.ratings(spark, dir)
+      .groupBy("user_id").agg(collect_set(col("item_id")).as("items"))
+    val fp = new org.apache.spark.ml.fpm.FPGrowth()
+      .setItemsCol("items").setMinSupport(FP_MIN_SUPPORT).setMinConfidence(0.5)
+    fp.fit(baskets).freqItemsets
+      .filter(size(col("items")) <= 2)
+      .select(
+        concat_ws(",", transform(sort_array(col("items")), x => x.cast("string")))
+          .as("itemset"),
+        size(col("items")).as("set_size"),
+        col("freq"))
+  }
+
+  /** R9 transform: score every mined rule against every user's basket
+    * — a rule fires when the user holds the antecedent and not yet the
+    * consequent; score = support·confidence (the |antecedent ∩ items|
+    * factor of reference :219-239 is 0/1 for single-item antecedents,
+    * expressed by the containment filter). The best rule per user
+    * (score desc, antecedent/consequent asc tie-break) yields that
+    * user's recommended item. Rules are tiny and broadcast; baskets
+    * never leave their partitions — the same shape as q29's recount. */
+  private def q36(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.ratings(spark, dir)
+    val rules = pairRules(r)
+    val baskets = r.groupBy("user_id").agg(collect_set(col("item_id")).as("items"))
+    val fired = baskets.join(rules.hint("broadcast"),
+        array_contains(col("items"), col("antecedent")) &&
+          !array_contains(col("items"), col("consequent")))
+      .select(col("user_id"), col("antecedent"), col("consequent"),
+        r6(col("support") * col("confidence")).as("score"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("score").desc, col("antecedent").asc, col("consequent").asc)
+    fired.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("user_id"), col("antecedent"),
+        col("consequent").as("recommended"), col("score"))
   }
 }

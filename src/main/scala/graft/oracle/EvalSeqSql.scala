@@ -6,7 +6,89 @@ import graft.sources.Tables.ratingsSql
   * [[graft.operators.Sequential]]. */
 object EvalSeqSql {
 
+  /** One Lloyd assignment stage as a CTE body: nearest centroid from
+    * `cents` for every vector in `emb`, squared-L2 rounded to 6 dp
+    * with cluster-id tie-break — mirrors Sequential.kmeansAssign. */
+  private def assignCte(name: String, cents: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, v, cluster, d2 FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC) AS rk
+       |    FROM (
+       |      SELECT e.vec_id, e.v, c.cluster,
+       |             floor(list_sum(list_transform(list_zip(e.v, c.cv),
+       |                     z -> (z[1]-z[2])*(z[1]-z[2])))
+       |                   * 1000000.0 + 0.5) / 1000000.0 AS d2
+       |      FROM emb e CROSS JOIN $cents c))
+       |  WHERE rk = 1)""".stripMargin
+
+  /** One centroid-update stage: per-cluster per-position mean (6 dp),
+    * re-assembled into an ordered list. */
+  private def recenterCte(name: String, assigned: String): String =
+    s"""$name AS (
+       |  SELECT cluster, list(x ORDER BY pos) AS cv FROM (
+       |    SELECT a.cluster, t.pos,
+       |           floor(avg(a.v[t.pos]) * 1000000.0 + 0.5) / 1000000.0 AS x
+       |    FROM $assigned a, range(1, 65) t(pos)
+       |    GROUP BY a.cluster, t.pos)
+       |  GROUP BY cluster)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q34_kmeans_assign" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cluster, v AS cv FROM emb
+         |  WHERE vec_id IN (3, 67, 131, 195, 259, 323, 387, 451)),
+         |${assignCte("a1", "c0")},
+         |${recenterCte("c1", "a1")},
+         |${assignCte("a2", "c1")},
+         |${recenterCte("c2", "a2")},
+         |${assignCte("a3", "c2")}
+         |SELECT vec_id, cluster,
+         |       floor(d2 * 10000.0 + 0.5) / 10000.0 AS dist2
+         |FROM a3""".stripMargin,
+
+    "q35_freq_itemsets" ->
+      s"""WITH $ratingsSql,
+         |rr AS (SELECT user_id, item_id FROM ratings),
+         |nb AS (SELECT count(DISTINCT user_id) AS n FROM rr),
+         |th AS (SELECT CAST(ceil(0.005 * n) AS BIGINT) AS minc FROM nb),
+         |singles AS (
+         |  SELECT CAST(item_id AS VARCHAR) AS itemset,
+         |         CAST(1 AS INTEGER) AS set_size,
+         |         CAST(count(*) AS BIGINT) AS freq
+         |  FROM rr GROUP BY item_id
+         |  HAVING count(*) >= (SELECT minc FROM th)),
+         |pairs AS (
+         |  SELECT CAST(a.item_id AS VARCHAR) || ',' || CAST(b.item_id AS VARCHAR) AS itemset,
+         |         CAST(2 AS INTEGER) AS set_size,
+         |         CAST(count(*) AS BIGINT) AS freq
+         |  FROM rr a JOIN rr b ON a.user_id = b.user_id AND a.item_id < b.item_id
+         |  GROUP BY a.item_id, b.item_id
+         |  HAVING count(*) >= (SELECT minc FROM th))
+         |SELECT * FROM singles UNION ALL SELECT * FROM pairs""".stripMargin,
+
+    "q36_seq_transform" ->
+      s"""WITH $ratingsSql,
+         |rules AS (SELECT * FROM (
+         |${oracleQ29}
+         |)),
+         |users AS (SELECT DISTINCT user_id FROM ratings),
+         |fired AS (
+         |  SELECT u.user_id, r.antecedent, r.consequent,
+         |         floor(r.support * r.confidence * 1000000.0 + 0.5) / 1000000.0 AS score
+         |  FROM users u JOIN rules r
+         |    ON EXISTS (SELECT 1 FROM ratings x
+         |               WHERE x.user_id = u.user_id AND x.item_id = r.antecedent)
+         |   AND NOT EXISTS (SELECT 1 FROM ratings x
+         |               WHERE x.user_id = u.user_id AND x.item_id = r.consequent))
+         |SELECT user_id, antecedent, consequent AS recommended, score FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY user_id
+         |    ORDER BY score DESC, antecedent ASC, consequent ASC) AS rk
+         |  FROM fired)
+         |WHERE rk = 1""".stripMargin,
     "q27_eval_metrics" ->
       s"""WITH $ratingsSql,
          |umean AS (SELECT user_id, avg(rating) AS umean FROM ratings GROUP BY 1),
@@ -74,29 +156,32 @@ object EvalSeqSql {
          |FROM assigned
          |GROUP BY 1, 2, 3""".stripMargin,
 
-    "q29_rule_support" ->
-      s"""WITH $ratingsSql,
-         |rr AS (SELECT user_id, item_id FROM ratings),
-         |baskets AS (SELECT user_id, list(item_id) AS items FROM rr GROUP BY 1),
-         |nb AS (SELECT count(*) AS n_baskets FROM baskets),
-         |icnt AS (SELECT item_id, count(*) AS cnt_i FROM rr GROUP BY 1),
-         |pairs AS (
-         |  SELECT a.item_id AS i, b.item_id AS j, count(*) AS cnt
-         |  FROM rr a JOIN rr b ON a.user_id = b.user_id AND a.item_id < b.item_id
-         |  GROUP BY 1, 2),
-         |rules AS (
-         |  SELECT i, j FROM pairs CROSS JOIN nb
-         |  WHERE cnt >= greatest(4, CAST(ceil(n_baskets * 0.004) AS BIGINT))),
-         |recount AS (
-         |  SELECT r.i, r.j, count(*) AS cnt2
-         |  FROM rules r JOIN baskets b
-         |    ON list_contains(b.items, r.i) AND list_contains(b.items, r.j)
-         |  GROUP BY 1, 2)
-         |SELECT rc.i AS antecedent, rc.j AS consequent,
-         |       floor(CAST(cnt2 AS DOUBLE) / n_baskets * 1000000.0 + 0.5) / 1000000.0 AS support,
-         |       floor(CAST(cnt2 AS DOUBLE) / cnt_i * 1000000.0 + 0.5) / 1000000.0 AS confidence
-         |FROM recount rc
-         |CROSS JOIN nb
-         |JOIN icnt ON icnt.item_id = rc.i""".stripMargin
+    "q29_rule_support" -> oracleQ29
   )
+
+  /** q29's full oracle — also embedded as a subquery by q36. */
+  private lazy val oracleQ29: String =
+    s"""WITH $ratingsSql,
+       |rr AS (SELECT user_id, item_id FROM ratings),
+       |baskets AS (SELECT user_id, list(item_id) AS items FROM rr GROUP BY 1),
+       |nb AS (SELECT count(*) AS n_baskets FROM baskets),
+       |icnt AS (SELECT item_id, count(*) AS cnt_i FROM rr GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.item_id AS i, b.item_id AS j, count(*) AS cnt
+       |  FROM rr a JOIN rr b ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2),
+       |rules AS (
+       |  SELECT i, j FROM pairs CROSS JOIN nb
+       |  WHERE cnt >= greatest(4, CAST(ceil(n_baskets * 0.004) AS BIGINT))),
+       |recount AS (
+       |  SELECT r.i, r.j, count(*) AS cnt2
+       |  FROM rules r JOIN baskets b
+       |    ON list_contains(b.items, r.i) AND list_contains(b.items, r.j)
+       |  GROUP BY 1, 2)
+       |SELECT rc.i AS antecedent, rc.j AS consequent,
+       |       floor(CAST(cnt2 AS DOUBLE) / n_baskets * 1000000.0 + 0.5) / 1000000.0 AS support,
+       |       floor(CAST(cnt2 AS DOUBLE) / cnt_i * 1000000.0 + 0.5) / 1000000.0 AS confidence
+       |FROM recount rc
+       |CROSS JOIN nb
+       |JOIN icnt ON icnt.item_id = rc.i""".stripMargin
 }
