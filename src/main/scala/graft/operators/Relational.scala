@@ -33,7 +33,12 @@ object Relational {
     "q12_part_strings" -> q12,
     "q13_order_lifecycle" -> q13,
     "q14_period_ids" -> q14,
-    "q15_array_hof" -> q15
+    "q15_array_hof" -> q15,
+    "q05b_approx_distinct" -> q05b,
+    "q37_candidate_freq" -> q37,
+    "q38_seq_encode" -> q38,
+    "q39_set_ops" -> q39,
+    "q40_event_windows" -> q40
   )
 
   /** A1/P6/T3 — wide aggregation with derived measures (shape of
@@ -206,13 +211,127 @@ object Relational {
   /** W3 — dense sequence ids over an ordered distinct set. The
     * reference used monotonically_increasing_id after orderBy
     * (SequentialTopKRecommender.scala:322-327), which is only correct
-    * single-partition; row_number over a window is the scale-safe
-    * idiom (SURVEY §2.5 W3). */
-  private def q14(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
+    * single-partition. A bare `row_number() OVER (ORDER BY ...)` fixes
+    * correctness but funnels every row through ONE partition — the
+    * textbook scale-killer. Scale-safe form: rank WITHIN each year
+    * partition, then add the year's cumulative offset (computed on the
+    * tiny #years dimension and broadcast) — dense global ids with no
+    * global sort. */
+  private def q14(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.orders(spark, dir)
       .select(to_date(col("o_orderdate")).as("order_date")).distinct()
-      .withColumn("period_id",
-        row_number().over(Window.orderBy(col("order_date"))).cast("long") - 1)
+      .withColumn("yr", year(col("order_date")))
+    val offs = d.groupBy(col("yr")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        sum(col("cnt")).over(Window.orderBy(col("yr"))) - col("cnt"))
+      .select(col("yr"), col("off"))
+    val rk = row_number().over(
+      Window.partitionBy(col("yr")).orderBy(col("order_date")))
+    d.join(broadcast(offs), Seq("yr"))
+      .withColumn("period_id", (col("off") + rk - 1).cast("long"))
+      .select(col("order_date"), col("period_id"))
+  }
+
+  /** A3 at the 100-TB posture: the approximate twin of q05. Exact
+    * multi-countDistinct triggers an `Expand` (3× the input through
+    * the shuffle); HyperLogLog++ sketches aggregate in one pass with
+    * fixed-size state and merge associatively across any partitioning.
+    * No SQL oracle — approx results can't hash-match; the driver's
+    * rows/schema gate covers the shape. */
+  private def q05b(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      approx_count_distinct(col("l_partkey"), 0.01).as("n_parts"),
+      approx_count_distinct(col("l_suppkey"), 0.01).as("n_supps"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("n_orders"),
+      count(lit(1)).as("n_rows"))
+
+  /** A8 — explode + candidate frequency (reference
+    * SequentialTopKRecommender.scala:137-143 counted item frequency
+    * across a cluster's transactions driver-side): per-order baskets
+    * explode back into rows, counted per (segment, item), top-3 items
+    * per segment. The explode is genuine array fan-out — the same
+    * shape the R9 recommend step consumes. */
+  private def q37(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+    val o  = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c  = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val baskets = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("c_mktsegment"))
+      .agg(collect_set(col("l_partkey")).as("items"))
+    val freq = baskets
+      .select(col("c_mktsegment"), explode(col("items")).as("item_id"))
+      .groupBy(col("c_mktsegment"), col("item_id"))
+      .agg(count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("n_orders").desc, col("item_id").asc)
+    freq.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_mktsegment"), col("item_id"), col("n_orders"), col("rk"))
+  }
+
+  /** U3 — flatList sequence encoding (reference
+    * SequentialTopKRecommender.scala:420-441): each user's purchase
+    * history as period-ordered `<item>_<relPeriod>` strings, where
+    * relPeriod counts back from the user's LAST active period (0 =
+    * most recent). Periods are the q28 derived-width buckets; the
+    * encode itself is sort_array + transform HOFs over one collected
+    * struct list — no UDF, one keyed agg. */
+  private def q38(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val bounds = o.agg(
+      min(col("o_orderdate")).as("dmin"),
+      max(col("o_orderdate")).as("dmax"))
+      .select(col("dmin"),
+        ceil((datediff(col("dmax"), col("dmin")) + 1).cast("double") /
+          Sequential.NUM_PERIODS).cast("long").as("width"))
+    val assigned = o.crossJoin(broadcast(bounds))
+      .select(col("o_orderkey"), col("o_custkey").as("user_id"),
+        least(expr("CAST(datediff(o_orderdate, dmin) AS BIGINT) DIV width"),
+          lit(Sequential.NUM_PERIODS - 1L)).as("period_id"))
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+    val events = assigned.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("user_id"), col("period_id"), col("l_partkey").as("item_id"))
+      .distinct()
+    events
+      .groupBy(col("user_id"))
+      .agg(max(col("period_id")).as("pmax"),
+        sort_array(collect_list(struct(col("period_id"), col("item_id")))).as("seq"))
+      .select(col("user_id"), size(col("seq")).as("n_events"),
+        concat_ws(",", transform(col("seq"),
+          s => concat(s.getField("item_id").cast("string"), lit("_"),
+            (col("pmax") - s.getField("period_id")).cast("string")))).as("seq_csv"))
+  }
+
+  /** §2.7 — DataFrame set algebra as real `union`/`intersect`/`except`
+    * operators (the reference only ever did driver-side Scala Set
+    * algebra, BaseRecommender.scala:64-71): customers ordering in 1994
+    * vs 1995. Distinct projections keep each input a pruned 1-column
+    * scan; the set ops are hash aggs/joins on the key. */
+  private def q39(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def buyers(year: Int) = o
+      .filter(col("o_orderdate") >= lit(f"$year-01-01") &&
+        col("o_orderdate") < lit(f"${year + 1}-01-01"))
+      .select(col("o_custkey")).distinct()
+    val a = buyers(1994); val b = buyers(1995)
+    a.union(b).distinct().agg(count(lit(1)).as("n_union"))
+      .crossJoin(a.intersect(b).agg(count(lit(1)).as("n_intersect")))
+      .crossJoin(a.except(b).agg(count(lit(1)).as("n_except_a")))
+      .crossJoin(b.except(a).agg(count(lit(1)).as("n_except_b")))
+  }
+
+  /** W1 — the `window()` STRUCT variant (reference
+    * SequentialTopKRecommender.scala:314-319): tumbling 6-hour
+    * epoch-aligned buckets over the event stream, emitting the
+    * window's own start/end bounds. */
+  private def q40(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
 
   /** P5/U4/F4 — higher-order array functions instead of the
     * reference's opaque row-lambdas (SequentialTopKRecommender

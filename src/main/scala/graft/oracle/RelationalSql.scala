@@ -135,6 +135,67 @@ object RelationalSql {
         |FROM (
         |  SELECT l_orderkey, list_sort(list(l_partkey)) AS parts
         |  FROM lineitem GROUP BY 1
-        |)""".stripMargin
+        |)""".stripMargin,
+
+    "q37_candidate_freq" ->
+      """WITH freq AS (
+        |  SELECT c_mktsegment, item_id, count(*) AS n_orders FROM (
+        |    SELECT DISTINCT c_mktsegment, l_orderkey, l_partkey AS item_id
+        |    FROM lineitem
+        |    JOIN orders   ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey)
+        |  GROUP BY 1, 2)
+        |SELECT c_mktsegment, item_id, n_orders, CAST(rk AS INTEGER) AS rk
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY c_mktsegment
+        |        ORDER BY n_orders DESC, item_id ASC) AS rk
+        |      FROM freq)
+        |WHERE rk <= 3""".stripMargin,
+
+    "q38_seq_encode" ->
+      """WITH w AS (
+        |  SELECT min(o_orderdate) AS dmin,
+        |         CAST(ceil((date_diff('day', min(o_orderdate), max(o_orderdate)) + 1) / 8.0)
+        |              AS BIGINT) AS width
+        |  FROM orders),
+        |assigned AS (
+        |  SELECT o.o_orderkey, o.o_custkey AS user_id,
+        |         least(CAST(date_diff('day', w.dmin, o.o_orderdate) AS BIGINT) // w.width,
+        |               7) AS period_id
+        |  FROM orders o CROSS JOIN w),
+        |ev AS (
+        |  SELECT DISTINCT a.user_id, a.period_id, l.l_partkey AS item_id
+        |  FROM assigned a JOIN lineitem l ON l.l_orderkey = a.o_orderkey),
+        |agg AS (
+        |  SELECT user_id, max(period_id) AS pmax, count(*) AS n_events
+        |  FROM ev GROUP BY 1)
+        |SELECT e.user_id, CAST(a.n_events AS INTEGER) AS n_events,
+        |       string_agg(CAST(e.item_id AS VARCHAR) || '_' ||
+        |                  CAST(a.pmax - e.period_id AS VARCHAR), ','
+        |                  ORDER BY e.period_id, e.item_id) AS seq_csv
+        |FROM ev e JOIN agg a USING (user_id)
+        |GROUP BY e.user_id, a.n_events""".stripMargin,
+
+    "q39_set_ops" ->
+      """WITH a AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'),
+        |b AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS n_union,
+        |  (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_intersect,
+        |  (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_except_a,
+        |  (SELECT count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)) AS n_except_b""".stripMargin,
+
+    "q40_event_windows" ->
+      """SELECT CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS w_start,
+        |       CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600 + 21600) AS TIMESTAMP) AS w_end,
+        |       event_type, count(*) AS n,
+        |       round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin
   )
 }
