@@ -24,6 +24,7 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.TextOps.queries ++
+      operators.Multimodal.queries ++
       operators.Evaluation.queries ++
       operators.Sequential.queries
 

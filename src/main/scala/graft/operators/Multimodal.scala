@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Rounding.r4
+
+/** Decoded-feature row produced by the (stubbed) decoder. */
+case class MediaFeature(doc_id: Long, n_bytes: Long, feature: Array[Double])
+
+/**
+ * Multimodal-column operators: image/audio/video payloads modeled as
+ * opaque `binary` columns with typed metadata, processed by a
+ * partition-batched decode pipeline. The container has no media
+ * libraries, so the DECODE step is a clearly-marked deterministic
+ * STUB ([[Multimodal.decodeStub]]) — the Spark-side plumbing (binary
+ * schema, metadata extraction, partition batching, typed Dataset
+ * output) is real and is what the operators exercise.
+ *
+ * q43 keeps everything expression-level (codegen'd, oracle-checkable):
+ * byte length, md5, and positional byte samples ("frame grabs") via
+ * substring on the binary payload. [[decodeBatch]] is the
+ * `mapPartitions` surface a real decoder would slot into — one
+ * library call per PARTITION batch, not per row, mirroring the
+ * mapInPandas/Arrow-batch shape on the JVM.
+ */
+object Multimodal {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_mm_metadata" -> q43
+  )
+
+  /** Documents-as-media: utf-8 payload bytes standing in for
+    * image/audio blobs. At 100 TB the binary column lives in parquet
+    * beside its metadata; scans that only filter metadata never
+    * deserialize the payload (column pruning). */
+  def assets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("content"),
+      col("lang"), col("source"))
+
+  /** Typed metadata + deterministic positional samples over the binary
+    * payload: total bytes, md5 fingerprint, and three "frame grabs"
+    * (first/middle/late 4-byte windows, hex-encoded) — the decode-free
+    * subset of a media pipeline, all codegen'd expressions. */
+  private def q43(spark: SparkSession, dir: String): DataFrame = {
+    val n = length(col("content"))
+    assets(spark, dir).select(
+      col("doc_id"), col("lang"), col("source"),
+      n.cast("long").as("n_bytes"),
+      md5(col("content")).as("content_md5"),
+      hex(substring(col("content"), 1, 4)).as("frame_head"),
+      hex(expr("substring(content, CAST(length(content) / 2 AS INT) + 1, 4)"))
+        .as("frame_mid"),
+      hex(expr("substring(content, greatest(length(content) - 3, 1), 4)"))
+        .as("frame_tail"))
+  }
+
+  /** STUB decoder — stands in for the real image/audio decode (the
+    * media libraries are absent in this container). Deterministic:
+    * 4 chunk-mean features over the payload bytes. A real deployment
+    * replaces ONLY this function (same batch-in/batch-out signature);
+    * the partition batching around it is production plumbing. */
+  def decodeStub(payload: Array[Byte]): Array[Double] = {
+    val k = 4
+    val out = new Array[Double](k)
+    val counts = new Array[Long](k)
+    var i = 0
+    while (i < payload.length) {
+      val c = i * k / math.max(payload.length, 1)
+      out(c) += payload(i) & 0xff
+      counts(c) += 1
+      i += 1
+    }
+    var j = 0
+    while (j < k) { out(j) = if (counts(j) == 0) 0.0 else out(j) / counts(j); j += 1 }
+    out
+  }
+
+  /** The mapInPandas-shaped decode surface: one partition = one batch,
+    * decoder invoked per row inside the batch loop (a vectorized
+    * decoder would consume the whole iterator). Returns a typed
+    * Dataset so downstream operators keep a columnar schema. */
+  def decodeBatch(spark: SparkSession, dir: String): Dataset[MediaFeature] = {
+    import spark.implicits._
+    assets(spark, dir)
+      .select(col("doc_id"), col("content"),
+        length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+      .as[(Long, Array[Byte], Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload, nBytes, _) =>
+          MediaFeature(id, nBytes, decodeStub(payload))
+        }
+      }
+  }
+}

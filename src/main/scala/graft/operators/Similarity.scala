@@ -24,10 +24,18 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_ann_cosine" -> q22,
-    "q23_kernel_matrix" -> q23
+    "q23_kernel_matrix" -> q23,
+    "q41_emb_neardup" -> q41,
+    "q42_ivf_ann" -> q42
   )
 
   val TOP_K = 10
+  val SIGN_BITS = 4
+  val NEARDUP_THRESHOLD = 0.4
+  val IVF_TOP_K = 5
+  /** Fixed IVF codebook: the same 8 seed vectors the Lloyd stage uses
+    * (Sequential.KMEANS_SEEDS) — present at every scale factor. */
+  val IVF_SEEDS: Seq[Long] = Sequential.KMEANS_SEEDS
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -89,5 +97,63 @@ object Similarity {
         r4(invEuc).as("inv_euclid"),
         // K5: fallback fires on exact zero similarity only
         r4(when(cos === 0.0, invEuc).otherwise(cos)).as("sim_k5"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via sign-bit LSH (random
+    * hyperplane hashing with the coordinate axes as the fixed,
+    * deterministic hyperplanes — Charikar's scheme): bucket key = the
+    * sign pattern of the first [[SIGN_BITS]] components; candidate
+    * pairs meet only INSIDE a bucket (self-equi-join on the key, never
+    * all-pairs), then exact cosine verifies against the threshold.
+    * Probe-1 recall is partial by construction — the standard
+    * LSH trade; more bands/rotations widen recall at the same
+    * per-bucket cost. */
+  private def q41(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val bucketed = e.select(col("vec_id"), col("v"),
+      concat_ws("", (0 until SIGN_BITS).map(i =>
+        when(element_at(col("v"), i + 1) > 0, lit("1")).otherwise(lit("0"))): _*)
+        .as("bucket"))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("bucket"), col("id_a"), col("id_b"),
+        r6(cosineArr(col("va"), col("vb"))).as("cos"))
+      .filter(col("cos") > NEARDUP_THRESHOLD)
+      .select(col("id_a"), col("id_b"), col("bucket"), r4(col("cos")).as("cosine"))
+  }
+
+  /** IVF-style ANN — the bucketed scale path next to q22's exact
+    * broadcast baseline: a fixed 8-vector codebook coarse-quantizes
+    * the corpus into cells (one broadcast + keyed argmin, the same
+    * assign shape as Sequential.kmeansAssign); each query searches
+    * ONLY its own cell (probe=1). At 100 TB the cell assignment is the
+    * partition key, so a query touches 1/k of the corpus instead of
+    * broadcasting against all of it. */
+  private def q42(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = e.filter(col("vec_id").isin(IVF_SEEDS: _*))
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
+    val sqDist = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cell").asc)
+    val cells = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cell"),
+        r6(sqDist(col("v"), col("cv"))).as("d2"))
+      .withColumn("rk", row_number().over(wAsg)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("cell"))
+    val q = cells.filter(col("vec_id") % 25 === 0)
+      .select(col("cell"), col("vec_id").as("q_id"), col("v").as("qv"))
+    val pairs = cells.join(q, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("cell"), col("vec_id").as("n_id"),
+        r6(cosineArr(col("qv"), col("v"))).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= IVF_TOP_K)
+      .select(col("q_id"), col("cell"), col("n_id"), r4(col("cos")).as("cosine"), col("rk"))
   }
 }

@@ -62,6 +62,59 @@ object SimilaritySql {
          |       floor(inveuc * 10000.0 + 0.5) / 10000.0 AS inv_euclid,
          |       floor((CASE WHEN cosv = 0.0 THEN inveuc ELSE cosv END)
          |             * 10000.0 + 0.5) / 10000.0 AS sim_k5
-         |FROM k""".stripMargin
+         |FROM k""".stripMargin,
+
+    "q41_emb_neardup" ->
+      s"""WITH $embCte,
+         |bkt AS (
+         |  SELECT vec_id, v,
+         |         (CASE WHEN v[1] > 0 THEN '1' ELSE '0' END) ||
+         |         (CASE WHEN v[2] > 0 THEN '1' ELSE '0' END) ||
+         |         (CASE WHEN v[3] > 0 THEN '1' ELSE '0' END) ||
+         |         (CASE WHEN v[4] > 0 THEN '1' ELSE '0' END) AS bucket
+         |  FROM emb),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
+         |         floor(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2]))
+         |               / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+         |                  * sqrt(list_sum(list_transform(b.v, x -> x*x))))
+         |               * 1000000.0 + 0.5) / 1000000.0 AS cos
+         |  FROM bkt a JOIN bkt b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, bucket,
+         |       floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine
+         |FROM pairs WHERE cos > 0.4""".stripMargin,
+
+    "q42_ivf_ann" ->
+      s"""WITH $embCte,
+         |cents AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv FROM emb
+         |  WHERE vec_id IN (3, 67, 131, 195, 259, 323, 387, 451)),
+         |cells AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rk
+         |    FROM (
+         |      SELECT e.vec_id, e.v, c.cell,
+         |             floor(list_sum(list_transform(list_zip(e.v, c.cv),
+         |                     z -> (z[1]-z[2])*(z[1]-z[2])))
+         |                   * 1000000.0 + 0.5) / 1000000.0 AS d2
+         |      FROM emb e CROSS JOIN cents c))
+         |  WHERE rk = 1),
+         |q AS (SELECT cell, vec_id AS q_id, v AS qv FROM cells WHERE vec_id % 25 = 0),
+         |pairs AS (
+         |  SELECT q.q_id, q.cell, c.vec_id AS n_id,
+         |         floor(list_sum(list_transform(list_zip(q.qv, c.v), z -> z[1]*z[2]))
+         |               / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
+         |                  * sqrt(list_sum(list_transform(c.v, x -> x*x))))
+         |               * 1000000.0 + 0.5) / 1000000.0 AS cos
+         |  FROM cells c JOIN q ON c.cell = q.cell AND c.vec_id <> q.q_id)
+         |SELECT q_id, cell, n_id,
+         |       floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine,
+         |       CAST(rk AS INTEGER) AS rk
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+         |      FROM pairs)
+         |WHERE rk <= 5""".stripMargin
   )
 }

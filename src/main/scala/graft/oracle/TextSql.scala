@@ -62,6 +62,19 @@ object TextSql {
          |SELECT doc_id,
          |       CAST(sum(o * h) AS BIGINT) % 2147483647 AS fingerprint,
          |       count(*) AS n_tokens
-         |FROM ph GROUP BY 1""".stripMargin
+         |FROM ph GROUP BY 1""".stripMargin,
+
+    "q43_mm_metadata" ->
+      """WITH a AS (
+        |  SELECT doc_id, lang, source,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |         md5(text) AS content_md5,
+        |         hex(encode(text)) AS hx
+        |  FROM documents)
+        |SELECT doc_id, lang, source, n_bytes, content_md5,
+        |       substring(hx, 1, 8) AS frame_head,
+        |       substring(hx, 2 * CAST(floor(n_bytes / 2.0) AS BIGINT) + 1, 8) AS frame_mid,
+        |       substring(hx, 2 * (greatest(n_bytes - 3, 1) - 1) + 1, 8) AS frame_tail
+        |FROM a""".stripMargin
   )
 }
