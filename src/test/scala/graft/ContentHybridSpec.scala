@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Content, Hybrid}
+
+/** Fixtures for the content-based scorer (feature-vector similarity,
+  * K5 fallback) and the hybrid head-normalized fusion. */
+class ContentHybridSpec extends SparkSuite {
+
+  test("contentTopK scores candidates by feature cosine against rated items") {
+    val s = spark
+    import s.implicits._
+    // user 1 rated item 1 (5.0) and item 2 (1.0). Candidates 3, 4:
+    //  feat(3) ∥ feat(1) (cos 1), ⊥ feat(2) (cos 0 → K5 inv-euclid);
+    //  feat(4) ∥ feat(2), ⊥ feat(1).
+    val ratings = Seq((1, 1, 5.0), (1, 2, 1.0)).toDF("user_id", "item_id", "rating")
+    val feats = Seq(
+      (1, Seq(1.0, 0.0)), (2, Seq(0.0, 1.0)),
+      (3, Seq(2.0, 0.0)), (4, Seq(0.0, 3.0))
+    ).toDF("item_id", "fv")
+    val got = Content.contentTopK(ratings, feats, lit(true), kNeighbors = 2, kItems = 2)
+      .orderBy("rk")
+      .collect().map(r => (r.getInt(1), r.getDouble(2), r.getInt(3))).toSeq
+    // K5 fallback for the orthogonal pair: 1/(dist+1), dist(3→2)=√5,
+    // dist(4→1)=√10. score = (1·r_parallel + f·r_orth)/(1 + f)
+    val f3 = math.floor(1.0 / (math.sqrt(5.0) + 1) * 1e6 + 0.5) / 1e6
+    val s3 = math.floor((5.0 + f3 * 1.0) / (1 + f3) * 1e4 + 0.5) / 1e4
+    val f4 = math.floor(1.0 / (math.sqrt(10.0) + 1) * 1e6 + 0.5) / 1e6
+    val s4 = math.floor((f4 * 5.0 + 1.0) / (1 + f4) * 1e4 + 0.5) / 1e4
+    assert(got == Seq((3, s3, 1), (4, s4, 2)))
+  }
+
+  test("fuseTopK normalizes each list by its OWN head score and sums") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1, 10, 8.0, 1), (1, 11, 4.0, 2))
+      .toDF("user_id", "item_id", "score", "rk")
+    val b = Seq((1, 11, 2.0, 1), (1, 12, 1.0, 2))
+      .toDF("user_id", "item_id", "score", "rk")
+    val got = Hybrid.fuseTopK(a, b, wa = 0.6, wb = 0.4, kItems = 3)
+      .orderBy("rk")
+      .collect().map(r => (r.getInt(1), r.getDouble(2), r.getInt(3))).toSeq
+    // item 10: 8/8·0.6 = 0.6; item 11: 4/8·0.6 + 2/2·0.4 = 0.7;
+    // item 12: 1/2·0.4 = 0.2 — fusion reorders: 11 beats 10
+    assert(got == Seq((11, 0.7, 1), (10, 0.6, 2), (12, 0.2, 3)))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventStreams
+
+/** Stream/batch parity for the §2.12 surface: the same transform fed
+  * the same rows must agree between a MemoryStream incremental run and
+  * a plain batch run, and the file-source pipeline must produce the
+  * batch answer over the sf0.001 events table. */
+class StreamingSpec extends SparkSuite {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedEventStats: incremental stream equals batch on same rows") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    val rows = Seq(
+      (ts("2024-01-01 01:10:00"), "click", 10.0),
+      (ts("2024-01-01 05:20:00"), "click", 5.0),
+      (ts("2024-01-01 23:59:00"), "view", 2.5),
+      (ts("2024-01-02 00:01:00"), "view", 4.0),
+      (ts("2024-01-02 12:00:00"), "click", 1.0))
+
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams.windowedEventStats(
+        mem.toDF.toDF("ts", "event_type", "value"), "1 day", "2 hours")
+      .writeStream.format("memory").queryName("evt_stats")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows.take(3))
+      q.processAllAvailable()
+      mem.addData(rows.drop(3)) // second micro-batch updates day-1 state
+      q.processAllAvailable()
+
+      val streamed = sp.sql(
+        "SELECT * FROM evt_stats ORDER BY w_start, event_type")
+        .collect().map(_.toSeq).toSeq
+      val batch = EventStreams.windowedEventStats(
+          rows.toDF("ts", "event_type", "value"), "1 day", "2 hours")
+        .orderBy("w_start", "event_type")
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      assert(streamed.length == 4) // 2 days × 2 types, minus absent combos
+    } finally q.stop()
+  }
+
+  test("windowedBaskets: distinct per-user sets accumulate across batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF.toDF("ts", "user_id", "event_type")
+    val q = EventStreams.windowedBaskets(df, "1 day", "1 hour")
+      .writeStream.format("memory").queryName("evt_baskets")
+      .outputMode("complete").start()
+    try {
+      mem.addData(Seq((ts("2024-03-05 10:00:00"), 7L, "view")))
+      q.processAllAvailable()
+      mem.addData(Seq(
+        (ts("2024-03-05 11:00:00"), 7L, "click"),
+        (ts("2024-03-05 12:00:00"), 7L, "view"))) // dup event_type folds into the set
+      q.processAllAvailable()
+
+      val row = sp.sql("SELECT basket, n_events FROM evt_baskets WHERE user_id = 7")
+        .collect()
+      assert(row.length == 1)
+      assert(row(0).getSeq[String](0) == Seq("click", "view"))
+      assert(row(0).getLong(1) == 3L)
+    } finally q.stop()
+  }
+
+  test("readEventStream file source reproduces the batch q06-shape counts") {
+    val sp = spark
+    // stage the table into a fresh ingest dir (the file-source contract
+    // is a directory that part files land in)
+    val ingest = java.nio.file.Files.createTempDirectory("evt_ingest")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      ingest.resolve("part-000.parquet"))
+    val stream = EventStreams.windowedEventStats(
+      EventStreams.readEventStream(sp, ingest.toString), "1 day", "1 hour")
+    val q = stream.writeStream.format("memory").queryName("evt_file")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = sp.sql("SELECT sum(n) FROM evt_file").collect()(0).getLong(0)
+      val batch = graft.sources.Tables.events(sp, "/root/testdata/sf0.001").count()
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
