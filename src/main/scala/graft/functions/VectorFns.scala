@@ -17,20 +17,23 @@ import org.apache.spark.sql.functions._
  */
 object VectorFns {
 
-  /** Σ aᵢ·bᵢ over two equal-length array<double> columns. */
-  def dotArr(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ over two equal-length array<double> columns — a native
+    * codegen'd expression ([[ArrayExprs.vecDot]]); identical
+    * left-to-right accumulation to the HOF fold it replaced. */
+  def dotArr(a: Column, b: Column): Column = ArrayExprs.vecDot(a, b)
 
   /** Σ aᵢ . */
   def sumArr(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x)
 
   /** Σ aᵢ² . */
-  def sqNorm(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+  def sqNorm(a: Column): Column = ArrayExprs.vecDot(a, a)
 
   /** ‖a‖₂ . */
   def l2Norm(a: Column): Column = sqrt(sqNorm(a))
+
+  /** Σ (aᵢ−bᵢ)² — squared L2 ([[ArrayExprs.vecSqDist]]). */
+  def sqDistArr(a: Column, b: Column): Column = ArrayExprs.vecSqDist(a, b)
 
   /** Cosine similarity of two array<double> columns (K1,
     * reference CosineSimilarity.scala:24-33). */
@@ -41,8 +44,7 @@ object VectorFns {
     * reference EuclideanSimilarity.scala:24-28 — the +1 avoids
     * division by zero). */
   def invEuclideanArr(a: Column, b: Column): Column =
-    lit(1.0) / (sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)) + lit(1.0))
+    lit(1.0) / (sqrt(sqDistArr(a, b)) + lit(1.0))
 
   /** Lower-cased whitespace tokens with empties dropped — the shared
     * tokenizer for the text/dedup operators. Matches the oracle

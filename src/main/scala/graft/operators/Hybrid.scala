@@ -36,8 +36,8 @@ object Hybrid {
     * (weight 0.6) fused with item-based kNN top-5 (weight 0.4). */
   private def q33(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.ratings(spark, dir)
-    val ua = Recommender.userKnnTopK(r, Recommender.K_NEIGHBORS, K_ITEMS)
-      .filter(col("user_id") % 20 === 0)
+    val ua = Recommender.userKnnTopK(r, Recommender.K_NEIGHBORS, K_ITEMS,
+      targetUsers = col("user_id") % 20 === 0)
     val ib = Recommender.itemKnnTopK(r, col("user_id") % 20 === 0,
       Recommender.K_ITEM_NEIGHBORS, K_ITEMS)
     fuseTopK(ua, ib, W_USER, W_ITEM, K_ITEMS)

@@ -56,14 +56,20 @@ object Recommender {
     userKnnTopK(Tables.ratings(spark, dir), K_NEIGHBORS, K_ITEMS)
 
   /** Reusable library surface: user-based cosine kNN top-N over any
-    * long-form `(user_id, item_id, rating)` DataFrame. */
-  def userKnnTopK(ratings: DataFrame, kNeighbors: Int, kItems: Int): DataFrame = {
+    * long-form `(user_id, item_id, rating)` DataFrame. `targetUsers`
+    * restricts the TARGET side before the pair-dot stage (per-user
+    * results are independent, so restriction commutes with the whole
+    * pipeline) — a cohort run then pays cohort-sized shuffles instead
+    * of all-users ones. */
+  def userKnnTopK(ratings: DataFrame, kNeighbors: Int, kItems: Int,
+                  targetUsers: Column = lit(true)): DataFrame = {
     val r = ratings
     val stats = r.groupBy("user_id").agg(
       avg(col("rating")).as("umean"),
       sqrt(sum(col("rating") * col("rating"))).as("unorm"))
 
-    val a = r.select(col("user_id").as("u"), col("item_id"), col("rating").as("ra"))
+    val a = r.filter(targetUsers)
+      .select(col("user_id").as("u"), col("item_id"), col("rating").as("ra"))
     val b = r.select(col("user_id").as("v"), col("item_id"), col("rating").as("rb"))
     // co-rated pairs only: shuffle on item_id, then one keyed agg
     val dots = a.join(b, Seq("item_id"))
@@ -82,7 +88,7 @@ object Recommender {
       .filter(col("nrk") <= kNeighbors)
       .select(col("u"), col("v"), col("sim"))
 
-    // neighbors is |users|·k rows — broadcastable at bench scale; at
+    // neighbors is |targets|·k rows — broadcastable at bench scale; at
     // cluster scale this becomes a shuffle-hash join on v (AQE picks it)
     val scores = r.select(col("user_id").as("v"), col("item_id"), col("rating"))
       .join(broadcast(stats.select(col("user_id").as("v"), col("umean").as("vmean"))), Seq("v"))

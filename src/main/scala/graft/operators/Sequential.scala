@@ -129,9 +129,7 @@ object Sequential {
     * `(vec_id, v: array<double>)` DataFrame; returns the final
     * per-vector assignment with its squared distance. */
   def kmeansAssign(vecs: DataFrame, seedIds: Seq[Long], iters: Int): DataFrame = {
-    val sqDist = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
+    val sqDist = sqDistArr _
 
     def assign(centroids: DataFrame): DataFrame = {
       val pairs = vecs.crossJoin(broadcast(centroids))

@@ -135,9 +135,7 @@ object Similarity {
     val e = emb(spark, dir)
     val cents = e.filter(col("vec_id").isin(IVF_SEEDS: _*))
       .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
-    val sqDist = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
+    val sqDist = sqDistArr _
     val wAsg = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2").asc, col("cell").asc)
     val cells = e.crossJoin(broadcast(cents))

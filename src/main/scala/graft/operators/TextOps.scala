@@ -37,22 +37,32 @@ object TextOps {
 
   /** Per-doc token/quality statistics: counts, type-token ratio,
     * average token length, stopword ratio, and a deterministic
-    * composite quality score (length-capped, stopword-penalized). */
+    * composite quality score (length-capped, stopword-penalized).
+    *
+    * Shape: explode once, then TWO keyed aggs — (doc, token) counts
+    * first, per-doc stats second. One tokenize per row (the original
+    * five-HOF select re-evaluated the split per output column and cost
+    * seconds of codegen compile alone), no countDistinct Expand, and
+    * every stage is a plain codegen'd hash agg that partial-aggregates
+    * map-side — the shape that survives 100 TB of documents. */
   private def q24(spark: SparkSession, dir: String): DataFrame = {
-    val tk = VectorFns.tokens(col("text"))
-    val nTok = size(tk)
-    val nDis = size(array_distinct(tk))
-    val sumLen = aggregate(tk, lit(0), (acc, x) => acc + length(x))
-    val nStop = size(filter(tk, t => t.isin(STOPWORDS: _*)))
-    val stopRatio = nStop.cast("double") / nTok.cast("double")
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      nTok.as("n_tokens"),
-      nDis.as("n_distinct"),
-      r4(nDis.cast("double") / nTok.cast("double")).as("ttr"),
-      r4(sumLen.cast("double") / nTok.cast("double")).as("avg_token_len"),
-      r4(stopRatio).as("stopword_ratio"),
-      r4(least(lit(1.0), nTok.cast("double") / 100.0) * (lit(1.0) - stopRatio))
+    val perTok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(VectorFns.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = perTok.groupBy(col("doc_id")).agg(
+      sum(col("cnt")).cast("int").as("n_tokens"),
+      count(lit(1)).cast("int").as("n_distinct"),
+      sum(col("cnt") * length(col("tok"))).cast("double").as("sum_len"),
+      sum(when(col("tok").isin(STOPWORDS: _*), col("cnt")).otherwise(lit(0L)))
+        .cast("double").as("n_stop"))
+    val nTok = col("n_tokens").cast("double")
+    stats.select(
+      col("doc_id"), col("n_tokens"), col("n_distinct"),
+      r4(col("n_distinct").cast("double") / nTok).as("ttr"),
+      r4(col("sum_len") / nTok).as("avg_token_len"),
+      r4(col("n_stop") / nTok).as("stopword_ratio"),
+      r4(least(lit(1.0), nTok / 100.0) * (lit(1.0) - col("n_stop") / nTok))
         .as("quality_score"))
   }
 
