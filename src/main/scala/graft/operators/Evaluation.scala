@@ -24,11 +24,13 @@ import graft.functions.Rounding.r4
 object Evaluation {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q27_eval_metrics" -> q27
+    "q27_eval_metrics" -> q27,
+    "q44_cv_metrics" -> q44
   )
 
   val K = 10
   val REL_THRESHOLD = 30.0
+  val N_FOLDS = 5
 
   private def q27(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.ratings(spark, dir)
@@ -74,5 +76,38 @@ object Evaluation {
         r4(avg(abs(col("err")))).as("mae"))
 
     rankMetrics.crossJoin(predMetrics)
+  }
+
+  /** E6: the 5-fold cross-validation harness as ONE distributed pass —
+    * the rebuild of the reference's per-fold CSV-read/fit/score driver
+    * loop (Main.scala:61-126). Folds are a deterministic hash of the
+    * rating cell; the leave-fold-out train mean for (user, fold) is
+    * computed algebraically from per-user totals minus the fold's own
+    * contribution, so all 5 train/test splits evaluate in a single
+    * keyed aggregation instead of 5 separate fit jobs. Emits one row
+    * per fold (RMSE/MAE of the user-mean predictor + test size) — the
+    * A10 metric averaging across folds is then a trivial avg. */
+  private def q44(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.ratings(spark, dir)
+      .withColumn("fold",
+        pmod(col("user_id") * 31 + col("item_id"), lit(N_FOLDS)).cast("int"))
+    val tot = r.groupBy("user_id")
+      .agg(sum(col("rating")).as("sum_all"), count(lit(1)).as("cnt_all"))
+    val perFold = r.groupBy(col("user_id"), col("fold"))
+      .agg(sum(col("rating")).as("sum_f"), count(lit(1)).as("cnt_f"))
+    // train mean for (user, fold) = mean over the OTHER folds' rows;
+    // users whose ratings all sit in one fold have no train rows there
+    // and drop out of that fold's test set (cnt_all > cnt_f)
+    val trainMean = perFold.join(broadcast(tot), Seq("user_id"))
+      .filter(col("cnt_all") > col("cnt_f"))
+      .select(col("user_id"), col("fold"),
+        ((col("sum_all") - col("sum_f")) / (col("cnt_all") - col("cnt_f")))
+          .as("train_mean"))
+    r.join(trainMean, Seq("user_id", "fold"))
+      .select(col("fold"), (col("rating") - col("train_mean")).as("err"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_test"),
+        r4(sqrt(avg(col("err") * col("err")))).as("rmse"),
+        r4(avg(abs(col("err")))).as("mae"))
   }
 }

@@ -31,7 +31,8 @@ object Recommender {
     "q16_user_knn_topk" -> q16,
     "q17_item_knn_topk" -> q17,
     "q30_user_rating_predict" -> q30,
-    "q31_item_rating_predict" -> q31
+    "q31_item_rating_predict" -> q31,
+    "q45_user_profiles" -> q45
   )
 
   val K_NEIGHBORS = 25 // reference flagship k (Main.scala:351-352)
@@ -226,6 +227,24 @@ object Recommender {
         r4(col("umean") + col("num") / col("den")).as("predicted"),
         r4(abs(col("actual") - (col("umean") + col("num") / col("den")))).as("abs_err"))
   }
+
+  /** R1/R11/A2: the explicit per-user sparse profile build — the
+    * rebuild of the reference's matrix `fit` (BaseRecommender
+    * .scala:49-132 accumulated CSC triplets into a driver-side dense
+    * SparseMatrix; here each user's profile IS a sorted (item, rating)
+    * struct list, one keyed agg, never densified — absent items need
+    * no backfill in sparse form). Ratings encode as integer
+    * ten-thousandths in the CSV so the hash is float-repr-proof. */
+  private def q45(spark: SparkSession, dir: String): DataFrame =
+    Tables.ratings(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_items"),
+        r4(sqrt(sum(col("rating") * col("rating")))).as("norm"),
+        concat_ws(",", transform(
+          sort_array(collect_list(struct(col("item_id"), col("rating")))),
+          s => concat(s.getField("item_id").cast("string"), lit(":"),
+            floor(s.getField("rating") * 1e4 + 0.5).cast("long").cast("string"))))
+          .as("profile_csv"))
 
   /** R4: item-based rating prediction for the `user_id % 23 = 5`
     * held-out cohort — neighbors of (u,i) are the OTHER items u rated,

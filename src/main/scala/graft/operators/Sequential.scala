@@ -29,7 +29,8 @@ object Sequential {
     "q29_rule_support" -> q29,
     "q34_kmeans_assign" -> q34,
     "q35_freq_itemsets" -> q35,
-    "q36_seq_transform" -> q36
+    "q36_seq_transform" -> q36,
+    "q46_period_join" -> q46
   )
 
   val NUM_PERIODS = 8
@@ -99,6 +100,40 @@ object Sequential {
       .select(col("i").as("antecedent"), col("j").as("consequent"),
         r6(col("cnt2").cast("double") / col("n_baskets")).as("support"),
         r6(col("cnt2").cast("double") / col("cnt_i")).as("confidence"))
+  }
+
+  /** U2/J1: timestamp→period via an explicit BETWEEN range join
+    * against a materialized period dimension — the join-based
+    * replacement for the reference's range-scan UDF
+    * (`timestampToPeriod`, SequentialTopKRecommender.scala:280-300),
+    * and the range-join shape q28 expresses arithmetically. The 8-row
+    * dimension rides a broadcast (nested-loop against 8 rows ≈ free);
+    * results must equal q28's counts exactly — the two formulations
+    * cross-validate each other. */
+  private def q46(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val bounds = o.agg(
+      min(col("o_orderdate")).as("dmin"),
+      max(col("o_orderdate")).as("dmax"))
+      .select(col("dmin"), col("dmax"),
+        (datediff(col("dmax"), col("dmin")) + 1).cast("long").as("span"))
+      .withColumn("width",
+        ceil(col("span").cast("double") / NUM_PERIODS).cast("long"))
+    val periods = bounds
+      .select(col("dmin"), col("dmax"), col("width"),
+        explode(sequence(lit(0L), lit(NUM_PERIODS - 1L))).as("period_id"))
+      .select(col("period_id"),
+        date_add(col("dmin"), (col("period_id") * col("width")).cast("int"))
+          .as("p_start"),
+        when(col("period_id") === NUM_PERIODS - 1, date_add(col("dmax"), 1))
+          .otherwise(date_add(col("dmin"),
+            ((col("period_id") + 1) * col("width")).cast("int")))
+          .as("p_end"))
+    o.join(broadcast(periods),
+        col("o_orderdate") >= col("p_start") && col("o_orderdate") < col("p_end"))
+      .groupBy(col("period_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_custs"))
   }
 
   val KMEANS_SEEDS = Seq(3L, 67L, 131L, 195L, 259L, 323L, 387L, 451L)

@@ -69,6 +69,49 @@ object EvalSeqSql {
          |  HAVING count(*) >= (SELECT minc FROM th))
          |SELECT * FROM singles UNION ALL SELECT * FROM pairs""".stripMargin,
 
+    "q44_cv_metrics" ->
+      s"""WITH $ratingsSql,
+         |f AS (
+         |  SELECT user_id, item_id, rating,
+         |         CAST((user_id * 31 + item_id) % 5 AS INTEGER) AS fold
+         |  FROM ratings),
+         |tot AS (
+         |  SELECT user_id, sum(rating) AS sum_all, count(*) AS cnt_all
+         |  FROM f GROUP BY 1),
+         |pf AS (
+         |  SELECT user_id, fold, sum(rating) AS sum_f, count(*) AS cnt_f
+         |  FROM f GROUP BY 1, 2),
+         |tm AS (
+         |  SELECT p.user_id, p.fold,
+         |         (t.sum_all - p.sum_f) / (t.cnt_all - p.cnt_f) AS train_mean
+         |  FROM pf p JOIN tot t USING (user_id)
+         |  WHERE t.cnt_all > p.cnt_f),
+         |errs AS (
+         |  SELECT r.fold, r.rating - tm.train_mean AS err
+         |  FROM f r JOIN tm ON tm.user_id = r.user_id AND tm.fold = r.fold)
+         |SELECT fold, count(*) AS n_test,
+         |       floor(sqrt(avg(err * err)) * 10000.0 + 0.5) / 10000.0 AS rmse,
+         |       floor(avg(abs(err)) * 10000.0 + 0.5) / 10000.0 AS mae
+         |FROM errs GROUP BY fold""".stripMargin,
+
+    "q46_period_join" ->
+      """WITH w AS (
+        |  SELECT min(o_orderdate) AS dmin, max(o_orderdate) AS dmax,
+        |         CAST(ceil((date_diff('day', min(o_orderdate), max(o_orderdate)) + 1) / 8.0)
+        |              AS BIGINT) AS width
+        |  FROM orders),
+        |p AS (
+        |  SELECT u.i AS period_id,
+        |         w.dmin + u.i * w.width * INTERVAL '1 day' AS p_start,
+        |         CASE WHEN u.i = 7 THEN w.dmax + INTERVAL '1 day'
+        |              ELSE w.dmin + (u.i + 1) * w.width * INTERVAL '1 day' END AS p_end
+        |  FROM w, UNNEST(generate_series(0, 7)) AS u(i))
+        |SELECT p.period_id, count(*) AS n_orders,
+        |       count(DISTINCT o.o_custkey) AS n_custs
+        |FROM orders o JOIN p
+        |  ON o.o_orderdate >= p.p_start AND o.o_orderdate < p.p_end
+        |GROUP BY 1""".stripMargin,
+
     "q36_seq_transform" ->
       s"""WITH $ratingsSql,
          |rules AS (SELECT * FROM (

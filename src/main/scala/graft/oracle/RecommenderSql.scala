@@ -130,6 +130,15 @@ object RecommenderSql {
          |FROM agg a JOIN stats su ON su.user_id = a.u
          |WHERE a.den <> 0""".stripMargin,
 
+    "q45_user_profiles" ->
+      s"""WITH $ratingsSql
+         |SELECT user_id, count(*) AS n_items,
+         |       floor(sqrt(sum(rating * rating)) * 10000.0 + 0.5) / 10000.0 AS norm,
+         |       string_agg(CAST(item_id AS VARCHAR) || ':' ||
+         |                  CAST(CAST(floor(rating * 10000.0 + 0.5) AS BIGINT) AS VARCHAR),
+         |                  ',' ORDER BY item_id) AS profile_csv
+         |FROM ratings GROUP BY 1""".stripMargin,
+
     "q31_item_rating_predict" ->
       s"""WITH $ratingsSql,
          |inorm AS (
