@@ -43,7 +43,7 @@ object Content {
     val feats = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("item_id"),
         col("embedding").cast("array<double>").as("fv"))
-    contentTopK(Tables.ratings(spark, dir), feats,
+    contentTopK(Tables.ratingsCached(spark, dir), feats,
       col("user_id") % 50 === 0, K_NEIGHBORS, K_ITEMS)
   }
 

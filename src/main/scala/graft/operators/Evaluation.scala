@@ -33,7 +33,7 @@ object Evaluation {
   val N_FOLDS = 5
 
   private def q27(spark: SparkSession, dir: String): DataFrame = {
-    val r = Tables.ratings(spark, dir)
+    val r = Tables.ratingsCached(spark, dir)
     val umean = r.groupBy("user_id").agg(avg(col("rating")).as("umean"))
 
     // popularity top-10: global window over the aggregated item
@@ -88,7 +88,7 @@ object Evaluation {
     * per fold (RMSE/MAE of the user-mean predictor + test size) — the
     * A10 metric averaging across folds is then a trivial avg. */
   private def q44(spark: SparkSession, dir: String): DataFrame = {
-    val r = Tables.ratings(spark, dir)
+    val r = Tables.ratingsCached(spark, dir)
       .withColumn("fold",
         pmod(col("user_id") * 31 + col("item_id"), lit(N_FOLDS)).cast("int"))
     val tot = r.groupBy("user_id")

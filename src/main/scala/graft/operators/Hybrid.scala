@@ -35,7 +35,7 @@ object Hybrid {
   /** R10 for the `user_id % 20 = 0` cohort: user-based kNN top-5
     * (weight 0.6) fused with item-based kNN top-5 (weight 0.4). */
   private def q33(spark: SparkSession, dir: String): DataFrame = {
-    val r = Tables.ratings(spark, dir)
+    val r = Tables.ratingsCached(spark, dir)
     val ua = Recommender.userKnnTopK(r, Recommender.K_NEIGHBORS, K_ITEMS,
       targetUsers = col("user_id") % 20 === 0)
     val ib = Recommender.itemKnnTopK(r, col("user_id") % 20 === 0,

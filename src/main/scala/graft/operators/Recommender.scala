@@ -54,7 +54,7 @@ object Recommender {
     * the reference's full-vector cosine (CosineSimilarity.scala:24-33)
     * without densifying. */
   private def q16(spark: SparkSession, dir: String): DataFrame =
-    userKnnTopK(Tables.ratings(spark, dir), K_NEIGHBORS, K_ITEMS)
+    userKnnTopK(Tables.ratingsCached(spark, dir), K_NEIGHBORS, K_ITEMS)
 
   /** Reusable library surface: user-based cosine kNN top-N over any
     * long-form `(user_id, item_id, rating)` DataFrame. `targetUsers`
@@ -121,7 +121,7 @@ object Recommender {
     * fan-out (users × rated × co-rated partners); the item-pair
     * similarity stage itself is full-table and keyed, never all-pairs. */
   private def q17(spark: SparkSession, dir: String): DataFrame =
-    itemKnnTopK(Tables.ratings(spark, dir), col("user_id") % 20 === 0,
+    itemKnnTopK(Tables.ratingsCached(spark, dir), col("user_id") % 20 === 0,
       K_ITEM_NEIGHBORS, K_ITEMS)
 
   /** Reusable library surface: item-based kNN top-N for the users
@@ -176,7 +176,7 @@ object Recommender {
     * denominator, unlike the item-based Σ|sim|. Emits actual vs
     * predicted plus the error, the E4 feed. */
   private def q30(spark: SparkSession, dir: String): DataFrame =
-    userPredictRatings(Tables.ratings(spark, dir),
+    userPredictRatings(Tables.ratingsCached(spark, dir),
       col("user_id") % 17 === 3, K_NEIGHBORS)
 
   /** Reusable library surface: user-based rating prediction for the
@@ -254,7 +254,7 @@ object Recommender {
     * Pairs whose denominator is exactly 0 drop out, mirroring the
     * reference's empty-neighbor guard. */
   private def q31(spark: SparkSession, dir: String): DataFrame =
-    itemPredictRatings(Tables.ratings(spark, dir),
+    itemPredictRatings(Tables.ratingsCached(spark, dir),
       col("user_id") % 23 === 5, K_ITEM_NEIGHBORS)
 
   /** Reusable library surface: item-based rating prediction for the

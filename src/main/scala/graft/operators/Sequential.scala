@@ -70,7 +70,7 @@ object Sequential {
     * are small and ride the broadcast; baskets never leave their
     * partitions. */
   private def q29(spark: SparkSession, dir: String): DataFrame =
-    pairRules(Tables.ratings(spark, dir))
+    pairRules(Tables.ratingsCached(spark, dir))
 
   /** Reusable library surface: mine single-item→single-item rules with
     * recounted support/confidence over long-form `(user_id, item_id)`
@@ -220,7 +220,7 @@ object Sequential {
     * user's recommended item. Rules are tiny and broadcast; baskets
     * never leave their partitions — the same shape as q29's recount. */
   private def q36(spark: SparkSession, dir: String): DataFrame = {
-    val r = Tables.ratings(spark, dir)
+    val r = Tables.ratingsCached(spark, dir)
     val rules = pairRules(r)
     val baskets = r.groupBy("user_id").agg(collect_set(col("item_id")).as("items"))
     val fired = baskets.join(rules.hint("broadcast"),

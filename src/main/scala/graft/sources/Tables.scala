@@ -59,6 +59,17 @@ object Tables {
       .agg(round(avg(col("l_quantity")), 6).as("rating"))
   }
 
+  /** [[ratings]] marked for caching — the kNN/rule pipelines reference
+    * the view up to six times per query plan, and Spark recomputes an
+    * uncached derived view per reference. `cache()` is idempotent
+    * across calls (the CacheManager dedups by canonicalized plan, so
+    * every query in a session shares ONE materialization — at 100 TB
+    * this is "persist the interaction matrix once per job", the first
+    * thing any production recommender does). Values are identical to
+    * the uncached view; only the recompute count changes. */
+  def ratingsCached(spark: SparkSession, dir: String): DataFrame =
+    ratings(spark, dir).cache()
+
   /** S1: headerless tab-separated ratings ingest with the reference's
     * explicit 4-column schema (reference Main.scala:33-51), except the
     * unix-seconds column becomes a real TimestampType instead of the
