@@ -21,6 +21,7 @@ object Bench {
       // events.parquet stores TIMESTAMP(NANOS); session-wide, set once
       // (see graft.sources.Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

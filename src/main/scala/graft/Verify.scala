@@ -14,6 +14,7 @@ object Verify {
       // events.parquet stores TIMESTAMP(NANOS); session-wide, set once
       // (see graft.sources.Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,7 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Input row for the stateful sessionizer. */
+case class UserEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+
+/** A closed user session: bounded by inactivity gaps. */
+case class UserSession(user_id: Long, start_ts: java.sql.Timestamp,
+                       end_ts: java.sql.Timestamp, n_events: Long,
+                       event_types: Seq[String])
+
+/** Mutable per-user session accumulator held in the state store. */
+case class SessionState(startMs: Long, lastMs: Long, n: Long, types: Seq[String])
 
 /**
  * Structured Streaming surface (SURVEY.md §2.12 — the reference has NO
@@ -55,4 +67,47 @@ object EventStreams {
         count(lit(1)).as("n_events"))
       .select(col("window.start").as("w_start"), col("user_id"),
         col("basket"), col("n_events"))
+
+  /** Custom state (§2.12's `flatMapGroupsWithState` surface):
+    * gap-based sessionization of the per-user event stream. A session
+    * closes — and emits one [[UserSession]] row — once the WATERMARK
+    * passes the session's last event plus `gapMs` (event-time timeout:
+    * deterministic, replayable, no wall-clock dependence — and unlike
+    * a processing-time timer it never forces the engine into
+    * continuous empty micro-batches). State is one small
+    * [[SessionState]] per OPEN session, sharded by the group key
+    * across executors; the timeout bounds its lifetime, so state size
+    * tracks active users, not all users ever seen. */
+  def sessionize(events: Dataset[UserEvent], gapMs: Long,
+                 watermark: String): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, rows: Iterator[UserEvent],
+           state: GroupState[SessionState]): Iterator[UserSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(UserSession(userId,
+          new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs),
+          s.n, s.types.distinct.sorted))
+      } else {
+        val evs = rows.toSeq
+        val minMs = evs.map(_.ts.getTime).min
+        val maxMs = evs.map(_.ts.getTime).max
+        val prev = state.getOption.getOrElse(
+          SessionState(minMs, maxMs, 0L, Seq.empty))
+        val merged = SessionState(math.min(prev.startMs, minMs),
+          math.max(prev.lastMs, maxMs), prev.n + evs.size,
+          (prev.types ++ evs.map(_.event_type)).distinct)
+        state.update(merged)
+        state.setTimeoutTimestamp(merged.lastMs + gapMs)
+        Iterator.empty
+      }
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

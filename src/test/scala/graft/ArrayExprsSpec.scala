@@ -21,6 +21,15 @@ class ArrayExprsSpec extends SparkSuite {
     assert(r.getDouble(2) == 27.0) // 9 + 9 + 9
   }
 
+  test("GraftExtensions exposes the kernels to SQL") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+        "vec_sqdist(array(0.0D, 0.0D), array(3.0D, 4.0D)) AS q")
+      .collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 25.0)
+  }
+
   test("null input propagates to null output") {
     val s = spark
     import s.implicits._

@@ -73,6 +73,38 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("sessionize closes a user session after the inactivity gap") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import graft.streaming.UserEvent
+
+    val mem = MemoryStream[UserEvent]
+    // 60 s inactivity gap, 10 s watermark delay — all event-time
+    val q = EventStreams.sessionize(mem.toDS(), gapMs = 60000L, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        UserEvent(1L, ts("2024-05-01 10:00:00"), "view"),
+        UserEvent(1L, ts("2024-05-01 10:00:30"), "click"),
+        UserEvent(1L, ts("2024-05-01 10:00:30"), "view"))
+      q.processAllAvailable()
+      assert(sp.sql("SELECT * FROM sessions").count() == 0) // still open
+      // an 11:00 event pushes the watermark past 10:01:30 → user 1's
+      // session timer fires on the following (no-data) micro-batch
+      mem.addData(UserEvent(2L, ts("2024-05-01 11:00:00"), "view"))
+      q.processAllAvailable()
+
+      val rows = sp.sql(
+        "SELECT user_id, n_events, event_types FROM sessions").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getLong(0) == 1L)
+      assert(rows(0).getLong(1) == 3L)
+      assert(rows(0).getSeq[String](2) == Seq("click", "view"))
+    } finally q.stop()
+  }
+
   test("readEventStream file source reproduces the batch q06-shape counts") {
     val sp = spark
     // stage the table into a fresh ingest dir (the file-source contract
