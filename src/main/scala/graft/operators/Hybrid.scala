@@ -48,11 +48,13 @@ object Hybrid {
   def fuseTopK(a: DataFrame, b: DataFrame, wa: Double, wb: Double,
                kItems: Int): DataFrame = {
     def normalized(df: DataFrame, w: Double, out: String): DataFrame = {
-      val head = df.filter(col("rk") === 1)
-        .select(col("user_id"), col("score").as("head_score"))
-      df.join(broadcast(head), Seq("user_id"))
-        .select(col("user_id"), col("item_id"),
-          (col("score") / col("head_score") * lit(w)).as(out))
+      // head score via a window first() over the ranked list — a
+      // self-join against the rk=1 slice would re-evaluate the whole
+      // child pipeline a second time
+      val head = first(col("score")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("rk").asc))
+      df.select(col("user_id"), col("item_id"),
+        (col("score") / head * lit(w)).as(out))
     }
     val na = normalized(a, wa, "sa")
     val nb = normalized(b, wb, "sb")
