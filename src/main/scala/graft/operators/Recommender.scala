@@ -228,6 +228,35 @@ object Recommender {
         r4(abs(col("actual") - (col("umean") + col("num") / col("den")))).as("abs_err"))
   }
 
+  /** The 100-TB similarity path SURVEY §2.9 K1 names: DIMSUM sampling
+    * (`RowMatrix.columnSimilarities(threshold)`) over the user×item
+    * interaction matrix — probabilistic magnitude pruning that bounds
+    * shuffle size independently of the co-rating fan-out, where the
+    * exact self-join pair-dot (userKnnTopK/itemKnnTopK) grows with
+    * Σ n_k². Exact when threshold = 0; with threshold > 0 each pair is
+    * sampled ∝ 1/(‖cᵢ‖‖cⱼ‖), preserving high-similarity pairs.
+    * Returns (i, j, sim) with i < j. Library surface — approximate
+    * results can't hash-match a SQL oracle; spec-checked against the
+    * exact kernel instead. */
+  def itemSimsDimsum(ratings: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.mllib.linalg.Vectors
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val spark = ratings.sparkSession
+    import spark.implicits._
+    val nItems = ratings
+      .agg(max(col("item_id")).cast("int")).collect()(0).getInt(0) + 1
+    val rows = ratings
+      .select(col("user_id").cast("long"), col("item_id").cast("int"),
+        col("rating").cast("double"))
+      .as[(Long, Int, Double)].rdd
+      .groupBy(_._1)
+      .map { case (_, cells) =>
+        Vectors.sparse(nItems, cells.map(c => (c._2, c._3)).toSeq)
+      }
+    val sims = new RowMatrix(rows).columnSimilarities(threshold)
+    sims.entries.map(e => (e.i, e.j, e.value)).toDF("i", "j", "sim")
+  }
+
   /** R1/R11/A2: the explicit per-user sparse profile build — the
     * rebuild of the reference's matrix `fit` (BaseRecommender
     * .scala:49-132 accumulated CSC triplets into a driver-side dense

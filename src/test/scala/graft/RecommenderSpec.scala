@@ -47,6 +47,28 @@ class RecommenderSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("itemSimsDimsum at threshold 0 equals the exact item-item cosine") {
+    val s = spark
+    import s.implicits._
+    val exact = tiny.as("a").join(tiny.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.item_id") < col("b.item_id"))
+      .groupBy(col("a.item_id").as("i"), col("b.item_id").as("j"))
+      .agg(org.apache.spark.sql.functions.sum(
+        col("a.rating") * col("b.rating")).as("dot"))
+      .collect().map(r => ((r.getInt(0).toLong, r.getInt(1).toLong), r.getDouble(2))).toMap
+    val norms = tiny.groupBy("item_id")
+      .agg(org.apache.spark.sql.functions.sum(col("rating") * col("rating")).as("nsq"))
+      .collect().map(r => (r.getInt(0).toLong, math.sqrt(r.getDouble(1)))).toMap
+    val got = Recommender.itemSimsDimsum(tiny, threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (k, sim) =>
+      val want = exact(k) / (norms(k._1) * norms(k._2))
+      assert(math.abs(sim - want) < 1e-12, s"$k: $sim vs $want")
+    }
+  }
+
   test("recommendations never include already-rated items") {
     val rated = tiny.select(col("user_id"), col("item_id"))
     val recs = Recommender.userKnnTopK(tiny, 2, 4)
