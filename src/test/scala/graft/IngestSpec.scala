@@ -24,4 +24,24 @@ class IngestSpec extends SparkSuite {
     assert(df.columns.toSeq == Seq("id", "X1", "X2", "X3", "X4", "X5"))
     assert(df.schema.fields.forall(_.dataType == IntegerType))
   }
+
+  test("R6 feature assembly: VectorAssembler over all non-id columns") {
+    // the reference's content-feature build (ContentRecommender
+    // .scala:36-53) — assemble genre flags, then the array<double>
+    // form the content scorer consumes
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.functions.vector_to_array
+    import org.apache.spark.sql.functions.col
+    val df = Tables.featuresCsv(spark, resourcePath("features_fixture.csv"))
+    val assembled = new VectorAssembler()
+      .setInputCols(df.columns.filter(_ != "id"))
+      .setOutputCol("features")
+      .transform(df)
+      .select(col("id"), vector_to_array(col("features")).as("fv"))
+    val row = assembled.orderBy("id").head // T5 first-row fetch
+    assert(row.getSeq[Double](1).length == 5)
+    assert(assembled.count() == 8)
+    // assembled vectors plug straight into the content scorer
+    assert(assembled.schema("fv").dataType.typeName == "array")
+  }
 }
