@@ -20,7 +20,9 @@ object TextOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_text_stats" -> q24,
     "q25_lang_id" -> q25,
-    "q26_doc_fingerprint" -> q26
+    "q26_doc_fingerprint" -> q26,
+    "q47_token_count" -> q47,
+    "q48_bigram_lang_id" -> q48
   )
 
   val STOPWORDS = Seq("the", "a", "of", "and", "to", "in", "is", "it")
@@ -86,6 +88,67 @@ object TextOps {
       .orderBy(col("hits").desc, col("plang").asc)
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
+      .groupBy(col("lang"), col("plang").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Token counting two ways: whitespace tokens vs a BPE-style
+    * pre-tokenizer regex (`\w+|[^\w\s]` — word pieces plus individual
+    * punctuation/ideograph marks, the GPT-2 pre-tokenizer's coarse
+    * shape). The chars-per-token ratio is the standard LLM-corpus
+    * budgeting statistic; both counts are narrow per-row expressions
+    * that scan once. */
+  private def q47(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val nWs = size(VectorFns.tokens(t))
+    val nBpe = size(regexp_extract_all(t, lit("\\w+|[^\\w\\s]"), lit(0)))
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("n_chars"),
+      nWs.as("n_ws_tokens"),
+      nBpe.as("n_bpe_tokens"),
+      r4(col("n_chars").cast("double") / nBpe.cast("double"))
+        .as("chars_per_bpe_token"))
+  }
+
+  val BIGRAM_PROFILE_SIZE = 20
+
+  /** Character-bigram language ID — the n-gram heuristic variant of
+    * q25's stopword profiles, self-supervised: the `doc_id % 5 = 0`
+    * slice trains per-language top-20 bigram profiles (a tiny
+    * broadcast dimension); every other doc is scored by how many of
+    * its bigram occurrences hit each profile, argmax with
+    * deterministic tie-break, emitted as a confusion matrix. All
+    * stages are keyed aggs over exploded bigrams — the same shape at
+    * any corpus size. */
+  private def q48(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), Dedup.normText(col("text")).as("t"))
+    def bigrams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1), length(col("t")) - 1)).as("i"),
+        col("t"))
+      .select(col("doc_id"), col("lang"), expr("substring(t, i, 2)").as("bg"))
+
+    val train = bigrams(docs.filter(col("doc_id") % 5 === 0))
+    val profile = train.groupBy(col("lang").as("plang"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("plang"))
+        .orderBy(col("cnt").desc, col("bg").asc)))
+      .filter(col("rk") <= BIGRAM_PROFILE_SIZE)
+      .select(col("plang"), col("bg"))
+    val langs = profile.select(col("plang")).distinct()
+
+    val test = bigrams(docs.filter(col("doc_id") % 5 =!= 0))
+    val hits = test.join(broadcast(profile), Seq("bg"))
+      .groupBy(col("doc_id"), col("plang")).agg(count(lit(1)).as("score"))
+    val scored = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("lang"))
+      .crossJoin(broadcast(langs))
+      .join(hits, Seq("doc_id", "plang"), "left")
+      .na.fill(0L, Seq("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("plang").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .groupBy(col("lang"), col("plang").as("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
   }

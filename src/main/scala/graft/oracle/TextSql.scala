@@ -64,6 +64,49 @@ object TextSql {
          |       count(*) AS n_tokens
          |FROM ph GROUP BY 1""".stripMargin,
 
+    "q47_token_count" ->
+      s"""SELECT doc_id, n_chars,
+         |       CAST(len(${SqlFragments.tokensSql("lower(trim(text))")}) AS INTEGER)
+         |         AS n_ws_tokens,
+         |       CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INTEGER)
+         |         AS n_bpe_tokens,
+         |       floor(CAST(n_chars AS DOUBLE)
+         |             / len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))
+         |             * 10000.0 + 0.5) / 10000.0 AS chars_per_bpe_token
+         |FROM documents""".stripMargin,
+
+    "q48_bigram_lang_id" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, lang, ${SqlFragments.normTextSql("text")} AS t
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, lang, substr(t, i, 2) AS bg
+         |  FROM docs, UNNEST(generate_series(1, len(t) - 1)) AS r(i)),
+         |profile AS (
+         |  SELECT plang, bg FROM (
+         |    SELECT lang AS plang, bg, row_number() OVER (
+         |      PARTITION BY lang ORDER BY count(*) DESC, bg ASC) AS rk
+         |    FROM bg WHERE doc_id % 5 = 0
+         |    GROUP BY lang, bg)
+         |  WHERE rk <= 20),
+         |langs AS (SELECT DISTINCT plang FROM profile),
+         |hits AS (
+         |  SELECT b.doc_id, p.plang, count(*) AS score
+         |  FROM bg b JOIN profile p ON p.bg = b.bg
+         |  WHERE b.doc_id % 5 <> 0
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT d.doc_id, d.lang, l.plang, COALESCE(h.score, 0) AS score
+         |  FROM (SELECT DISTINCT doc_id, lang FROM docs WHERE doc_id % 5 <> 0) d
+         |  CROSS JOIN langs l
+         |  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.plang = l.plang)
+         |SELECT lang, plang AS pred_lang, count(*) AS n_docs FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rk
+         |  FROM scored)
+         |WHERE rk = 1
+         |GROUP BY 1, 2""".stripMargin,
+
     "q43_mm_metadata" ->
       """WITH a AS (
         |  SELECT doc_id, lang, source,
