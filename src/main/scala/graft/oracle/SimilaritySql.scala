@@ -85,6 +85,34 @@ object SimilaritySql {
          |       floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine
          |FROM pairs WHERE cos > 0.4""".stripMargin,
 
+    "q49_neardup_banded" -> {
+      val bandSelects = (0 until 4).map { b =>
+        val bits = (1 to 4).map(i =>
+          s"(CASE WHEN v[${b * 4 + i}] > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+        s"SELECT vec_id, v, $b AS band_id, $bits AS bucket FROM emb"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH $embCte,
+         |bkt AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bkt a JOIN bkt b
+         |    ON a.band_id = b.band_id AND a.bucket = b.bucket
+         |   AND a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT c.id_a, c.id_b,
+         |         floor(list_sum(list_transform(list_zip(ea.v, eb.v), z -> z[1]*z[2]))
+         |               / (sqrt(list_sum(list_transform(ea.v, x -> x*x)))
+         |                  * sqrt(list_sum(list_transform(eb.v, x -> x*x))))
+         |               * 1000000.0 + 0.5) / 1000000.0 AS cos
+         |  FROM cand c
+         |  JOIN emb ea ON ea.vec_id = c.id_a
+         |  JOIN emb eb ON eb.vec_id = c.id_b)
+         |SELECT id_a, id_b,
+         |       floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine
+         |FROM pairs WHERE cos > 0.4""".stripMargin
+    },
+
     "q42_ivf_ann" ->
       s"""WITH $embCte,
          |cents AS (
