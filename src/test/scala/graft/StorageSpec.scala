@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Write-side scale levers: bucketing co-locates join keys so the
+  * join plans WITHOUT a shuffle; partitioned layout prunes scans to
+  * the filtered directories. Asserted on the physical plan, not just
+  * results. */
+class StorageSpec extends SparkSuite {
+
+  private def tmpWarehouse(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("bucketed tables join without a shuffle exchange") {
+    val s = spark
+    import s.implicits._
+    val left = (1 to 1000).map(i => (i % 50, s"l$i")).toDF("k", "lv")
+    val right = (1 to 200).map(i => (i % 50, s"r$i")).toDF("k", "rv")
+
+    left.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("graft_bkt_left")
+    right.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("graft_bkt_right")
+    try {
+      val joined = s.table("graft_bkt_left")
+        .join(s.table("graft_bkt_right"), Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // both sides arrive pre-bucketed on k: no Exchange in the plan
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == 1000 * 200 / 50) // 20 l-rows × 4 r-rows × 50 keys
+    } finally {
+      s.sql("DROP TABLE IF EXISTS graft_bkt_left")
+      s.sql("DROP TABLE IF EXISTS graft_bkt_right")
+    }
+  }
+
+  test("partitioned layout prunes the scan to matching directories") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpWarehouse("graft_part")
+    (1 to 300).map(i => (i % 3, i)).toDF("part_key", "v")
+      .write.mode("overwrite").partitionBy("part_key").parquet(dir)
+
+    val pruned = s.read.parquet(dir).filter(col("part_key") === 1)
+    val scan = pruned.queryExecution.executedPlan.toString
+    // partition filter is applied at planning: only one directory read
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("part_key"), s"no partition pruning:\n$scan")
+    assert(pruned.count() == 100)
+  }
+}
