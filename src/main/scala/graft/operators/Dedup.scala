@@ -26,8 +26,11 @@ object Dedup {
     "q18_exact_dedup" -> q18,
     "q19_minhash_bands" -> q19,
     "q20_neardup_pairs" -> q20,
-    "q21_simhash" -> q21
+    "q21_simhash" -> q21,
+    "q50_dedup_clusters" -> q50
   )
+
+  val CLUSTER_JACCARD = 0.5
 
   val NUM_PERMS = 16
   val NUM_BANDS = 4 // 4 rows per band
@@ -115,6 +118,53 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         r4(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+  }
+
+  /** Near-dup CLUSTERS: connected components over the verified q20
+    * pair graph (jaccard ≥ 0.5) — the step that turns pairs into
+    * canonical dedup groups in a real corpus pipeline. Components via
+    * iterative min-label propagation: each round every node adopts the
+    * smallest label among itself and its neighbors; loop until a round
+    * changes nothing (a driver-side LOOP of distributed jobs — the
+    * standard iterative-algorithm shape, not a driver data loop; label
+    * state never leaves the cluster). Emits one row per cluster with
+    * the canonical (minimum) doc id. Deterministic regardless of
+    * iteration count because it runs to convergence. */
+  private def q50(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val pairs = q20(spark, dir)
+      .filter(col("jaccard") >= CLUSTER_JACCARD)
+      .select(col("doc_a"), col("doc_b"))
+    connectedComponents(docs, pairs)
+      .groupBy(col("label").as("canonical_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string"))).as("member_csv"))
+      .filter(col("n_docs") > 1) // singleton "clusters" are just unique docs
+  }
+
+  /** Reusable library surface: connected components of an undirected
+    * edge list over the given node set → (doc_id, label) with label =
+    * the component's minimum node id. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val nbMin = sym.join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("label")).as("nb_label"))
+      val next = labels.join(nbMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nb_label"), col("label"))).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    labels
   }
 
   /** SimHash: 32-bit locality-sensitive fingerprint from token counts.

@@ -17,29 +17,26 @@ object DedupSql {
       s"""WITH $minhashBandsSql
          |SELECT doc_id, band_id, band_hash FROM bands""".stripMargin,
 
-    "q20_neardup_pairs" ->
-      s"""WITH $minhashBandsSql,
-         |cand AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a
-         |  JOIN bands b ON a.band_id = b.band_id
-         |    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-         |  FROM cand c
-         |  JOIN sh sa ON sa.doc_id = c.doc_a
-         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
-         |  GROUP BY 1, 2)
-         |SELECT c.doc_a, c.doc_b,
-         |       floor(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
-         |             / (ca.n_sh + cb.n_sh - COALESCE(i.n_inter, 0))
-         |             * 10000.0 + 0.5) / 10000.0 AS jaccard
-         |FROM cand c
-         |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-         |JOIN counts ca ON ca.doc_id = c.doc_a
-         |JOIN counts cb ON cb.doc_id = c.doc_b""".stripMargin,
+    "q20_neardup_pairs" -> oracleQ20,
+
+    "q50_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT * FROM (
+         |${oracleQ20}
+         |  ) WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         |labels AS (SELECT a AS doc_id, min(b) AS label FROM reach GROUP BY 1)
+         |SELECT label AS canonical_id, count(*) AS n_docs,
+         |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS member_csv
+         |FROM labels GROUP BY 1
+         |HAVING count(*) > 1""".stripMargin,
 
     "q21_simhash" ->
       s"""WITH toks AS (
@@ -62,4 +59,29 @@ object DedupSql {
          |                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY 1""".stripMargin
   )
+
+  /** q20's full oracle — also embedded as a subquery by q50. */
+  private lazy val oracleQ20: String =
+    s"""WITH $minhashBandsSql,
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a
+         |  JOIN bands b ON a.band_id = b.band_id
+         |    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+         |  GROUP BY 1, 2)
+         |SELECT c.doc_a, c.doc_b,
+         |       floor(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         |             / (ca.n_sh + cb.n_sh - COALESCE(i.n_inter, 0))
+         |             * 10000.0 + 0.5) / 10000.0 AS jaccard
+         |FROM cand c
+         |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |JOIN counts ca ON ca.doc_id = c.doc_a
+         |JOIN counts cb ON cb.doc_id = c.doc_b""".stripMargin
 }

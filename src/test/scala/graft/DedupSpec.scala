@@ -6,6 +6,19 @@ import graft.operators.Dedup
 /** MinHash/normalization unit coverage for the dedup family. */
 class DedupSpec extends SparkSuite {
 
+  test("connectedComponents labels a chain, a pair and a singleton") {
+    val s = spark
+    import s.implicits._
+    val nodes = (1L to 7L).toDF("doc_id")
+    // chain 1-2-3-4, pair 5-6, singleton 7
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (6L, 5L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("normText collapses whitespace and case") {
     val df = spark.range(1).select(lit("  Foo   BAR\t baz ").as("text"))
     assert(df.select(Dedup.normText(col("text"))).head.getString(0) == "foo bar baz")
