@@ -37,7 +37,7 @@ object Hybrid {
   private def q33(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.ratingsCached(spark, dir)
     val ua = Recommender.userKnnTopK(r, Recommender.K_NEIGHBORS, K_ITEMS,
-      targetUsers = col("user_id") % 20 === 0)
+      targetUsers = Some(col("user_id") % 20 === 0))
     val ib = Recommender.itemKnnTopK(r, col("user_id") % 20 === 0,
       Recommender.K_ITEM_NEIGHBORS, K_ITEMS)
     fuseTopK(ua, ib, W_USER, W_ITEM, K_ITEMS)

@@ -63,20 +63,33 @@ object Recommender {
     * pipeline) — a cohort run then pays cohort-sized shuffles instead
     * of all-users ones. */
   def userKnnTopK(ratings: DataFrame, kNeighbors: Int, kItems: Int,
-                  targetUsers: Column = lit(true)): DataFrame = {
+                  targetUsers: Option[Column] = None): DataFrame = {
     val r = ratings
     val stats = r.groupBy("user_id").agg(
       avg(col("rating")).as("umean"),
       sqrt(sum(col("rating") * col("rating"))).as("unorm"))
 
-    val a = r.filter(targetUsers)
-      .select(col("user_id").as("u"), col("item_id"), col("rating").as("ra"))
     val b = r.select(col("user_id").as("v"), col("item_id"), col("rating").as("rb"))
     // co-rated pairs only: shuffle on item_id, then one keyed agg
-    val dots = a.join(b, Seq("item_id"))
-      .filter(col("u") =!= col("v"))
-      .groupBy(col("u"), col("v"))
-      .agg(sum(col("ra") * col("rb")).as("dot"))
+    val dots = targetUsers match {
+      case Some(pred) =>
+        // cohort run: only (target, *) pairs exist — direct form
+        r.filter(pred)
+          .select(col("user_id").as("u"), col("item_id"), col("rating").as("ra"))
+          .join(b, Seq("item_id"))
+          .filter(col("u") =!= col("v"))
+          .groupBy(col("u"), col("v"))
+          .agg(sum(col("ra") * col("rb")).as("dot"))
+      case None =>
+        // all-users run: cosine is symmetric — aggregate each UNORDERED
+        // pair once (u < v halves the agg input) and mirror the result
+        val a = r.select(col("user_id").as("u"), col("item_id"), col("rating").as("ra"))
+        val half = a.join(b, Seq("item_id"))
+          .filter(col("u") < col("v"))
+          .groupBy(col("u"), col("v"))
+          .agg(sum(col("ra") * col("rb")).as("dot"))
+        half.union(half.select(col("v").as("u"), col("u").as("v"), col("dot")))
+    }
 
     val sims = dots
       .join(broadcast(stats.select(col("user_id").as("u"), col("unorm").as("nu"))), Seq("u"))
@@ -134,10 +147,12 @@ object Recommender {
 
     val a = r.select(col("user_id"), col("item_id").as("i"), col("rating").as("ra"))
     val b = r.select(col("user_id"), col("item_id").as("j"), col("rating").as("rb"))
-    val dots = a.join(b, Seq("user_id"))
-      .filter(col("i") =!= col("j"))
+    // symmetric kernel: one agg per unordered pair, mirrored after
+    val half = a.join(b, Seq("user_id"))
+      .filter(col("i") < col("j"))
       .groupBy(col("i"), col("j"))
       .agg(sum(col("ra") * col("rb")).as("dot"))
+    val dots = half.union(half.select(col("j").as("i"), col("i").as("j"), col("dot")))
 
     val sims = dots
       .join(broadcast(inorm.select(col("item_id").as("i"), col("inorm").as("ni"))), Seq("i"))
