@@ -36,6 +36,7 @@ object Relational {
     "q15_array_hof" -> q15,
     "q05b_approx_distinct" -> q05b,
     "q37_candidate_freq" -> q37,
+    "q51_topk_heap" -> q51,
     "q38_seq_encode" -> q38,
     "q39_set_ops" -> q39,
     "q40_event_windows" -> q40
@@ -230,6 +231,27 @@ object Relational {
     d.join(broadcast(offs), Seq("yr"))
       .withColumn("period_id", (col("off") + rk - 1).cast("long"))
       .select(col("order_date"), col("period_id"))
+  }
+
+  /** T1/T2 at the 100-TB posture: q04's per-group top-k computed by
+    * the typed bounded-heap [[graft.functions.TopKAggregator]] instead
+    * of a window rank — only k rows per group survive the map side,
+    * where `row_number() <= k` sorts and ranks EVERY row of the group
+    * after the shuffle. Same semantics, same oracle as q04 (revenue
+    * desc, partkey asc tie-break). */
+  private def q51(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.udaf
+    val topk = udaf(new graft.functions.TopKAggregator(3))
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_partkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+    rev.groupBy(col("l_returnflag"))
+      .agg(topk(col("l_partkey"), col("revenue")).as("top"))
+      .select(col("l_returnflag"), posexplode(col("top.items")))
+      .select(col("l_returnflag"),
+        col("col._1").as("l_partkey"),
+        col("col._2").as("revenue"),
+        (col("pos") + 1).cast("int").as("rk"))
   }
 
   /** A3 at the 100-TB posture: the approximate twin of q05. Exact

@@ -196,12 +196,18 @@ object Sequential {
     * over per-user baskets, emitting the frequent itemsets of size ≤ 2
     * (the slice an exact SQL oracle can recount: singles and pairs).
     * FPGrowth's minCount = ceil(minSupport · n_baskets) — mirrored
-    * bit-for-bit in the oracle's threshold arithmetic. */
+    * bit-for-bit in the oracle's threshold arithmetic, including the
+    * absolute floor of 4 baskets: a fractional threshold alone melts
+    * down at small corpora (minCount 1 ⇒ every subset of every basket
+    * is "frequent" ⇒ exponential enumeration). */
   private def q35(spark: SparkSession, dir: String): DataFrame = {
     val baskets = Tables.ratings(spark, dir)
       .groupBy("user_id").agg(collect_set(col("item_id")).as("items"))
+    val n = baskets.count()
     val fp = new org.apache.spark.ml.fpm.FPGrowth()
-      .setItemsCol("items").setMinSupport(FP_MIN_SUPPORT).setMinConfidence(0.5)
+      .setItemsCol("items")
+      .setMinSupport(math.max(FP_MIN_SUPPORT, 4.0 / n))
+      .setMinConfidence(0.5)
     fp.fit(baskets).freqItemsets
       .filter(size(col("items")) <= 2)
       .select(

@@ -53,7 +53,7 @@ object EvalSeqSql {
       s"""WITH $ratingsSql,
          |rr AS (SELECT user_id, item_id FROM ratings),
          |nb AS (SELECT count(DISTINCT user_id) AS n FROM rr),
-         |th AS (SELECT CAST(ceil(0.005 * n) AS BIGINT) AS minc FROM nb),
+         |th AS (SELECT CAST(ceil(greatest(0.005, 4.0 / n) * n) AS BIGINT) AS minc FROM nb),
          |singles AS (
          |  SELECT CAST(item_id AS VARCHAR) AS itemset,
          |         CAST(1 AS INTEGER) AS set_size,

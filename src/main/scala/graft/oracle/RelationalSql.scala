@@ -137,6 +137,19 @@ object RelationalSql {
         |  FROM lineitem GROUP BY 1
         |)""".stripMargin,
 
+    "q51_topk_heap" ->
+      """WITH rev AS (
+        |  SELECT l_returnflag, l_partkey,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |  FROM lineitem GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY l_returnflag ORDER BY revenue DESC, l_partkey ASC) AS rk
+        |  FROM rev
+        |)
+        |SELECT l_returnflag, l_partkey, revenue, CAST(rk AS INTEGER) AS rk
+        |FROM ranked WHERE rk <= 3""".stripMargin,
+
     "q37_candidate_freq" ->
       """WITH freq AS (
         |  SELECT c_mktsegment, item_id, count(*) AS n_orders FROM (

@@ -30,6 +30,17 @@ class ArrayExprsSpec extends SparkSuite {
     assert(r.getDouble(1) == 25.0)
   }
 
+  test("TopKAggregator bounds the buffer and breaks ties by id") {
+    import graft.functions.{TopKAggregator, TopKBuf}
+    val agg = new TopKAggregator(2)
+    val r = Seq((5L, 1.0), (1L, 3.0), (2L, 3.0), (9L, 0.5))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(r.items == Seq((1L, 3.0), (2L, 3.0)))
+    val merged = agg.merge(r, TopKBuf(Seq((0L, 3.0))))
+    assert(merged.items == Seq((0L, 3.0), (1L, 3.0)))
+    assert(agg.merge(agg.zero, agg.zero).items.isEmpty)
+  }
+
   test("null input propagates to null output") {
     val s = spark
     import s.implicits._
