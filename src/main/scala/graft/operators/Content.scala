@@ -27,7 +27,8 @@ import graft.functions.Rounding.{r4, r6}
 object Content {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q32_content_topk" -> q32
+    "q32_content_topk" -> q32,
+    "q52_content_rating_predict" -> q52
   )
 
   val K_NEIGHBORS = 8
@@ -45,6 +46,44 @@ object Content {
         col("embedding").cast("array<double>").as("fv"))
     contentTopK(Tables.ratingsCached(spark, dir), feats,
       col("user_id") % 50 === 0, K_NEIGHBORS, K_ITEMS)
+  }
+
+  /** R7's rating-predict half (reference
+    * ContentBasedRatingRecommender.scala:44-87): for held-out
+    * feature-bearing (user, item) pairs in the `user_id % 40 = 7`
+    * cohort, predict from the OTHER feature-bearing items the user
+    * rated — neighbors by feature cosine with the K5 fallback, top-8,
+    * r̂ = Σ sim·r(u,j) / Σ|sim|. Emits actual vs predicted plus error. */
+  private def q52(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("item_id"),
+        col("embedding").cast("array<double>").as("fv"))
+    val r = Tables.ratingsCached(spark, dir)
+    val rf = r.join(feats, Seq("item_id")) // only feature-bearing items play
+    val cohort = rf.filter(col("user_id") % 40 === 7)
+      .select(col("user_id").as("u"), col("item_id").as("i"),
+        col("rating").as("actual"), col("fv").as("vi"))
+    val rated = rf.select(col("user_id").as("u"), col("item_id").as("j"),
+      col("rating").as("r_uj"), col("fv").as("vj"))
+
+    val sim0 = r6(cosineArr(col("vi"), col("vj")))
+    val simK5 = when(sim0 === 0.0, r6(invEuclideanArr(col("vi"), col("vj"))))
+      .otherwise(sim0)
+    val pairs = cohort.join(rated, Seq("u"))
+      .filter(col("j") =!= col("i"))
+      .select(col("u"), col("i"), col("actual"), col("j"), simK5.as("sim"), col("r_uj"))
+
+    val wNb = Window.partitionBy(col("u"), col("i"))
+      .orderBy(col("sim").desc, col("j").asc)
+    pairs.withColumn("nrk", row_number().over(wNb))
+      .filter(col("nrk") <= K_NEIGHBORS)
+      .groupBy(col("u"), col("i"), col("actual"))
+      .agg(sum(col("sim") * col("r_uj")).as("num"), sum(abs(col("sim"))).as("den"))
+      .filter(col("den") =!= 0.0)
+      .select(col("u").as("user_id"), col("i").as("item_id"),
+        r4(col("actual")).as("actual"),
+        r4(col("num") / col("den")).as("predicted"),
+        r4(abs(col("actual") - col("num") / col("den"))).as("abs_err"))
   }
 
   /** Reusable library surface: content-based top-N over long-form

@@ -57,6 +57,47 @@ object ContentHybridSql {
          |  FROM scored)
          |WHERE rk <= 5""".stripMargin,
 
+    "q52_content_rating_predict" ->
+      s"""WITH $ratingsSql,
+         |feats AS (
+         |  SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS fv
+         |  FROM embeddings),
+         |rf AS (
+         |  SELECT r.user_id, r.item_id, r.rating, f.fv
+         |  FROM ratings r JOIN feats f USING (item_id)),
+         |cohort AS (
+         |  SELECT user_id AS u, item_id AS i, rating AS actual, fv AS vi
+         |  FROM rf WHERE user_id % 40 = 7),
+         |raw AS (
+         |  SELECT c.u, c.i, c.actual, rd.item_id AS j, rd.rating AS r_uj,
+         |         floor(list_sum(list_transform(list_zip(c.vi, rd.fv), z -> z[1]*z[2]))
+         |               / (sqrt(list_sum(list_transform(c.vi, x -> x*x)))
+         |                  * sqrt(list_sum(list_transform(rd.fv, x -> x*x))))
+         |               * 1000000.0 + 0.5) / 1000000.0 AS cos6,
+         |         floor(1.0 / (sqrt(list_sum(list_transform(list_zip(c.vi, rd.fv),
+         |                       z -> (z[1]-z[2])*(z[1]-z[2])))) + 1.0)
+         |               * 1000000.0 + 0.5) / 1000000.0 AS inv6
+         |  FROM cohort c
+         |  JOIN rf rd ON rd.user_id = c.u AND rd.item_id <> c.i),
+         |pairs AS (
+         |  SELECT u, i, actual, j, r_uj,
+         |         CASE WHEN cos6 = 0.0 THEN inv6 ELSE cos6 END AS sim
+         |  FROM raw),
+         |agg AS (
+         |  SELECT u, i, actual,
+         |         sum(sim * r_uj) AS num, sum(abs(sim)) AS den
+         |  FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY u, i ORDER BY sim DESC, j ASC) AS nrk
+         |        FROM pairs)
+         |  WHERE nrk <= 8
+         |  GROUP BY 1, 2, 3)
+         |SELECT u AS user_id, i AS item_id,
+         |       floor(actual * 10000.0 + 0.5) / 10000.0 AS actual,
+         |       floor(num / den * 10000.0 + 0.5) / 10000.0 AS predicted,
+         |       floor(abs(actual - num / den) * 10000.0 + 0.5) / 10000.0 AS abs_err
+         |FROM agg
+         |WHERE den <> 0""".stripMargin,
+
     "q33_hybrid_topk" ->
       s"""WITH ua AS (
          |  SELECT * FROM (
