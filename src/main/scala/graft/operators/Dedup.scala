@@ -149,7 +149,12 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("label")).cache()
+      .localCheckpoint() // edge list reused every round — materialize once
+    // localCheckpoint (not cache) each round: iterative plans otherwise
+    // grow lineage linearly in rounds and re-execute the whole history
+    // on every action — the classic iterative-algorithm pitfall
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val nbMin = sym.join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
@@ -158,10 +163,9 @@ object Dedup {
       val next = labels.join(nbMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nb_label"), col("label"))).as("label"))
-        .cache()
+        .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
         .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = next
     }
     labels
