@@ -39,17 +39,26 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   /** Per-element contribution as generated Java (vars `xi`, `yi`). */
   protected def combineCode: String
 
+  // Length mismatch → NULL, matching the HOF fold these replace
+  // (zip_with pads the short side with null, which the fold then
+  // propagates): a truncated/corrupt vector must surface as NULL, not
+  // as a plausible partial sum that silently reorders kNN results.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      acc += combine(xs.getDouble(i), ys.getDouble(i))
-      i += 1
+    val n = xs.numElements()
+    if (n != ys.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += combine(xs.getDouble(i), ys.getDouble(i))
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -58,14 +67,18 @@ abstract class VectorBinaryExpression extends BinaryExpression {
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double xi = $a.getDouble($i);
-         |  double yi = $b.getDouble($i);
-         |  $acc += $combineCode;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double xi = $a.getDouble($i);
+         |    double yi = $b.getDouble($i);
+         |    $acc += $combineCode;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 }

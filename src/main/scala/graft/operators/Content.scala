@@ -34,19 +34,43 @@ object Content {
   val K_NEIGHBORS = 8
   val K_ITEMS = 5
 
+  /** Feature-kernel column over (vi, vj): 6-dp cosine with the K5
+    * inverse-Euclidean fallback on exact zero — the ONE definition both
+    * the top-K and rating-predict paths rank with. */
+  private def k5FeatureSim: Column = {
+    val sim0 = r6(cosineArr(col("vi"), col("vj")))
+    when(sim0 === 0.0, r6(invEuclideanArr(col("vi"), col("vj")))).otherwise(sim0)
+  }
+
+  /** Shared neighbor-scoring stage: rank `pairs` (must carry `sim`,
+    * `j`, `r_uj`) per key group, keep top-k, aggregate the R4-family
+    * Σ sim·r / Σ|sim| numerator/denominator, and drop zero-denominator
+    * groups (the reference's empty-neighbor guard). */
+  private def neighborAgg(pairs: DataFrame, keys: Seq[String],
+                          kNeighbors: Int): DataFrame = {
+    val wNb = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("sim").desc, col("j").asc)
+    pairs.withColumn("nrk", row_number().over(wNb))
+      .filter(col("nrk") <= kNeighbors)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("sim") * col("r_uj")).as("num"), sum(abs(col("sim"))).as("den"))
+      .filter(col("den") =!= 0.0)
+  }
+
+  private def itemFeatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("item_id"),
+        col("embedding").cast("array<double>").as("fv"))
+
   /** R7 top-K for the `user_id % 50 = 0` cohort: candidates are
     * feature-bearing items the user has NOT rated; neighbors are the
     * feature-bearing items the user HAS rated, ranked by
     * cosine(feature_i, feature_j) with the K5 inverse-Euclidean
     * fallback; score = Σ sim·r(u,j) / Σ|sim| (the R4-family
     * denominator), top-5 per user. */
-  private def q32(spark: SparkSession, dir: String): DataFrame = {
-    val feats = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("item_id"),
-        col("embedding").cast("array<double>").as("fv"))
-    contentTopK(Tables.ratingsCached(spark, dir), feats,
+  private def q32(spark: SparkSession, dir: String): DataFrame =
+    contentTopK(Tables.ratingsCached(spark, dir), itemFeatures(spark, dir),
       col("user_id") % 50 === 0, K_NEIGHBORS, K_ITEMS)
-  }
 
   /** R7's rating-predict half (reference
     * ContentBasedRatingRecommender.scala:44-87): for held-out
@@ -55,31 +79,20 @@ object Content {
     * rated — neighbors by feature cosine with the K5 fallback, top-8,
     * r̂ = Σ sim·r(u,j) / Σ|sim|. Emits actual vs predicted plus error. */
   private def q52(spark: SparkSession, dir: String): DataFrame = {
-    val feats = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("item_id"),
-        col("embedding").cast("array<double>").as("fv"))
-    val r = Tables.ratingsCached(spark, dir)
-    val rf = r.join(feats, Seq("item_id")) // only feature-bearing items play
+    val rf = Tables.ratingsCached(spark, dir)
+      .join(itemFeatures(spark, dir), Seq("item_id")) // only feature-bearing items play
     val cohort = rf.filter(col("user_id") % 40 === 7)
       .select(col("user_id").as("u"), col("item_id").as("i"),
         col("rating").as("actual"), col("fv").as("vi"))
     val rated = rf.select(col("user_id").as("u"), col("item_id").as("j"),
       col("rating").as("r_uj"), col("fv").as("vj"))
 
-    val sim0 = r6(cosineArr(col("vi"), col("vj")))
-    val simK5 = when(sim0 === 0.0, r6(invEuclideanArr(col("vi"), col("vj"))))
-      .otherwise(sim0)
     val pairs = cohort.join(rated, Seq("u"))
       .filter(col("j") =!= col("i"))
-      .select(col("u"), col("i"), col("actual"), col("j"), simK5.as("sim"), col("r_uj"))
+      .select(col("u"), col("i"), col("actual"), col("j"),
+        k5FeatureSim.as("sim"), col("r_uj"))
 
-    val wNb = Window.partitionBy(col("u"), col("i"))
-      .orderBy(col("sim").desc, col("j").asc)
-    pairs.withColumn("nrk", row_number().over(wNb))
-      .filter(col("nrk") <= K_NEIGHBORS)
-      .groupBy(col("u"), col("i"), col("actual"))
-      .agg(sum(col("sim") * col("r_uj")).as("num"), sum(abs(col("sim"))).as("den"))
-      .filter(col("den") =!= 0.0)
+    neighborAgg(pairs, Seq("u", "i", "actual"), K_NEIGHBORS)
       .select(col("u").as("user_id"), col("i").as("item_id"),
         r4(col("actual")).as("actual"),
         r4(col("num") / col("den")).as("predicted"),
@@ -101,20 +114,11 @@ object Content {
         Seq("u", "i"), "left_anti")
 
     // per-user candidate × rated grid, keyed on u — local to each block
-    val sim0 = r6(cosineArr(col("vi"), col("vj")))
-    val simK5 = when(sim0 === 0.0, r6(invEuclideanArr(col("vi"), col("vj"))))
-      .otherwise(sim0)
     val pairs = cand.join(rated, Seq("u"))
       .filter(col("i") =!= col("j"))
-      .select(col("u"), col("i"), col("j"), simK5.as("sim"), col("r_uj"))
+      .select(col("u"), col("i"), col("j"), k5FeatureSim.as("sim"), col("r_uj"))
 
-    val wNb = Window.partitionBy(col("u"), col("i"))
-      .orderBy(col("sim").desc, col("j").asc)
-    val scored = pairs.withColumn("nrk", row_number().over(wNb))
-      .filter(col("nrk") <= kNeighbors)
-      .groupBy(col("u"), col("i"))
-      .agg(sum(col("sim") * col("r_uj")).as("num"), sum(abs(col("sim"))).as("den"))
-      .filter(col("den") =!= 0.0)
+    val scored = neighborAgg(pairs, Seq("u", "i"), kNeighbors)
       .select(col("u"), col("i"), r4(col("num") / col("den")).as("score"))
 
     val wTop = Window.partitionBy(col("u")).orderBy(col("score").desc, col("i").asc)

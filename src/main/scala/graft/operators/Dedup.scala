@@ -145,7 +145,12 @@ object Dedup {
 
   /** Reusable library surface: connected components of an undirected
     * edge list over the given node set → (doc_id, label) with label =
-    * the component's minimum node id. */
+    * the component's minimum node id.
+    *
+    * Convergence is O(component diameter) rounds — fine for near-dup
+    * graphs, whose clusters are dense and shallow. For deep chain
+    * graphs prefer a pointer-doubling / large-star-small-star scheme
+    * (O(log n) rounds, same DataFrame machinery). */
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))

@@ -68,7 +68,8 @@ object Multimodal {
     val counts = new Array[Long](k)
     var i = 0
     while (i < payload.length) {
-      val c = i * k / math.max(payload.length, 1)
+      // long arithmetic: i * k overflows Int past 512 MB payloads
+      val c = (i.toLong * k / math.max(payload.length, 1)).toInt
       out(c) += payload(i) & 0xff
       counts(c) += 1
       i += 1

@@ -301,12 +301,7 @@ object Relational {
     * struct list — no UDF, one keyed agg. */
   private def q38(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    val bounds = o.agg(
-      min(col("o_orderdate")).as("dmin"),
-      max(col("o_orderdate")).as("dmax"))
-      .select(col("dmin"),
-        ceil((datediff(col("dmax"), col("dmin")) + 1).cast("double") /
-          Sequential.NUM_PERIODS).cast("long").as("width"))
+    val bounds = Sequential.periodBounds(o).select("dmin", "width")
     val assigned = o.crossJoin(broadcast(bounds))
       .select(col("o_orderkey"), col("o_custkey").as("user_id"),
         least(expr("CAST(datediff(o_orderdate, dmin) AS BIGINT) DIV width"),

@@ -35,6 +35,25 @@ object Sequential {
 
   val NUM_PERIODS = 8
 
+  /** The shared 1-row period-bounds dimension `(dmin, dmax, span,
+    * width)` with width = ceil((span+1)/NUM_PERIODS) days — the ONE
+    * definition q28 (arithmetic assignment), q38 (sequence encoding)
+    * and q46 (BETWEEN join) all derive from, so the three formulations
+    * can never drift apart. */
+  def periodBounds(orders: DataFrame): DataFrame =
+    orders.agg(
+      min(col("o_orderdate")).as("dmin"),
+      max(col("o_orderdate")).as("dmax"))
+      .select(col("dmin"), col("dmax"),
+        (datediff(col("dmax"), col("dmin")) + 1).cast("long").as("span"))
+      .withColumn("width",
+        ceil(col("span").cast("double") / NUM_PERIODS).cast("long"))
+
+  /** Per-user distinct item baskets — shared by the rule miner, the
+    * FPGrowth stage and the R9 transform. */
+  def userBaskets(ratings: DataFrame): DataFrame =
+    ratings.groupBy("user_id").agg(collect_set(col("item_id")).as("items"))
+
   /** W2: split the full order-date span into 8 equal-width periods
     * (width = ceil((span+1)/8) days) and clamp the tail — assignment is
     * pure integer arithmetic against a 1-row broadcast bounds
@@ -42,13 +61,7 @@ object Sequential {
     * range-scan UDF (U2, SequentialTopKRecommender.scala:280-300). */
   private def q28(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    val bounds = o.agg(
-      min(col("o_orderdate")).as("dmin"),
-      max(col("o_orderdate")).as("dmax"))
-      .select(col("dmin"),
-        (datediff(col("dmax"), col("dmin")) + 1).cast("long").as("span"))
-      .withColumn("width",
-        ceil(col("span").cast("double") / NUM_PERIODS).cast("long"))
+    val bounds = periodBounds(o)
     o.crossJoin(broadcast(bounds))
       .select(col("o_custkey"),
         least(expr("CAST(datediff(o_orderdate, dmin) AS BIGINT) DIV width"),
@@ -75,9 +88,13 @@ object Sequential {
   /** Reusable library surface: mine single-item→single-item rules with
     * recounted support/confidence over long-form `(user_id, item_id)`
     * interactions — the A11/U6 stage as a standalone operator. */
-  def pairRules(ratings: DataFrame): DataFrame = {
+  def pairRules(ratings: DataFrame): DataFrame =
+    pairRules(ratings, userBaskets(ratings))
+
+  /** As [[pairRules]], with pre-built baskets so callers that also
+    * consume the baskets (q36) build them once. */
+  def pairRules(ratings: DataFrame, baskets: DataFrame): DataFrame = {
     val r = ratings.select(col("user_id"), col("item_id"))
-    val baskets = r.groupBy("user_id").agg(collect_set(col("item_id")).as("items"))
     val nb = baskets.agg(count(lit(1)).as("n_baskets"))
     val icnt = r.groupBy("item_id").agg(count(lit(1)).as("cnt_i"))
 
@@ -112,14 +129,7 @@ object Sequential {
     * cross-validate each other. */
   private def q46(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    val bounds = o.agg(
-      min(col("o_orderdate")).as("dmin"),
-      max(col("o_orderdate")).as("dmax"))
-      .select(col("dmin"), col("dmax"),
-        (datediff(col("dmax"), col("dmin")) + 1).cast("long").as("span"))
-      .withColumn("width",
-        ceil(col("span").cast("double") / NUM_PERIODS).cast("long"))
-    val periods = bounds
+    val periods = periodBounds(o)
       .select(col("dmin"), col("dmax"), col("width"),
         explode(sequence(lit(0L), lit(NUM_PERIODS - 1L))).as("period_id"))
       .select(col("period_id"),
@@ -201,9 +211,8 @@ object Sequential {
     * down at small corpora (minCount 1 ⇒ every subset of every basket
     * is "frequent" ⇒ exponential enumeration). */
   private def q35(spark: SparkSession, dir: String): DataFrame = {
-    val baskets = Tables.ratings(spark, dir)
-      .groupBy("user_id").agg(collect_set(col("item_id")).as("items"))
-    val n = baskets.count()
+    val baskets = userBaskets(Tables.ratings(spark, dir))
+    val n = math.max(baskets.count(), 1L) // 4.0/0 = Inf would fail param validation
     val fp = new org.apache.spark.ml.fpm.FPGrowth()
       .setItemsCol("items")
       .setMinSupport(math.max(FP_MIN_SUPPORT, 4.0 / n))
@@ -227,8 +236,8 @@ object Sequential {
     * never leave their partitions — the same shape as q29's recount. */
   private def q36(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.ratingsCached(spark, dir)
-    val rules = pairRules(r)
-    val baskets = r.groupBy("user_id").agg(collect_set(col("item_id")).as("items"))
+    val baskets = userBaskets(r)
+    val rules = pairRules(r, baskets)
     val fired = baskets.join(rules.hint("broadcast"),
         array_contains(col("items"), col("antecedent")) &&
           !array_contains(col("items"), col("consequent")))

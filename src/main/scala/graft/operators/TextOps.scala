@@ -46,7 +46,11 @@ object TextOps {
     * five-HOF select re-evaluated the split per output column and cost
     * seconds of codegen compile alone), no countDistinct Expand, and
     * every stage is a plain codegen'd hash agg that partial-aggregates
-    * map-side — the shape that survives 100 TB of documents. */
+    * map-side — the shape that survives 100 TB of documents.
+    *
+    * Contract: documents with ZERO tokens are excluded (explode emits
+    * nothing for them; the oracle filters `len(tk) > 0` to match) —
+    * token statistics over an empty token set are undefined anyway. */
   private def q24(spark: SparkSession, dir: String): DataFrame = {
     val perTok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(VectorFns.tokens(col("text"))).as("tok"))
@@ -124,6 +128,10 @@ object TextOps {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), Dedup.normText(col("text")).as("t"))
     def bigrams(df: DataFrame): DataFrame = df
+      // guard len >= 2: sequence(1, 0) in Spark DESCENDS ([1, 0]) and
+      // would emit spurious rows where the oracle's generate_series
+      // yields [] — short/empty docs must produce no bigrams
+      .filter(length(col("t")) >= 2)
       .select(col("doc_id"), col("lang"),
         explode(sequence(lit(1), length(col("t")) - 1)).as("i"),
         col("t"))

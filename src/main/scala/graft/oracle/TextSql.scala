@@ -18,7 +18,7 @@ object TextSql {
          |         CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) AS sum_len,
          |         CAST(len(list_filter(tk, t -> t IN
          |           ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS n_stop
-         |  FROM toks)
+         |  FROM toks WHERE len(tk) > 0)
          |SELECT doc_id,
          |       CAST(n_tokens AS INTEGER) AS n_tokens,
          |       CAST(n_distinct AS INTEGER) AS n_distinct,
