@@ -49,6 +49,15 @@ class ArrayExprsSpec extends SparkSuite {
     assert(r.isNullAt(0))
   }
 
+  test("ragged (length-mismatched) arrays yield null, not a partial sum") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0))).toDF("a", "b")
+    val r = df.select(vecDot(col("a"), col("b")), vecSqDist(col("a"), col("b")))
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("expression path agrees with the HOF fold on random-ish data") {
     val s = spark
     import s.implicits._
