@@ -154,11 +154,16 @@ object Recommender {
       .agg(sum(col("ra") * col("rb")).as("dot"))
     val dots = half.union(half.select(col("j").as("i"), col("i").as("j"), col("dot")))
 
+    // cached: the full item-item similarity table is identical across
+    // every cohort (it never depends on targetUsers), so the CacheManager
+    // plan-dedup lets q17, the hybrid's item child and any future cohort
+    // share ONE materialization instead of recomputing the pair agg
     val sims = dots
       .join(broadcast(inorm.select(col("item_id").as("i"), col("inorm").as("ni"))), Seq("i"))
       .join(broadcast(inorm.select(col("item_id").as("j"), col("inorm").as("nj"))), Seq("j"))
       .select(col("i"), col("j"),
         r6(col("dot") / (col("ni") * col("nj"))).as("sim"))
+      .cache()
 
     // target cohort's rated items feed the neighbor join on j
     val tgt = r.filter(targetUsers)
