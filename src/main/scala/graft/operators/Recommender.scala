@@ -205,13 +205,22 @@ object Recommender {
     * dot, and it is keyed on item_id with the a-side pre-filtered to
     * cohort users — Σ_item (cohort_raters × raters), never |U|². */
   def userPredictRatings(ratings: DataFrame, heldOut: Column,
-                         kNeighbors: Int): DataFrame = {
+                         kNeighbors: Int): DataFrame =
+    userPredictOn(ratings,
+      ratings.filter(heldOut)
+        .select(col("user_id").as("u"), col("item_id"), col("rating").as("actual")),
+      kNeighbors)
+
+  /** True train/test form: predict the `(u, item_id, actual)` pairs of
+    * `cohort` from `ratings` alone — the cohort pairs need NOT appear
+    * in the training data (the reference's fold evaluation shape,
+    * Main.scala:61-126: fit on train-fold, score test-fold). */
+  def userPredictOn(ratings: DataFrame, cohort: DataFrame,
+                    kNeighbors: Int): DataFrame = {
     val r = ratings
     val stats = r.groupBy("user_id").agg(
       avg(col("rating")).as("umean"),
       sqrt(sum(col("rating") * col("rating"))).as("unorm"))
-    val cohort = r.filter(heldOut)
-      .select(col("user_id").as("u"), col("item_id"), col("rating").as("actual"))
     val cohortUsers = cohort.select(col("u")).distinct()
 
     // cohort users' FULL profiles feed the similarity side
