@@ -319,12 +319,20 @@ object Recommender {
     * (user, item) pairs selected by `heldOut`. The item-pair dot is
     * keyed on user_id with one side pre-filtered to cohort items. */
   def itemPredictRatings(ratings: DataFrame, heldOut: Column,
-                         kNeighbors: Int): DataFrame = {
+                         kNeighbors: Int): DataFrame =
+    itemPredictOn(ratings,
+      ratings.filter(heldOut)
+        .select(col("user_id").as("u"), col("item_id").as("i"),
+          col("rating").as("actual")),
+      kNeighbors)
+
+  /** True train/test form of the item-based predictor: cohort pairs
+    * `(u, i, actual)` need not appear in the training ratings. */
+  def itemPredictOn(ratings: DataFrame, cohort: DataFrame,
+                    kNeighbors: Int): DataFrame = {
     val r = ratings
     val inorm = r.groupBy("item_id").agg(
       sqrt(sum(col("rating") * col("rating"))).as("inorm"))
-    val cohort = r.filter(heldOut)
-      .select(col("user_id").as("u"), col("item_id").as("i"), col("rating").as("actual"))
     val cohortItems = cohort.select(col("i")).distinct()
 
     val a = r.join(cohortItems, r("item_id") === cohortItems("i"))

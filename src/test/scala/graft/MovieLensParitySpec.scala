@@ -40,6 +40,36 @@ class MovieLensParitySpec extends SparkSuite {
     assert(mae > 0.5 && mae < 1.0, s"MAE $mae outside sane band")
   }
 
+  test("fold-1 item-kNN predictions hit sane MovieLens accuracy") {
+    val s = spark
+    val train = Tables.ratingsTsv(s, TRAIN1)
+      .select(col("user_id"), col("item_id"), col("rating"))
+    val test = Tables.ratingsTsv(s, TEST1)
+    val preds = Recommender.itemPredictOn(train,
+      test.select(col("user_id").as("u"), col("item_id").as("i"),
+        col("rating").as("actual")),
+      kNeighbors = 25).cache()
+    assert(preds.count() > 18000L)
+    val rmse = preds.agg(
+      sqrt(avg(pow(col("actual") - col("predicted"), 2)))).collect()(0).getDouble(0)
+    assert(rmse > 0.7 && rmse < 1.3, s"item-kNN RMSE $rmse outside sane band")
+  }
+
+  test("fold-1 content-based top-K runs on the reference's genre features") {
+    val s = spark
+    val train = Tables.ratingsTsv(s, TRAIN1)
+      .select(col("user_id"), col("item_id"), col("rating"))
+    // R6: assemble the 19 genre flags into feature vectors
+    val raw = Tables.featuresCsv(s, "/root/reference/data/features.csv")
+    val feats = raw.select(col("id").as("item_id"),
+      array(raw.columns.filter(_ != "id").map(c => col(c).cast("double")): _*)
+        .as("fv"))
+    val recs = graft.operators.Content.contentTopK(train, feats,
+      col("user_id") <= 10, kNeighbors = 8, kItems = 5)
+    assert(recs.count() == 50L) // 10 users × top-5
+    assert(recs.join(train, Seq("user_id", "item_id")).count() == 0L)
+  }
+
   test("fold-1 top-K recommendations are deterministic and exclude seen items") {
     val s = spark
     val train = Tables.ratingsTsv(s, TRAIN1)
