@@ -70,6 +70,22 @@ class MovieLensParitySpec extends SparkSuite {
     assert(recs.join(train, Seq("user_id", "item_id")).count() == 0L)
   }
 
+  test("fold-1 hybrid fusion runs the reference's fourth harness shape") {
+    val s = spark
+    val train = Tables.ratingsTsv(s, TRAIN1)
+      .select(col("user_id"), col("item_id"), col("rating"))
+    val cohort = col("user_id") <= 10
+    val ua = Recommender.userKnnTopK(train, 25, 5, Some(cohort))
+    val ib = Recommender.itemKnnTopK(train, cohort, 25, 5)
+    val fused = graft.operators.Hybrid.fuseTopK(ua, ib, 0.5, 0.5, 5)
+    assert(fused.count() == 50L) // 10 users × top-5
+    assert(fused.join(train, Seq("user_id", "item_id")).count() == 0L)
+    // fused rank-1 score is bounded by the sum of weights (both
+    // children head-normalize to 1.0 before weighting)
+    assert(fused.filter(col("rk") === 1)
+      .agg(max(col("score"))).collect()(0).getDouble(0) <= 1.0001)
+  }
+
   test("fold-1 top-K recommendations are deterministic and exclude seen items") {
     val s = spark
     val train = Tables.ratingsTsv(s, TRAIN1)
