@@ -135,12 +135,19 @@ object Recommender {
     * similarity stage itself is full-table and keyed, never all-pairs. */
   private def q17(spark: SparkSession, dir: String): DataFrame =
     itemKnnTopK(Tables.ratingsCached(spark, dir), col("user_id") % 20 === 0,
-      K_ITEM_NEIGHBORS, K_ITEMS)
+      K_ITEM_NEIGHBORS, K_ITEMS, reuseSims = true)
 
   /** Reusable library surface: item-based kNN top-N for the users
-    * selected by `targetUsers`, over any long-form ratings DataFrame. */
+    * selected by `targetUsers`, over any long-form ratings DataFrame.
+    * `reuseSims = true` caches the cohort-independent item-similarity
+    * table so repeated cohort runs in one session (q17 + the hybrid's
+    * item child) share a single materialization via CacheManager
+    * plan-dedup; callers iterating over DIFFERENT ratings inputs
+    * (e.g. CV folds) should keep the default — each input would pin
+    * its own cache entry for the session lifetime. */
   def itemKnnTopK(ratings: DataFrame, targetUsers: Column,
-                  kNeighbors: Int, kItems: Int): DataFrame = {
+                  kNeighbors: Int, kItems: Int,
+                  reuseSims: Boolean = false): DataFrame = {
     val r = ratings
     val inorm = r.groupBy("item_id").agg(
       sqrt(sum(col("rating") * col("rating"))).as("inorm"))
@@ -154,16 +161,12 @@ object Recommender {
       .agg(sum(col("ra") * col("rb")).as("dot"))
     val dots = half.union(half.select(col("j").as("i"), col("i").as("j"), col("dot")))
 
-    // cached: the full item-item similarity table is identical across
-    // every cohort (it never depends on targetUsers), so the CacheManager
-    // plan-dedup lets q17, the hybrid's item child and any future cohort
-    // share ONE materialization instead of recomputing the pair agg
-    val sims = dots
+    val sims0 = dots
       .join(broadcast(inorm.select(col("item_id").as("i"), col("inorm").as("ni"))), Seq("i"))
       .join(broadcast(inorm.select(col("item_id").as("j"), col("inorm").as("nj"))), Seq("j"))
       .select(col("i"), col("j"),
         r6(col("dot") / (col("ni") * col("nj"))).as("sim"))
-      .cache()
+    val sims = if (reuseSims) sims0.cache() else sims0
 
     // target cohort's rated items feed the neighbor join on j
     val tgt = r.filter(targetUsers)
@@ -214,9 +217,15 @@ object Recommender {
   /** True train/test form: predict the `(u, item_id, actual)` pairs of
     * `cohort` from `ratings` alone — the cohort pairs need NOT appear
     * in the training data (the reference's fold evaluation shape,
-    * Main.scala:61-126: fit on train-fold, score test-fold). */
-  def userPredictOn(ratings: DataFrame, cohort: DataFrame,
+    * Main.scala:61-126: fit on train-fold, score test-fold).
+    *
+    * Cohort pairs must be unique per (u, item_id): duplicated pairs
+    * would double-count neighbor weights through the rank window.
+    * Exact duplicate rows are dropped here; conflicting `actual`
+    * values for the same pair are a caller error. */
+  def userPredictOn(ratings: DataFrame, cohort0: DataFrame,
                     kNeighbors: Int): DataFrame = {
+    val cohort = cohort0.distinct()
     val r = ratings
     val stats = r.groupBy("user_id").agg(
       avg(col("rating")).as("umean"),
@@ -327,9 +336,12 @@ object Recommender {
       kNeighbors)
 
   /** True train/test form of the item-based predictor: cohort pairs
-    * `(u, i, actual)` need not appear in the training ratings. */
-  def itemPredictOn(ratings: DataFrame, cohort: DataFrame,
+    * `(u, i, actual)` need not appear in the training ratings. Pairs
+    * must be unique per (u, i) — see [[userPredictOn]]; exact
+    * duplicate rows are dropped. */
+  def itemPredictOn(ratings: DataFrame, cohort0: DataFrame,
                     kNeighbors: Int): DataFrame = {
+    val cohort = cohort0.distinct()
     val r = ratings
     val inorm = r.groupBy("item_id").agg(
       sqrt(sum(col("rating") * col("rating"))).as("inorm"))
