@@ -39,8 +39,13 @@ object Relational {
     "q51_topk_heap" -> q51,
     "q38_seq_encode" -> q38,
     "q39_set_ops" -> q39,
-    "q40_event_windows" -> q40
+    "q40_event_windows" -> q40,
+    "q53_event_percentiles" -> q53,
+    "q54_event_pivot" -> q54,
+    "q55_revenue_rollup" -> q55
   )
+
+  val EVENT_TYPES = Seq("click", "error", "purchase", "signup", "view")
 
   /** A1/P6/T3 — wide aggregation with derived measures (shape of
     * reference Main.scala:93-96 group+collect generalized to the
@@ -349,6 +354,56 @@ object Relational {
         round(sum(col("value")), 4).as("sum_value"))
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("sum_value"))
+
+  /** Ordered-statistics aggregate: EXACT interpolated percentiles per
+    * group (`percentile` ≡ DuckDB `quantile_cont` — both linear
+    * interpolation at (n−1)·p). Exact so the oracle hash-matches; at
+    * 100 TB the one-line swap is `approx_percentile` (KLL-sketch-like
+    * bounded state, mergeable across partitions) — same call shape,
+    * rows-only gate. */
+  private def q53(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        graft.functions.Rounding.r4(expr("percentile(value, 0.5)")).as("p50"),
+        graft.functions.Rounding.r4(expr("percentile(value, 0.9)")).as("p90"),
+        graft.functions.Rounding.r4(expr("percentile(value, 0.99)")).as("p99"),
+        count(lit(1)).as("n"))
+
+  /** PIVOT — long→wide with an EXPLICIT value list (the open-ended
+    * form would need a driver-side distinct scan to discover columns;
+    * pinning the list keeps the plan static and the schema stable).
+    * One hash agg; each cell is a filtered sum. */
+  private def q54(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", EVENT_TYPES)
+      .agg(round(sum(col("value")), 4))
+      .na.fill(0.0, EVENT_TYPES)
+
+  /** ROLLUP grouping sets — revenue at (region, nation), per-region
+    * subtotal and grand total in ONE pass (the Expand-based plan
+    * computes all three grouping sets from a single scan instead of
+    * three queries). NULL group keys mark subtotal rows, coalesced to
+    * printable markers so the oracle compare is null-free. */
+  private def q55(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .select(coalesce(col("r_name"), lit("<all>")).as("r_name"),
+        coalesce(col("n_name"), lit("<all>")).as("n_name"),
+        col("revenue"), col("n_rows"))
+  }
 
   /** P5/U4/F4 — higher-order array functions instead of the
     * reference's opaque row-lambdas (SequentialTopKRecommender

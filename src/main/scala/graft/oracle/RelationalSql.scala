@@ -204,6 +204,35 @@ object RelationalSql {
         |  (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_except_a,
         |  (SELECT count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)) AS n_except_b""".stripMargin,
 
+    "q53_event_percentiles" ->
+      """SELECT event_type,
+        |       floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+        |       floor(quantile_cont(value, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90,
+        |       floor(quantile_cont(value, 0.99) * 10000.0 + 0.5) / 10000.0 AS p99,
+        |       count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q54_event_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |       COALESCE(round(sum(CASE WHEN event_type = 'click' THEN value END), 4), 0.0) AS click,
+        |       COALESCE(round(sum(CASE WHEN event_type = 'error' THEN value END), 4), 0.0) AS error,
+        |       COALESCE(round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4), 0.0) AS purchase,
+        |       COALESCE(round(sum(CASE WHEN event_type = 'signup' THEN value END), 4), 0.0) AS signup,
+        |       COALESCE(round(sum(CASE WHEN event_type = 'view' THEN value END), 4), 0.0) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q55_revenue_rollup" ->
+      """SELECT COALESCE(r_name, '<all>') AS r_name,
+        |       COALESCE(n_name, '<all>') AS n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
     "q40_event_windows" ->
       """SELECT CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS w_start,
         |       CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600 + 21600) AS TIMESTAMP) AS w_end,
