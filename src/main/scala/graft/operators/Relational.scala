@@ -42,7 +42,8 @@ object Relational {
     "q40_event_windows" -> q40,
     "q53_event_percentiles" -> q53,
     "q54_event_pivot" -> q54,
-    "q55_revenue_rollup" -> q55
+    "q55_revenue_rollup" -> q55,
+    "q56_asof_join" -> q56
   )
 
   val EVENT_TYPES = Seq("click", "error", "purchase", "signup", "view")
@@ -403,6 +404,38 @@ object Relational {
       .select(coalesce(col("r_name"), lit("<all>")).as("r_name"),
         coalesce(col("n_name"), lit("<all>")).as("n_name"),
         col("revenue"), col("n_rows"))
+  }
+
+  /** AS-OF join — an operator Spark has no native form of (DuckDB's
+    * native ASOF JOIN is the oracle): each event matches the LATEST
+    * order of the same customer at-or-before the event time. Composed
+    * per the custom-operator ladder's first rung — union both sides
+    * tagged, one per-key time-ordered window, `last(ignoreNulls)`
+    * carries the most recent order forward; order rows sort before
+    * events at equal timestamps so `>=` ties match. One keyed shuffle,
+    * no range explosion — the shape survives any history length
+    * because each key's timeline sorts independently. */
+  private def q56(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id").as("key"), col("ts"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("key"), col("o_orderdate"))
+    val sideOrders = o.select(col("key"),
+      col("o_orderdate").cast("timestamp").as("t"),
+      col("o_orderdate").as("ord"),
+      lit(null).cast("long").as("event_id"), lit(0).as("side"))
+    val sideEvents = ev.select(col("key"), col("ts").as("t"),
+      lit(null).cast("timestamp").as("ord"),
+      col("event_id"), lit(1).as("side"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("t").asc, col("side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sideOrders.unionByName(sideEvents)
+      .withColumn("last_ord", last(col("ord"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("last_ord").isNotNull)
+      .select(col("event_id"), col("key").as("user_id"), col("t").as("ts"),
+        col("last_ord").as("last_order_ts"),
+        datediff(col("t"), col("last_ord")).as("days_since_order"))
   }
 
   /** P5/U4/F4 — higher-order array functions instead of the

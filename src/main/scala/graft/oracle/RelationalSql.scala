@@ -233,6 +233,13 @@ object RelationalSql {
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
 
+    "q56_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+        |       o.o_orderdate AS last_order_ts,
+        |       CAST(date_diff('day', o.o_orderdate, e.ts) AS INTEGER) AS days_since_order
+        |FROM events e ASOF JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+
     "q40_event_windows" ->
       """SELECT CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP) AS w_start,
         |       CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600 + 21600) AS TIMESTAMP) AS w_end,
