@@ -43,8 +43,11 @@ object Relational {
     "q53_event_percentiles" -> q53,
     "q54_event_pivot" -> q54,
     "q55_revenue_rollup" -> q55,
-    "q56_asof_join" -> q56
+    "q56_asof_join" -> q56,
+    "q57_event_sessions" -> q57
   )
+
+  val SESSION_GAP_SECONDS = 1800L // 30 min
 
   val EVENT_TYPES = Seq("click", "error", "purchase", "signup", "view")
 
@@ -436,6 +439,32 @@ object Relational {
       .select(col("event_id"), col("key").as("user_id"), col("t").as("ts"),
         col("last_ord").as("last_order_ts"),
         datediff(col("t"), col("last_ord")).as("days_since_order"))
+  }
+
+  /** Batch sessionization — the batch twin of the streaming
+    * `EventStreams.sessionize`: per-user session ids as a conditional
+    * cumulative sum over the lag gap (a new session starts when the
+    * gap to the previous event exceeds 30 min), then one keyed agg per
+    * session. Two per-user windows + one agg — every stage keyed on
+    * user_id, no global sort. */
+  private def q57(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val wSeq = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val withGap = ev.withColumn("prev_ts", lag(col("ts"), 1).over(wSeq))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
+            > SESSION_GAP_SECONDS, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(wSeq))
+    withGap.groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"))
+      .withColumn("duration_s",
+        unix_timestamp(col("session_end")) - unix_timestamp(col("session_start")))
   }
 
   /** P5/U4/F4 — higher-order array functions instead of the

@@ -233,6 +233,28 @@ object RelationalSql {
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
 
+    "q57_event_sessions" ->
+      """WITH seq AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         lag(ts) OVER (PARTITION BY user_id
+        |                       ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events),
+        |tagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |                   OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+        |                 THEN 1 ELSE 0 END AS new_session
+        |  FROM seq),
+        |sessions AS (
+        |  SELECT *, sum(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS session_id
+        |  FROM tagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events,
+        |       count(DISTINCT event_type) AS n_types,
+        |       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
+        |FROM sessions GROUP BY 1, 2""".stripMargin,
+
     "q56_asof_join" ->
       """SELECT e.event_id, e.user_id, e.ts,
         |       o.o_orderdate AS last_order_ts,
