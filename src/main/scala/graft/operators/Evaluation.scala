@@ -36,13 +36,16 @@ object Evaluation {
     val r = Tables.ratingsCached(spark, dir)
     val umean = r.groupBy("user_id").agg(avg(col("rating")).as("umean"))
 
-    // popularity top-10: global window over the aggregated item
-    // dimension (|items| rows, already reduced) — not over raw facts
+    // popularity top-10: orderBy().limit() is TakeOrdered — every
+    // partition keeps only its local top-10, the driver merges 10-row
+    // buffers. No global single-partition window anywhere. Ranks are
+    // then derived windowlessly from the 10 surviving rows (struct sort
+    // on (-cnt, item_id) + posexplode).
     val pop = r.groupBy("item_id").agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("cnt").desc, col("item_id").asc)))
-      .filter(col("rn") <= K)
-      .select(col("item_id"), col("rn"))
+      .orderBy(col("cnt").desc, col("item_id").asc).limit(K)
+      .agg(collect_list(struct((-col("cnt")).as("negcnt"), col("item_id"))).as("xs"))
+      .select(posexplode(array_sort(col("xs"))))
+      .select((col("pos") + 1).cast("int").as("rn"), col("col.item_id").as("item_id"))
 
     val rel = r.filter(col("rating") >= REL_THRESHOLD)
       .select(col("user_id"), col("item_id"))

@@ -102,11 +102,14 @@ object Recommender {
       .filter(col("nrk") <= kNeighbors)
       .select(col("u"), col("v"), col("sim"))
 
-    // neighbors is |targets|·k rows — broadcastable at bench scale; at
-    // cluster scale this becomes a shuffle-hash join on v (AQE picks it)
+    // cohort runs: neighbors is |targets|·k rows — provably small, hint
+    // the broadcast. All-users runs: neighbors is |U|·k rows, which at
+    // cluster scale must NOT be forced driver-side — no hint, so AQE is
+    // free to pick broadcast at bench scale and shuffle-hash beyond it.
+    val nbSide = if (targetUsers.isDefined) neighbors.hint("broadcast") else neighbors
     val scores = r.select(col("user_id").as("v"), col("item_id"), col("rating"))
       .join(broadcast(stats.select(col("user_id").as("v"), col("umean").as("vmean"))), Seq("v"))
-      .join(neighbors.hint("broadcast"), Seq("v"))
+      .join(nbSide, Seq("v"))
       .groupBy(col("u"), col("item_id"))
       .agg(sum(col("sim") * (col("rating") - col("vmean"))).as("num"),
         sum(col("sim")).as("den"))

@@ -211,8 +211,11 @@ object Sequential {
     * down at small corpora (minCount 1 ⇒ every subset of every basket
     * is "frequent" ⇒ exponential enumeration). */
   private def q35(spark: SparkSession, dir: String): DataFrame = {
-    val baskets = userBaskets(Tables.ratings(spark, dir))
-    val n = math.max(baskets.count(), 1L) // 4.0/0 = Inf would fail param validation
+    val r = Tables.ratingsCached(spark, dir)
+    val baskets = userBaskets(r)
+    // n_baskets = distinct users, read off the shared ratings cache —
+    // the basket-build groupBy itself runs exactly once (inside fit)
+    val n = math.max(r.select("user_id").distinct().count(), 1L) // 4.0/0 = Inf fails param validation
     val fp = new org.apache.spark.ml.fpm.FPGrowth()
       .setItemsCol("items")
       .setMinSupport(math.max(FP_MIN_SUPPORT, 4.0 / n))

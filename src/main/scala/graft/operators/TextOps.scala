@@ -110,7 +110,11 @@ object TextOps {
       col("doc_id"), col("n_chars"),
       nWs.as("n_ws_tokens"),
       nBpe.as("n_bpe_tokens"),
-      r4(col("n_chars").cast("double") / nBpe.cast("double"))
+      // explicit NULL on zero tokens: Spark's x/0 is NULL but DuckDB's
+      // is ±inf under ieee_floating_point_ops — pin both to NULL
+      // (oracle mirrors with NULLIF) so empty docs can't hash-mismatch
+      when(nBpe === 0, lit(null).cast("double"))
+        .otherwise(r4(col("n_chars").cast("double") / nBpe.cast("double")))
         .as("chars_per_bpe_token"))
   }
 

@@ -71,7 +71,7 @@ object TextSql {
          |       CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INTEGER)
          |         AS n_bpe_tokens,
          |       floor(CAST(n_chars AS DOUBLE)
-         |             / len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))
+         |             / NULLIF(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')), 0)
          |             * 10000.0 + 0.5) / 10000.0 AS chars_per_bpe_token
          |FROM documents""".stripMargin,
 

@@ -91,17 +91,34 @@ object EventStreams {
           new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs),
           s.n, s.types.distinct.sorted))
       } else {
-        val evs = rows.toSeq
-        val minMs = evs.map(_.ts.getTime).min
-        val maxMs = evs.map(_.ts.getTime).max
-        val prev = state.getOption.getOrElse(
-          SessionState(minMs, maxMs, 0L, Seq.empty))
-        val merged = SessionState(math.min(prev.startMs, minMs),
-          math.max(prev.lastMs, maxMs), prev.n + evs.size,
-          (prev.types ++ evs.map(_.event_type)).distinct)
-        state.update(merged)
-        state.setTimeoutTimestamp(merged.lastMs + gapMs)
-        Iterator.empty
+        // Replay the batch's events in event-time order against the
+        // open session, SPLITTING on every >gap boundary — a burst (or
+        // watermark-lag replay) delivering gap-separated events in one
+        // micro-batch must close the earlier session(s) here, exactly
+        // like the batch twin (Relational.sessionizeBatch/q57); only
+        // the trailing still-open session survives into state.
+        val evs = rows.toSeq.sortBy(_.ts.getTime)
+        val closed = Seq.newBuilder[UserSession]
+        def close(s: SessionState): Unit =
+          closed += UserSession(userId,
+            new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs),
+            s.n, s.types.distinct.sorted)
+        val last = evs.foldLeft(state.getOption) { (cur, e) =>
+          val ms = e.ts.getTime
+          cur match {
+            case Some(s) if ms > s.lastMs + gapMs =>
+              close(s)
+              Some(SessionState(ms, ms, 1L, Seq(e.event_type)))
+            case Some(s) =>
+              Some(SessionState(math.min(s.startMs, ms), math.max(s.lastMs, ms),
+                s.n + 1, (s.types :+ e.event_type).distinct))
+            case None =>
+              Some(SessionState(ms, ms, 1L, Seq(e.event_type)))
+          }
+        }.get // evs is non-empty in the data branch
+        state.update(last)
+        state.setTimeoutTimestamp(last.lastMs + gapMs)
+        closed.result().iterator
       }
     }
     events

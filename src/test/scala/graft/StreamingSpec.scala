@@ -105,6 +105,51 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("sessionize splits gap-separated events arriving in ONE micro-batch") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import graft.streaming.UserEvent
+
+    val mem = MemoryStream[UserEvent]
+    val q = EventStreams.sessionize(mem.toDS(), gapMs = 60000L, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("sessions_burst")
+      .outputMode("append").start()
+    try {
+      // one batch, three sessions' worth of events (gaps of 5 min and
+      // 10 min), deliberately unsorted — the first TWO sessions must be
+      // emitted from the data branch itself, not wait for timeouts
+      mem.addData(
+        UserEvent(5L, ts("2024-05-01 10:05:00"), "click"), // session 2
+        UserEvent(5L, ts("2024-05-01 10:00:00"), "view"),  // session 1
+        UserEvent(5L, ts("2024-05-01 10:00:20"), "click"), // session 1
+        UserEvent(5L, ts("2024-05-01 10:15:00"), "view"))  // session 3 (stays open)
+      q.processAllAvailable()
+
+      val rows = sp.sql(
+        """SELECT start_ts, end_ts, n_events, event_types
+          |FROM sessions_burst ORDER BY start_ts""".stripMargin).collect()
+      assert(rows.length == 2)
+      assert(rows(0).getTimestamp(0) == ts("2024-05-01 10:00:00"))
+      assert(rows(0).getTimestamp(1) == ts("2024-05-01 10:00:20"))
+      assert(rows(0).getLong(2) == 2L)
+      assert(rows(0).getSeq[String](3) == Seq("click", "view"))
+      assert(rows(1).getTimestamp(0) == ts("2024-05-01 10:05:00"))
+      assert(rows(1).getLong(2) == 1L)
+
+      // a later event within 60 s of 10:15:00 extends the OPEN session
+      // across batches; the next watermark push closes it with both rows
+      mem.addData(UserEvent(5L, ts("2024-05-01 10:15:30"), "click"))
+      q.processAllAvailable()
+      mem.addData(UserEvent(9L, ts("2024-05-01 11:00:00"), "view"))
+      q.processAllAvailable()
+      val s3 = sp.sql(
+        """SELECT n_events FROM sessions_burst
+          |WHERE start_ts = TIMESTAMP '2024-05-01 10:15:00'""".stripMargin).collect()
+      assert(s3.length == 1 && s3(0).getLong(0) == 2L)
+    } finally q.stop()
+  }
+
   test("readEventStream file source reproduces the batch q06-shape counts") {
     val sp = spark
     // stage the table into a fresh ingest dir (the file-source contract
