@@ -39,7 +39,8 @@ object Hybrid {
     val ua = Recommender.userKnnTopK(r, Recommender.K_NEIGHBORS, K_ITEMS,
       targetUsers = Some(col("user_id") % 20 === 0))
     val ib = Recommender.itemKnnTopK(r, col("user_id") % 20 === 0,
-      Recommender.K_ITEM_NEIGHBORS, K_ITEMS, reuseSims = true)
+      Recommender.K_ITEM_NEIGHBORS, K_ITEMS,
+      simsSource = Some(Recommender.itemSimsCached(spark, dir)))
     fuseTopK(ua, ib, W_USER, W_ITEM, K_ITEMS)
   }
 

@@ -127,6 +127,58 @@ object Recommender {
       .select("user_id", "item_id", "score", "rk")
   }
 
+  /** Heavy-key cap for the quadratic pair stages: truncate each user's
+    * profile to their top-`maxItems` rows by (rating desc, item_id asc)
+    * BEFORE any self-join on user_id. The per-user pair fan-out is
+    * Σᵤ n(u)² — unbounded on power users (a 10k-item user alone emits
+    * ~50M pairs into one task); with the cap it is ≤ |U|·maxItems².
+    * `Int.MaxValue` (the default everywhere) keeps the exact path. */
+  def capPerUser(ratings: DataFrame, maxItems: Int): DataFrame =
+    if (maxItems == Int.MaxValue) ratings
+    else {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("rating").desc, col("item_id").asc)
+      ratings.withColumn("cap_rk", row_number().over(w))
+        .filter(col("cap_rk") <= maxItems).drop("cap_rk")
+    }
+
+  /** Mirror an `i < j` half similarity table (e.g. [[itemSimsDimsum]]
+    * output) into the both-directions form the kNN pipelines join on. */
+  def mirrorSims(half: DataFrame): DataFrame =
+    half.union(half.select(col("j").as("i"), col("i").as("j"), col("sim")))
+
+  /** The item-item cosine similarity table — mirrored `(i, j, sim)`,
+    * 6-dp rounded, the sims source q17/q33 share and the exact twin of
+    * [[itemSimsDimsum]]. With `maxItemsPerUser` set, similarities are
+    * exact cosines over the TRUNCATED profiles (norms computed on the
+    * capped rows, so the capped table is self-consistent). */
+  def itemCosineSims(ratings: DataFrame,
+                     maxItemsPerUser: Int = Int.MaxValue): DataFrame = {
+    val r = capPerUser(ratings, maxItemsPerUser)
+    val inorm = r.groupBy("item_id").agg(
+      sqrt(sum(col("rating") * col("rating"))).as("inorm"))
+    val a = r.select(col("user_id"), col("item_id").as("i"), col("rating").as("ra"))
+    val b = r.select(col("user_id"), col("item_id").as("j"), col("rating").as("rb"))
+    // symmetric kernel: one agg per unordered pair, mirrored after
+    val half = a.join(b, Seq("user_id"))
+      .filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("ra") * col("rb")).as("dot"))
+    half.union(half.select(col("j").as("i"), col("i").as("j"), col("dot")))
+      .join(broadcast(inorm.select(col("item_id").as("i"), col("inorm").as("ni"))), Seq("i"))
+      .join(broadcast(inorm.select(col("item_id").as("j"), col("inorm").as("nj"))), Seq("j"))
+      .select(col("i"), col("j"),
+        r6(col("dot") / (col("ni") * col("nj"))).as("sim"))
+  }
+
+  /** Session-cached sims over the shared ratings view — CacheManager
+    * plan-dedup gives q17 and q33's item child ONE materialization.
+    * Bench-harness scoping: library callers manage their own caching
+    * (pass any sims via `simsSource`), so nothing pins executor memory
+    * behind a library call. */
+  private[graft] def itemSimsCached(spark: SparkSession, dir: String): DataFrame =
+    itemCosineSims(Tables.ratingsCached(spark, dir)).cache()
+
   /** R5: item-based kNN top-5 for the `user_id % 20 = 0` cohort.
     * Neighbors of a candidate item are the items the user actually
     * rated (reference ItemBasedTopKRecommender.scala:44-94), ranked by
@@ -138,38 +190,25 @@ object Recommender {
     * similarity stage itself is full-table and keyed, never all-pairs. */
   private def q17(spark: SparkSession, dir: String): DataFrame =
     itemKnnTopK(Tables.ratingsCached(spark, dir), col("user_id") % 20 === 0,
-      K_ITEM_NEIGHBORS, K_ITEMS, reuseSims = true)
+      K_ITEM_NEIGHBORS, K_ITEMS, simsSource = Some(itemSimsCached(spark, dir)))
 
   /** Reusable library surface: item-based kNN top-N for the users
     * selected by `targetUsers`, over any long-form ratings DataFrame.
-    * `reuseSims = true` caches the cohort-independent item-similarity
-    * table so repeated cohort runs in one session (q17 + the hybrid's
-    * item child) share a single materialization via CacheManager
-    * plan-dedup; callers iterating over DIFFERENT ratings inputs
-    * (e.g. CV folds) should keep the default — each input would pin
-    * its own cache entry for the session lifetime. */
+    *
+    * `simsSource` swaps in an externally built/cached mirrored
+    * `(i, j, sim)` table — the cohort-independent expensive stage —
+    * so repeated cohort runs share one materialization the CALLER
+    * owns (and can unpersist), and so the DIMSUM approximation
+    * (`mirrorSims(itemSimsDimsum(...))`) can replace the exact kernel
+    * at scales where even the capped pair join is too hot.
+    * `maxItemsPerUser` bounds the quadratic pair fan-out (see
+    * [[capPerUser]]); it applies to the internally built sims only. */
   def itemKnnTopK(ratings: DataFrame, targetUsers: Column,
                   kNeighbors: Int, kItems: Int,
-                  reuseSims: Boolean = false): DataFrame = {
+                  simsSource: Option[DataFrame] = None,
+                  maxItemsPerUser: Int = Int.MaxValue): DataFrame = {
     val r = ratings
-    val inorm = r.groupBy("item_id").agg(
-      sqrt(sum(col("rating") * col("rating"))).as("inorm"))
-
-    val a = r.select(col("user_id"), col("item_id").as("i"), col("rating").as("ra"))
-    val b = r.select(col("user_id"), col("item_id").as("j"), col("rating").as("rb"))
-    // symmetric kernel: one agg per unordered pair, mirrored after
-    val half = a.join(b, Seq("user_id"))
-      .filter(col("i") < col("j"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("ra") * col("rb")).as("dot"))
-    val dots = half.union(half.select(col("j").as("i"), col("i").as("j"), col("dot")))
-
-    val sims0 = dots
-      .join(broadcast(inorm.select(col("item_id").as("i"), col("inorm").as("ni"))), Seq("i"))
-      .join(broadcast(inorm.select(col("item_id").as("j"), col("inorm").as("nj"))), Seq("j"))
-      .select(col("i"), col("j"),
-        r6(col("dot") / (col("ni") * col("nj"))).as("sim"))
-    val sims = if (reuseSims) sims0.cache() else sims0
+    val sims = simsSource.getOrElse(itemCosineSims(r, maxItemsPerUser))
 
     // target cohort's rated items feed the neighbor join on j
     val tgt = r.filter(targetUsers)
@@ -343,16 +382,20 @@ object Recommender {
     * must be unique per (u, i) — see [[userPredictOn]]; exact
     * duplicate rows are dropped. */
   def itemPredictOn(ratings: DataFrame, cohort0: DataFrame,
-                    kNeighbors: Int): DataFrame = {
+                    kNeighbors: Int,
+                    maxItemsPerUser: Int = Int.MaxValue): DataFrame = {
     val cohort = cohort0.distinct()
     val r = ratings
-    val inorm = r.groupBy("item_id").agg(
+    // the cap bounds the pair fan-out of the SIMILARITY estimate only
+    // ([[capPerUser]]); neighbor scoring below still sees full profiles
+    val rs = capPerUser(r, maxItemsPerUser)
+    val inorm = rs.groupBy("item_id").agg(
       sqrt(sum(col("rating") * col("rating"))).as("inorm"))
     val cohortItems = cohort.select(col("i")).distinct()
 
-    val a = r.join(cohortItems, r("item_id") === cohortItems("i"))
+    val a = rs.join(cohortItems, rs("item_id") === cohortItems("i"))
       .select(col("user_id"), col("item_id").as("i"), col("rating").as("ra"))
-    val b = r.select(col("user_id"), col("item_id").as("j"), col("rating").as("rb"))
+    val b = rs.select(col("user_id"), col("item_id").as("j"), col("rating").as("rb"))
     val dots = a.join(b, Seq("user_id"))
       .filter(col("i") =!= col("j"))
       .groupBy(col("i"), col("j"))

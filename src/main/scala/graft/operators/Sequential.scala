@@ -92,14 +92,24 @@ object Sequential {
     pairRules(ratings, userBaskets(ratings))
 
   /** As [[pairRules]], with pre-built baskets so callers that also
-    * consume the baskets (q36) build them once. */
-  def pairRules(ratings: DataFrame, baskets: DataFrame): DataFrame = {
-    val r = ratings.select(col("user_id"), col("item_id"))
+    * consume the baskets (q36) build them once.
+    *
+    * `maxItemsPerUser` bounds the quadratic candidate-pair fan-out
+    * (Σᵤ n(u)², [[Recommender.capPerUser]]) — it truncates CANDIDATE
+    * generation only; the support/confidence recount below runs over
+    * the full baskets, so every emitted rule's stats stay exact, the
+    * cap can only drop candidates mined from power-user tails. */
+  def pairRules(ratings: DataFrame, baskets: DataFrame,
+                maxItemsPerUser: Int = Int.MaxValue): DataFrame = {
+    val rCap = Recommender.capPerUser(ratings, maxItemsPerUser)
+      .select(col("user_id"), col("item_id"))
     val nb = baskets.agg(count(lit(1)).as("n_baskets"))
-    val icnt = r.groupBy("item_id").agg(count(lit(1)).as("cnt_i"))
+    // antecedent counts stay EXACT (full data) — only candidate
+    // generation below reads the capped rows
+    val icnt = ratings.groupBy("item_id").agg(count(lit(1)).as("cnt_i"))
 
-    val a = r.select(col("user_id"), col("item_id").as("i"))
-    val b = r.select(col("user_id"), col("item_id").as("j"))
+    val a = rCap.select(col("user_id"), col("item_id").as("i"))
+    val b = rCap.select(col("user_id"), col("item_id").as("j"))
     val pairs = a.join(b, Seq("user_id")).filter(col("i") < col("j"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("cnt"))
     val rules = pairs.crossJoin(broadcast(nb))

@@ -69,6 +69,57 @@ class RecommenderSpec extends SparkSuite {
     }
   }
 
+  test("itemKnnTopK accepts an external sims source (DIMSUM slot-in)") {
+    import graft.functions.Rounding.r6
+    // rounded to the same 6 dp the internal kernel uses, threshold-0
+    // DIMSUM is exact → identical recommendations to the fixture
+    val dimsum = Recommender.mirrorSims(
+      Recommender.itemSimsDimsum(tiny, threshold = 0.0))
+      .select(col("i"), col("j"), r6(col("sim")).as("sim"))
+    val got = Recommender.itemKnnTopK(tiny, lit(true), kNeighbors = 2, kItems = 2,
+        simsSource = Some(dimsum))
+      .orderBy("user_id", "rk")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    val want = Seq(
+      (1, 3L, 3.8022, 1), (1, 4L, 3.0, 2),
+      (2, 4L, 2.8504, 1),
+      (3, 1L, 4.0766, 1))
+    assert(got == want)
+  }
+
+  test("heavy-key cap: no-op above max profile size, ≈ exact at moderate cap") {
+    val r = graft.sources.Tables.ratings(spark, "/root/testdata/sf0.001")
+    val cohort = col("user_id") % 20 === 0
+    val exact = Recommender.itemKnnTopK(r, cohort, 8, 5).cache()
+    val maxProfile = r.groupBy("user_id").count()
+      .agg(max("count")).collect()(0).getLong(0).toInt
+
+    // cap ≥ every profile → byte-identical results
+    val capFull = Recommender.itemKnnTopK(r, cohort, 8, 5,
+      maxItemsPerUser = maxProfile)
+    assert(capFull.except(exact).count() == 0)
+    assert(exact.except(capFull).count() == 0)
+
+    // moderate cap: same shape (5 recs per cohort user), majority
+    // overlap with the exact top-5 sets. (The synthetic ratings are
+    // uniform noise, so sims are tightly bunched and truncation
+    // reshuffles near-ties far more than a real power-law corpus
+    // would — the threshold is deliberately loose.)
+    val capped = Recommender.itemKnnTopK(r, cohort, 8, 5,
+      maxItemsPerUser = math.max(maxProfile * 3 / 4, 5)).cache()
+    assert(capped.groupBy("user_id").count()
+      .filter(col("count") =!= 5).count() == 0)
+    val nExact = exact.count()
+    val nOverlap = exact.select("user_id", "item_id")
+      .join(capped.select("user_id", "item_id"), Seq("user_id", "item_id"))
+      .count()
+    assert(nExact > 0 && nOverlap.toDouble / nExact >= 0.5,
+      s"overlap $nOverlap / $nExact")
+    exact.unpersist(); capped.unpersist()
+  }
+
   test("recommendations never include already-rated items") {
     val rated = tiny.select(col("user_id"), col("item_id"))
     val recs = Recommender.userKnnTopK(tiny, 2, 4)
