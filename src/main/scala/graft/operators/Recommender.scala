@@ -25,6 +25,27 @@ import graft.functions.Rounding.{r4, r6}
  * selection is stable across engines and accumulation orders; final
  * scores round to 4 dp (the repo-wide oracle convention).
  */
+/** The similarity-kernel SPI (SURVEY §2.9 K1-K4) for the kNN
+  * pipelines — the rebuild of the reference's `setSimilarity`
+  * (BaseRecommender.scala:33-35). All four are symmetric, so every
+  * kernel rides the same half-pair + mirror plan; each is computed
+  * from the co-occurrence aggregates (dot, co-count) plus per-entity
+  * moment dims, never from densified vectors. */
+sealed abstract class Kernel
+object Kernel {
+  /** K1: dot / (‖a‖·‖b‖) (reference CosineSimilarity.scala:24-33). */
+  case object Cosine extends Kernel
+  /** K2: Pearson with the reference's whole-vector, ZERO-INCLUSIVE
+    * mean (PearsonSimilarity.scala:24-37) — means and variances run
+    * over all N catalog positions, absent ratings counting as 0. */
+  case object Pearson extends Kernel
+  /** K3: positional binary Jaccard, binarized at > 0
+    * (JaccardSimilarity.scala:22-29). */
+  case object Jaccard extends Kernel
+  /** K4: 1 / (1 + √Σ(aᵢ−bᵢ)²) (EuclideanSimilarity.scala:24-28). */
+  case object InvEuclidean extends Kernel
+}
+
 object Recommender {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -32,7 +53,8 @@ object Recommender {
     "q17_item_knn_topk" -> q17,
     "q30_user_rating_predict" -> q30,
     "q31_item_rating_predict" -> q31,
-    "q45_user_profiles" -> q45
+    "q45_user_profiles" -> q45,
+    "q59_user_knn_pearson" -> q59
   )
 
   val K_NEIGHBORS = 25 // reference flagship k (Main.scala:351-352)
@@ -56,6 +78,15 @@ object Recommender {
   private def q16(spark: SparkSession, dir: String): DataFrame =
     userKnnTopK(Tables.ratingsCached(spark, dir), K_NEIGHBORS, K_ITEMS)
 
+  /** The reference's Pearson user-kNN workload shape (Main.scala:
+    * 354-356: `recSys.setSimilarity(new PearsonSimilarity)`) for the
+    * `user_id % 20 = 0` cohort: the q16 pipeline with the K2 kernel —
+    * whole-profile zero-inclusive-mean Pearson ([[Kernel.Pearson]])
+    * ranks the neighborhoods; scoring is unchanged. */
+  private def q59(spark: SparkSession, dir: String): DataFrame =
+    userKnnTopK(Tables.ratingsCached(spark, dir), K_NEIGHBORS, K_ITEMS,
+      targetUsers = Some(col("user_id") % 20 === 0), kernel = Kernel.Pearson)
+
   /** Reusable library surface: user-based cosine kNN top-N over any
     * long-form `(user_id, item_id, rating)` DataFrame. `targetUsers`
     * restricts the TARGET side before the pair-dot stage (per-user
@@ -63,39 +94,11 @@ object Recommender {
     * pipeline) — a cohort run then pays cohort-sized shuffles instead
     * of all-users ones. */
   def userKnnTopK(ratings: DataFrame, kNeighbors: Int, kItems: Int,
-                  targetUsers: Option[Column] = None): DataFrame = {
+                  targetUsers: Option[Column] = None,
+                  kernel: Kernel = Kernel.Cosine): DataFrame = {
     val r = ratings
-    val stats = r.groupBy("user_id").agg(
-      avg(col("rating")).as("umean"),
-      sqrt(sum(col("rating") * col("rating"))).as("unorm"))
-
-    val b = r.select(col("user_id").as("v"), col("item_id"), col("rating").as("rb"))
-    // co-rated pairs only: shuffle on item_id, then one keyed agg
-    val dots = targetUsers match {
-      case Some(pred) =>
-        // cohort run: only (target, *) pairs exist — direct form
-        r.filter(pred)
-          .select(col("user_id").as("u"), col("item_id"), col("rating").as("ra"))
-          .join(b, Seq("item_id"))
-          .filter(col("u") =!= col("v"))
-          .groupBy(col("u"), col("v"))
-          .agg(sum(col("ra") * col("rb")).as("dot"))
-      case None =>
-        // all-users run: cosine is symmetric — aggregate each UNORDERED
-        // pair once (u < v halves the agg input) and mirror the result
-        val a = r.select(col("user_id").as("u"), col("item_id"), col("rating").as("ra"))
-        val half = a.join(b, Seq("item_id"))
-          .filter(col("u") < col("v"))
-          .groupBy(col("u"), col("v"))
-          .agg(sum(col("ra") * col("rb")).as("dot"))
-        half.union(half.select(col("v").as("u"), col("u").as("v"), col("dot")))
-    }
-
-    val sims = dots
-      .join(broadcast(stats.select(col("user_id").as("u"), col("unorm").as("nu"))), Seq("u"))
-      .join(broadcast(stats.select(col("user_id").as("v"), col("unorm").as("nv"))), Seq("v"))
-      .select(col("u"), col("v"),
-        r6(col("dot") / (col("nu") * col("nv"))).as("sim"))
+    val stats = r.groupBy("user_id").agg(avg(col("rating")).as("umean"))
+    val sims = userSims(r, kernel, targetUsers)
 
     val wNb = Window.partitionBy(col("u")).orderBy(col("sim").desc, col("v").asc)
     val neighbors = sims.withColumn("nrk", row_number().over(wNb))
@@ -127,6 +130,78 @@ object Recommender {
       .select("user_id", "item_id", "score", "rk")
   }
 
+  /** The [[Kernel]] closed forms over co-occurrence pair aggregates
+    * `(dot, co)` joined with per-entity moment dims `(s, q, n)` =
+    * (Σx, Σx², count) and the catalog size `bigN` — every K1-K4 sim
+    * is algebra over these, so no kernel ever needs dense vectors:
+    * Σ(a−b)² = qa + qb − 2·dot, |a∪b| = na + nb − co, and the K2
+    * zero-inclusive moments are Σx/N and Σx² − N·mean² with the
+    * absent positions contributing exactly 0 to both sums. */
+  private def kernelSim(k: Kernel): Column = k match {
+    case Kernel.Cosine => col("dot") / (sqrt(col("qa")) * sqrt(col("qb")))
+    case Kernel.Pearson =>
+      val mu = col("sa") / col("bigN"); val mv = col("sb") / col("bigN")
+      (col("dot") - col("bigN") * mu * mv) /
+        (sqrt(col("qa") - col("bigN") * mu * mu) *
+          sqrt(col("qb") - col("bigN") * mv * mv))
+    case Kernel.Jaccard =>
+      col("co").cast("double") / (col("na") + col("nb") - col("co")).cast("double")
+    case Kernel.InvEuclidean =>
+      lit(1.0) / (lit(1.0) + sqrt(col("qa") + col("qb") - lit(2.0) * col("dot")))
+  }
+
+  /** User-user similarities `(u, v, sim)` under any [[Kernel]],
+    * 6-dp rounded — the reference's similarity SPI surface. Pairs are
+    * CO-RATED pairs only (the keyed self-join on item_id): a pair
+    * sharing no item never materializes. That is the scale posture —
+    * the dense complement is |U|² and not computable at catalog scale —
+    * and for neighbor selection it is the right semantics: under every
+    * kernel a no-overlap pair sits at/near the kernel's floor (dot = 0,
+    * co = 0), so it cannot outrank a co-rated pair into a top-k
+    * neighborhood. `targetUsers` restricts the u-side (cohort runs pay
+    * cohort-sized shuffles); the all-users path aggregates each
+    * unordered pair once and mirrors (symmetry of all four kernels). */
+  def userSims(ratings: DataFrame, kernel: Kernel = Kernel.Cosine,
+               targetUsers: Option[Column] = None): DataFrame = {
+    val r = ratings
+    val moments = r.groupBy("user_id").agg(
+      sum(col("rating")).as("s"),
+      sum(col("rating") * col("rating")).as("q"),
+      count(lit(1)).as("n"))
+    val b = r.select(col("user_id").as("v"), col("item_id"), col("rating").as("rb"))
+    val dots = targetUsers match {
+      case Some(pred) =>
+        // cohort run: only (target, *) pairs exist — direct form
+        r.filter(pred)
+          .select(col("user_id").as("u"), col("item_id"), col("rating").as("ra"))
+          .join(b, Seq("item_id"))
+          .filter(col("u") =!= col("v"))
+          .groupBy(col("u"), col("v"))
+          .agg(sum(col("ra") * col("rb")).as("dot"), count(lit(1)).as("co"))
+      case None =>
+        // all-users run: aggregate each UNORDERED pair once (u < v
+        // halves the agg input) and mirror the result
+        val a = r.select(col("user_id").as("u"), col("item_id"), col("rating").as("ra"))
+        val half = a.join(b, Seq("item_id"))
+          .filter(col("u") < col("v"))
+          .groupBy(col("u"), col("v"))
+          .agg(sum(col("ra") * col("rb")).as("dot"), count(lit(1)).as("co"))
+        half.union(half.select(col("v").as("u"), col("u").as("v"),
+          col("dot"), col("co")))
+    }
+    val withMoments = dots
+      .join(broadcast(moments.select(col("user_id").as("u"), col("s").as("sa"),
+        col("q").as("qa"), col("n").as("na"))), Seq("u"))
+      .join(broadcast(moments.select(col("user_id").as("v"), col("s").as("sb"),
+        col("q").as("qb"), col("n").as("nb"))), Seq("v"))
+    val withN = kernel match {
+      case Kernel.Pearson => withMoments.crossJoin(
+        broadcast(r.agg(countDistinct(col("item_id")).cast("double").as("bigN"))))
+      case _ => withMoments
+    }
+    withN.select(col("u"), col("v"), r6(kernelSim(kernel)).as("sim"))
+  }
+
   /** Heavy-key cap for the quadratic pair stages: truncate each user's
     * profile to their top-`maxItems` rows by (rating desc, item_id asc)
     * BEFORE any self-join on user_id. The per-user pair fan-out is
@@ -147,28 +222,41 @@ object Recommender {
   def mirrorSims(half: DataFrame): DataFrame =
     half.union(half.select(col("j").as("i"), col("i").as("j"), col("sim")))
 
-  /** The item-item cosine similarity table — mirrored `(i, j, sim)`,
-    * 6-dp rounded, the sims source q17/q33 share and the exact twin of
-    * [[itemSimsDimsum]]. With `maxItemsPerUser` set, similarities are
-    * exact cosines over the TRUNCATED profiles (norms computed on the
-    * capped rows, so the capped table is self-consistent). */
-  def itemCosineSims(ratings: DataFrame,
-                     maxItemsPerUser: Int = Int.MaxValue): DataFrame = {
+  /** The item-item similarity table — mirrored `(i, j, sim)`, 6-dp
+    * rounded, under any [[Kernel]] (profiles transpose: item vectors
+    * over the USER catalog, so K2's zero-inclusive mean runs over
+    * |users| positions). The cosine instance is the sims source
+    * q17/q33 share and the exact twin of [[itemSimsDimsum]]. With
+    * `maxItemsPerUser` set, similarities are exact kernels over the
+    * TRUNCATED profiles (moments computed on the capped rows, so the
+    * capped table is self-consistent). */
+  def itemSims(ratings: DataFrame,
+               kernel: Kernel = Kernel.Cosine,
+               maxItemsPerUser: Int = Int.MaxValue): DataFrame = {
     val r = capPerUser(ratings, maxItemsPerUser)
-    val inorm = r.groupBy("item_id").agg(
-      sqrt(sum(col("rating") * col("rating"))).as("inorm"))
+    val moments = r.groupBy("item_id").agg(
+      sum(col("rating")).as("s"),
+      sum(col("rating") * col("rating")).as("q"),
+      count(lit(1)).as("n"))
     val a = r.select(col("user_id"), col("item_id").as("i"), col("rating").as("ra"))
     val b = r.select(col("user_id"), col("item_id").as("j"), col("rating").as("rb"))
     // symmetric kernel: one agg per unordered pair, mirrored after
     val half = a.join(b, Seq("user_id"))
       .filter(col("i") < col("j"))
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("ra") * col("rb")).as("dot"))
-    half.union(half.select(col("j").as("i"), col("i").as("j"), col("dot")))
-      .join(broadcast(inorm.select(col("item_id").as("i"), col("inorm").as("ni"))), Seq("i"))
-      .join(broadcast(inorm.select(col("item_id").as("j"), col("inorm").as("nj"))), Seq("j"))
-      .select(col("i"), col("j"),
-        r6(col("dot") / (col("ni") * col("nj"))).as("sim"))
+      .agg(sum(col("ra") * col("rb")).as("dot"), count(lit(1)).as("co"))
+    val withMoments = half
+      .union(half.select(col("j").as("i"), col("i").as("j"), col("dot"), col("co")))
+      .join(broadcast(moments.select(col("item_id").as("i"), col("s").as("sa"),
+        col("q").as("qa"), col("n").as("na"))), Seq("i"))
+      .join(broadcast(moments.select(col("item_id").as("j"), col("s").as("sb"),
+        col("q").as("qb"), col("n").as("nb"))), Seq("j"))
+    val withN = kernel match {
+      case Kernel.Pearson => withMoments.crossJoin(
+        broadcast(r.agg(countDistinct(col("user_id")).cast("double").as("bigN"))))
+      case _ => withMoments
+    }
+    withN.select(col("i"), col("j"), r6(kernelSim(kernel)).as("sim"))
   }
 
   /** Session-cached sims over the shared ratings view — CacheManager
@@ -177,7 +265,7 @@ object Recommender {
     * (pass any sims via `simsSource`), so nothing pins executor memory
     * behind a library call. */
   private[graft] def itemSimsCached(spark: SparkSession, dir: String): DataFrame =
-    itemCosineSims(Tables.ratingsCached(spark, dir)).cache()
+    itemSims(Tables.ratingsCached(spark, dir)).cache()
 
   /** R5: item-based kNN top-5 for the `user_id % 20 = 0` cohort.
     * Neighbors of a candidate item are the items the user actually
@@ -206,9 +294,10 @@ object Recommender {
   def itemKnnTopK(ratings: DataFrame, targetUsers: Column,
                   kNeighbors: Int, kItems: Int,
                   simsSource: Option[DataFrame] = None,
-                  maxItemsPerUser: Int = Int.MaxValue): DataFrame = {
+                  maxItemsPerUser: Int = Int.MaxValue,
+                  kernel: Kernel = Kernel.Cosine): DataFrame = {
     val r = ratings
-    val sims = simsSource.getOrElse(itemCosineSims(r, maxItemsPerUser))
+    val sims = simsSource.getOrElse(itemSims(r, kernel, maxItemsPerUser))
 
     // target cohort's rated items feed the neighbor join on j
     val tgt = r.filter(targetUsers)

@@ -92,6 +92,63 @@ object RecommenderSql {
          |  FROM scored)
          |WHERE rk <= 5""".stripMargin,
 
+    // q16's pipeline under the K2 kernel: Pearson with whole-profile
+    // ZERO-INCLUSIVE moments — mean = Σr/N over all N catalog
+    // positions (absent ratings contribute 0 to Σr and Σr²), matching
+    // the Spark side's closed form term-for-term so both engines walk
+    // identical IEEE sequences before the 6-dp rank rounding.
+    "q59_user_knn_pearson" ->
+      s"""WITH $ratingsSql,
+         |stats AS (
+         |  SELECT user_id, avg(rating) AS umean FROM ratings GROUP BY 1),
+         |mom AS (
+         |  SELECT user_id, sum(rating) AS s, sum(rating*rating) AS q
+         |  FROM ratings GROUP BY 1),
+         |bign AS (
+         |  SELECT CAST(count(DISTINCT item_id) AS DOUBLE) AS n FROM ratings),
+         |dots AS (
+         |  SELECT a.user_id AS u, b.user_id AS v, sum(a.rating*b.rating) AS dot
+         |  FROM ratings a JOIN ratings b ON a.item_id = b.item_id
+         |  WHERE a.user_id % 20 = 0 AND a.user_id <> b.user_id
+         |  GROUP BY 1, 2),
+         |sims AS (
+         |  SELECT d.u, d.v,
+         |         floor((d.dot - n * (ma.s / n) * (mb.s / n))
+         |               / (sqrt(ma.q - n * (ma.s / n) * (ma.s / n))
+         |                  * sqrt(mb.q - n * (mb.s / n) * (mb.s / n)))
+         |               * 1000000.0 + 0.5) / 1000000.0 AS sim
+         |  FROM dots d
+         |  CROSS JOIN bign
+         |  JOIN mom ma ON ma.user_id = d.u
+         |  JOIN mom mb ON mb.user_id = d.v),
+         |neighbors AS (
+         |  SELECT u, v, sim FROM (
+         |    SELECT u, v, sim, row_number() OVER (
+         |      PARTITION BY u ORDER BY sim DESC, v ASC) AS nrk
+         |    FROM sims)
+         |  WHERE nrk <= 25),
+         |scores AS (
+         |  SELECT nb.u, r.item_id,
+         |         sum(nb.sim * (r.rating - sv.umean)) AS num,
+         |         sum(nb.sim) AS den
+         |  FROM neighbors nb
+         |  JOIN ratings r ON r.user_id = nb.v
+         |  JOIN stats sv ON sv.user_id = nb.v
+         |  GROUP BY 1, 2),
+         |preds AS (
+         |  SELECT s.u AS user_id, s.item_id,
+         |         floor((su.umean + s.num / s.den) * 10000.0 + 0.5) / 10000.0 AS score
+         |  FROM scores s
+         |  JOIN stats su ON su.user_id = s.u
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM ratings r
+         |    WHERE r.user_id = s.u AND r.item_id = s.item_id))
+         |SELECT user_id, item_id, score, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY user_id ORDER BY score DESC, item_id ASC) AS rk
+         |  FROM preds)
+         |WHERE rk <= 5""".stripMargin,
+
     "q30_user_rating_predict" ->
       s"""WITH $ratingsSql,
          |stats AS (

@@ -69,6 +69,42 @@ class RecommenderSpec extends SparkSuite {
     }
   }
 
+  test("userSims kernels equal dense-vector formulas (K2 zero-inclusive mean)") {
+    import graft.operators.Kernel
+    // the fixture densified over catalog {1,2,3,4}
+    val dense = Map(
+      1 -> Array(5.0, 3.0, 0.0, 0.0),
+      2 -> Array(4.0, 2.0, 4.0, 0.0),
+      3 -> Array(0.0, 5.0, 3.0, 1.0))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def wantSim(k: Kernel, a: Array[Double], b: Array[Double]): Double = k match {
+      case Kernel.Cosine =>
+        dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      case Kernel.Pearson => // whole-vector mean, ZEROS INCLUDED
+        val n = a.length.toDouble
+        val ma = a.sum / n; val mb = b.sum / n
+        (dot(a, b) - n * ma * mb) /
+          (math.sqrt(dot(a, a) - n * ma * ma) * math.sqrt(dot(b, b) - n * mb * mb))
+      case Kernel.Jaccard =>
+        val inter = a.zip(b).count { case (x, y) => x > 0 && y > 0 }
+        val union = a.zip(b).count { case (x, y) => x > 0 || y > 0 }
+        inter.toDouble / union
+      case Kernel.InvEuclidean =>
+        1.0 / (1.0 + math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum))
+    }
+    for (k <- Seq(Kernel.Cosine, Kernel.Pearson, Kernel.Jaccard, Kernel.InvEuclidean)) {
+      val got = Recommender.userSims(tiny, k)
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      assert(got.keySet ==
+        Set((1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2)), s"$k pairs")
+      got.foreach { case ((u, v), sim) =>
+        val want = wantSim(k, dense(u), dense(v))
+        assert(math.abs(sim - want) < 1e-6, s"$k ($u,$v): $sim vs $want")
+      }
+    }
+  }
+
   test("itemKnnTopK accepts an external sims source (DIMSUM slot-in)") {
     import graft.functions.Rounding.r6
     // rounded to the same 6 dp the internal kernel uses, threshold-0
