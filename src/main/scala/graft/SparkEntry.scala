@@ -26,7 +26,8 @@ object SparkEntry {
       operators.TextOps.queries ++
       operators.Multimodal.queries ++
       operators.Evaluation.queries ++
-      operators.Sequential.queries
+      operators.Sequential.queries ++
+      operators.SeqRecommender.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       oracle.DedupSql.oracle ++
       oracle.SimilaritySql.oracle ++
       oracle.TextSql.oracle ++
-      oracle.EvalSeqSql.oracle
+      oracle.EvalSeqSql.oracle ++
+      oracle.SeqRecSql.oracle
 }

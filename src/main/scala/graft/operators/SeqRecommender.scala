@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.functions.Rounding.r6
+
+/**
+ * The composed end-to-end sequential recommender (SURVEY.md §2.10
+ * R8+R9) — the reference's most complex operator
+ * (SequentialTopKRecommender.scala:87-152 fit/transform, :418-533
+ * rule mining) rebuilt as ONE distributed pipeline:
+ *
+ *   orders+lineitem → transactions (user, period, item set)
+ *   → sparse Lloyd clustering of transaction baskets
+ *   → per-(user, period) cluster sets → "<cluster>_<relPeriod>" tokens
+ *   → FPGrowth over per-user token baskets
+ *   → keep rules whose consequent is in relative period 0, strip
+ *     period-0 tokens from antecedents (reference :483-490)
+ *   → support/confidence recount by containment join (reference
+ *     `getSupport` collected-array UDF at :492-519 → a broadcast join)
+ *   → per-user best-rule argmax (score = |antecedent ∩ tokens| ·
+ *     support · confidence, reference :219-239)
+ *   → recommend the most frequent items of the consequent cluster's
+ *     LAST-period transactions minus already-seen items (:126-149).
+ *
+ * Scale posture: the reference densifies transactions into
+ * |catalog|-dim binary vectors and collects them driver-side twice
+ * (`_transactionArray`, `transactionsArray`); here every stage is a
+ * keyed DataFrame op and the clusterer itself runs SPARSE — centroids
+ * live as `(cluster, item_id, weight)` long-form rows, distances come
+ * from the ‖b‖² + ‖c‖² − 2·b·c expansion over a keyed join, so neither
+ * transactions nor centroids ever densify. Rules are tiny and ride
+ * broadcasts; baskets never leave their partitions.
+ */
+object SeqRecommender {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_seq_recommend" -> q58
+  )
+
+  val NUM_CLUSTERS = 8
+  val KMEANS_ITERS = 2 // the repo-wide deterministic-Lloyd convention (q34)
+  val TOP_K = 5
+  /** FPGrowth thresholds per the q35 conventions (fraction + absolute
+    * minCount floor of 4 so tiny corpora can't enumerate exponentially). */
+  val FP_MIN_SUPPORT = 0.005
+  val FP_MIN_CONFIDENCE = 0.5
+  /** Antecedent cap (pre-strip): itemsets ≤ 3 — the slice an exact SQL
+    * oracle can recount by enumeration, same idea as q35's size-≤-2
+    * frequent-itemset slice. */
+  val MAX_ANTECEDENT = 2
+  /** Final sequential-rule thresholds (reference `_minSupportSequential`
+    * / `_minConfidenceSequential`, strict > as in :524-528). */
+  val MIN_SUPPORT_SEQ = 0.01
+  val MIN_CONFIDENCE_SEQ = 0.1
+
+  /** Transactions in long form — one row per (t_id, user_id,
+    * period_id, item_id), an order being a transaction (reference
+    * `getTransactionDf` groups by (user, timestamp); here the order key
+    * IS that grouping) with its period from the shared q28 bounds
+    * arithmetic ([[Sequential.periodBounds]]). */
+  def transactions(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val op = o.crossJoin(broadcast(Sequential.periodBounds(o)))
+      .select(col("o_orderkey").as("t_id"), col("o_custkey").as("user_id"),
+        least(expr("CAST(datediff(o_orderdate, dmin) AS BIGINT) DIV width"),
+          lit(Sequential.NUM_PERIODS - 1L)).as("period_id"))
+    op.join(li, col("t_id") === col("l_orderkey"))
+      .select(col("t_id"), col("user_id"), col("period_id"),
+        col("l_partkey").as("item_id"))
+      .distinct()
+  }
+
+  /** Deterministic sparse Lloyd over BINARY transaction baskets — the
+    * SOM-stage substitute (reference :403-416; the KMeans substitution
+    * is survey-sanctioned, SURVEY §2.10 R8) in never-densified form.
+    * Seeds are the `numSeeds` smallest transaction ids (fixed seed
+    * VECTORS, the q34 convention, so even the DuckDB oracle replays the
+    * trajectory); the seed's own t_id doubles as the cluster label.
+    * Per iteration: d²(t, c) = n_t + ‖c‖² − 2·Σ_{i∈t} c_i via one keyed
+    * join + an 8-row broadcast grid (6-dp-rounded, cluster-asc
+    * tie-break), then centroids recenter to per-position means —
+    * count(members ∋ i)/|members|, 6-dp-rounded — materializing ONLY
+    * nonzero positions. Returns the final `(t_id, cluster)`. */
+  def clusterTransactionsSparse(titems: DataFrame, numSeeds: Int,
+                                iters: Int): DataFrame = {
+    val tn = titems.groupBy("t_id").agg(count(lit(1)).as("n"))
+    val seedIds = titems.select("t_id").distinct().orderBy("t_id").limit(numSeeds)
+    val c0 = titems.join(seedIds, Seq("t_id"))
+      .select(col("t_id").as("cluster"), col("item_id"), lit(1.0).as("w"))
+
+    def assign(cents: DataFrame): DataFrame = {
+      val cdim = cents.groupBy("cluster").agg(sum(col("w") * col("w")).as("sqn"))
+      val dots = titems.join(cents, Seq("item_id"))
+        .groupBy(col("t_id"), col("cluster")).agg(sum(col("w")).as("dot"))
+      // the full t × cluster grid: pairs sharing no item have dot = 0
+      // but still compete in the argmin
+      val grid = tn.crossJoin(broadcast(cdim))
+        .join(dots, Seq("t_id", "cluster"), "left")
+        .select(col("t_id"), col("cluster"),
+          r6(col("n").cast("double") + col("sqn")
+            - lit(2.0) * coalesce(col("dot"), lit(0.0))).as("d2"))
+      val w = Window.partitionBy(col("t_id")).orderBy(col("d2").asc, col("cluster").asc)
+      grid.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("t_id"), col("cluster"))
+    }
+    def recenter(assigned: DataFrame): DataFrame = {
+      val nc = assigned.groupBy("cluster").agg(count(lit(1)).as("nc"))
+      assigned.join(titems, Seq("t_id"))
+        .groupBy(col("cluster"), col("item_id")).agg(count(lit(1)).as("cnt"))
+        .join(broadcast(nc), Seq("cluster"))
+        .select(col("cluster"), col("item_id"),
+          r6(col("cnt").cast("double") / col("nc")).as("w"))
+    }
+    val last = (1 to iters).foldLeft(c0)((c, _) => recenter(assign(c)))
+    assign(last)
+  }
+
+  /** Per-user period-ordered cluster tokens: distinct
+    * `"<cluster>_<relPeriod>"` with relPeriod = period_id − P + 1 so
+    * the LAST period is 0 and earlier periods are negative — exactly
+    * the reference `flatList` encoding (:424-441); collect_set there ≡
+    * distinct here. */
+  def clusterTokens(trans: DataFrame, assigned: DataFrame): DataFrame =
+    trans.select("t_id", "user_id", "period_id").distinct()
+      .join(assigned, Seq("t_id"))
+      .select(col("user_id"),
+        concat(col("cluster").cast("string"), lit("_"),
+          (col("period_id") - Sequential.NUM_PERIODS + 1).cast("string"))
+          .as("token"))
+      .distinct()
+
+  /** CMRules-style sequential rules (reference `obtainRules`
+    * :418-533): FPGrowth over the token baskets, keep rules whose
+    * single-item consequent lands in relative period 0, strip period-0
+    * tokens from antecedents, dedup, then RECOUNT support and
+    * confidence over the full baskets with a broadcast containment
+    * join — the distributed rebuild of the reference's collected
+    * `transactionsArray` + `getSupport` UDF. `nBaskets` must be the
+    * caller-computed basket count (baskets should be cached). */
+  def mineSeqRules(baskets: DataFrame, nBaskets: Long): DataFrame = {
+    val fp = new org.apache.spark.ml.fpm.FPGrowth()
+      .setItemsCol("items")
+      .setMinSupport(math.max(FP_MIN_SUPPORT, 4.0 / math.max(nBaskets, 1L)))
+      .setMinConfidence(FP_MIN_CONFIDENCE)
+    val rules0 = fp.fit(baskets).associationRules
+      .filter(size(col("antecedent")) <= MAX_ANTECEDENT)
+      .filter(element_at(col("consequent"), 1).endsWith("_0"))
+      .select(
+        sort_array(filter(col("antecedent"), x => not(x.endsWith("_0")))).as("ant"),
+        element_at(col("consequent"), 1).as("cons"))
+      .filter(size(col("ant")) > 0)
+      .distinct()
+    baskets.join(rules0.hint("broadcast"),
+        forall(col("ant"), a => array_contains(col("items"), a)))
+      .groupBy(col("ant"), col("cons"))
+      .agg(count(lit(1)).as("cnt_x"),
+        sum(when(array_contains(col("items"), col("cons")), 1L).otherwise(0L))
+          .as("cnt_xy"))
+      .select(col("ant"), col("cons"),
+        r6(col("cnt_xy").cast("double") / nBaskets).as("support"),
+        r6(col("cnt_xy").cast("double") / col("cnt_x")).as("confidence"))
+      .filter(col("support") > MIN_SUPPORT_SEQ &&
+        col("confidence") > MIN_CONFIDENCE_SEQ)
+  }
+
+  /** The composed pipeline, every user scored in one pass (the
+    * reference transform handles ONE user per driver call; per-user
+    * results are independent, so the batch form is the same operator).
+    * Output: top-[[TOP_K]] `(user_id, cluster, item_id, cnt, rk)` —
+    * `cnt` is the item's frequency among the consequent cluster's
+    * last-period transactions (the reference's candidate score). */
+  private def q58(spark: SparkSession, dir: String): DataFrame = {
+    val trans = transactions(spark, dir).cache()
+    val titems = trans.select("t_id", "item_id") // distinct by construction
+    val assigned = clusterTransactionsSparse(titems, NUM_CLUSTERS, KMEANS_ITERS)
+      .cache()
+    val baskets = clusterTokens(trans, assigned)
+      .groupBy("user_id").agg(sort_array(collect_set(col("token"))).as("items"))
+      .cache()
+    val rules = mineSeqRules(baskets, baskets.count())
+
+    // R9 scoring: similarity = |antecedent ∩ user tokens| (≥ 1 via the
+    // overlap join), score = sim·support·confidence, best rule per user
+    // with a deterministic tie-break the reference's unstable sortWith
+    // lacks (score desc, consequent asc, antecedent asc)
+    val fired = baskets.join(rules.hint("broadcast"),
+        arrays_overlap(col("items"), col("ant")))
+      .select(col("user_id"), col("cons"),
+        concat_ws(",", col("ant")).as("ant_str"),
+        r6(size(array_intersect(col("ant"), col("items"))).cast("double")
+          * col("support") * col("confidence")).as("score"))
+    val wBest = Window.partitionBy(col("user_id"))
+      .orderBy(col("score").desc, col("cons").asc, col("ant_str").asc)
+    val best = fired.withColumn("brk", row_number().over(wBest))
+      .filter(col("brk") === 1)
+      .select(col("user_id"),
+        split(col("cons"), "_").getItem(0).cast("long").as("cluster"))
+
+    // candidate items: frequency across the consequent cluster's
+    // last-period transactions (reference :126-149), minus seen items
+    val itemCnt = trans.filter(col("period_id") === Sequential.NUM_PERIODS - 1)
+      .select("t_id", "item_id")
+      .join(assigned, Seq("t_id"))
+      .groupBy(col("cluster"), col("item_id")).agg(count(lit(1)).as("cnt"))
+    val seen = trans.select("user_id", "item_id").distinct()
+    val cands = best.join(itemCnt, Seq("cluster"))
+      .join(seen, Seq("user_id", "item_id"), "left_anti")
+    val wTop = Window.partitionBy(col("user_id"))
+      .orderBy(col("cnt").desc, col("item_id").asc)
+    cands.withColumn("rk", row_number().over(wTop)).filter(col("rk") <= TOP_K)
+      .select(col("user_id"), col("cluster"), col("item_id"), col("cnt"), col("rk"))
+  }
+}
