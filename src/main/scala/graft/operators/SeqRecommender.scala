@@ -178,6 +178,15 @@ object SeqRecommender {
     val titems = trans.select("t_id", "item_id") // distinct by construction
     val assigned = clusterTransactionsSparse(titems, NUM_CLUSTERS, KMEANS_ITERS)
       .cache()
+    recommendFrom(trans, assigned)
+  }
+
+  /** Everything downstream of the clustering stage, over ANY
+    * `(t_id, cluster)` assignment — the pluggable-clusterer seam: q58
+    * feeds [[clusterTransactionsSparse]], and the [[graft.ml.SOM]]
+    * estimator's BMU assignments slot in behind the same surface
+    * (the reference swaps clusterers exactly here, :403-416). */
+  def recommendFrom(trans: DataFrame, assigned: DataFrame): DataFrame = {
     val baskets = clusterTokens(trans, assigned)
       .groupBy("user_id").agg(sort_array(collect_set(col("token"))).as("items"))
       .cache()
