@@ -1,0 +1,184 @@
+package graft.ml
+
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.types.StructType
+import graft.operators.{Content, Hybrid, Kernel, Recommender}
+
+/**
+ * The Estimator/Model layer (SURVEY §7.1 Layer 1) — `fit`/`transform`
+ * wrappers mirroring the reference's `RecommenderInterface.scala:27-51`
+ * (`fit(train); setSimilarity(...); transform(target)`) over the
+ * distributed pipelines in [[graft.operators]]. A reference user's
+ * `recSys.fit(train); recSys.transform(users)` code maps 1:1, and the
+ * estimators drop into `ml.Pipeline` (proper Params + transformSchema).
+ *
+ * `fit` is deliberately lazy — the kNN pipelines are single
+ * DataFrame-to-DataFrame plans, so the "model" holds the train
+ * DataFrame and every `transform(targets)` builds the cohort-restricted
+ * plan (a broadcast semi-join on the target ids narrows the expensive
+ * pair stage, exactly like the predicate cohorts in q16/q17). Callers
+ * iterating many transforms over one train set should `.cache()` the
+ * train DataFrame — caching policy stays with the CALLER, never pinned
+ * inside the library (the round-2 advice on cache scoping).
+ */
+private[ml] trait KnnParams extends Params {
+  final val userBased = new BooleanParam(this, "userBased",
+    "user-based (true) or item-based (false) — the reference's isUserBased flag")
+  final val kernelName = new Param[String](this, "kernel",
+    "similarity kernel: cosine | pearson | jaccard | invEuclidean " +
+      "(the reference's setSimilarity SPI)",
+    ParamValidators.inArray(Array("cosine", "pearson", "jaccard", "invEuclidean")))
+  final val kNeighbors = new IntParam(this, "kNeighbors", "neighborhood size",
+    ParamValidators.gt(0))
+  final val kItems = new IntParam(this, "kItems", "recommendations per user",
+    ParamValidators.gt(0))
+  final val maxItemsPerUser = new IntParam(this, "maxItemsPerUser",
+    "heavy-key cap on the pair fan-out (item-based; Int.MaxValue = exact)",
+    ParamValidators.gt(0))
+  setDefault(userBased -> true, kernelName -> "cosine",
+    kNeighbors -> 25, kItems -> 5, maxItemsPerUser -> Int.MaxValue)
+
+  private[ml] def kernel: Kernel = $(kernelName) match {
+    case "cosine" => Kernel.Cosine
+    case "pearson" => Kernel.Pearson
+    case "jaccard" => Kernel.Jaccard
+    case "invEuclidean" => Kernel.InvEuclidean
+  }
+}
+
+/** Collaborative kNN recommender (R2-R5): `fit` on long-form
+  * `(user_id, item_id, rating)`, `transform` on a target-user
+  * DataFrame → `(user_id, item_id, score, rk)` top-k. */
+class KnnRecommender(override val uid: String)
+    extends Estimator[KnnRecommenderModel] with KnnParams {
+  def this() = this(Identifiable.randomUID("knnRec"))
+  def setUserBased(v: Boolean): this.type = set(userBased, v)
+  def setKernel(v: String): this.type = set(kernelName, v)
+  def setKNeighbors(v: Int): this.type = set(kNeighbors, v)
+  def setKItems(v: Int): this.type = set(kItems, v)
+  def setMaxItemsPerUser(v: Int): this.type = set(maxItemsPerUser, v)
+
+  override def fit(dataset: Dataset[_]): KnnRecommenderModel =
+    copyValues(new KnnRecommenderModel(uid, dataset.toDF()).setParent(this))
+  override def copy(extra: ParamMap): KnnRecommender = defaultCopy(extra)
+  override def transformSchema(schema: StructType): StructType =
+    KnnRecommenderModel.OUT_SCHEMA
+}
+
+object KnnRecommenderModel {
+  private[ml] val OUT_SCHEMA: StructType =
+    StructType.fromDDL("user_id LONG, item_id LONG, score DOUBLE, rk INT")
+}
+
+class KnnRecommenderModel private[ml] (override val uid: String,
+                                       val train: DataFrame)
+    extends Model[KnnRecommenderModel] with KnnParams {
+
+  /** Top-k recommendations for the users in `targets` (a `user_id`
+    * column; extra columns ignored). */
+  override def transform(targets: Dataset[_]): DataFrame =
+    if ($(userBased))
+      Recommender.userKnnTopKFor(train, targets.toDF(),
+        $(kNeighbors), $(kItems), kernel)
+    else
+      Recommender.itemKnnTopKFor(train, targets.toDF(),
+        $(kNeighbors), $(kItems), maxItemsPerUser = $(maxItemsPerUser),
+        kernel = kernel)
+
+  /** Rating prediction for held-out `(u, item_id|i, actual)` pairs —
+    * the reference's per-cell `transform(target, index)` as one
+    * distributed pass (fold-evaluation shape, Main.scala:61-126). */
+  def predictRatings(cohort: DataFrame): DataFrame =
+    if ($(userBased)) Recommender.userPredictOn(train, cohort, $(kNeighbors))
+    else Recommender.itemPredictOn(train, cohort, $(kNeighbors),
+      $(maxItemsPerUser))
+
+  override def copy(extra: ParamMap): KnnRecommenderModel =
+    copyValues(new KnnRecommenderModel(uid, train), extra).setParent(parent)
+  override def transformSchema(schema: StructType): StructType =
+    KnnRecommenderModel.OUT_SCHEMA
+}
+
+/** Content-based recommender (R6/R7): item-feature kNN with the K5
+  * zero-similarity Euclidean fallback. `setItemFeatures` supplies the
+  * `(item_id, fv: array<double>)` dimension (R6 assembly). */
+class ContentKnnRecommender(override val uid: String)
+    extends Estimator[ContentKnnRecommenderModel] {
+  def this() = this(Identifiable.randomUID("contentRec"))
+  final val kNeighbors = new IntParam(this, "kNeighbors", "neighborhood size")
+  final val kItems = new IntParam(this, "kItems", "recommendations per user")
+  setDefault(kNeighbors -> 8, kItems -> 5)
+  def setKNeighbors(v: Int): this.type = set(kNeighbors, v)
+  def setKItems(v: Int): this.type = set(kItems, v)
+  private var features: DataFrame = _
+  def setItemFeatures(df: DataFrame): this.type = { features = df; this }
+
+  override def fit(dataset: Dataset[_]): ContentKnnRecommenderModel = {
+    require(features != null, "setItemFeatures(df) must be called before fit")
+    copyValues(new ContentKnnRecommenderModel(uid, dataset.toDF(), features,
+      $(kNeighbors), $(kItems)).setParent(this))
+  }
+  override def copy(extra: ParamMap): ContentKnnRecommender = defaultCopy(extra)
+  override def transformSchema(schema: StructType): StructType =
+    KnnRecommenderModel.OUT_SCHEMA
+}
+
+class ContentKnnRecommenderModel private[ml] (override val uid: String,
+                                              val train: DataFrame,
+                                              val features: DataFrame,
+                                              kNeighbors: Int, kItems: Int)
+    extends Model[ContentKnnRecommenderModel] {
+  override def transform(targets: Dataset[_]): DataFrame =
+    Content.contentTopKFor(train, features, targets.toDF(), kNeighbors, kItems)
+  override def copy(extra: ParamMap): ContentKnnRecommenderModel =
+    copyValues(new ContentKnnRecommenderModel(uid, train, features,
+      kNeighbors, kItems), extra).setParent(parent)
+  override def transformSchema(schema: StructType): StructType =
+    KnnRecommenderModel.OUT_SCHEMA
+}
+
+/** Hybrid fusion (R10): two child recommenders, head-normalized and
+  * weight-summed (reference HybridRecommenderTopK.scala:81-121). */
+class HybridRecommender(override val uid: String)
+    extends Estimator[HybridRecommenderModel] {
+  def this() = this(Identifiable.randomUID("hybridRec"))
+  final val weightA = new DoubleParam(this, "weightA", "first child weight")
+  final val weightB = new DoubleParam(this, "weightB", "second child weight")
+  final val kItems = new IntParam(this, "kItems", "fused list length")
+  setDefault(weightA -> 0.5, weightB -> 0.5, kItems -> 5)
+  def setWeightA(v: Double): this.type = set(weightA, v)
+  def setWeightB(v: Double): this.type = set(weightB, v)
+  def setKItems(v: Int): this.type = set(kItems, v)
+  private var children: (Estimator[_ <: Model[_]], Estimator[_ <: Model[_]]) = _
+  def setChildren(a: Estimator[_ <: Model[_]], b: Estimator[_ <: Model[_]]): this.type = {
+    children = (a, b); this
+  }
+
+  override def fit(dataset: Dataset[_]): HybridRecommenderModel = {
+    require(children != null, "setChildren(a, b) must be called before fit")
+    val ma = children._1.fit(dataset).asInstanceOf[Model[_]]
+    val mb = children._2.fit(dataset).asInstanceOf[Model[_]]
+    copyValues(new HybridRecommenderModel(uid, ma, mb,
+      $(weightA), $(weightB), $(kItems)).setParent(this))
+  }
+  override def copy(extra: ParamMap): HybridRecommender = defaultCopy(extra)
+  override def transformSchema(schema: StructType): StructType =
+    KnnRecommenderModel.OUT_SCHEMA
+}
+
+class HybridRecommenderModel private[ml] (override val uid: String,
+                                          val childA: Model[_], val childB: Model[_],
+                                          wa: Double, wb: Double, kItems: Int)
+    extends Model[HybridRecommenderModel] {
+  override def transform(targets: Dataset[_]): DataFrame =
+    Hybrid.fuseTopK(childA.transform(targets), childB.transform(targets),
+      wa, wb, kItems)
+  override def copy(extra: ParamMap): HybridRecommenderModel =
+    copyValues(new HybridRecommenderModel(uid, childA, childB, wa, wb, kItems),
+      extra).setParent(parent)
+  override def transformSchema(schema: StructType): StructType =
+    KnnRecommenderModel.OUT_SCHEMA
+}

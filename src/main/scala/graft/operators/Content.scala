@@ -102,8 +102,23 @@ object Content {
   /** Reusable library surface: content-based top-N over long-form
     * ratings plus an item-feature DataFrame `(item_id, fv)`. */
   def contentTopK(ratings: DataFrame, features: DataFrame,
-                  targetUsers: Column, kNeighbors: Int, kItems: Int): DataFrame = {
-    val rated = ratings.filter(targetUsers)
+                  targetUsers: Column, kNeighbors: Int, kItems: Int): DataFrame =
+    contentTopKRestricted(ratings, features, _.filter(targetUsers),
+      kNeighbors, kItems)
+
+  /** [[contentTopK]] for a DataFrame of target users (`user_id`
+    * column) — the Estimator/Model `transform` surface. */
+  def contentTopKFor(ratings: DataFrame, features: DataFrame,
+                     targets: DataFrame, kNeighbors: Int, kItems: Int): DataFrame =
+    contentTopKRestricted(ratings, features,
+      _.join(broadcast(targets.select(col("user_id")).distinct()),
+        Seq("user_id"), "left_semi"),
+      kNeighbors, kItems)
+
+  private def contentTopKRestricted(ratings: DataFrame, features: DataFrame,
+                                    narrow: DataFrame => DataFrame,
+                                    kNeighbors: Int, kItems: Int): DataFrame = {
+    val rated = narrow(ratings)
       .select(col("user_id").as("u"), col("item_id").as("j"), col("rating").as("r_uj"))
       .join(features.select(col("item_id").as("j"), col("fv").as("vj")), Seq("j"))
 

@@ -81,6 +81,37 @@ object Evaluation {
     rankMetrics.crossJoin(predMetrics)
   }
 
+  /** E1-E3 over an ARBITRARY ranked recommendation list: per-user
+    * Precision@k, Recall@k and AP@k against a relevant-pair set,
+    * averaged into one row — the reference's ranking experiment
+    * (Main.scala:96-124, RankingMetrics.scala:33-53) as a library
+    * surface any recommender's `(user_id, item_id, rk)` output plugs
+    * into. AP@k preserves the reference formula — Σ_{i≤k} |top-i ∩
+    * rel| / i, divided by k, over the RANKED list, every prefix
+    * counted (not only hit positions) — and recall guards the empty
+    * relevant set as 0 (E2). Users in `recs` with NO relevant pairs
+    * still average in, exactly like the reference's per-user loop. */
+  def rankingMetricsAt(recs: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    val rel = relevant.select("user_id", "item_id").distinct()
+    val nrel = rel.groupBy("user_id").agg(count(lit(1)).as("n_rel"))
+    val hits = recs.select("user_id", "item_id", "rk")
+      .join(rel.withColumn("hit_", lit(1)), Seq("user_id", "item_id"), "left")
+      .withColumn("hit", coalesce(col("hit_"), lit(0)))
+    val cum = hits.withColumn("cum",
+      sum(col("hit")).over(Window.partitionBy(col("user_id")).orderBy(col("rk"))))
+    cum.groupBy("user_id").agg(
+        (sum(col("hit")) / lit(k.toDouble)).as("preck"),
+        (sum(col("cum").cast("double") / col("rk")) / lit(k.toDouble)).as("apk"),
+        sum(col("hit")).as("nhits"))
+      .join(nrel, Seq("user_id"), "left")
+      .withColumn("reck",
+        when(coalesce(col("n_rel"), lit(0L)) > 0,
+          col("nhits").cast("double") / col("n_rel")).otherwise(lit(0.0)))
+      .agg(r4(avg(col("preck"))).as(s"avg_precision_at_$k"),
+        r4(avg(col("reck"))).as(s"avg_recall_at_$k"),
+        r4(avg(col("apk"))).as(s"map_at_$k"))
+  }
+
   /** E6: the 5-fold cross-validation harness as ONE distributed pass —
     * the rebuild of the reference's per-fold CSV-read/fit/score driver
     * loop (Main.scala:61-126). Folds are a deterministic hash of the

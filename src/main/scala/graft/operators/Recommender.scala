@@ -95,10 +95,29 @@ object Recommender {
     * of all-users ones. */
   def userKnnTopK(ratings: DataFrame, kNeighbors: Int, kItems: Int,
                   targetUsers: Option[Column] = None,
-                  kernel: Kernel = Kernel.Cosine): DataFrame = {
+                  kernel: Kernel = Kernel.Cosine): DataFrame =
+    userKnnTopKRestricted(ratings, kNeighbors, kItems,
+      targetUsers.map(p => (df: DataFrame) => df.filter(p)), kernel)
+
+  /** [[userKnnTopK]] for a DataFrame of target users (`user_id`
+    * column) — the Estimator/Model `transform` surface; the cohort
+    * narrows via a broadcast semi-join instead of a predicate. */
+  def userKnnTopKFor(ratings: DataFrame, targets: DataFrame,
+                     kNeighbors: Int, kItems: Int,
+                     kernel: Kernel = Kernel.Cosine): DataFrame =
+    userKnnTopKRestricted(ratings, kNeighbors, kItems, Some(semiJoin(targets)), kernel)
+
+  /** Broadcast-semi-join restriction to `targets.user_id`. */
+  private def semiJoin(targets: DataFrame): DataFrame => DataFrame =
+    df => df.join(broadcast(targets.select(col("user_id")).distinct()),
+      Seq("user_id"), "left_semi")
+
+  private def userKnnTopKRestricted(ratings: DataFrame, kNeighbors: Int, kItems: Int,
+                                    restrict: Option[DataFrame => DataFrame],
+                                    kernel: Kernel): DataFrame = {
     val r = ratings
     val stats = r.groupBy("user_id").agg(avg(col("rating")).as("umean"))
-    val sims = userSims(r, kernel, targetUsers)
+    val sims = userSimsRestricted(r, kernel, restrict)
 
     val wNb = Window.partitionBy(col("u")).orderBy(col("sim").desc, col("v").asc)
     val neighbors = sims.withColumn("nrk", row_number().over(wNb))
@@ -109,7 +128,7 @@ object Recommender {
     // the broadcast. All-users runs: neighbors is |U|·k rows, which at
     // cluster scale must NOT be forced driver-side — no hint, so AQE is
     // free to pick broadcast at bench scale and shuffle-hash beyond it.
-    val nbSide = if (targetUsers.isDefined) neighbors.hint("broadcast") else neighbors
+    val nbSide = if (restrict.isDefined) neighbors.hint("broadcast") else neighbors
     val scores = r.select(col("user_id").as("v"), col("item_id"), col("rating"))
       .join(broadcast(stats.select(col("user_id").as("v"), col("umean").as("vmean"))), Seq("v"))
       .join(nbSide, Seq("v"))
@@ -162,17 +181,25 @@ object Recommender {
     * cohort-sized shuffles); the all-users path aggregates each
     * unordered pair once and mirrors (symmetry of all four kernels). */
   def userSims(ratings: DataFrame, kernel: Kernel = Kernel.Cosine,
-               targetUsers: Option[Column] = None): DataFrame = {
+               targetUsers: Option[Column] = None): DataFrame =
+    userSimsRestricted(ratings, kernel, targetUsers.map(p => (df: DataFrame) => df.filter(p)))
+
+  /** The cohort mechanism under [[userSims]]: `restrict` narrows the
+    * TARGET side only (a predicate filter, or a broadcast semi-join
+    * against a target-id DataFrame for the Estimator/Model surface) —
+    * neighbors always come from the full ratings. */
+  private def userSimsRestricted(ratings: DataFrame, kernel: Kernel,
+                                 restrict: Option[DataFrame => DataFrame]): DataFrame = {
     val r = ratings
     val moments = r.groupBy("user_id").agg(
       sum(col("rating")).as("s"),
       sum(col("rating") * col("rating")).as("q"),
       count(lit(1)).as("n"))
     val b = r.select(col("user_id").as("v"), col("item_id"), col("rating").as("rb"))
-    val dots = targetUsers match {
-      case Some(pred) =>
+    val dots = restrict match {
+      case Some(narrow) =>
         // cohort run: only (target, *) pairs exist — direct form
-        r.filter(pred)
+        narrow(r)
           .select(col("user_id").as("u"), col("item_id"), col("rating").as("ra"))
           .join(b, Seq("item_id"))
           .filter(col("u") =!= col("v"))
@@ -295,12 +322,31 @@ object Recommender {
                   kNeighbors: Int, kItems: Int,
                   simsSource: Option[DataFrame] = None,
                   maxItemsPerUser: Int = Int.MaxValue,
-                  kernel: Kernel = Kernel.Cosine): DataFrame = {
+                  kernel: Kernel = Kernel.Cosine): DataFrame =
+    itemKnnTopKRestricted(ratings, _.filter(targetUsers), kNeighbors, kItems,
+      simsSource, maxItemsPerUser, kernel)
+
+  /** [[itemKnnTopK]] for a DataFrame of target users — the
+    * Estimator/Model `transform` surface. */
+  def itemKnnTopKFor(ratings: DataFrame, targets: DataFrame,
+                     kNeighbors: Int, kItems: Int,
+                     simsSource: Option[DataFrame] = None,
+                     maxItemsPerUser: Int = Int.MaxValue,
+                     kernel: Kernel = Kernel.Cosine): DataFrame =
+    itemKnnTopKRestricted(ratings, semiJoin(targets), kNeighbors, kItems,
+      simsSource, maxItemsPerUser, kernel)
+
+  private def itemKnnTopKRestricted(ratings: DataFrame,
+                                    narrow: DataFrame => DataFrame,
+                                    kNeighbors: Int, kItems: Int,
+                                    simsSource: Option[DataFrame],
+                                    maxItemsPerUser: Int,
+                                    kernel: Kernel): DataFrame = {
     val r = ratings
     val sims = simsSource.getOrElse(itemSims(r, kernel, maxItemsPerUser))
 
     // target cohort's rated items feed the neighbor join on j
-    val tgt = r.filter(targetUsers)
+    val tgt = narrow(r)
       .select(col("user_id").as("u"), col("item_id").as("j"), col("rating").as("r_uj"))
     val cand = tgt.join(sims, Seq("j"))
       .select(col("u"), col("i"), col("j"), col("sim"), col("r_uj"))

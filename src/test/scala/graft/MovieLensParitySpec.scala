@@ -2,14 +2,16 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.Recommender
+import graft.ml.{ContentKnnRecommender, HybridRecommender, KnnRecommender}
+import graft.operators.Evaluation
 
 /** End-to-end parity on the REFERENCE'S OWN data: the MovieLens-100k
   * fold-1 train/test TSVs from /root/reference/data (read-only
   * inputs — the exact files the reference's CV harness consumes,
-  * Main.scala:61-126). Proves a reference user can point this library
-  * at their existing files and run the flagship workload: TSV ingest →
-  * user-kNN predictions scored against the held-out fold. */
+  * Main.scala:61-126), driven through the Estimator/Model surface
+  * (`fit`/`transform`, mirroring RecommenderInterface.scala:27-51).
+  * Proves a reference user can point this library at their existing
+  * files and run every harness shape they run today. */
 class MovieLensParitySpec extends SparkSuite {
 
   private val TRAIN1 = "/root/reference/data/train-fold1.csv"
@@ -20,19 +22,21 @@ class MovieLensParitySpec extends SparkSuite {
     assume(new java.io.File(TRAIN1).exists(),
       s"reference dataset not present at $TRAIN1")
 
+  private def trainDf = Tables.ratingsTsv(spark, TRAIN1)
+    .select(col("user_id"), col("item_id"), col("rating"))
+
   test("fold-1 user-kNN predictions hit sane MovieLens accuracy") {
     requireData()
-    val s = spark
-    val train = Tables.ratingsTsv(s, TRAIN1)
-      .select(col("user_id"), col("item_id"), col("rating"))
-    val test = Tables.ratingsTsv(s, TEST1)
+    val train = trainDf
+    val test = Tables.ratingsTsv(spark, TEST1)
     assert(train.count() == 80000L)
     assert(test.count() == 20000L)
 
-    val preds = Recommender.userPredictOn(train,
+    val model = new KnnRecommender().setUserBased(true).setKNeighbors(25)
+      .fit(train)
+    val preds = model.predictRatings(
       test.select(col("user_id").as("u"), col("item_id"),
-        col("rating").as("actual")),
-      kNeighbors = 25).cache()
+        col("rating").as("actual"))).cache()
 
     val n = preds.count()
     assert(n > 18000L, s"coverage too low: $n of 20000 test pairs") // items unseen in train drop out
@@ -48,14 +52,12 @@ class MovieLensParitySpec extends SparkSuite {
 
   test("fold-1 item-kNN predictions hit sane MovieLens accuracy") {
     requireData()
-    val s = spark
-    val train = Tables.ratingsTsv(s, TRAIN1)
-      .select(col("user_id"), col("item_id"), col("rating"))
-    val test = Tables.ratingsTsv(s, TEST1)
-    val preds = Recommender.itemPredictOn(train,
+    val test = Tables.ratingsTsv(spark, TEST1)
+    val model = new KnnRecommender().setUserBased(false).setKNeighbors(25)
+      .fit(trainDf)
+    val preds = model.predictRatings(
       test.select(col("user_id").as("u"), col("item_id").as("i"),
-        col("rating").as("actual")),
-      kNeighbors = 25).cache()
+        col("rating").as("actual"))).cache()
     assert(preds.count() > 18000L)
     val rmse = preds.agg(
       sqrt(avg(pow(col("actual") - col("predicted"), 2)))).collect()(0).getDouble(0)
@@ -64,29 +66,30 @@ class MovieLensParitySpec extends SparkSuite {
 
   test("fold-1 content-based top-K runs on the reference's genre features") {
     requireData()
-    val s = spark
-    val train = Tables.ratingsTsv(s, TRAIN1)
-      .select(col("user_id"), col("item_id"), col("rating"))
+    val train = trainDf
     // R6: assemble the 19 genre flags into feature vectors
-    val raw = Tables.featuresCsv(s, "/root/reference/data/features.csv")
+    val raw = Tables.featuresCsv(spark, "/root/reference/data/features.csv")
     val feats = raw.select(col("id").as("item_id"),
       array(raw.columns.filter(_ != "id").map(c => col(c).cast("double")): _*)
         .as("fv"))
-    val recs = graft.operators.Content.contentTopK(train, feats,
-      col("user_id") <= 10, kNeighbors = 8, kItems = 5)
+    val model = new ContentKnnRecommender().setKNeighbors(8).setKItems(5)
+      .setItemFeatures(feats)
+      .fit(train)
+    val recs = model.transform(train.filter(col("user_id") <= 10))
     assert(recs.count() == 50L) // 10 users × top-5
     assert(recs.join(train, Seq("user_id", "item_id")).count() == 0L)
   }
 
   test("fold-1 hybrid fusion runs the reference's fourth harness shape") {
     requireData()
-    val s = spark
-    val train = Tables.ratingsTsv(s, TRAIN1)
-      .select(col("user_id"), col("item_id"), col("rating"))
-    val cohort = col("user_id") <= 10
-    val ua = Recommender.userKnnTopK(train, 25, 5, Some(cohort))
-    val ib = Recommender.itemKnnTopK(train, cohort, 25, 5)
-    val fused = graft.operators.Hybrid.fuseTopK(ua, ib, 0.5, 0.5, 5)
+    val train = trainDf
+    val model = new HybridRecommender()
+      .setChildren(
+        new KnnRecommender().setUserBased(true).setKNeighbors(25).setKItems(5),
+        new KnnRecommender().setUserBased(false).setKNeighbors(25).setKItems(5))
+      .setWeightA(0.5).setWeightB(0.5).setKItems(5)
+      .fit(train)
+    val fused = model.transform(train.filter(col("user_id") <= 10))
     assert(fused.count() == 50L) // 10 users × top-5
     assert(fused.join(train, Seq("user_id", "item_id")).count() == 0L)
     // fused rank-1 score is bounded by the sum of weights (both
@@ -97,17 +100,40 @@ class MovieLensParitySpec extends SparkSuite {
 
   test("fold-1 top-K recommendations are deterministic and exclude seen items") {
     requireData()
-    val s = spark
-    val train = Tables.ratingsTsv(s, TRAIN1)
-      .select(col("user_id"), col("item_id"), col("rating"))
+    val train = trainDf
+    val model = new KnnRecommender().setUserBased(true)
+      .setKNeighbors(25).setKItems(5)
+      .fit(train)
+    val targets = train.filter(col("user_id") <= 20).select("user_id")
 
-    // small deterministic cohort keeps the spec fast
-    val recs = Recommender.userKnnTopK(train, kNeighbors = 25, kItems = 5,
-      targetUsers = Some(col("user_id") <= 20)).cache()
+    val recs = model.transform(targets).cache()
     assert(recs.count() == 100L) // 20 users × top-5
     assert(recs.join(train, Seq("user_id", "item_id")).count() == 0L)
-    val again = Recommender.userKnnTopK(train, 25, 5, Some(col("user_id") <= 20))
-      .collect().toSet
+    val again = model.transform(targets).collect().toSet
     assert(again == recs.collect().toSet) // bit-for-bit deterministic
+  }
+
+  test("fold-1 ranking metrics of the real user-kNN land in a sane band") {
+    requireData()
+    val train = trainDf
+    val test = Tables.ratingsTsv(spark, TEST1)
+    // the reference's ranking experiment (Main.scala:96-124): top-10
+    // recommendations scored against the held-out fold's rating ≥ 4.0
+    // relevant sets (E5 threshold)
+    val model = new KnnRecommender().setUserBased(true)
+      .setKNeighbors(25).setKItems(10)
+      .fit(train)
+    val targets = train.filter(col("user_id") <= 200).select("user_id")
+    val recs = model.transform(targets)
+    val relevant = test.filter(col("rating") >= 4.0 && col("user_id") <= 200)
+      .select("user_id", "item_id")
+    val m = Evaluation.rankingMetricsAt(recs, relevant, 10).collect()(0)
+    val (prec, rec, map) = (m.getDouble(0), m.getDouble(1), m.getDouble(2))
+    // plain rating-weighted cosine kNN top-10 on ML-100k: low single
+    // digits precision; zero would mean a broken join, > 0.2 leakage
+    assert(prec > 0.005 && prec < 0.2, s"precision@10 $prec outside band")
+    assert(rec > 0.005 && rec < 0.5, s"recall@10 $rec outside band")
+    assert(map > 0.001 && map < 0.2, s"MAP@10 $map outside band")
+    info(f"precision@10=$prec%.4f recall@10=$rec%.4f MAP@10=$map%.4f")
   }
 }
