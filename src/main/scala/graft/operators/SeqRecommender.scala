@@ -115,7 +115,13 @@ object SeqRecommender {
         .select(col("cluster"), col("item_id"),
           r6(col("cnt").cast("double") / col("nc")).as("w"))
     }
-    val last = (1 to iters).foldLeft(c0)((c, _) => recenter(assign(c)))
+    // each stage consumes its input TWICE (cdim+dots / nc+join), so an
+    // unmaterialized chain re-executes early iterations 2^depth times —
+    // eager localCheckpoint pins each iteration's (small) result once
+    // and truncates lineage, the same lever as q50's dedup rounds
+    val last = (1 to iters).foldLeft(c0.localCheckpoint(true)) { (c, _) =>
+      recenter(assign(c).localCheckpoint(true)).localCheckpoint(true)
+    }
     assign(last)
   }
 
@@ -216,7 +222,18 @@ object SeqRecommender {
       .join(assigned, Seq("t_id"))
       .groupBy(col("cluster"), col("item_id")).agg(count(lit(1)).as("cnt"))
     val seen = trans.select("user_id", "item_id").distinct()
-    val cands = best.join(itemCnt, Seq("cluster"))
+    // EXACT pre-truncation of the user × cluster-catalog fan-out: a
+    // user's top-k unseen candidates all sit within the cluster's
+    // top-(k + maxSeen) ranked items, because at most maxSeen of the
+    // better-ranked ones can be excluded as seen — so the join carries
+    // k+maxSeen rows per user instead of the cluster's whole catalog
+    val maxSeen = seen.groupBy("user_id").count().agg(max("count"))
+      .head().getLong(0)
+    val wCl = Window.partitionBy(col("cluster"))
+      .orderBy(col("cnt").desc, col("item_id").asc)
+    val topItems = itemCnt.withColumn("crk", row_number().over(wCl))
+      .filter(col("crk") <= lit(TOP_K + maxSeen)).drop("crk")
+    val cands = best.join(topItems, Seq("cluster"))
       .join(seen, Seq("user_id", "item_id"), "left_anti")
     val wTop = Window.partitionBy(col("user_id"))
       .orderBy(col("cnt").desc, col("item_id").asc)
