@@ -49,4 +49,41 @@ class StorageSpec extends SparkSuite {
       scan.contains("part_key"), s"no partition pruning:\n$scan")
     assert(pruned.count() == 100)
   }
+
+  test("user-kNN broadcast hint fires on the cohort path ONLY") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val r = Seq((1, 1, 5.0), (1, 2, 3.0), (2, 1, 4.0), (2, 3, 4.0),
+      (3, 2, 5.0), (3, 3, 3.0)).toDF("user_id", "item_id", "rating")
+    def hints(df: org.apache.spark.sql.DataFrame): Int = {
+      var n = 0
+      df.queryExecution.analyzed.foreach {
+        case _: ResolvedHint => n += 1
+        case _ => ()
+      }
+      n
+    }
+    val allUsers = operators.Recommender.userKnnTopK(r, 2, 2)
+    val cohort = operators.Recommender.userKnnTopK(r, 2, 2,
+      targetUsers = Some(col("user_id") === 1))
+    // identical pipelines except the |targets|·k neighbors hint, which
+    // must NOT be forced on the all-users path (it would override AQE
+    // and broadcast |U|·k rows at cluster scale)
+    assert(hints(cohort) == hints(allUsers) + 1,
+      s"expected exactly one extra (neighbors) hint on the cohort path: " +
+        s"cohort=${hints(cohort)} allUsers=${hints(allUsers)}")
+  }
+
+  test("q27 runs no unpartitioned window (TakeOrdered replaces it)") {
+    val df = SparkEntry.queries("q27_eval_metrics")(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.execution.window.WindowExec
+    var bad = 0
+    df.queryExecution.executedPlan.foreach {
+      case w: WindowExec if w.partitionSpec.isEmpty => bad += 1
+      case _ => ()
+    }
+    assert(bad == 0, s"$bad unpartitioned WindowExec node(s) in q27's plan")
+    assert(df.count() == 1)
+  }
 }
