@@ -401,7 +401,14 @@ object Relational {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+      // the grand-total row folds the WHOLE fact table into one sum —
+      // at ~1e10 magnitude double accumulation order shifts the 4th
+      // decimal between engines (seen at sf0.1), so money sums
+      // accumulate in DECIMAL: per-term quantization at 8 dp is far
+      // outside double noise, and decimal addition is exact and
+      // order-independent at any scale
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,8)")), 4).cast("double")
         .as("revenue"),
         count(lit(1)).as("n_rows"))
       .select(coalesce(col("r_name"), lit("<all>")).as("r_name"),

@@ -30,7 +30,8 @@ object Sequential {
     "q34_kmeans_assign" -> q34,
     "q35_freq_itemsets" -> q35,
     "q36_seq_transform" -> q36,
-    "q46_period_join" -> q46
+    "q46_period_join" -> q46,
+    "q60_prefixspan" -> q60
   )
 
   val NUM_PERIODS = 8
@@ -236,6 +237,42 @@ object Sequential {
         concat_ws(",", transform(sort_array(col("items")), x => x.cast("string")))
           .as("itemset"),
         size(col("items")).as("set_size"),
+        col("freq"))
+  }
+
+  val PS_MIN_SUPPORT = 0.05
+
+  /** The principled sequence-rule alternative SURVEY §2.10 R8 names:
+    * `ml.fpm.PrefixSpan` over per-user DAY-ordered event-type itemsets
+    * (the classic clickstream-pattern workload). Emitted patterns are
+    * capped at 2 items — the slice an exact SQL oracle can recount by
+    * enumeration (singletons, same-day pairs, ordered-day pairs; the
+    * same capped-slice idea as q35/q58's rule mining). Pattern
+    * encoding: itemsets sorted and joined by ",", itemsets separated
+    * by ";" — so "a,b" is one-day co-occurrence, "a;b" is a→b across
+    * days (a;a is a legal repeat). Support counts SEQUENCES (users)
+    * containing the pattern, minCount = ceil(minSupport·n) exactly as
+    * mllib's PrefixSpan computes it. */
+  private def q60(spark: SparkSession, dir: String): DataFrame = {
+    val de = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .distinct()
+    val daySets = de.groupBy("user_id", "day")
+      .agg(sort_array(collect_set(col("event_type"))).as("s"))
+    val seqs = daySets.groupBy("user_id")
+      .agg(transform(array_sort(collect_list(struct(col("day"), col("s")))),
+        x => x.getField("s")).as("sequence"))
+    new org.apache.spark.ml.fpm.PrefixSpan()
+      .setMinSupport(PS_MIN_SUPPORT)
+      .setMaxPatternLength(2)
+      .setSequenceCol("sequence")
+      .findFrequentSequentialPatterns(seqs.select("sequence"))
+      // belt-and-braces: the oracle enumerates item-count ≤ 2 patterns
+      .filter(size(flatten(col("sequence"))) <= 2)
+      .select(
+        concat_ws(";", transform(col("sequence"),
+          s => concat_ws(",", sort_array(s)))).as("pattern"),
+        size(flatten(col("sequence"))).cast("int").as("n_items"),
         col("freq"))
   }
 

@@ -224,7 +224,8 @@ object RelationalSql {
     "q55_revenue_rollup" ->
       """SELECT COALESCE(r_name, '<all>') AS r_name,
         |       COALESCE(n_name, '<all>') AS n_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                           AS DECIMAL(30,8))), 4) AS DOUBLE) AS revenue,
         |       count(*) AS n_rows
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey

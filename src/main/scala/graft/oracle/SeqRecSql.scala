@@ -51,6 +51,38 @@ object SeqRecSql {
        |  JOIN nc_$name n ON n.cluster = x.cluster)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // PrefixSpan's item-count-≤2 slice by exact enumeration: <{a}> =
+    // users with an a-day; <{a,b}> = users with a day holding both;
+    // <{a},{b}> = users with an a-day strictly before a b-day (a = b
+    // allowed). freq counts sequences (users); minCount mirrors
+    // mllib's ceil(minSupport · n).
+    "q60_prefixspan" ->
+      s"""WITH de AS MATERIALIZED (
+         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+         |  FROM events),
+         |n AS (SELECT count(DISTINCT user_id) AS cnt FROM de),
+         |minc AS (SELECT CAST(ceil(0.05 * cnt) AS BIGINT) AS mc FROM n),
+         |p1 AS (
+         |  SELECT event_type AS pattern, 1 AS n_items,
+         |         count(DISTINCT user_id) AS freq
+         |  FROM de GROUP BY 1),
+         |p2same AS (
+         |  SELECT x.event_type || ',' || y.event_type AS pattern, 2 AS n_items,
+         |         count(DISTINCT x.user_id) AS freq
+         |  FROM de x JOIN de y ON y.user_id = x.user_id AND y.day = x.day
+         |    AND x.event_type < y.event_type
+         |  GROUP BY 1),
+         |p2ord AS (
+         |  SELECT x.event_type || ';' || y.event_type AS pattern, 2 AS n_items,
+         |         count(DISTINCT x.user_id) AS freq
+         |  FROM de x JOIN de y ON y.user_id = x.user_id AND y.day > x.day
+         |  GROUP BY 1)
+         |SELECT pattern, CAST(n_items AS INTEGER) AS n_items, freq FROM (
+         |  SELECT * FROM p1 UNION ALL
+         |  SELECT * FROM p2same UNION ALL
+         |  SELECT * FROM p2ord)
+         |WHERE freq >= (SELECT mc FROM minc)""".stripMargin,
+
     "q58_seq_recommend" ->
       s"""WITH bounds AS (
          |  SELECT min(o_orderdate) AS dmin, max(o_orderdate) AS dmax FROM orders),
