@@ -60,9 +60,16 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-01"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 4).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        // money/quantity sums accumulate in DECIMAL (exact,
+        // order-independent) — at cluster scale the double sum's
+        // accumulation-order noise crosses the 4-dp boundary (seen on
+        // q55's grand total at sf0.1); bounded-magnitude avgs stay double
+        round(sum(col("l_quantity").cast("decimal(30,8)")), 4)
+          .cast("double").as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(30,8)")), 4)
+          .cast("double").as("sum_base_price"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,8)")), 4).cast("double").as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -93,7 +100,8 @@ object Relational {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,8)")), 4).cast("double").as("revenue"),
         countDistinct(col("o_orderkey")).as("n_orders"))
   }
 

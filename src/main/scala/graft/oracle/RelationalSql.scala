@@ -11,9 +11,9 @@ object RelationalSql {
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 4) AS sum_qty,
-        |       round(sum(l_extendedprice), 4) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |       CAST(round(sum(CAST(l_quantity AS DECIMAL(30,8))), 4) AS DOUBLE) AS sum_qty,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,8))), 4) AS DOUBLE) AS sum_base_price,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 4) AS DOUBLE) AS sum_disc_price,
         |       round(avg(l_quantity), 4) AS avg_qty,
         |       round(avg(l_discount), 4) AS avg_disc,
         |       count(*) AS count_order
@@ -31,7 +31,7 @@ object RelationalSql {
 
     "q03_revenue_by_nation" ->
       """SELECT r_name, n_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 4) AS DOUBLE) AS revenue,
         |       count(DISTINCT o_orderkey) AS n_orders
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
