@@ -68,6 +68,18 @@ object EventStreams {
       .select(col("window.start").as("w_start"), col("user_id"),
         col("basket"), col("n_events"))
 
+  /** Streaming exact dedup — the §2.12 face of the Dedup family
+    * (operators/Dedup.scala q18 is the batch twin): duplicate
+    * `event_id`s arriving within the watermark horizon are dropped
+    * incrementally. `dropDuplicatesWithinWatermark` keeps ONE state
+    * entry per key and expires it with the watermark, so state is
+    * bounded by arrival-rate × watermark — never "all keys ever seen"
+    * (which plain streaming dropDuplicates would accumulate). Exactly
+    * the ingest-dedup posture a 100-TB pipeline needs at the door. */
+  def dedupEventStream(events: DataFrame, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom state (§2.12's `flatMapGroupsWithState` surface):
     * gap-based sessionization of the per-user event stream. A session
     * closes — and emits one [[UserSession]] row — once the WATERMARK

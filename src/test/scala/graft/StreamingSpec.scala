@@ -150,6 +150,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dedupEventStream drops duplicate ids within the watermark, across batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams.dedupEventStream(
+        mem.toDF.toDF("event_id", "ts", "event_type"), "10 minutes")
+      .writeStream.format("memory").queryName("evt_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(
+        (1L, ts("2024-06-01 10:00:00"), "view"),
+        (2L, ts("2024-06-01 10:00:05"), "click"),
+        (1L, ts("2024-06-01 10:00:00"), "view"))) // same-batch dup
+      q.processAllAvailable()
+      mem.addData(Seq(
+        (1L, ts("2024-06-01 10:01:00"), "view"),  // cross-batch dup, inside watermark
+        (3L, ts("2024-06-01 10:02:00"), "purchase")))
+      q.processAllAvailable()
+
+      val ids = sp.sql("SELECT event_id FROM evt_dedup ORDER BY event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("readEventStream file source reproduces the batch q06-shape counts") {
     val sp = spark
     // stage the table into a fresh ingest dir (the file-source contract
