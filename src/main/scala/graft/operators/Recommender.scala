@@ -95,9 +95,11 @@ object Recommender {
     * of all-users ones. */
   def userKnnTopK(ratings: DataFrame, kNeighbors: Int, kItems: Int,
                   targetUsers: Option[Column] = None,
-                  kernel: Kernel = Kernel.Cosine): DataFrame =
+                  kernel: Kernel = Kernel.Cosine,
+                  maxRatersPerItem: Int = Int.MaxValue): DataFrame =
     userKnnTopKRestricted(ratings, kNeighbors, kItems,
-      targetUsers.map(p => (df: DataFrame) => df.filter(p)), kernel)
+      targetUsers.map(p => (df: DataFrame) => df.filter(p)), kernel,
+      maxRatersPerItem)
 
   /** [[userKnnTopK]] for a DataFrame of target users (`user_id`
     * column) — the Estimator/Model `transform` surface; the cohort
@@ -114,10 +116,11 @@ object Recommender {
 
   private def userKnnTopKRestricted(ratings: DataFrame, kNeighbors: Int, kItems: Int,
                                     restrict: Option[DataFrame => DataFrame],
-                                    kernel: Kernel): DataFrame = {
+                                    kernel: Kernel,
+                                    maxRatersPerItem: Int = Int.MaxValue): DataFrame = {
     val r = ratings
     val stats = r.groupBy("user_id").agg(avg(col("rating")).as("umean"))
-    val sims = userSimsRestricted(r, kernel, restrict)
+    val sims = userSimsRestricted(r, kernel, restrict, maxRatersPerItem)
 
     val wNb = Window.partitionBy(col("u")).orderBy(col("sim").desc, col("v").asc)
     val neighbors = sims.withColumn("nrk", row_number().over(wNb))
@@ -181,16 +184,21 @@ object Recommender {
     * cohort-sized shuffles); the all-users path aggregates each
     * unordered pair once and mirrors (symmetry of all four kernels). */
   def userSims(ratings: DataFrame, kernel: Kernel = Kernel.Cosine,
-               targetUsers: Option[Column] = None): DataFrame =
-    userSimsRestricted(ratings, kernel, targetUsers.map(p => (df: DataFrame) => df.filter(p)))
+               targetUsers: Option[Column] = None,
+               maxRatersPerItem: Int = Int.MaxValue): DataFrame =
+    userSimsRestricted(ratings, kernel,
+      targetUsers.map(p => (df: DataFrame) => df.filter(p)), maxRatersPerItem)
 
   /** The cohort mechanism under [[userSims]]: `restrict` narrows the
     * TARGET side only (a predicate filter, or a broadcast semi-join
     * against a target-id DataFrame for the Estimator/Model surface) —
     * neighbors always come from the full ratings. */
   private def userSimsRestricted(ratings: DataFrame, kernel: Kernel,
-                                 restrict: Option[DataFrame => DataFrame]): DataFrame = {
-    val r = ratings
+                                 restrict: Option[DataFrame => DataFrame],
+                                 maxRatersPerItem: Int = Int.MaxValue): DataFrame = {
+    // the cap bounds the viral-item pair fan-out ([[capPerItem]]);
+    // moments run over the capped rows so the table is self-consistent
+    val r = capPerItem(ratings, maxRatersPerItem)
     val moments = r.groupBy("user_id").agg(
       sum(col("rating")).as("s"),
       sum(col("rating") * col("rating")).as("q"),
@@ -242,6 +250,20 @@ object Recommender {
         .orderBy(col("rating").desc, col("item_id").asc)
       ratings.withColumn("cap_rk", row_number().over(w))
         .filter(col("cap_rk") <= maxItems).drop("cap_rk")
+    }
+
+  /** The transposed heavy-key cap: truncate each ITEM's rater list to
+    * its top-`maxRaters` rows by (rating desc, user_id asc) before the
+    * user-user pair join — the user-side fan-out is Σᵢ m(i)², unbounded
+    * on viral items exactly as [[capPerUser]]'s is on power users.
+    * `Int.MaxValue` (default everywhere) keeps the exact path. */
+  def capPerItem(ratings: DataFrame, maxRaters: Int): DataFrame =
+    if (maxRaters == Int.MaxValue) ratings
+    else {
+      val w = Window.partitionBy(col("item_id"))
+        .orderBy(col("rating").desc, col("user_id").asc)
+      ratings.withColumn("cap_rk", row_number().over(w))
+        .filter(col("cap_rk") <= maxRaters).drop("cap_rk")
     }
 
   /** Mirror an `i < j` half similarity table (e.g. [[itemSimsDimsum]]

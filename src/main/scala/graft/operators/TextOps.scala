@@ -22,8 +22,15 @@ object TextOps {
     "q25_lang_id" -> q25,
     "q26_doc_fingerprint" -> q26,
     "q47_token_count" -> q47,
-    "q48_bigram_lang_id" -> q48
+    "q48_bigram_lang_id" -> q48,
+    "q61_repetition_stats" -> q61
   )
+
+  /** Gopher-rule repetition threshold: a doc whose single most common
+    * word 2-gram covers > 18% of its 2-grams is flagged repetitive
+    * (the published Gopher quality-filter rule for top-2-gram
+    * character fraction, applied here on the count fraction). */
+  val TOP_BIGRAM_REPETITIVE = 0.18
 
   val STOPWORDS = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
@@ -116,6 +123,36 @@ object TextOps {
       when(nBpe === 0, lit(null).cast("double"))
         .otherwise(r4(col("n_chars").cast("double") / nBpe.cast("double")))
         .as("chars_per_bpe_token"))
+  }
+
+  /** Repetition / diversity quality signals per document — the
+    * Gopher-style repetition filters an LLM-corpus pipeline runs after
+    * dedup: most-common-word fraction, distinct-word ratio and
+    * most-common word-2-gram fraction, with the published
+    * top-2-gram > [[TOP_BIGRAM_REPETITIVE]] flag. All keyed aggs over
+    * exploded tokens (positions only feed the 2-gram self-join on
+    * pos+1) — one shuffle per statistic family at any corpus size. */
+  private def q61(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(VectorFns.tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+    val wagg = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"), max(col("c")).as("top_w"))
+    val nxt = toks.select(col("doc_id"), (col("pos") - 1).as("pos"),
+      col("w").as("w2"))
+    val bagg = toks.join(nxt, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id"), concat(col("w"), lit(" "), col("w2")).as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum(col("c")).as("n_bigrams"),
+        max(col("c")).as("top_bg"))
+    val topBgFrac = r4(col("top_bg").cast("double") / col("n_bigrams"))
+    wagg.join(bagg, Seq("doc_id"), "left") // 1-word docs: NULL 2-gram stats
+      .select(col("doc_id"), col("n_words"),
+        r4(col("top_w").cast("double") / col("n_words")).as("top_word_frac"),
+        r4(col("n_distinct").cast("double") / col("n_words")).as("distinct_ratio"),
+        topBgFrac.as("top_bigram_frac"),
+        (topBgFrac > TOP_BIGRAM_REPETITIVE).as("repetitive"))
   }
 
   val BIGRAM_PROFILE_SIZE = 20

@@ -75,6 +75,41 @@ object TextSql {
          |             * 10000.0 + 0.5) / 10000.0 AS chars_per_bpe_token
          |FROM documents""".stripMargin,
 
+    // Gopher-style repetition stats: positional tokens → per-word
+    // counts and adjacent-pair (2-gram) counts; fractions 4-dp rounded
+    // BEFORE the 0.18 repetitive flag so the comparison is boundary-
+    // stable in both engines. 1-word docs have NULL 2-gram stats.
+    "q61_repetition_stats" ->
+      s"""WITH toks0 AS MATERIALIZED (
+         |  SELECT doc_id, ${SqlFragments.tokensSql("lower(trim(text))")} AS tk
+         |  FROM documents),
+         |toks AS MATERIALIZED (
+         |  SELECT doc_id, i AS pos, tk[i] AS w
+         |  FROM toks0, UNNEST(generate_series(1, len(tk))) AS u(i)),
+         |wagg AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         |         count(*) AS n_distinct, max(c) AS top_w
+         |  FROM (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |bagg AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bg
+         |  FROM (
+         |    SELECT a.doc_id, a.w || ' ' || b.w AS g, count(*) AS c
+         |    FROM toks a
+         |    JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1)
+         |SELECT w.doc_id, w.n_words,
+         |       floor(CAST(w.top_w AS DOUBLE) / w.n_words * 10000.0 + 0.5)
+         |         / 10000.0 AS top_word_frac,
+         |       floor(CAST(w.n_distinct AS DOUBLE) / w.n_words * 10000.0 + 0.5)
+         |         / 10000.0 AS distinct_ratio,
+         |       floor(CAST(b.top_bg AS DOUBLE) / b.n_bigrams * 10000.0 + 0.5)
+         |         / 10000.0 AS top_bigram_frac,
+         |       (floor(CAST(b.top_bg AS DOUBLE) / b.n_bigrams * 10000.0 + 0.5)
+         |         / 10000.0 > 0.18) AS repetitive
+         |FROM wagg w LEFT JOIN bagg b ON b.doc_id = w.doc_id""".stripMargin,
+
     "q48_bigram_lang_id" ->
       s"""WITH docs AS (
          |  SELECT doc_id, lang, ${SqlFragments.normTextSql("text")} AS t

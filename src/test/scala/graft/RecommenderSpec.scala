@@ -156,6 +156,19 @@ class RecommenderSpec extends SparkSuite {
     exact.unpersist(); capped.unpersist()
   }
 
+  test("user-side heavy-key cap: no-op above max raters, sane below") {
+    // max raters per item in the fixture is 3 (item 2) — cap at 3 is
+    // exact; cap at 2 truncates item 2's rater list but still
+    // recommends for every user
+    val exact = Recommender.userKnnTopK(tiny, 2, 2)
+      .collect().map(_.toSeq).toSet
+    val capFull = Recommender.userKnnTopK(tiny, 2, 2, maxRatersPerItem = 3)
+      .collect().map(_.toSeq).toSet
+    assert(capFull == exact)
+    val capped = Recommender.userKnnTopK(tiny, 2, 2, maxRatersPerItem = 2)
+    assert(capped.select("user_id").distinct().count() >= 2)
+  }
+
   test("recommendations never include already-rated items") {
     val rated = tiny.select(col("user_id"), col("item_id"))
     val recs = Recommender.userKnnTopK(tiny, 2, 4)
