@@ -131,11 +131,15 @@ object Dedup {
     * the canonical (minimum) doc id. Deterministic regardless of
     * iteration count because it runs to convergence. */
   private def q50(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val pairs = q20(spark, dir)
       .filter(col("jaccard") >= CLUSTER_JACCARD)
       .select(col("doc_a"), col("doc_b"))
-    connectedComponents(docs, pairs)
+    // only edge ENDPOINTS can land in a >1-doc cluster, and singletons
+    // are filtered below — so the label iteration runs over the (small)
+    // near-dup node set, not the whole corpus
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    connectedComponents(nodes, pairs)
       .groupBy(col("label").as("canonical_id"))
       .agg(count(lit(1)).as("n_docs"),
         concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),

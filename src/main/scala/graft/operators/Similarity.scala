@@ -169,27 +169,42 @@ object Similarity {
     * ONLY its own cell (probe=1). At 100 TB the cell assignment is the
     * partition key, so a query touches 1/k of the corpus instead of
     * broadcasting against all of it. */
-  private def q42(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val cents = e.filter(col("vec_id").isin(IVF_SEEDS: _*))
+  private def q42(spark: SparkSession, dir: String): DataFrame =
+    ivfTopK(emb(spark, dir), col("vec_id") % 25 === 0, IVF_SEEDS,
+      probes = 1, k = IVF_TOP_K)
+
+  /** Reusable library surface: multiprobe IVF ANN over a
+    * `(vec_id, v: array<double>)` corpus. The codebook coarse-
+    * quantizes every vector into its nearest cell (one broadcast +
+    * keyed argmin); each query vector (selected by `queryPred`)
+    * searches its `probes` NEAREST cells — probe-1 is the q42 shape
+    * (1/k of the corpus per query), and each extra probe buys recall
+    * for proportional extra scan, the standard IVF trade (recall is
+    * quantified against the exact baseline in AnnRecallSpec). Cell
+    * assignment stays the partition key at any corpus size. */
+  def ivfTopK(e: DataFrame, queryPred: Column, seedIds: Seq[Long],
+              probes: Int, k: Int): DataFrame = {
+    val cents = e.filter(col("vec_id").isin(seedIds: _*))
       .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
-    val sqDist = sqDistArr _
     val wAsg = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2").asc, col("cell").asc)
-    val cells = e.crossJoin(broadcast(cents))
+    val ranked = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("cell"),
-        r6(sqDist(col("v"), col("cv"))).as("d2"))
-      .withColumn("rk", row_number().over(wAsg)).filter(col("rk") === 1)
+        r6(sqDistArr(col("v"), col("cv"))).as("d2"))
+      .withColumn("crk", row_number().over(wAsg))
+    val cells = ranked.filter(col("crk") === 1)
       .select(col("vec_id"), col("v"), col("cell"))
-    val q = cells.filter(col("vec_id") % 25 === 0)
+    // a query probes its `probes` nearest cells; a corpus vector lives
+    // in exactly its nearest — so probe-1 searches the query's own cell
+    val qprobe = ranked.filter(queryPred && col("crk") <= probes)
       .select(col("cell"), col("vec_id").as("q_id"), col("v").as("qv"))
-    val pairs = cells.join(q, Seq("cell"))
+    val pairs = cells.join(qprobe, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("cell"), col("vec_id").as("n_id"),
         r6(cosineArr(col("qv"), col("v"))).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
     pairs.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= IVF_TOP_K)
+      .filter(col("rk") <= k)
       .select(col("q_id"), col("cell"), col("n_id"), r4(col("cos")).as("cosine"), col("rk"))
   }
 }

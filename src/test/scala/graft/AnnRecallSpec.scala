@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Quantifies the ANN approximation trade the Similarity operators
+  * document: IVF probe-1 (q42) against the exact broadcast baseline
+  * (q22) on the same queries. The assertion pins a recall floor so a
+  * regression in the cell assignment or codebook seeding shows up as
+  * a test failure, not a silent quality drop. */
+class AnnRecallSpec extends SparkSuite {
+
+  test("multiprobe IVF recall climbs with probes vs the exact baseline") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // exact top-5 = the first 5 ranks of the exact top-10 baseline
+    val exact = SparkEntry.queries("q22_ann_cosine")(spark, dir)
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("n_id")).cache()
+    val nExact = exact.count()
+
+    def recallAt(probes: Int): Double = {
+      val ivf = graft.operators.Similarity.ivfTopK(e,
+        col("vec_id") % 25 === 0, graft.operators.Similarity.IVF_SEEDS,
+        probes, k = 5)
+      exact.join(ivf, Seq("q_id", "n_id")).count().toDouble / nExact
+    }
+    val r1 = recallAt(1); val r3 = recallAt(3); val r8 = recallAt(8)
+    info(f"IVF recall@5: probe1=$r1%.3f probe3=$r3%.3f probe8=$r8%.3f")
+    // uniform synthetic embeddings are IVF's WORST case (no cluster
+    // structure), so probe-1 recall is low by construction — the
+    // contract is monotone improvement and exactness at full probing
+    assert(r1 > 0.1, s"probe-1 recall $r1 implausibly low")
+    assert(r3 >= r1, s"recall fell with more probes: $r1 -> $r3")
+    assert(math.abs(r8 - 1.0) < 1e-9,
+      s"probing ALL 8 cells must equal the exact baseline, got $r8")
+    exact.unpersist()
+  }
+}
