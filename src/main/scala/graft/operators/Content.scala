@@ -34,11 +34,32 @@ object Content {
   val K_NEIGHBORS = 8
   val K_ITEMS = 5
 
-  /** Feature-kernel column over (vi, vj): 6-dp cosine with the K5
+  /** The DENSE-vector form of the K1-K4 kernel SPI for feature
+    * vectors (the reference's `setSimilarity` applies to the
+    * content recommender too, ContentRecommender.scala); K2's mean is
+    * the whole-vector mean — natural on dense arrays. */
+  def featureKernel(kernel: Kernel, a: Column, b: Column): Column = kernel match {
+    case Kernel.Cosine => cosineArr(a, b)
+    case Kernel.Pearson =>
+      val n = size(a).cast("double")
+      val ma = graft.functions.VectorFns.sumArr(a) / n
+      val mb = graft.functions.VectorFns.sumArr(b) / n
+      (graft.functions.VectorFns.dotArr(a, b) - n * ma * mb) /
+        (sqrt(graft.functions.VectorFns.sqNorm(a) - n * ma * ma) *
+          sqrt(graft.functions.VectorFns.sqNorm(b) - n * mb * mb))
+    case Kernel.Jaccard =>
+      val inter = size(filter(zip_with(a, b, (x, y) => x > 0 && y > 0), p => p))
+      val union = size(filter(zip_with(a, b, (x, y) => x > 0 || y > 0), p => p))
+      when(union === 0, lit(0.0))
+        .otherwise(inter.cast("double") / union.cast("double"))
+    case Kernel.InvEuclidean => invEuclideanArr(a, b)
+  }
+
+  /** Feature-kernel column over (vi, vj): the 6-dp kernel with the K5
     * inverse-Euclidean fallback on exact zero — the ONE definition both
     * the top-K and rating-predict paths rank with. */
-  private def k5FeatureSim: Column = {
-    val sim0 = r6(cosineArr(col("vi"), col("vj")))
+  private def k5FeatureSim(kernel: Kernel = Kernel.Cosine): Column = {
+    val sim0 = r6(featureKernel(kernel, col("vi"), col("vj")))
     when(sim0 === 0.0, r6(invEuclideanArr(col("vi"), col("vj")))).otherwise(sim0)
   }
 
@@ -90,7 +111,7 @@ object Content {
     val pairs = cohort.join(rated, Seq("u"))
       .filter(col("j") =!= col("i"))
       .select(col("u"), col("i"), col("actual"), col("j"),
-        k5FeatureSim.as("sim"), col("r_uj"))
+        k5FeatureSim().as("sim"), col("r_uj"))
 
     neighborAgg(pairs, Seq("u", "i", "actual"), K_NEIGHBORS)
       .select(col("u").as("user_id"), col("i").as("item_id"),
@@ -102,22 +123,25 @@ object Content {
   /** Reusable library surface: content-based top-N over long-form
     * ratings plus an item-feature DataFrame `(item_id, fv)`. */
   def contentTopK(ratings: DataFrame, features: DataFrame,
-                  targetUsers: Column, kNeighbors: Int, kItems: Int): DataFrame =
+                  targetUsers: Column, kNeighbors: Int, kItems: Int,
+                  kernel: Kernel = Kernel.Cosine): DataFrame =
     contentTopKRestricted(ratings, features, _.filter(targetUsers),
-      kNeighbors, kItems)
+      kNeighbors, kItems, kernel)
 
   /** [[contentTopK]] for a DataFrame of target users (`user_id`
     * column) — the Estimator/Model `transform` surface. */
   def contentTopKFor(ratings: DataFrame, features: DataFrame,
-                     targets: DataFrame, kNeighbors: Int, kItems: Int): DataFrame =
+                     targets: DataFrame, kNeighbors: Int, kItems: Int,
+                     kernel: Kernel = Kernel.Cosine): DataFrame =
     contentTopKRestricted(ratings, features,
       _.join(broadcast(targets.select(col("user_id")).distinct()),
         Seq("user_id"), "left_semi"),
-      kNeighbors, kItems)
+      kNeighbors, kItems, kernel)
 
   private def contentTopKRestricted(ratings: DataFrame, features: DataFrame,
                                     narrow: DataFrame => DataFrame,
-                                    kNeighbors: Int, kItems: Int): DataFrame = {
+                                    kNeighbors: Int, kItems: Int,
+                                    kernel: Kernel = Kernel.Cosine): DataFrame = {
     val rated = narrow(ratings)
       .select(col("user_id").as("u"), col("item_id").as("j"), col("rating").as("r_uj"))
       .join(features.select(col("item_id").as("j"), col("fv").as("vj")), Seq("j"))
@@ -131,7 +155,7 @@ object Content {
     // per-user candidate × rated grid, keyed on u — local to each block
     val pairs = cand.join(rated, Seq("u"))
       .filter(col("i") =!= col("j"))
-      .select(col("u"), col("i"), col("j"), k5FeatureSim.as("sim"), col("r_uj"))
+      .select(col("u"), col("i"), col("j"), k5FeatureSim(kernel).as("sim"), col("r_uj"))
 
     val scored = neighborAgg(pairs, Seq("u", "i"), kNeighbors)
       .select(col("u"), col("i"), r4(col("num") / col("den")).as("score"))

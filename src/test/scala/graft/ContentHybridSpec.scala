@@ -44,4 +44,24 @@ class ContentHybridSpec extends SparkSuite {
     // item 12: 1/2·0.4 = 0.2 — fusion reorders: 11 beats 10
     assert(got == Seq((11, 0.7, 1), (10, 0.6, 2), (12, 0.2, 3)))
   }
+
+  test("contentTopK runs under every kernel of the SPI (K5 fallback intact)") {
+    import graft.operators.Kernel
+    val dir = "/root/testdata/sf0.001"
+    val r = graft.sources.Tables.ratings(spark, dir)
+    val feats = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("item_id"),
+        col("embedding").cast("array<double>").as("fv"))
+    val cohort = col("user_id") % 50 === 0
+    val counts = Seq(Kernel.Cosine, Kernel.Pearson, Kernel.Jaccard,
+      Kernel.InvEuclidean).map { k =>
+      val recs = Content.contentTopK(r, feats, cohort, 8, 5, k)
+      val n = recs.count()
+      assert(recs.join(r, Seq("user_id", "item_id")).count() == 0, s"$k leaked seen items")
+      k -> n
+    }
+    // every kernel produces a full top-5 slate for the same cohort
+    assert(counts.map(_._2).distinct == Seq(counts.head._2), s"counts varied: $counts")
+    assert(counts.head._2 > 0)
+  }
 }
