@@ -131,9 +131,14 @@ object Dedup {
     * the canonical (minimum) doc id. Deterministic regardless of
     * iteration count because it runs to convergence. */
   private def q50(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the (tiny) verified pair list ONCE — nodes and the
+    // symmetrized edge list each branch off it twice, and without this
+    // checkpoint every branch re-runs the whole shingle→minhash→verify
+    // pipeline (4× the q20 cost, measured dominating the query)
     val pairs = q20(spark, dir)
       .filter(col("jaccard") >= CLUSTER_JACCARD)
       .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
     // only edge ENDPOINTS can land in a >1-doc cluster, and singletons
     // are filtered below — so the label iteration runs over the (small)
     // near-dup node set, not the whole corpus
