@@ -462,9 +462,14 @@ object Relational {
     * gap to the previous event exceeds 30 min), then one keyed agg per
     * session. Two per-user windows + one agg — every stage keyed on
     * user_id, no global sort. */
-  private def q57(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+  private def q57(spark: SparkSession, dir: String): DataFrame =
+    sessionizeBatch(Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type")))
+
+  /** Reusable library surface for the batch sessionizer over any
+    * `(event_id, user_id, ts, event_type)` DataFrame — q57's body;
+    * property-checked against a brute-force model in PropertySpec. */
+  def sessionizeBatch(ev: DataFrame): DataFrame = {
     val wSeq = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
     val withGap = ev.withColumn("prev_ts", lag(col("ts"), 1).over(wSeq))
