@@ -54,7 +54,8 @@ object Recommender {
     "q30_user_rating_predict" -> q30,
     "q31_item_rating_predict" -> q31,
     "q45_user_profiles" -> q45,
-    "q59_user_knn_pearson" -> q59
+    "q59_user_knn_pearson" -> q59,
+    "q17b_item_knn_dimsum" -> q17b
   )
 
   val K_NEIGHBORS = 25 // reference flagship k (Main.scala:351-352)
@@ -387,6 +388,21 @@ object Recommender {
     scored.withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= kItems)
       .select(col("u").as("user_id"), col("i").as("item_id"), col("score"), col("rk"))
+  }
+
+  /** q17's DIMSUM twin — the documented 100-TB path run as an actual
+    * query: magnitude-pruned sampled similarities
+    * ([[itemSimsDimsum]], threshold 0.3) slot into the same cohort
+    * pipeline through `simsSource`. Approximate (sampling), so
+    * shape-gated like q05b — no SQL oracle, rows-only check; the
+    * threshold-0 exactness is spec-proven in RecommenderSpec. */
+  private def q17b(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.{r6 => rr6}
+    val r = Tables.ratingsCached(spark, dir)
+    val sims = mirrorSims(itemSimsDimsum(r, threshold = 0.3))
+      .select(col("i"), col("j"), rr6(col("sim")).as("sim"))
+    itemKnnTopK(r, col("user_id") % 20 === 0, K_ITEM_NEIGHBORS, K_ITEMS,
+      simsSource = Some(sims))
   }
 
   /** R2: user-based rating prediction for the `user_id % 17 = 3`
