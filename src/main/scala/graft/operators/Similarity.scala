@@ -27,7 +27,8 @@ object Similarity {
     "q23_kernel_matrix" -> q23,
     "q41_emb_neardup" -> q41,
     "q42_ivf_ann" -> q42,
-    "q49_neardup_banded" -> q49
+    "q49_neardup_banded" -> q49,
+    "q62_embed_quantize" -> q62
   )
 
   val NUM_SIGN_BANDS = 4
@@ -100,6 +101,35 @@ object Similarity {
         r4(invEuc).as("inv_euclid"),
         // K5: fallback fires on exact zero similarity only
         r4(when(cos === 0.0, invEuc).otherwise(cos)).as("sim_k5"))
+  }
+
+  /** Symmetric int8 quantization of the embedding corpus — the
+    * standard storage-compression step before an embedding table ships
+    * to an ANN index (4× smaller than float32, 8× than the double
+    * working form): per-vector absmax scaling, qᵢ = ⌊xᵢ/absmax·127 +
+    * 0.5⌋ clipped to [−127, 127], plus the per-vector mean absolute
+    * reconstruction error |q·absmax/127 − x| as the quality readout.
+    * Purely per-row narrow expressions — embarrassingly parallel at
+    * any corpus size; the same floor-half-up arithmetic in both
+    * engines makes even the int codes hash-exact. */
+  private def q62(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("v")
+    val amax = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))
+    val q = transform(v, x =>
+      greatest(lit(-127), least(lit(127),
+        floor(x / col("amax") * 127.0 + 0.5).cast("int"))))
+    val mae = aggregate(
+      zip_with(col("qv"), v, (qi, xi) =>
+        abs(qi.cast("double") * col("amax") / 127.0 - xi)),
+      lit(0.0), (a, e) => a + e) / size(v).cast("double")
+    emb(spark, dir)
+      .withColumn("amax", amax)
+      .filter(col("amax") > 0.0) // all-zero vectors carry no information
+      .withColumn("qv", q)
+      .select(col("vec_id"), r6(col("amax")).as("absmax"),
+        concat_ws(",", transform(col("qv"), x => x.cast("string")))
+          .as("quant_csv"),
+        r4(mae).as("mae"))
   }
 
   /** Embedding-cosine near-duplicate pairs via sign-bit LSH (random

@@ -11,6 +11,26 @@ object SimilaritySql {
     "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
 
   val oracle: Map[String, String] = Map(
+    "q62_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a AS (
+        |  SELECT vec_id, v,
+        |         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS amax
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, v, amax,
+        |         list_transform(v, x -> greatest(-127, least(127,
+        |           CAST(floor(x / amax * 127.0 + 0.5) AS INTEGER)))) AS qv
+        |  FROM a WHERE amax > 0)
+        |SELECT vec_id,
+        |       floor(amax * 1000000.0 + 0.5) / 1000000.0 AS absmax,
+        |       array_to_string(qv, ',') AS quant_csv,
+        |       floor(list_sum(list_transform(list_zip(qv, v),
+        |               z -> abs(CAST(z[1] AS DOUBLE) * amax / 127.0 - z[2])))
+        |             / len(v) * 10000.0 + 0.5) / 10000.0 AS mae
+        |FROM q""".stripMargin,
+
     "q22_ann_cosine" ->
       s"""WITH $embCte,
          |q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 25 = 0),
