@@ -44,7 +44,10 @@ object Bench {
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // "value" deliberately LAST: the driver keeps only the tail bytes
+    // of sbt output, so trailing keys survive truncation (JSON key
+    // order is semantically free)
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","value":$total}""")
     spark.stop()
   }
 }

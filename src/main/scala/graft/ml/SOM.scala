@@ -5,7 +5,6 @@ import org.apache.spark.ml.param._
 import org.apache.spark.ml.util.Identifiable
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.functions.VectorFns.sqDistArr
 
@@ -22,11 +21,12 @@ import graft.functions.VectorFns.sqDistArr
  * h(b,j) = exp(−d²grid(b,j)/2σ²) and σ decaying geometrically from
  * max(h,w)/2 to 0.5 across epochs.
  *
- * Scale posture: the per-point BMU assignment is the kmeansAssign
- * shape — an (h·w)-row broadcast grid + keyed argmin; the epoch update
- * aggregates ONE (sum-vector, count) pair per neuron (posexplode +
- * keyed agg, k·dim rows), and only that k×dim summary ever reaches the
- * driver, where the k×k neighborhood mixing is trivial. Points are
+ * Scale posture: the per-point BMU assignment is a single narrow
+ * codegen'd argmin expression over neuron-literal distances — no join,
+ * no shuffle; the epoch update aggregates ONE (sum-vector, count) pair
+ * per neuron in a single keyed agg and single action (posexplode,
+ * k·dim rows), and only that k×dim summary ever reaches the driver,
+ * where the k×k neighborhood mixing is trivial. Points are
  * never collected — unlike the reference's densified
  * `_transactionArray`. Features are `array<double>` columns (the
  * repo-wide vector convention).
@@ -70,12 +70,16 @@ class SOM(override val uid: String) extends Estimator[SOMModel] {
         if ($(maxIter) <= 1 || sigma0 <= sigmaEnd) math.max(sigma0, sigmaEnd)
         else sigma0 * math.pow(sigmaEnd / sigma0, it.toDouble / ($(maxIter) - 1))
       val assigned = SOM.assignBmu(df, weights, $(featuresCol), "bmu")
-      // one (Σx, n) summary per neuron — k·dim rows, the ONLY driver fetch
-      val sums = assigned.select(col("bmu"), posexplode(col($(featuresCol))))
-        .groupBy(col("bmu"), col("pos")).agg(sum(col("col")).as("s"))
-        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
-      val counts = assigned.groupBy("bmu").count()
-        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      // one (Σx, n) summary per neuron — k·dim rows, the ONLY driver
+      // fetch, and the epoch's ONLY action: counts ride the same keyed
+      // agg as the sums (each row contributes once to every pos), so
+      // the BMU pass is never executed twice
+      val rows = assigned.select(col("bmu"), posexplode(col($(featuresCol))))
+        .groupBy(col("bmu"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val sums = rows.map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      val counts = rows.filter(_.getInt(1) == 0).map(r => (r.getInt(0), r.getLong(3))).toMap
       // k×k Gaussian neighborhood mixing, driver-side
       weights = Array.tabulate(k) { j =>
         val hs = (0 until k).map(b => b -> math.exp(-gridD2(b, j) / (2.0 * sigma * sigma)))
@@ -96,23 +100,22 @@ class SOM(override val uid: String) extends Estimator[SOMModel] {
 }
 
 object SOM {
-  /** BMU assignment: an (h·w)-row broadcast neuron grid + keyed argmin
-    * (squared L2, neuron-asc tie-break) — appends `out` to `df`. */
+  /** BMU assignment: the neuron grid is driver-side and tiny (h·w
+    * vectors), so the argmin is ONE narrow codegen'd expression — an
+    * array of native `sqDistArr` distances to each neuron literal,
+    * `array_position(of the array_min)` picking the winner (first
+    * occurrence ⇒ lowest neuron id on ties, the deterministic
+    * tie-break). No join, no shuffle, no per-row window — appends
+    * `out` to `df`. */
   private[ml] def assignBmu(df: DataFrame, weights: Array[Array[Double]],
                             features: String, out: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val neurons = broadcast(weights.zipWithIndex
-      .map { case (nw, j) => (j, nw.toSeq) }.toSeq.toDF("__neuron", "__nw"))
-    val d2 = sqDistArr(col(features), col("__nw"))
-    val wn = Window.partitionBy(col("__rid")).orderBy(col("__d2").asc, col("__neuron").asc)
-    df.withColumn("__rid", monotonically_increasing_id())
-      .crossJoin(neurons)
-      .withColumn("__d2", d2)
-      .withColumn("__rk", row_number().over(wn))
-      .filter(col("__rk") === 1)
-      .withColumn(out, col("__neuron").cast(IntegerType))
-      .drop("__rid", "__neuron", "__nw", "__d2", "__rk")
+    val d2s = array(weights.map(nw =>
+      sqDistArr(col(features), typedLit(nw.toSeq))): _*)
+    df.withColumn("__d2s", d2s)
+      .withColumn(out,
+        (array_position(col("__d2s"), array_min(col("__d2s"))) - 1)
+          .cast(IntegerType))
+      .drop("__d2s")
   }
 }
 

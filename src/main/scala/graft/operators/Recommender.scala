@@ -39,8 +39,12 @@ object Kernel {
     * mean (PearsonSimilarity.scala:24-37) — means and variances run
     * over all N catalog positions, absent ratings counting as 0. */
   case object Pearson extends Kernel
-  /** K3: positional binary Jaccard, binarized at > 0
-    * (JaccardSimilarity.scala:22-29). */
+  /** K3: positional binary Jaccard, binarized at rating > 0. This is a
+    * DELIBERATE deviation from the reference (JaccardSimilarity
+    * .scala:22-29), which counts intersection only where both values
+    * are exactly 1 — on 1-5 rating data the two agree only for binary
+    * inputs; the >0 form is the sane set-semantics reading of "did
+    * both users rate it". */
   case object Jaccard extends Kernel
   /** K4: 1 / (1 + √Σ(aᵢ−bᵢ)²) (EuclideanSimilarity.scala:24-28). */
   case object InvEuclidean extends Kernel
@@ -55,7 +59,8 @@ object Recommender {
     "q31_item_rating_predict" -> q31,
     "q45_user_profiles" -> q45,
     "q59_user_knn_pearson" -> q59,
-    "q17b_item_knn_dimsum" -> q17b
+    "q17b_item_knn_dimsum" -> q17b,
+    "q63_user_knn_euclidean" -> q63
   )
 
   val K_NEIGHBORS = 25 // reference flagship k (Main.scala:351-352)
@@ -83,10 +88,25 @@ object Recommender {
     * 354-356: `recSys.setSimilarity(new PearsonSimilarity)`) for the
     * `user_id % 20 = 0` cohort: the q16 pipeline with the K2 kernel —
     * whole-profile zero-inclusive-mean Pearson ([[Kernel.Pearson]])
-    * ranks the neighborhoods; scoring is unchanged. */
+    * ranks the neighborhoods; scoring is unchanged. DENSE sims (the
+    * reference semantics — the reference scores every user pair from
+    * dense vectors, so no-overlap pairs legitimately compete for
+    * neighborhoods; see [[userSims]]). */
   private def q59(spark: SparkSession, dir: String): DataFrame =
     userKnnTopK(Tables.ratingsCached(spark, dir), K_NEIGHBORS, K_ITEMS,
-      targetUsers = Some(col("user_id") % 20 === 0), kernel = Kernel.Pearson)
+      targetUsers = Some(col("user_id") % 20 === 0), kernel = Kernel.Pearson,
+      dense = true)
+
+  /** The K4 inverse-Euclidean user-kNN cohort run, DENSE — the kernel
+    * where the co-rated approximation genuinely diverges: a no-overlap
+    * pair's sim 1/(1+√(qa+qb)) is positive and outranks distant
+    * co-rated neighbors, so the dense grid is the only faithful
+    * rebuild of the reference's dense-vector EuclideanSimilarity
+    * (EuclideanSimilarity.scala:24-28). */
+  private def q63(spark: SparkSession, dir: String): DataFrame =
+    userKnnTopK(Tables.ratingsCached(spark, dir), K_NEIGHBORS, K_ITEMS,
+      targetUsers = Some(col("user_id") % 20 === 7), kernel = Kernel.InvEuclidean,
+      dense = true)
 
   /** Reusable library surface: user-based cosine kNN top-N over any
     * long-form `(user_id, item_id, rating)` DataFrame. `targetUsers`
@@ -97,10 +117,12 @@ object Recommender {
   def userKnnTopK(ratings: DataFrame, kNeighbors: Int, kItems: Int,
                   targetUsers: Option[Column] = None,
                   kernel: Kernel = Kernel.Cosine,
-                  maxRatersPerItem: Int = Int.MaxValue): DataFrame =
+                  maxRatersPerItem: Int = Int.MaxValue,
+                  dense: Boolean = false,
+                  catalogSize: Option[Long] = None): DataFrame =
     userKnnTopKRestricted(ratings, kNeighbors, kItems,
       targetUsers.map(p => (df: DataFrame) => df.filter(p)), kernel,
-      maxRatersPerItem)
+      maxRatersPerItem, dense, catalogSize)
 
   /** [[userKnnTopK]] for a DataFrame of target users (`user_id`
     * column) — the Estimator/Model `transform` surface; the cohort
@@ -118,10 +140,13 @@ object Recommender {
   private def userKnnTopKRestricted(ratings: DataFrame, kNeighbors: Int, kItems: Int,
                                     restrict: Option[DataFrame => DataFrame],
                                     kernel: Kernel,
-                                    maxRatersPerItem: Int = Int.MaxValue): DataFrame = {
+                                    maxRatersPerItem: Int = Int.MaxValue,
+                                    dense: Boolean = false,
+                                    catalogSize: Option[Long] = None): DataFrame = {
     val r = ratings
     val stats = r.groupBy("user_id").agg(avg(col("rating")).as("umean"))
-    val sims = userSimsRestricted(r, kernel, restrict, maxRatersPerItem)
+    val sims = userSimsRestricted(r, kernel, restrict, maxRatersPerItem,
+      dense, catalogSize)
 
     val wNb = Window.partitionBy(col("u")).orderBy(col("sim").desc, col("v").asc)
     val neighbors = sims.withColumn("nrk", row_number().over(wNb))
@@ -174,21 +199,37 @@ object Recommender {
   }
 
   /** User-user similarities `(u, v, sim)` under any [[Kernel]],
-    * 6-dp rounded — the reference's similarity SPI surface. Pairs are
-    * CO-RATED pairs only (the keyed self-join on item_id): a pair
-    * sharing no item never materializes. That is the scale posture —
-    * the dense complement is |U|² and not computable at catalog scale —
-    * and for neighbor selection it is the right semantics: under every
-    * kernel a no-overlap pair sits at/near the kernel's floor (dot = 0,
-    * co = 0), so it cannot outrank a co-rated pair into a top-k
-    * neighborhood. `targetUsers` restricts the u-side (cohort runs pay
-    * cohort-sized shuffles); the all-users path aggregates each
-    * unordered pair once and mirrors (symmetry of all four kernels). */
+    * 6-dp rounded — the reference's similarity SPI surface.
+    *
+    * By default pairs are CO-RATED pairs only (the keyed self-join on
+    * item_id): a pair sharing no item never materializes. That is the
+    * scale posture — the dense complement is |U|² and not computable at
+    * catalog scale. For neighbor selection it is EXACT for Cosine and
+    * Jaccard, whose no-overlap sim is the hard floor 0 (dot = 0,
+    * co = 0) and every co-rated sim is > 0 on positive ratings. It is
+    * an APPROXIMATION for Pearson and InvEuclidean: an InvEuclidean
+    * no-overlap pair has sim 1/(1+√(qa+qb)) > 0 and can outrank a
+    * distant co-rated neighbor, and Pearson co-rated sims can be more
+    * negative than a no-overlap pair's −N·μaμv/(σaσv) — under those
+    * kernels a sparse neighborhood can diverge from the reference's
+    * dense semantics. Set `dense = true` (cohort runs only) for the
+    * exact dense semantics: every (target, v) pair materializes with
+    * (dot, co) = (0, 0) defaults at |targets|·|U| cost.
+    *
+    * `targetUsers` restricts the u-side (cohort runs pay cohort-sized
+    * shuffles); the all-users path aggregates each unordered pair once
+    * and mirrors (symmetry of all four kernels). `catalogSize` pins
+    * Pearson's zero-inclusive N to an externally configured catalog
+    * (the reference's `_numberOfItems`, which counts items unrated in
+    * the training fold); default is countDistinct over the input. */
   def userSims(ratings: DataFrame, kernel: Kernel = Kernel.Cosine,
                targetUsers: Option[Column] = None,
-               maxRatersPerItem: Int = Int.MaxValue): DataFrame =
+               maxRatersPerItem: Int = Int.MaxValue,
+               dense: Boolean = false,
+               catalogSize: Option[Long] = None): DataFrame =
     userSimsRestricted(ratings, kernel,
-      targetUsers.map(p => (df: DataFrame) => df.filter(p)), maxRatersPerItem)
+      targetUsers.map(p => (df: DataFrame) => df.filter(p)), maxRatersPerItem,
+      dense, catalogSize)
 
   /** The cohort mechanism under [[userSims]]: `restrict` narrows the
     * TARGET side only (a predicate filter, or a broadcast semi-join
@@ -196,7 +237,11 @@ object Recommender {
     * neighbors always come from the full ratings. */
   private def userSimsRestricted(ratings: DataFrame, kernel: Kernel,
                                  restrict: Option[DataFrame => DataFrame],
-                                 maxRatersPerItem: Int = Int.MaxValue): DataFrame = {
+                                 maxRatersPerItem: Int = Int.MaxValue,
+                                 dense: Boolean = false,
+                                 catalogSize: Option[Long] = None): DataFrame = {
+    require(!dense || restrict.isDefined,
+      "dense sims are cohort-scoped (|targets|·|U| rows); the all-users dense complement is |U|²")
     // the cap bounds the viral-item pair fan-out ([[capPerItem]]);
     // moments run over the capped rows so the table is self-consistent
     val r = capPerItem(ratings, maxRatersPerItem)
@@ -225,14 +270,29 @@ object Recommender {
         half.union(half.select(col("v").as("u"), col("u").as("v"),
           col("dot"), col("co")))
     }
-    val withMoments = dots
+    // dense (reference) semantics: EVERY (target, v) pair exists; the
+    // co-rated aggregate left-joins onto the cohort × user-catalog grid
+    // and a no-overlap pair carries the kernel's true (dot, co) = (0, 0)
+    val pairs =
+      if (!dense) dots
+      else restrict.get(moments).select(col("user_id").as("u"))
+        .crossJoin(broadcast(moments.select(col("user_id").as("v"))))
+        .filter(col("u") =!= col("v"))
+        .join(dots, Seq("u", "v"), "left")
+        .select(col("u"), col("v"),
+          coalesce(col("dot"), lit(0.0)).as("dot"),
+          coalesce(col("co"), lit(0L)).as("co"))
+    val withMoments = pairs
       .join(broadcast(moments.select(col("user_id").as("u"), col("s").as("sa"),
         col("q").as("qa"), col("n").as("na"))), Seq("u"))
       .join(broadcast(moments.select(col("user_id").as("v"), col("s").as("sb"),
         col("q").as("qb"), col("n").as("nb"))), Seq("v"))
     val withN = kernel match {
-      case Kernel.Pearson => withMoments.crossJoin(
-        broadcast(r.agg(countDistinct(col("item_id")).cast("double").as("bigN"))))
+      case Kernel.Pearson => catalogSize match {
+        case Some(c) => withMoments.withColumn("bigN", lit(c.toDouble))
+        case None => withMoments.crossJoin(
+          broadcast(r.agg(countDistinct(col("item_id")).cast("double").as("bigN"))))
+      }
       case _ => withMoments
     }
     withN.select(col("u"), col("v"), r6(kernelSim(kernel)).as("sim"))
@@ -279,10 +339,15 @@ object Recommender {
     * q17/q33 share and the exact twin of [[itemSimsDimsum]]. With
     * `maxItemsPerUser` set, similarities are exact kernels over the
     * TRUNCATED profiles (moments computed on the capped rows, so the
-    * capped table is self-consistent). */
+    * capped table is self-consistent). `catalogSize` pins K2's
+    * zero-inclusive N (here the USER catalog) to an externally
+    * configured count — the reference's `_numberOfUsers`, which also
+    * counts users absent from the training fold; default is
+    * countDistinct over the input. */
   def itemSims(ratings: DataFrame,
                kernel: Kernel = Kernel.Cosine,
-               maxItemsPerUser: Int = Int.MaxValue): DataFrame = {
+               maxItemsPerUser: Int = Int.MaxValue,
+               catalogSize: Option[Long] = None): DataFrame = {
     val r = capPerUser(ratings, maxItemsPerUser)
     val moments = r.groupBy("item_id").agg(
       sum(col("rating")).as("s"),
@@ -302,8 +367,11 @@ object Recommender {
       .join(broadcast(moments.select(col("item_id").as("j"), col("s").as("sb"),
         col("q").as("qb"), col("n").as("nb"))), Seq("j"))
     val withN = kernel match {
-      case Kernel.Pearson => withMoments.crossJoin(
-        broadcast(r.agg(countDistinct(col("user_id")).cast("double").as("bigN"))))
+      case Kernel.Pearson => catalogSize match {
+        case Some(c) => withMoments.withColumn("bigN", lit(c.toDouble))
+        case None => withMoments.crossJoin(
+          broadcast(r.agg(countDistinct(col("user_id")).cast("double").as("bigN"))))
+      }
       case _ => withMoments
     }
     withN.select(col("i"), col("j"), r6(kernelSim(kernel)).as("sim"))

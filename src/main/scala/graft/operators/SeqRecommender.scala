@@ -227,8 +227,10 @@ object SeqRecommender {
     // top-(k + maxSeen) ranked items, because at most maxSeen of the
     // better-ranked ones can be excluded as seen — so the join carries
     // k+maxSeen rows per user instead of the cluster's whole catalog
-    val maxSeen = seen.groupBy("user_id").count().agg(max("count"))
-      .head().getLong(0)
+    // max() over zero groups is NULL — guard so an empty transactions
+    // input degrades to an empty result instead of an NPE
+    val maxSeen = Option(seen.groupBy("user_id").count().agg(max("count"))
+      .head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
     val wCl = Window.partitionBy(col("cluster"))
       .orderBy(col("cnt").desc, col("item_id").asc)
     val topItems = itemCnt.withColumn("crk", row_number().over(wCl))

@@ -96,31 +96,97 @@ object RecommenderSql {
     // ZERO-INCLUSIVE moments — mean = Σr/N over all N catalog
     // positions (absent ratings contribute 0 to Σr and Σr²), matching
     // the Spark side's closed form term-for-term so both engines walk
-    // identical IEEE sequences before the 6-dp rank rounding.
+    // identical IEEE sequences before the 6-dp rank rounding. DENSE
+    // pair grid (the reference's dense-vector semantics): the co-rated
+    // dots LEFT-join onto cohort × all-users, no-overlap pairs carry
+    // dot = 0 — mirrors userSims(dense = true).
     "q59_user_knn_pearson" ->
       s"""WITH $ratingsSql,
          |stats AS (
          |  SELECT user_id, avg(rating) AS umean FROM ratings GROUP BY 1),
-         |mom AS (
+         |mom AS MATERIALIZED (
          |  SELECT user_id, sum(rating) AS s, sum(rating*rating) AS q
          |  FROM ratings GROUP BY 1),
          |bign AS (
          |  SELECT CAST(count(DISTINCT item_id) AS DOUBLE) AS n FROM ratings),
-         |dots AS (
+         |dots AS MATERIALIZED (
          |  SELECT a.user_id AS u, b.user_id AS v, sum(a.rating*b.rating) AS dot
          |  FROM ratings a JOIN ratings b ON a.item_id = b.item_id
          |  WHERE a.user_id % 20 = 0 AND a.user_id <> b.user_id
          |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT t.user_id AS u, o.user_id AS v, COALESCE(d.dot, 0.0) AS dot
+         |  FROM mom t
+         |  CROSS JOIN mom o
+         |  LEFT JOIN dots d ON d.u = t.user_id AND d.v = o.user_id
+         |  WHERE t.user_id % 20 = 0 AND t.user_id <> o.user_id),
          |sims AS (
          |  SELECT d.u, d.v,
          |         floor((d.dot - n * (ma.s / n) * (mb.s / n))
          |               / (sqrt(ma.q - n * (ma.s / n) * (ma.s / n))
          |                  * sqrt(mb.q - n * (mb.s / n) * (mb.s / n)))
          |               * 1000000.0 + 0.5) / 1000000.0 AS sim
-         |  FROM dots d
+         |  FROM pairs d
          |  CROSS JOIN bign
          |  JOIN mom ma ON ma.user_id = d.u
          |  JOIN mom mb ON mb.user_id = d.v),
+         |neighbors AS (
+         |  SELECT u, v, sim FROM (
+         |    SELECT u, v, sim, row_number() OVER (
+         |      PARTITION BY u ORDER BY sim DESC, v ASC) AS nrk
+         |    FROM sims)
+         |  WHERE nrk <= 25),
+         |scores AS (
+         |  SELECT nb.u, r.item_id,
+         |         sum(nb.sim * (r.rating - sv.umean)) AS num,
+         |         sum(nb.sim) AS den
+         |  FROM neighbors nb
+         |  JOIN ratings r ON r.user_id = nb.v
+         |  JOIN stats sv ON sv.user_id = nb.v
+         |  GROUP BY 1, 2),
+         |preds AS (
+         |  SELECT s.u AS user_id, s.item_id,
+         |         floor((su.umean + s.num / s.den) * 10000.0 + 0.5) / 10000.0 AS score
+         |  FROM scores s
+         |  JOIN stats su ON su.user_id = s.u
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM ratings r
+         |    WHERE r.user_id = s.u AND r.item_id = s.item_id))
+         |SELECT user_id, item_id, score, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY user_id ORDER BY score DESC, item_id ASC) AS rk
+         |  FROM preds)
+         |WHERE rk <= 5""".stripMargin,
+
+    // The K4 inverse-Euclidean user-kNN, DENSE — the kernel where the
+    // no-overlap floor 1/(1+√(qa+qb)) is positive and genuinely
+    // competes for neighborhoods, so the dense grid is semantic, not
+    // cosmetic. Σ(a−b)² over whole profiles = qa + qb − 2·dot (zero
+    // cells contribute their squares through the moments).
+    "q63_user_knn_euclidean" ->
+      s"""WITH $ratingsSql,
+         |stats AS (
+         |  SELECT user_id, avg(rating) AS umean FROM ratings GROUP BY 1),
+         |mom AS MATERIALIZED (
+         |  SELECT user_id, sum(rating*rating) AS q FROM ratings GROUP BY 1),
+         |dots AS MATERIALIZED (
+         |  SELECT a.user_id AS u, b.user_id AS v, sum(a.rating*b.rating) AS dot
+         |  FROM ratings a JOIN ratings b ON a.item_id = b.item_id
+         |  WHERE a.user_id % 20 = 7 AND a.user_id <> b.user_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT t.user_id AS u, o.user_id AS v, COALESCE(d.dot, 0.0) AS dot
+         |  FROM mom t
+         |  CROSS JOIN mom o
+         |  LEFT JOIN dots d ON d.u = t.user_id AND d.v = o.user_id
+         |  WHERE t.user_id % 20 = 7 AND t.user_id <> o.user_id),
+         |sims AS (
+         |  SELECT p.u, p.v,
+         |         floor(1.0 / (1.0 + sqrt(ma.q + mb.q - 2.0 * p.dot))
+         |               * 1000000.0 + 0.5) / 1000000.0 AS sim
+         |  FROM pairs p
+         |  JOIN mom ma ON ma.user_id = p.u
+         |  JOIN mom mb ON mb.user_id = p.v),
          |neighbors AS (
          |  SELECT u, v, sim FROM (
          |    SELECT u, v, sim, row_number() OVER (

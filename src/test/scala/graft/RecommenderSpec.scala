@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Recommender
+import graft.operators.{Kernel, Recommender}
 
 /** Hand-computed 3-user × 4-item fixture (FIXTURES.md §2) exercising
   * the R2/R3 user-based formula (mean-centered, plain-sum denominator)
@@ -103,6 +103,44 @@ class RecommenderSpec extends SparkSuite {
         assert(math.abs(sim - want) < 1e-6, s"$k ($u,$v): $sim vs $want")
       }
     }
+  }
+
+  test("dense sims: a no-overlap K4 pair outranks a distant co-rated one") {
+    val s = spark
+    import s.implicits._
+    // u1 ~ u2 co-rated but far apart (d² = 25+26−10 = 41);
+    // u1 ~ u3 share nothing (d² = 25+1 = 26) — under InvEuclidean the
+    // NO-OVERLAP pair is the closer neighbor, which the co-rated-only
+    // approximation cannot see (the ADVICE r3 medium finding)
+    val r = Seq((1, 1, 5.0), (2, 1, 1.0), (2, 3, 5.0), (3, 2, 1.0))
+      .toDF("user_id", "item_id", "rating")
+    val sparse = Recommender.userSims(r, Kernel.InvEuclidean,
+        targetUsers = Some(col("user_id") === 1))
+      .collect().map(x => (x.getInt(1), x.getDouble(2))).toMap
+    assert(sparse.keySet == Set(2), "co-rated path only materializes u2")
+    val denseSims = Recommender.userSims(r, Kernel.InvEuclidean,
+        targetUsers = Some(col("user_id") === 1), dense = true)
+      .collect().map(x => (x.getInt(1), x.getDouble(2))).toMap
+    assert(denseSims.keySet == Set(2, 3))
+    assert(denseSims(3) > denseSims(2), "no-overlap u3 outranks co-rated u2")
+    assert(math.abs(denseSims(2) - 1.0 / (1.0 + math.sqrt(41.0))) < 1e-6)
+    assert(math.abs(denseSims(3) - 1.0 / (1.0 + math.sqrt(26.0))) < 1e-6)
+  }
+
+  test("Pearson catalogSize pins the zero-inclusive N to the configured catalog") {
+    val s = spark
+    import s.implicits._
+    val r = Seq((1, 1, 2.0), (1, 2, 4.0), (2, 1, 4.0), (2, 2, 2.0))
+      .toDF("user_id", "item_id", "rating")
+    def sim(cat: Option[Long]): Double =
+      Recommender.userSims(r, Kernel.Pearson,
+          targetUsers = Some(col("user_id") === 1), catalogSize = cat)
+        .collect().map(x => x.getDouble(2)).head
+    // default N = 2 rated items: means 3, centered dot = −2, var = 2 → −1
+    assert(math.abs(sim(None) - (-1.0)) < 1e-6)
+    // configured catalog N = 4 (reference _numberOfItems counts unrated
+    // items too): means 1.5 → (16 − 9) / (20 − 9) = 7/11
+    assert(math.abs(sim(Some(4L)) - 7.0 / 11.0) < 1e-6)
   }
 
   test("itemKnnTopK accepts an external sims source (DIMSUM slot-in)") {
