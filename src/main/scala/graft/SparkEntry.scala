@@ -27,7 +27,8 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.Evaluation.queries ++
       operators.Sequential.queries ++
-      operators.SeqRecommender.queries
+      operators.SeqRecommender.queries ++
+      operators.Corpus.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
       oracle.SimilaritySql.oracle ++
       oracle.TextSql.oracle ++
       oracle.EvalSeqSql.oracle ++
-      oracle.SeqRecSql.oracle
+      oracle.SeqRecSql.oracle ++
+      oracle.CorpusSql.oracle
 }

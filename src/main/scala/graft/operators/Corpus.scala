@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.VectorFns
+import graft.functions.Rounding.{r4, r6}
+
+/**
+ * Training-corpus preparation operators over `documents` — the stages
+ * an LLM-data pipeline runs between dedup/quality filtering and
+ * training: relevance retrieval (BM25), fixed-size token chunking with
+ * overlap, deterministic hash-based splits, and per-group hash
+ * sampling. All pure column expressions + keyed aggs (no UDFs except
+ * the bounded-heap sample aggregator) so every stage partial-aggregates
+ * map-side and survives 100 TB of documents.
+ */
+object Corpus {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_bm25" -> q64,
+    "q65_doc_chunks" -> q65,
+    "q66_hash_split" -> q66,
+    "q67_hash_sample" -> q67
+  )
+
+  /** Lucene-standard BM25 parameters. */
+  val BM25_K1 = 1.2
+  val BM25_B = 0.75
+
+  /** Fixed retrieval query — terms from the corpus vocabulary; ORDER
+    * MATTERS: the per-term contributions are summed in this exact
+    * order on both engines so the IEEE sequence is identical. */
+  val QUERY_TERMS = Seq("spark", "join", "window")
+
+  val TOP_DOCS = 50
+
+  /** BM25 retrieval: score every document in `docs` (`doc_id`, `text`)
+    * against `terms`, return the top-`topDocs` as `(doc_id, bm25)`.
+    * Documents hitting NO query term are absent (retrieval semantics:
+    * the candidate set is the postings union, never the corpus).
+    *
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (the Lucene
+    * non-negative form); per-term contribution
+    * idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * Scale shape: tf is ONE keyed agg over tokens pre-filtered to the
+    * query terms (the explode emits only query-term hits, so its
+    * volume is |matches|, not |tokens|); df and (N, avgdl) are
+    * term-count-sized broadcast dims; the final top-k is
+    * `orderBy().limit()` — TakeOrdered, fully parallel, no global
+    * window. Per-term contributions land in fixed columns (conditional
+    * agg) and sum in declared term order, so the float sequence is
+    * engine-identical — a groupBy sum over term rows would add in
+    * shuffle arrival order. */
+  def bm25(docs: DataFrame, terms: Seq[String] = QUERY_TERMS,
+           topDocs: Int = TOP_DOCS): DataFrame = {
+    val toks = docs.select(col("doc_id"), VectorFns.tokens(col("text")).as("tk"))
+    val dl = toks.select(col("doc_id"), size(col("tk")).cast("double").as("dl"))
+    val corpus = dl.agg(count(lit(1)).cast("double").as("bigN"),
+      avg(col("dl")).as("avgdl"))
+    val tf = toks
+      .select(col("doc_id"), explode(col("tk")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+    val contrib = tf
+      .join(broadcast(df), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("tok"),
+        (log(lit(1.0) + (col("bigN") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (BM25_K1 + 1.0)) /
+          (col("tf") + lit(BM25_K1) *
+            (lit(1.0 - BM25_B) + lit(BM25_B) * col("dl") / col("avgdl")))).as("c"))
+    val termCols = terms.map(t =>
+      coalesce(max(when(col("tok") === t, col("c"))), lit(0.0)).as(s"c_$t"))
+    val scored = contrib.groupBy(col("doc_id"))
+      .agg(termCols.head, termCols.tail: _*)
+      .select(col("doc_id"),
+        terms.map(t => col(s"c_$t")).reduce(_ + _).as("score"))
+    scored
+      .orderBy(r6(col("score")).desc, col("doc_id").asc)
+      .limit(topDocs)
+      .select(col("doc_id"), r4(col("score")).as("bm25"))
+  }
+
+  private def q64(spark: SparkSession, dir: String): DataFrame =
+    bm25(Tables.documents(spark, dir))
+
+  /** Token chunk size / stride: 64-token chunks every 48 tokens
+    * (16-token overlap) — the standard fixed-window chunking an LLM
+    * pretraining pipeline applies before packing. */
+  val CHUNK_SIZE = 64
+  val CHUNK_STRIDE = 48
+
+  /** Fixed-size overlapping token chunking: chunk i of a doc covers
+    * tokens [i·stride, i·stride + size); the last chunk may be short;
+    * zero-token docs emit nothing. Emits a 16-hex-char md5 fingerprint
+    * of each chunk's joined text (the chunk-level dedup key) instead
+    * of the chunk body, keeping the result narrow.
+    *
+    * Scale shape: tokenize → explode(sequence) → slice is entirely
+    * per-row narrow work — NO shuffle anywhere; the fan-out is
+    * ~n_tokens/stride rows per doc. This is the map-only stage that
+    * feeds chunk-level exact dedup ([[Dedup]] q18 shape) downstream. */
+  def chunkDocs(docs: DataFrame, chunkSize: Int = CHUNK_SIZE,
+                stride: Int = CHUNK_STRIDE): DataFrame =
+    docs
+      .select(col("doc_id"), VectorFns.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), floor((size(col("tk")) - 1) / stride)
+          .cast("int"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("tk"), col("chunk_id") * stride + 1, lit(chunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        substring(md5(array_join(col("chunk"), " ")), 1, 16).as("chunk_fp"))
+
+  private def q65(spark: SparkSession, dir: String): DataFrame =
+    chunkDocs(Tables.documents(spark, dir))
+
+  /** Deterministic split assignment: the portable 28-bit md5 hash
+    * ([[Dedup.baseHash]]) of the id column mod 100 → 80/10/10
+    * train/val/test. Stable across runs, engines and cluster sizes
+    * (never `rand()`: a retried task would re-roll its rows into
+    * different splits). */
+  def splitAssign(id: Column): Column = {
+    val bucket = Dedup.baseHash(id.cast("string")) % 100
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
+  /** Split summary per (split, lang): one narrow map + one keyed agg. */
+  private def q66(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("split", splitAssign(col("doc_id")))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        r4(avg(col("n_chars"))).as("avg_chars"),
+        sum(col("n_chars")).as("sum_chars"))
+
+  val SAMPLE_PER_GROUP = 5
+
+  /** Deterministic per-group sample: the `k` rows with the smallest
+    * md5-derived hash of `id` per `group` — a uniform-looking,
+    * retry-stable, engine-portable sample (the `TABLESAMPLE` of a
+    * pipeline that must be reproducible). Emits (group, id, rk).
+    *
+    * Scale shape: groups may be LOW-cardinality (languages, sources),
+    * where a window rank would funnel each group's whole corpus
+    * through one partition. The bounded-heap
+    * [[graft.functions.TopKAggregator]] keeps k rows per group
+    * map-side and merges associatively — only |groups|·k rows cross
+    * the shuffle. (Heap order is score DESC, so the sample key is the
+    * NEGATED hash; 28-bit hashes are exact in double.) */
+  def hashSamplePerGroup(df: DataFrame, group: String, id: String,
+                         k: Int = SAMPLE_PER_GROUP): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    df.select(col(group), col(id),
+        -Dedup.baseHash(col(id).cast("string")).cast("double") as "nh")
+      .groupBy(col(group))
+      .agg(topk(col(id), col("nh")).as("top"))
+      .select(col(group), posexplode(col("top.items")))
+      .select(col(group), col("col._1").as(id),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+
+  private def q67(spark: SparkSession, dir: String): DataFrame =
+    hashSamplePerGroup(Tables.documents(spark, dir), "lang", "doc_id")
+}

@@ -1,0 +1,88 @@
+package graft.oracle
+
+import SqlFragments.tokensSql
+
+/**
+ * DuckDB oracles for [[graft.operators.Corpus]]. Float discipline:
+ * every BM25 contribution is a single expression over exact integers
+ * (tf, df, N) and an exactly-representable avgdl (integer sum /
+ * integer count), written term-for-term like the Spark side, and the
+ * three per-term contributions sum in the same declared order — so
+ * both engines walk identical IEEE sequences before the 6-dp rank /
+ * 4-dp emit rounding.
+ */
+object CorpusSql {
+
+  private val toksSql =
+    s"toks AS (SELECT doc_id, ${tokensSql("lower(trim(text))")} AS tk FROM documents)"
+
+  private def splitBucketSql(e: String): String =
+    s"CAST(('0x' || substr(md5(CAST($e AS VARCHAR)), 1, 7)) AS BIGINT) % 100"
+
+  val oracle: Map[String, String] = Map(
+
+    "q64_bm25" ->
+      s"""WITH $toksSql,
+         |dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM toks),
+         |corpus AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS bigN, avg(dl) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM toks, UNNEST(tk) AS u(tok)
+         |  WHERE tok IN ('spark', 'join', 'window')
+         |  GROUP BY 1, 2),
+         |df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |contrib AS (
+         |  SELECT t.doc_id, t.tok,
+         |         ln(1.0 + (c.bigN - f.df + 0.5) / (f.df + 0.5))
+         |           * (t.tf * (1.2 + 1.0))
+         |           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)) AS c
+         |  FROM tf t
+         |  JOIN df f USING (tok)
+         |  JOIN dl d USING (doc_id)
+         |  CROSS JOIN corpus c),
+         |scored AS (
+         |  SELECT doc_id,
+         |         COALESCE(max(CASE WHEN tok = 'spark' THEN c END), 0.0)
+         |         + COALESCE(max(CASE WHEN tok = 'join' THEN c END), 0.0)
+         |         + COALESCE(max(CASE WHEN tok = 'window' THEN c END), 0.0) AS score
+         |  FROM contrib GROUP BY 1)
+         |SELECT doc_id, floor(score * 10000.0 + 0.5) / 10000.0 AS bm25
+         |FROM scored
+         |ORDER BY floor(score * 1000000.0 + 0.5) / 1000000.0 DESC, doc_id ASC
+         |LIMIT 50""".stripMargin,
+
+    // chunk i = tk[i*48+1 : i*48+64] (DuckDB list slices are 1-based,
+    // end-inclusive and clip at the list end — same clipping as Spark
+    // slice(tk, i*48+1, 64)); zero-token docs emit nothing
+    "q65_doc_chunks" ->
+      s"""WITH $toksSql
+         |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_id,
+         |       CAST(len(tk[ci*48+1 : ci*48+64]) AS INTEGER) AS n_chunk_tokens,
+         |       substr(md5(array_to_string(tk[ci*48+1 : ci*48+64], ' ')), 1, 16)
+         |         AS chunk_fp
+         |FROM toks, UNNEST(generate_series(0, CAST((len(tk) - 1) // 48 AS BIGINT)))
+         |     AS g(ci)
+         |WHERE len(tk) > 0""".stripMargin,
+
+    "q66_hash_split" ->
+      s"""SELECT CASE WHEN ${splitBucketSql("doc_id")} < 80 THEN 'train'
+         |            WHEN ${splitBucketSql("doc_id")} < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       lang,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       floor(avg(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q67_hash_sample" ->
+      s"""SELECT lang, doc_id, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT lang, doc_id, row_number() OVER (
+         |    PARTITION BY lang
+         |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+         |             AS BIGINT) ASC, doc_id ASC) AS rk
+         |  FROM documents)
+         |WHERE rk <= 5""".stripMargin
+  )
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+
+/** Library-surface checks for the corpus-prep operators: chunk
+  * boundary arithmetic, split determinism/shape, per-group sample
+  * bounds and BM25 ranking sanity on a hand-sized fixture. The
+  * hash-exact gates are the q64–q67 DuckDB oracles. */
+class CorpusSpec extends SparkSuite {
+
+  test("chunkDocs: 64/48 windows clip at the doc end, empty docs vanish") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 3 chunks: 64, 52, 4
+      (2L, "solo"),                                    // 1 chunk: 1
+      (3L, "   ")                                      // 0 tokens: no rows
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(out == Map((1L, 0) -> 64, (1L, 1) -> 52, (1L, 2) -> 4, (2L, 0) -> 1))
+  }
+
+  test("chunk fingerprints: overlapping chunks of identical token runs collide") {
+    val s = spark
+    import s.implicits._
+    // 112 identical tokens: chunk 0 (64 tokens) and chunk 1 (tokens
+    // 48..112, also 64) are the same text, so the dedup key collides
+    val docs = Seq((1L, Seq.fill(112)("x").mkString(" "))).toDF("doc_id", "text")
+    val fps = Corpus.chunkDocs(docs).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(fps.length == 3)
+    assert(fps(0)._2 == 64 && fps(1)._2 == 64 && fps(2)._2 == 16)
+    assert(fps(0)._3 == fps(1)._3, "identical chunk text, identical fp")
+    assert(fps(0)._3 != fps(2)._3)
+  }
+
+  test("splitAssign is deterministic and roughly 80/10/10") {
+    val s = spark
+    import s.implicits._
+    val ids = (1L to 1000L).toDF("doc_id")
+    val a = ids.select(col("doc_id"), Corpus.splitAssign(col("doc_id")).as("sp"))
+    val counts = a.groupBy("sp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000L)
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("val") > 40 && counts("val") < 180)
+    assert(counts("test") > 40 && counts("test") < 180)
+    // repartitioned re-run lands every id in the same split
+    val b = ids.repartition(7)
+      .select(col("doc_id"), Corpus.splitAssign(col("doc_id")).as("sp"))
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
+  test("hashSamplePerGroup: k deterministic rows per group, rank 1..k") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 200L).map(i => (s"g${i % 3}", i)).toDF("grp", "id")
+    val out = Corpus.hashSamplePerGroup(df, "grp", "id", k = 4)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length == 12)
+    assert(rows.groupBy(_._1).forall(_._2.map(_._3).sorted.toSeq == Seq(1, 2, 3, 4)))
+    val again = Corpus.hashSamplePerGroup(df.repartition(13), "grp", "id", k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(rows.toSet == again.toSet)
+  }
+
+  test("bm25: tf and rarity rank docs; zero-hit docs are absent") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spark spark join window"), // hits every term, highest tf
+      (2L, "join window data"),
+      (3L, "data table scan")          // no query term: not retrieved
+    ).toDF("doc_id", "text")
+    val out = Corpus.bm25(docs, topDocs = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(out(0)._2 > out(1)._2 && out(1)._2 > 0.0)
+  }
+}
