@@ -82,7 +82,8 @@ object Recommender {
     * the reference's full-vector cosine (CosineSimilarity.scala:24-33)
     * without densifying. */
   private def q16(spark: SparkSession, dir: String): DataFrame =
-    userKnnTopK(Tables.ratingsCached(spark, dir), K_NEIGHBORS, K_ITEMS)
+    userKnnTopK(Tables.ratingsCached(spark, dir), K_NEIGHBORS, K_ITEMS,
+      dotsSource = Some(userDotsCached(spark, dir)))
 
   /** The reference's Pearson user-kNN workload shape (Main.scala:
     * 354-356: `recSys.setSimilarity(new PearsonSimilarity)`) for the
@@ -95,7 +96,7 @@ object Recommender {
   private def q59(spark: SparkSession, dir: String): DataFrame =
     userKnnTopK(Tables.ratingsCached(spark, dir), K_NEIGHBORS, K_ITEMS,
       targetUsers = Some(col("user_id") % 20 === 0), kernel = Kernel.Pearson,
-      dense = true)
+      dense = true, dotsSource = Some(userDotsCached(spark, dir)))
 
   /** The K4 inverse-Euclidean user-kNN cohort run, DENSE — the kernel
     * where the co-rated approximation genuinely diverges: a no-overlap
@@ -106,7 +107,7 @@ object Recommender {
   private def q63(spark: SparkSession, dir: String): DataFrame =
     userKnnTopK(Tables.ratingsCached(spark, dir), K_NEIGHBORS, K_ITEMS,
       targetUsers = Some(col("user_id") % 20 === 7), kernel = Kernel.InvEuclidean,
-      dense = true)
+      dense = true, dotsSource = Some(userDotsCached(spark, dir)))
 
   /** Reusable library surface: user-based cosine kNN top-N over any
     * long-form `(user_id, item_id, rating)` DataFrame. `targetUsers`
@@ -119,10 +120,11 @@ object Recommender {
                   kernel: Kernel = Kernel.Cosine,
                   maxRatersPerItem: Int = Int.MaxValue,
                   dense: Boolean = false,
-                  catalogSize: Option[Long] = None): DataFrame =
+                  catalogSize: Option[Long] = None,
+                  dotsSource: Option[DataFrame] = None): DataFrame =
     userKnnTopKRestricted(ratings, kNeighbors, kItems,
       targetUsers.map(p => (df: DataFrame) => df.filter(p)), kernel,
-      maxRatersPerItem, dense, catalogSize)
+      maxRatersPerItem, dense, catalogSize, dotsSource)
 
   /** [[userKnnTopK]] for a DataFrame of target users (`user_id`
     * column) — the Estimator/Model `transform` surface; the cohort
@@ -142,11 +144,12 @@ object Recommender {
                                     kernel: Kernel,
                                     maxRatersPerItem: Int = Int.MaxValue,
                                     dense: Boolean = false,
-                                    catalogSize: Option[Long] = None): DataFrame = {
+                                    catalogSize: Option[Long] = None,
+                                    dotsSource: Option[DataFrame] = None): DataFrame = {
     val r = ratings
     val stats = r.groupBy("user_id").agg(avg(col("rating")).as("umean"))
     val sims = userSimsRestricted(r, kernel, restrict, maxRatersPerItem,
-      dense, catalogSize)
+      dense, catalogSize, dotsSource)
 
     val wNb = Window.partitionBy(col("u")).orderBy(col("sim").desc, col("v").asc)
     val neighbors = sims.withColumn("nrk", row_number().over(wNb))
@@ -226,10 +229,37 @@ object Recommender {
                targetUsers: Option[Column] = None,
                maxRatersPerItem: Int = Int.MaxValue,
                dense: Boolean = false,
-               catalogSize: Option[Long] = None): DataFrame =
+               catalogSize: Option[Long] = None,
+               dotsSource: Option[DataFrame] = None): DataFrame =
     userSimsRestricted(ratings, kernel,
       targetUsers.map(p => (df: DataFrame) => df.filter(p)), maxRatersPerItem,
-      dense, catalogSize)
+      dense, catalogSize, dotsSource)
+
+  /** The kernel-independent expensive stage every user-side pipeline
+    * shares: half co-rated pair aggregates `(u < v, dot, co)` over
+    * `ratings`. Build once (optionally cache) and pass as `dotsSource`
+    * to [[userSims]]/[[userKnnTopK]] — every K1–K4 similarity, sparse
+    * or dense, is cheap algebra over this one table, so N cohort /
+    * kernel runs over the same ratings pay the big keyed self-join
+    * shuffle ONCE instead of N times. Must be built over the same
+    * capped ratings the consumer uses (the default un-capped form
+    * here). */
+  def userDotsHalf(ratings: DataFrame): DataFrame = {
+    val a = ratings.select(col("user_id").as("u"), col("item_id"), col("rating").as("ra"))
+    val b = ratings.select(col("user_id").as("v"), col("item_id"), col("rating").as("rb"))
+    a.join(b, Seq("item_id"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(sum(col("ra") * col("rb")).as("dot"), count(lit(1)).as("co"))
+  }
+
+  /** Session-cached [[userDotsHalf]] over the shared ratings view —
+    * CacheManager plan-dedup gives q16/q30/q59/q63 ONE materialization
+    * of the pair shuffle (the itemSimsCached pattern on the user
+    * side). Bench-harness scoping: library callers own their caching
+    * via `dotsSource`. */
+  private[graft] def userDotsCached(spark: SparkSession, dir: String): DataFrame =
+    userDotsHalf(Tables.ratingsCached(spark, dir)).cache()
 
   /** The cohort mechanism under [[userSims]]: `restrict` narrows the
     * TARGET side only (a predicate filter, or a broadcast semi-join
@@ -239,7 +269,8 @@ object Recommender {
                                  restrict: Option[DataFrame => DataFrame],
                                  maxRatersPerItem: Int = Int.MaxValue,
                                  dense: Boolean = false,
-                                 catalogSize: Option[Long] = None): DataFrame = {
+                                 catalogSize: Option[Long] = None,
+                                 dotsSource: Option[DataFrame] = None): DataFrame = {
     require(!dense || restrict.isDefined,
       "dense sims are cohort-scoped (|targets|·|U| rows); the all-users dense complement is |U|²")
     // the cap bounds the viral-item pair fan-out ([[capPerItem]]);
@@ -250,8 +281,20 @@ object Recommender {
       sum(col("rating") * col("rating")).as("q"),
       count(lit(1)).as("n"))
     val b = r.select(col("user_id").as("v"), col("item_id"), col("rating").as("rb"))
-    val dots = restrict match {
-      case Some(narrow) =>
+    val dots = (dotsSource, restrict) match {
+      case (Some(half), narrow) =>
+        // shared pre-aggregated half table ([[userDotsHalf]], caller
+        // guarantees same capped ratings): mirror, then cohort-narrow
+        // the u-side via broadcast semi-join on the restricted users
+        val full = half.union(half.select(col("v").as("u"), col("u").as("v"),
+          col("dot"), col("co")))
+        narrow match {
+          case Some(f) => full.join(
+            broadcast(f(r).select(col("user_id").as("u")).distinct()),
+            Seq("u"), "left_semi")
+          case None => full
+        }
+      case (None, Some(narrow)) =>
         // cohort run: only (target, *) pairs exist — direct form
         narrow(r)
           .select(col("user_id").as("u"), col("item_id"), col("rating").as("ra"))
@@ -259,7 +302,7 @@ object Recommender {
           .filter(col("u") =!= col("v"))
           .groupBy(col("u"), col("v"))
           .agg(sum(col("ra") * col("rb")).as("dot"), count(lit(1)).as("co"))
-      case None =>
+      case (None, None) =>
         // all-users run: aggregate each UNORDERED pair once (u < v
         // halves the agg input) and mirror the result
         val a = r.select(col("user_id").as("u"), col("item_id"), col("rating").as("ra"))
@@ -483,7 +526,8 @@ object Recommender {
     * predicted plus the error, the E4 feed. */
   private def q30(spark: SparkSession, dir: String): DataFrame =
     userPredictRatings(Tables.ratingsCached(spark, dir),
-      col("user_id") % 17 === 3, K_NEIGHBORS)
+      col("user_id") % 17 === 3, K_NEIGHBORS,
+      dotsSource = Some(userDotsCached(spark, dir)))
 
   /** Reusable library surface: user-based rating prediction for the
     * (user, item) pairs selected by `heldOut` over long-form ratings.
@@ -491,11 +535,12 @@ object Recommender {
     * dot, and it is keyed on item_id with the a-side pre-filtered to
     * cohort users — Σ_item (cohort_raters × raters), never |U|². */
   def userPredictRatings(ratings: DataFrame, heldOut: Column,
-                         kNeighbors: Int): DataFrame =
+                         kNeighbors: Int,
+                         dotsSource: Option[DataFrame] = None): DataFrame =
     userPredictOn(ratings,
       ratings.filter(heldOut)
         .select(col("user_id").as("u"), col("item_id"), col("rating").as("actual")),
-      kNeighbors)
+      kNeighbors, dotsSource)
 
   /** True train/test form: predict the `(u, item_id, actual)` pairs of
     * `cohort` from `ratings` alone — the cohort pairs need NOT appear
@@ -507,7 +552,8 @@ object Recommender {
     * Exact duplicate rows are dropped here; conflicting `actual`
     * values for the same pair are a caller error. */
   def userPredictOn(ratings: DataFrame, cohort0: DataFrame,
-                    kNeighbors: Int): DataFrame = {
+                    kNeighbors: Int,
+                    dotsSource: Option[DataFrame] = None): DataFrame = {
     val cohort = cohort0.distinct()
     val r = ratings
     val stats = r.groupBy("user_id").agg(
@@ -515,14 +561,22 @@ object Recommender {
       sqrt(sum(col("rating") * col("rating"))).as("unorm"))
     val cohortUsers = cohort.select(col("u")).distinct()
 
-    // cohort users' FULL profiles feed the similarity side
-    val a = r.join(broadcast(cohortUsers), r("user_id") === cohortUsers("u"))
-      .select(col("u"), col("item_id"), col("rating").as("ra"))
-    val b = r.select(col("user_id").as("v"), col("item_id"), col("rating").as("rb"))
-    val dots = a.join(b, Seq("item_id"))
-      .filter(col("u") =!= col("v"))
-      .groupBy(col("u"), col("v"))
-      .agg(sum(col("ra") * col("rb")).as("dot"))
+    // cohort users' FULL profiles feed the similarity side; a shared
+    // [[userDotsHalf]] table (same ratings) replaces the pair join
+    val dots = dotsSource match {
+      case Some(half) =>
+        half.select(col("u"), col("v"), col("dot"))
+          .union(half.select(col("v").as("u"), col("u").as("v"), col("dot")))
+          .join(broadcast(cohortUsers), Seq("u"), "left_semi")
+      case None =>
+        val a = r.join(broadcast(cohortUsers), r("user_id") === cohortUsers("u"))
+          .select(col("u"), col("item_id"), col("rating").as("ra"))
+        val b = r.select(col("user_id").as("v"), col("item_id"), col("rating").as("rb"))
+        a.join(b, Seq("item_id"))
+          .filter(col("u") =!= col("v"))
+          .groupBy(col("u"), col("v"))
+          .agg(sum(col("ra") * col("rb")).as("dot"))
+    }
     val sims = dots
       .join(broadcast(stats.select(col("user_id").as("u"), col("unorm").as("nu"))), Seq("u"))
       .join(broadcast(stats.select(col("user_id").as("v"), col("unorm").as("nv"))), Seq("v"))
