@@ -21,7 +21,9 @@ object Corpus {
     "q64_bm25" -> q64,
     "q65_doc_chunks" -> q65,
     "q66_hash_split" -> q66,
-    "q67_hash_sample" -> q67
+    "q67_hash_sample" -> q67,
+    "q69_seq_pack" -> q69,
+    "q70_source_mix" -> q70
   )
 
   /** Lucene-standard BM25 parameters. */
@@ -169,4 +171,61 @@ object Corpus {
 
   private def q67(spark: SparkSession, dir: String): DataFrame =
     hashSamplePerGroup(Tables.documents(spark, dir), "lang", "doc_id")
+
+  /** Packed-sequence length and shard count for [[packSequences]]. */
+  val SEQ_LEN = 256
+  val PACK_SHARDS = 8
+
+  /** GPT-style sequence packing: concatenate documents (in doc_id
+    * order) into a token stream and assign each doc to the training
+    * sequence where it STARTS — seq_id = floor(tokens-before / seqLen).
+    *
+    * Packing is inherently sequential, so the scale move is to shard
+    * the stream FIRST: each (lang, shard = md5(doc_id) % `shards`)
+    * group packs independently, turning one corpus-length running sum
+    * into `shards` parallel partition-local window sums. Document
+    * order inside a shard is arbitrary anyway (training shuffles), so
+    * sharding costs nothing semantically; at 100 TB you raise `shards`
+    * until a shard's docs fit one task. Emits
+    * (lang, shard, doc_id, n_tokens, stream_offset, seq_id). */
+  def packSequences(docs: DataFrame, seqLen: Int = SEQ_LEN,
+                    shards: Int = PACK_SHARDS): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col("lang"), col("doc_id"),
+        (Dedup.baseHash(col("doc_id").cast("string")) % shards).cast("int").as("shard"),
+        size(VectorFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("stream_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("stream_offset") / seqLen).cast("int"))
+  }
+
+  private def q69(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(spark, dir))
+
+  /** Per-source mixing weights (percent kept): the corpus-mixing knob
+    * an LLM pipeline turns to over/under-sample sources. */
+  def mixWeight(source: Column): Column =
+    when(source.isin("src0", "src1", "src2", "src3"), 100)
+      .when(source.isin("src4", "src5", "src6", "src7"), 50)
+      .otherwise(20)
+
+  /** Deterministic weighted source mixing: keep a doc iff its salted
+    * md5 bucket falls under its source's weight — reproducible
+    * up/down-sampling (never `rand()`; retry-stable, engine-portable;
+    * the salt decorrelates this draw from the [[splitAssign]] buckets).
+    * Summary: per source, total vs kept counts and the realized
+    * fraction. One narrow map + one keyed agg. */
+  def mixSample(docs: DataFrame): DataFrame = {
+    val bucket = Dedup.baseHash(concat(col("doc_id").cast("string"), lit("_mix"))) % 100
+    docs.withColumn("kept", (bucket < mixWeight(col("source"))).cast("int"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("kept")).as("n_kept"),
+        r4(sum(col("kept")).cast("double") / count(lit(1))).as("kept_frac"))
+  }
+
+  private def q70(spark: SparkSession, dir: String): DataFrame =
+    mixSample(Tables.documents(spark, dir))
 }

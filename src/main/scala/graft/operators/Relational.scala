@@ -44,7 +44,8 @@ object Relational {
     "q54_event_pivot" -> q54,
     "q55_revenue_rollup" -> q55,
     "q56_asof_join" -> q56,
-    "q57_event_sessions" -> q57
+    "q57_event_sessions" -> q57,
+    "q68_click_attribution" -> q68
   )
 
   val SESSION_GAP_SECONDS = 1800L // 30 min
@@ -465,6 +466,19 @@ object Relational {
   private def q57(spark: SparkSession, dir: String): DataFrame =
     sessionizeBatch(Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type")))
+
+  val ATTRIBUTION_HORIZON_MIN = 30
+
+  /** The batch face of the §2.12 stream-stream interval join
+    * ([[graft.streaming.EventStreams.attributePurchases]]): every
+    * (click, purchase) pair by the same user within 30 minutes. The
+    * join is keyed on user_id with a range predicate — at 100 TB it is
+    * the standard shuffled equi-join with the interval filter applied
+    * post-match; the streaming form bounds its state by the same
+    * horizon. */
+  private def q68(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.attributePurchases(
+      Tables.events(spark, dir), "1 hour", ATTRIBUTION_HORIZON_MIN)
 
   /** Reusable library surface for the batch sessionizer over any
     * `(event_id, user_id, ts, event_type)` DataFrame — q57's body;

@@ -83,6 +83,42 @@ object CorpusSql {
          |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
          |             AS BIGINT) ASC, doc_id ASC) AS rk
          |  FROM documents)
-         |WHERE rk <= 5""".stripMargin
+         |WHERE rk <= 5""".stripMargin,
+
+    "q69_seq_pack" ->
+      s"""WITH base AS (
+         |  SELECT lang, doc_id,
+         |         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+         |              AS BIGINT) % 8 AS INTEGER) AS shard,
+         |         CAST(len(${tokensSql("lower(trim(text))")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |offs AS (
+         |  SELECT lang, doc_id, shard, n_tokens,
+         |         CAST(COALESCE(sum(n_tokens) OVER (
+         |           PARTITION BY lang, shard ORDER BY doc_id ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS stream_offset
+         |  FROM base)
+         |SELECT lang, doc_id, shard, n_tokens, stream_offset,
+         |       CAST(floor(stream_offset / 256.0) AS INTEGER) AS seq_id
+         |FROM offs""".stripMargin,
+
+    "q70_source_mix" ->
+      s"""WITH flags AS (
+         |  SELECT source,
+         |         CASE WHEN CAST(('0x' ||
+         |                substr(md5(CAST(doc_id AS VARCHAR) || '_mix'), 1, 7))
+         |                AS BIGINT) % 100 <
+         |              CASE WHEN source IN ('src0','src1','src2','src3') THEN 100
+         |                   WHEN source IN ('src4','src5','src6','src7') THEN 50
+         |                   ELSE 20 END
+         |              THEN 1 ELSE 0 END AS kept
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+         |       CAST(sum(kept) AS BIGINT) AS n_kept,
+         |       floor(CAST(sum(kept) AS DOUBLE) / count(*) * 10000.0 + 0.5)
+         |         / 10000.0 AS kept_frac
+         |FROM flags
+         |GROUP BY 1""".stripMargin
   )
 }

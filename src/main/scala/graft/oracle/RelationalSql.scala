@@ -256,6 +256,20 @@ object RelationalSql {
         |       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
         |FROM sessions GROUP BY 1, 2""".stripMargin,
 
+    // delay is a DIFF OF FLOORS (Spark unix_timestamp truncates each
+    // endpoint to whole seconds before subtracting), not floor-of-diff
+    "q68_click_attribution" ->
+      """SELECT c.user_id,
+        |       c.event_id AS click_id,
+        |       p.event_id AS purchase_id,
+        |       CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS delay_s,
+        |       p.value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = c.user_id
+        | AND p.ts >= c.ts
+        | AND p.ts < c.ts + INTERVAL 30 MINUTE""".stripMargin,
+
     "q56_asof_join" ->
       """SELECT e.event_id, e.user_id, e.ts,
         |       o.o_orderdate AS last_order_ts,

@@ -80,6 +80,37 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join (§2.12): attribute each purchase to
+    * every click by the same user in the preceding `horizonMin`
+    * minutes. On streams, BOTH sides carry watermarks and the join
+    * condition bounds event-time distance, so the engine can expire
+    * buffered click state once the purchase-side watermark passes
+    * click_ts + horizon — state is arrival-rate × horizon, never the
+    * full history. On batch DataFrames the same code is a plain
+    * interval self-join (watermarks are no-ops), which is what the
+    * q68 oracle checks; StreamingSpec asserts stream/batch parity.
+    * Attribution delay is floor-seconds (the q57 epoch convention). */
+  def attributePurchases(events: DataFrame, watermark: String,
+                         horizonMin: Int): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+        col("cu") === col("pu") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") < col("click_ts") +
+            expr(s"INTERVAL $horizonMin MINUTES"))
+      .select(col("cu").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+          .as("delay_s"),
+        col("value"))
+  }
+
   /** Custom state (§2.12's `flatMapGroupsWithState` surface):
     * gap-based sessionization of the per-user event stream. A session
     * closes — and emits one [[UserSession]] row — once the WATERMARK

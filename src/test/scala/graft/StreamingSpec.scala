@@ -150,6 +150,47 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("attributePurchases: stream-stream interval join equals batch on same rows") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    // (event_id, ts, user_id, event_type, value): two clicks for user
+    // 1 (only the 10:00 one is within 30 min of the purchase), one
+    // out-of-horizon click for user 2, one cross-user non-match
+    val rows = Seq(
+      (1L, ts("2024-05-01 09:00:00"), 1L, "click", 0.0),
+      (2L, ts("2024-05-01 10:00:00"), 1L, "click", 0.0),
+      (3L, ts("2024-05-01 10:20:00"), 1L, "purchase", 99.0),
+      (4L, ts("2024-05-01 08:00:00"), 2L, "click", 0.0),
+      (5L, ts("2024-05-01 11:00:00"), 2L, "purchase", 7.0),
+      (6L, ts("2024-05-01 10:10:00"), 3L, "click", 0.0))
+
+    def toDf(s: Seq[(Long, Timestamp, Long, String, Double)]) =
+      s.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = EventStreams.attributePurchases(
+        mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"),
+        "1 hour", 30)
+      .writeStream.format("memory").queryName("evt_attr")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(2)) // clicks buffer as join state first
+      q.processAllAvailable()
+      mem.addData(rows.drop(2))
+      q.processAllAvailable()
+
+      val streamed = sp.sql(
+        "SELECT user_id, click_id, purchase_id, delay_s, value FROM evt_attr")
+        .collect().map(_.toSeq).toSet
+      val batch = EventStreams.attributePurchases(toDf(rows), "1 hour", 30)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch == Set(Seq(1L, 2L, 3L, 1200L, 99.0)))
+    } finally q.stop()
+  }
+
   test("dedupEventStream drops duplicate ids within the watermark, across batches") {
     val sp = spark
     import sp.implicits._
