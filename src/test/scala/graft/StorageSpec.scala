@@ -86,4 +86,32 @@ class StorageSpec extends SparkSuite {
     assert(bad == 0, s"$bad unpartitioned WindowExec node(s) in q27's plan")
     assert(df.count() == 1)
   }
+
+  test("chunkDocs plans as pure map work: no Exchange, no Window, no Sort") {
+    val s = spark
+    import s.implicits._
+    val docs = (1 to 50).map(i => (i.toLong, Seq.fill(100)(s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val plan = operators.Corpus.chunkDocs(docs)
+      .queryExecution.executedPlan.toString
+    // the chunker's scale claim IS this shape: tokenize → explode →
+    // slice with zero shuffles — any Exchange would break map-only
+    assert(!plan.contains("Exchange"), s"chunking shuffles:\n$plan")
+    assert(!plan.contains("Sort"), s"chunking sorts:\n$plan")
+  }
+
+  test("bm25 top-k plans as TakeOrdered, never a global window/sort-all") {
+    val df = SparkEntry.queries("q64_bm25")(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = df.queryExecution.executedPlan
+    var unpart = 0
+    plan.foreach {
+      case w: WindowExec if w.partitionSpec.isEmpty => unpart += 1
+      case _ => ()
+    }
+    assert(unpart == 0, s"$unpart unpartitioned WindowExec in q64's plan")
+    assert(plan.toString.contains("TakeOrdered"),
+      s"q64 top-k is not TakeOrdered:\n$plan")
+    assert(df.count() == operators.Corpus.TOP_DOCS)
+  }
 }
