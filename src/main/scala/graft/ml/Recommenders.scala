@@ -38,8 +38,20 @@ private[ml] trait KnnParams extends Params {
   final val maxItemsPerUser = new IntParam(this, "maxItemsPerUser",
     "heavy-key cap on the pair fan-out (item-based; Int.MaxValue = exact)",
     ParamValidators.gt(0))
+  final val denseSims = new BooleanParam(this, "denseSims",
+    "dense cohort similarity grid — the reference's dense-vector " +
+      "semantics, where no-overlap pairs compete for neighborhoods " +
+      "(semantically different from sparse only for pearson/invEuclidean)")
+  final val catalogSize = new LongParam(this, "catalogSize",
+    "pins Pearson's zero-inclusive N to the reference's configured " +
+      "catalog (_numberOfItems); 0 = derive from the training data",
+    ParamValidators.gtEq(0))
   setDefault(userBased -> true, kernelName -> "cosine",
-    kNeighbors -> 25, kItems -> 5, maxItemsPerUser -> Int.MaxValue)
+    kNeighbors -> 25, kItems -> 5, maxItemsPerUser -> Int.MaxValue,
+    denseSims -> false, catalogSize -> 0L)
+
+  private[ml] def catalogOpt: Option[Long] =
+    if ($(catalogSize) == 0L) None else Some($(catalogSize))
 
   private[ml] def kernel: Kernel = $(kernelName) match {
     case "cosine" => Kernel.Cosine
@@ -60,6 +72,8 @@ class KnnRecommender(override val uid: String)
   def setKNeighbors(v: Int): this.type = set(kNeighbors, v)
   def setKItems(v: Int): this.type = set(kItems, v)
   def setMaxItemsPerUser(v: Int): this.type = set(maxItemsPerUser, v)
+  def setDenseSims(v: Boolean): this.type = set(denseSims, v)
+  def setCatalogSize(v: Long): this.type = set(catalogSize, v)
 
   override def fit(dataset: Dataset[_]): KnnRecommenderModel =
     copyValues(new KnnRecommenderModel(uid, dataset.toDF()).setParent(this))
@@ -92,7 +106,8 @@ class KnnRecommenderModel private[ml] (override val uid: String,
     * the reference's per-cell `transform(target, index)` as one
     * distributed pass (fold-evaluation shape, Main.scala:61-126). */
   def predictRatings(cohort: DataFrame): DataFrame =
-    if ($(userBased)) Recommender.userPredictOn(train, cohort, $(kNeighbors))
+    if ($(userBased)) Recommender.userPredictOn(train, cohort, $(kNeighbors),
+      kernel = kernel, dense = $(denseSims), catalogSize = catalogOpt)
     else Recommender.itemPredictOn(train, cohort, $(kNeighbors),
       $(maxItemsPerUser))
 

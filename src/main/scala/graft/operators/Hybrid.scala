@@ -37,7 +37,8 @@ object Hybrid {
   private def q33(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.ratingsCached(spark, dir)
     val ua = Recommender.userKnnTopK(r, Recommender.K_NEIGHBORS, K_ITEMS,
-      targetUsers = Some(col("user_id") % 20 === 0))
+      targetUsers = Some(col("user_id") % 20 === 0),
+      dotsSource = Some(Recommender.userDotsCached(spark, dir)))
     val ib = Recommender.itemKnnTopK(r, col("user_id") % 20 === 0,
       Recommender.K_ITEM_NEIGHBORS, K_ITEMS,
       simsSource = Some(Recommender.itemSimsCached(spark, dir)))

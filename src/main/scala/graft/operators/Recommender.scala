@@ -536,11 +536,14 @@ object Recommender {
     * cohort users — Σ_item (cohort_raters × raters), never |U|². */
   def userPredictRatings(ratings: DataFrame, heldOut: Column,
                          kNeighbors: Int,
-                         dotsSource: Option[DataFrame] = None): DataFrame =
+                         dotsSource: Option[DataFrame] = None,
+                         kernel: Kernel = Kernel.Cosine,
+                         dense: Boolean = false,
+                         catalogSize: Option[Long] = None): DataFrame =
     userPredictOn(ratings,
       ratings.filter(heldOut)
         .select(col("user_id").as("u"), col("item_id"), col("rating").as("actual")),
-      kNeighbors, dotsSource)
+      kNeighbors, dotsSource, kernel, dense, catalogSize)
 
   /** True train/test form: predict the `(u, item_id, actual)` pairs of
     * `cohort` from `ratings` alone — the cohort pairs need NOT appear
@@ -553,34 +556,25 @@ object Recommender {
     * values for the same pair are a caller error. */
   def userPredictOn(ratings: DataFrame, cohort0: DataFrame,
                     kNeighbors: Int,
-                    dotsSource: Option[DataFrame] = None): DataFrame = {
+                    dotsSource: Option[DataFrame] = None,
+                    kernel: Kernel = Kernel.Cosine,
+                    dense: Boolean = false,
+                    catalogSize: Option[Long] = None): DataFrame = {
     val cohort = cohort0.distinct()
     val r = ratings
-    val stats = r.groupBy("user_id").agg(
-      avg(col("rating")).as("umean"),
-      sqrt(sum(col("rating") * col("rating"))).as("unorm"))
+    val stats = r.groupBy("user_id").agg(avg(col("rating")).as("umean"))
     val cohortUsers = cohort.select(col("u")).distinct()
 
-    // cohort users' FULL profiles feed the similarity side; a shared
-    // [[userDotsHalf]] table (same ratings) replaces the pair join
-    val dots = dotsSource match {
-      case Some(half) =>
-        half.select(col("u"), col("v"), col("dot"))
-          .union(half.select(col("v").as("u"), col("u").as("v"), col("dot")))
-          .join(broadcast(cohortUsers), Seq("u"), "left_semi")
-      case None =>
-        val a = r.join(broadcast(cohortUsers), r("user_id") === cohortUsers("u"))
-          .select(col("u"), col("item_id"), col("rating").as("ra"))
-        val b = r.select(col("user_id").as("v"), col("item_id"), col("rating").as("rb"))
-        a.join(b, Seq("item_id"))
-          .filter(col("u") =!= col("v"))
-          .groupBy(col("u"), col("v"))
-          .agg(sum(col("ra") * col("rb")).as("dot"))
-    }
-    val sims = dots
-      .join(broadcast(stats.select(col("user_id").as("u"), col("unorm").as("nu"))), Seq("u"))
-      .join(broadcast(stats.select(col("user_id").as("v"), col("unorm").as("nv"))), Seq("v"))
-      .select(col("u"), col("v"), r6(col("dot") / (col("nu") * col("nv"))).as("sim"))
+    // cohort users' FULL profiles feed the similarity side — the
+    // kernel-parameterized [[userSims]] pipeline restricted to the
+    // cohort via broadcast semi-join (the reference's setSimilarity
+    // SPI applies to fold evaluation exactly as to top-k; dense = the
+    // reference's dense-vector semantics for K2/K4 folds)
+    val restrictFn: DataFrame => DataFrame = df => df.join(
+      broadcast(cohortUsers.withColumnRenamed("u", "user_id")),
+      Seq("user_id"), "left_semi")
+    val sims = userSimsRestricted(r, kernel, Some(restrictFn),
+      Int.MaxValue, dense, catalogSize, dotsSource)
 
     // neighbors of (u, i): other users v who rated i, by sim desc
     val raters = r.select(col("user_id").as("v"), col("item_id"), col("rating").as("r_vi"))

@@ -50,6 +50,35 @@ class MovieLensParitySpec extends SparkSuite {
     assert(mae > 0.5 && mae < 1.0, s"MAE $mae outside sane band")
   }
 
+  test("fold-1 DENSE-Pearson user-kNN — the reference's Main.scala:354-356 workload") {
+    requireData()
+    val train = trainDf.cache()
+    val test = Tables.ratingsTsv(spark, TEST1)
+
+    // the reference experiment: setSimilarity(new PearsonSimilarity)
+    // over DENSE user vectors with the configured catalog size
+    // (_numberOfItems = 1682 counts items unrated in the fold) —
+    // exactly the semantics `denseSims` + `catalogSize` restore
+    val model = new KnnRecommender().setUserBased(true).setKNeighbors(25)
+      .setKernel("pearson").setDenseSims(true).setCatalogSize(1682L)
+      .fit(train)
+    val preds = model.predictRatings(
+      test.select(col("user_id").as("u"), col("item_id"),
+        col("rating").as("actual"))).cache()
+
+    val n = preds.count()
+    assert(n > 18000L, s"coverage too low: $n of 20000 test pairs")
+    val row = preds.agg(
+      sqrt(avg(pow(col("actual") - col("predicted"), 2))).as("rmse"),
+      avg(abs(col("actual") - col("predicted"))).as("mae")).collect()(0)
+    val (rmse, mae) = (row.getDouble(0), row.getDouble(1))
+    // zero-inclusive whole-profile Pearson is a WEAKER kernel than
+    // mean-centered cosine on ML-100k (the reference's own quirk, not
+    // a bug) — the band is wider but still catches broken formulas
+    assert(rmse > 0.7 && rmse < 1.35, s"dense-Pearson RMSE $rmse outside band")
+    assert(mae > 0.5 && mae < 1.1, s"dense-Pearson MAE $mae outside band")
+  }
+
   test("fold-1 item-kNN predictions hit sane MovieLens accuracy") {
     requireData()
     val test = Tables.ratingsTsv(spark, TEST1)
