@@ -669,30 +669,37 @@ object Recommender {
   /** True train/test form of the item-based predictor: cohort pairs
     * `(u, i, actual)` need not appear in the training ratings. Pairs
     * must be unique per (u, i) — see [[userPredictOn]]; exact
-    * duplicate rows are dropped. */
+    * duplicate rows are dropped. `simsSource` slots in any mirrored
+    * `(i, j, sim)` table — an [[itemSims]] under a different
+    * [[Kernel]], the shared cache, or the DIMSUM approximation — the
+    * same seam as [[itemKnnTopK]]; the built-in default is the
+    * cohort-restricted cosine (cheaper than a full item×item table
+    * when the cohort is small). */
   def itemPredictOn(ratings: DataFrame, cohort0: DataFrame,
                     kNeighbors: Int,
-                    maxItemsPerUser: Int = Int.MaxValue): DataFrame = {
+                    maxItemsPerUser: Int = Int.MaxValue,
+                    simsSource: Option[DataFrame] = None): DataFrame = {
     val cohort = cohort0.distinct()
     val r = ratings
     // the cap bounds the pair fan-out of the SIMILARITY estimate only
     // ([[capPerUser]]); neighbor scoring below still sees full profiles
     val rs = capPerUser(r, maxItemsPerUser)
-    val inorm = rs.groupBy("item_id").agg(
-      sqrt(sum(col("rating") * col("rating"))).as("inorm"))
     val cohortItems = cohort.select(col("i")).distinct()
-
-    val a = rs.join(cohortItems, rs("item_id") === cohortItems("i"))
-      .select(col("user_id"), col("item_id").as("i"), col("rating").as("ra"))
-    val b = rs.select(col("user_id"), col("item_id").as("j"), col("rating").as("rb"))
-    val dots = a.join(b, Seq("user_id"))
-      .filter(col("i") =!= col("j"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("ra") * col("rb")).as("dot"))
-    val sims = dots
-      .join(broadcast(inorm.select(col("item_id").as("i"), col("inorm").as("ni"))), Seq("i"))
-      .join(broadcast(inorm.select(col("item_id").as("j"), col("inorm").as("nj"))), Seq("j"))
-      .select(col("i"), col("j"), r6(col("dot") / (col("ni") * col("nj"))).as("sim"))
+    val sims = simsSource.getOrElse {
+      val inorm = rs.groupBy("item_id").agg(
+        sqrt(sum(col("rating") * col("rating"))).as("inorm"))
+      val a = rs.join(cohortItems, rs("item_id") === cohortItems("i"))
+        .select(col("user_id"), col("item_id").as("i"), col("rating").as("ra"))
+      val b = rs.select(col("user_id"), col("item_id").as("j"), col("rating").as("rb"))
+      val dots = a.join(b, Seq("user_id"))
+        .filter(col("i") =!= col("j"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("ra") * col("rb")).as("dot"))
+      dots
+        .join(broadcast(inorm.select(col("item_id").as("i"), col("inorm").as("ni"))), Seq("i"))
+        .join(broadcast(inorm.select(col("item_id").as("j"), col("inorm").as("nj"))), Seq("j"))
+        .select(col("i"), col("j"), r6(col("dot") / (col("ni") * col("nj"))).as("sim"))
+    }
 
     // neighbors of (u, i): items j the user actually rated
     val rated = r.select(col("user_id").as("u"), col("item_id").as("j"), col("rating").as("r_uj"))

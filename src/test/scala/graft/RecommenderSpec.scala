@@ -163,6 +163,23 @@ class RecommenderSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("itemPredictOn accepts an external sims source (kernel SPI seam)") {
+    val s = spark
+    import s.implicits._
+    val cohort = tiny.filter(col("user_id") === 1)
+      .select(col("user_id").as("u"), col("item_id").as("i"),
+        col("rating").as("actual"))
+    val direct = Recommender.itemPredictOn(tiny, cohort, kNeighbors = 2)
+      .collect().map(_.toSeq).toSet
+    // a FULL itemSims table (cosine) must reproduce the built-in
+    // cohort-restricted cosine exactly — extra pairs only feed the
+    // inner join as non-matches
+    val viaSims = Recommender.itemPredictOn(tiny, cohort, kNeighbors = 2,
+        simsSource = Some(Recommender.itemSims(tiny)))
+      .collect().map(_.toSeq).toSet
+    assert(direct.nonEmpty && direct == viaSims)
+  }
+
   test("heavy-key cap: no-op above max profile size, ≈ exact at moderate cap") {
     val r = graft.sources.Tables.ratings(spark, "/root/testdata/sf0.001")
     val cohort = col("user_id") % 20 === 0
