@@ -45,7 +45,9 @@ object Relational {
     "q55_revenue_rollup" -> q55,
     "q56_asof_join" -> q56,
     "q57_event_sessions" -> q57,
-    "q68_click_attribution" -> q68
+    "q68_click_attribution" -> q68,
+    "q53b_approx_percentiles" -> q53b,
+    "q71_trending_users" -> q71
   )
 
   val SESSION_GAP_SECONDS = 1800L // 30 min
@@ -382,6 +384,50 @@ object Relational {
         graft.functions.Rounding.r4(expr("percentile(value, 0.9)")).as("p90"),
         graft.functions.Rounding.r4(expr("percentile(value, 0.99)")).as("p99"),
         count(lit(1)).as("n"))
+
+  /** A3-analog for ordered statistics at the 100-TB posture: the
+    * APPROXIMATE twin of q53 the Scaladoc there promises. Exact
+    * `percentile` sorts every group's values; `approx_percentile`
+    * keeps a fixed-size mergeable sketch per group (state bounded by
+    * the accuracy parameter, not by n), so partial aggregation applies
+    * map-side at any scale. No SQL oracle — sketch results can't
+    * hash-match; the driver's rows/schema gate covers the shape, and
+    * the spec bounds the error against q53's exact values. */
+  private def q53b(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        graft.functions.Rounding.r4(
+          expr("approx_percentile(value, 0.5, 10000)")).as("p50"),
+        graft.functions.Rounding.r4(
+          expr("approx_percentile(value, 0.9, 10000)")).as("p90"),
+        graft.functions.Rounding.r4(
+          expr("approx_percentile(value, 0.99, 10000)")).as("p99"),
+        count(lit(1)).as("n"))
+
+  val TRENDING_TOP_K = 5
+
+  /** W1 × T1 at the 100-TB posture: per-window trending entities —
+    * top-[[TRENDING_TOP_K]] users by event volume in each tumbling
+    * day — via the bounded-heap [[graft.functions.TopKAggregator]].
+    * The group key is (window), whose cardinality is LOW relative to
+    * the rows per window, exactly where a rank window would funnel
+    * each day's whole event volume through one partition; the heap
+    * keeps k rows per window map-side. Rank key is the 6-dp-rounded
+    * volume (id-asc ties), emitted 4-dp — the repo-wide float
+    * discipline. */
+  private def q71(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(TRENDING_TOP_K))
+    val uv = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .agg(graft.functions.Rounding.r6(sum(col("value"))).as("vol"))
+    uv.groupBy(col("day"))
+      .agg(topk(col("user_id"), col("vol")).as("top"))
+      .select(col("day"), posexplode(col("top.items")))
+      .select(col("day"), col("col._1").as("user_id"),
+        graft.functions.Rounding.r4(col("col._2")).as("volume"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
 
   /** PIVOT — long→wide with an EXPLICIT value list (the open-ended
     * form would need a driver-side distinct scan to discover columns;

@@ -270,6 +270,20 @@ object RelationalSql {
         | AND p.ts >= c.ts
         | AND p.ts < c.ts + INTERVAL 30 MINUTE""".stripMargin,
 
+    "q71_trending_users" ->
+      """WITH uv AS (
+        |  SELECT date_trunc('day', ts) AS day, user_id,
+        |         floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS vol
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, user_id,
+        |       floor(vol * 10000.0 + 0.5) / 10000.0 AS volume,
+        |       CAST(rk AS INTEGER) AS rk
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY day ORDER BY vol DESC, user_id ASC) AS rk
+        |  FROM uv)
+        |WHERE rk <= 5""".stripMargin,
+
     "q56_asof_join" ->
       """SELECT e.event_id, e.user_id, e.ts,
         |       o.o_orderdate AS last_order_ts,
