@@ -91,11 +91,23 @@ object Dedup {
         col("band.band_hash").as("band_hash"))
   }
 
+  /** Session-cached verified pair table — q20 and q50 both consume it
+    * (q50's clusters are a threshold filter + components over the SAME
+    * pairs), and CacheManager plan-dedup gives them ONE run of the
+    * shingle→minhash→band-join→verify pipeline per session (the
+    * itemSimsCached pattern). The 254-row result (sf0.1) costs nothing
+    * to pin; library callers own their own caching as usual. */
+  private[graft] def neardupPairsCached(spark: SparkSession, dir: String): DataFrame =
+    verifiedNeardupPairs(spark, dir).cache()
+
+  private def q20(spark: SparkSession, dir: String): DataFrame =
+    neardupPairsCached(spark, dir)
+
   /** Near-duplicate pairs: LSH candidates (same band hash in ≥1 band,
     * a bucketed self-join — NEVER all-pairs) verified with the exact
     * shingle Jaccard. Emits every candidate pair with its verified
     * similarity so downstream thresholds stay a filter, not a re-join. */
-  private def q20(spark: SparkSession, dir: String): DataFrame = {
+  private def verifiedNeardupPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleSet(spark, dir).cache()
     val bands = minhashBands(sh)
     val cand = bands.as("a")
@@ -135,7 +147,7 @@ object Dedup {
     // symmetrized edge list each branch off it twice, and without this
     // checkpoint every branch re-runs the whole shingle→minhash→verify
     // pipeline (4× the q20 cost, measured dominating the query)
-    val pairs = q20(spark, dir)
+    val pairs = neardupPairsCached(spark, dir)
       .filter(col("jaccard") >= CLUSTER_JACCARD)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
