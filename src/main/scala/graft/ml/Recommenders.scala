@@ -91,25 +91,44 @@ class KnnRecommenderModel private[ml] (override val uid: String,
                                        val train: DataFrame)
     extends Model[KnnRecommenderModel] with KnnParams {
 
+  /** Dense cohort sims are a user-based concept (the item-side pair
+    * table has no dense rebuild) — fail loudly instead of silently
+    * ignoring the param on an item-based model. */
+  private def requireDenseIsUserBased(): Unit =
+    require(!$(denseSims) || $(userBased),
+      "denseSims = true applies to user-based models only")
+
   /** Top-k recommendations for the users in `targets` (a `user_id`
     * column; extra columns ignored). */
-  override def transform(targets: Dataset[_]): DataFrame =
+  override def transform(targets: Dataset[_]): DataFrame = {
+    requireDenseIsUserBased()
     if ($(userBased))
       Recommender.userKnnTopKFor(train, targets.toDF(),
-        $(kNeighbors), $(kItems), kernel)
+        $(kNeighbors), $(kItems), kernel,
+        dense = $(denseSims), catalogSize = catalogOpt)
     else
       Recommender.itemKnnTopKFor(train, targets.toDF(),
         $(kNeighbors), $(kItems), maxItemsPerUser = $(maxItemsPerUser),
-        kernel = kernel)
+        kernel = kernel, catalogSize = catalogOpt)
+  }
 
   /** Rating prediction for held-out `(u, item_id|i, actual)` pairs —
     * the reference's per-cell `transform(target, index)` as one
     * distributed pass (fold-evaluation shape, Main.scala:61-126). */
-  def predictRatings(cohort: DataFrame): DataFrame =
+  def predictRatings(cohort: DataFrame): DataFrame = {
+    requireDenseIsUserBased()
     if ($(userBased)) Recommender.userPredictOn(train, cohort, $(kNeighbors),
       kernel = kernel, dense = $(denseSims), catalogSize = catalogOpt)
     else Recommender.itemPredictOn(train, cohort, $(kNeighbors),
-      $(maxItemsPerUser))
+      $(maxItemsPerUser),
+      // the built-in default is cohort-restricted COSINE; any other
+      // kernel rides the simsSource seam so the configured kernel is
+      // honored on BOTH model surfaces (transform already is)
+      simsSource =
+        if (kernel == Kernel.Cosine) None
+        else Some(Recommender.itemSims(train, kernel, $(maxItemsPerUser),
+          catalogOpt)))
+  }
 
   override def copy(extra: ParamMap): KnnRecommenderModel =
     copyValues(new KnnRecommenderModel(uid, train), extra).setParent(parent)

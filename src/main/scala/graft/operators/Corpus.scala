@@ -57,32 +57,34 @@ object Corpus {
     * shuffle arrival order. */
   def bm25(docs: DataFrame, terms: Seq[String] = QUERY_TERMS,
            topDocs: Int = TOP_DOCS): DataFrame = {
-    val toks = docs.select(col("doc_id"), VectorFns.tokens(col("text")).as("tk"))
-    val dl = toks.select(col("doc_id"), size(col("tk")).cast("double").as("dl"))
-    val corpus = dl.agg(count(lit(1)).cast("double").as("bigN"),
-      avg(col("dl")).as("avgdl"))
-    val tf = toks
-      .select(col("doc_id"), explode(col("tk")).as("tok"))
-      .filter(col("tok").isin(terms: _*))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val df = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
-    val contrib = tf
-      .join(broadcast(df), Seq("tok"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(corpus))
-      .select(col("doc_id"), col("tok"),
-        (log(lit(1.0) + (col("bigN") - col("df") + 0.5) / (col("df") + 0.5)) *
-          (col("tf") * (BM25_K1 + 1.0)) /
-          (col("tf") + lit(BM25_K1) *
-            (lit(1.0 - BM25_B) + lit(BM25_B) * col("dl") / col("avgdl")))).as("c"))
-    val termCols = terms.map(t =>
-      coalesce(max(when(col("tok") === t, col("c"))), lit(0.0)).as(s"c_$t"))
-    val scored = contrib.groupBy(col("doc_id"))
-      .agg(termCols.head, termCols.tail: _*)
-      .select(col("doc_id"),
-        terms.map(t => col(s"c_$t")).reduce(_ + _).as("score"))
-    scored
+    val idx = terms.indices
+    // ONE tokenize pass: dl and every per-term tf ride the same keyed
+    // agg (explode_outer keeps zero-token docs in N/avgdl; count(tok)
+    // skips their null marker). Term columns are INDEX-named — raw
+    // term text in a column name breaks resolution on dots/backticks
+    val tfCols = idx.map(i => sum(when(col("tok") === terms(i), 1L)
+      .otherwise(0L)).cast("double").as(s"tf_$i"))
+    val perDoc = docs
+      .select(col("doc_id"), explode_outer(VectorFns.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(col("tok")).cast("double").as("dl"), tfCols: _*)
+    val dfCols = idx.map(i => sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L))
+      .cast("double").as(s"df_$i"))
+    val stats = perDoc.agg(count(lit(1)).cast("double").as("bigN"),
+      (avg(col("dl")).as("avgdl") +: dfCols): _*)
+    // per-term contribution in declared term order — fixed columns, so
+    // the IEEE sum sequence is engine-identical (a groupBy sum over
+    // term rows would add in shuffle arrival order)
+    def contrib(i: Int) = when(col(s"tf_$i") > 0,
+      log(lit(1.0) + (col("bigN") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5)) *
+        (col(s"tf_$i") * (BM25_K1 + 1.0)) /
+        (col(s"tf_$i") + lit(BM25_K1) *
+          (lit(1.0 - BM25_B) + lit(BM25_B) * col("dl") / col("avgdl"))))
+      .otherwise(lit(0.0))
+    perDoc
+      .crossJoin(broadcast(stats))
+      .filter(idx.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .select(col("doc_id"), idx.map(contrib).reduce(_ + _).as("score"))
       .orderBy(r6(col("score")).desc, col("doc_id").asc)
       .limit(topDocs)
       .select(col("doc_id"), r4(col("score")).as("bm25"))
@@ -156,12 +158,16 @@ object Corpus {
     * [[graft.functions.TopKAggregator]] keeps k rows per group
     * map-side and merges associatively — only |groups|·k rows cross
     * the shuffle. (Heap order is score DESC, so the sample key is the
-    * NEGATED hash; 28-bit hashes are exact in double.) */
+    * NEGATED hash; 28-bit hashes are exact in double.) The hash is
+    * SALTED ("_sample") to decorrelate this draw from the
+    * [[splitAssign]] buckets — unsalted, the k smallest hashes per
+    * group all sit in low buckets, i.e. inside the train split. */
   def hashSamplePerGroup(df: DataFrame, group: String, id: String,
                          k: Int = SAMPLE_PER_GROUP): DataFrame = {
     val topk = udaf(new graft.functions.TopKAggregator(k))
     df.select(col(group), col(id),
-        -Dedup.baseHash(col(id).cast("string")).cast("double") as "nh")
+        -Dedup.baseHash(concat(col(id).cast("string"), lit("_sample")))
+          .cast("double") as "nh")
       .groupBy(col(group))
       .agg(topk(col(id), col("nh")).as("top"))
       .select(col(group), posexplode(col("top.items")))

@@ -131,8 +131,11 @@ object Recommender {
     * narrows via a broadcast semi-join instead of a predicate. */
   def userKnnTopKFor(ratings: DataFrame, targets: DataFrame,
                      kNeighbors: Int, kItems: Int,
-                     kernel: Kernel = Kernel.Cosine): DataFrame =
-    userKnnTopKRestricted(ratings, kNeighbors, kItems, Some(semiJoin(targets)), kernel)
+                     kernel: Kernel = Kernel.Cosine,
+                     dense: Boolean = false,
+                     catalogSize: Option[Long] = None): DataFrame =
+    userKnnTopKRestricted(ratings, kNeighbors, kItems, Some(semiJoin(targets)),
+      kernel, dense = dense, catalogSize = catalogSize)
 
   /** Broadcast-semi-join restriction to `targets.user_id`. */
   private def semiJoin(targets: DataFrame): DataFrame => DataFrame =
@@ -273,6 +276,11 @@ object Recommender {
                                  dotsSource: Option[DataFrame] = None): DataFrame = {
     require(!dense || restrict.isDefined,
       "dense sims are cohort-scoped (|targets|·|U| rows); the all-users dense complement is |U|²")
+    require(dotsSource.isEmpty || maxRatersPerItem == Int.MaxValue,
+      "dotsSource with maxRatersPerItem is inconsistent: moments would run over " +
+        "capped ratings while the pre-aggregated dots sum uncapped rows " +
+        "(qa + qb − 2·dot can go negative → NaN sims). Build the dots over " +
+        "the SAME capped ratings (capPerItem) and drop the cap here.")
     // the cap bounds the viral-item pair fan-out ([[capPerItem]]);
     // moments run over the capped rows so the table is self-consistent
     val r = capPerItem(ratings, maxRatersPerItem)
@@ -456,9 +464,10 @@ object Recommender {
                   kNeighbors: Int, kItems: Int,
                   simsSource: Option[DataFrame] = None,
                   maxItemsPerUser: Int = Int.MaxValue,
-                  kernel: Kernel = Kernel.Cosine): DataFrame =
+                  kernel: Kernel = Kernel.Cosine,
+                  catalogSize: Option[Long] = None): DataFrame =
     itemKnnTopKRestricted(ratings, _.filter(targetUsers), kNeighbors, kItems,
-      simsSource, maxItemsPerUser, kernel)
+      simsSource, maxItemsPerUser, kernel, catalogSize)
 
   /** [[itemKnnTopK]] for a DataFrame of target users — the
     * Estimator/Model `transform` surface. */
@@ -466,18 +475,20 @@ object Recommender {
                      kNeighbors: Int, kItems: Int,
                      simsSource: Option[DataFrame] = None,
                      maxItemsPerUser: Int = Int.MaxValue,
-                     kernel: Kernel = Kernel.Cosine): DataFrame =
+                     kernel: Kernel = Kernel.Cosine,
+                     catalogSize: Option[Long] = None): DataFrame =
     itemKnnTopKRestricted(ratings, semiJoin(targets), kNeighbors, kItems,
-      simsSource, maxItemsPerUser, kernel)
+      simsSource, maxItemsPerUser, kernel, catalogSize)
 
   private def itemKnnTopKRestricted(ratings: DataFrame,
                                     narrow: DataFrame => DataFrame,
                                     kNeighbors: Int, kItems: Int,
                                     simsSource: Option[DataFrame],
                                     maxItemsPerUser: Int,
-                                    kernel: Kernel): DataFrame = {
+                                    kernel: Kernel,
+                                    catalogSize: Option[Long] = None): DataFrame = {
     val r = ratings
-    val sims = simsSource.getOrElse(itemSims(r, kernel, maxItemsPerUser))
+    val sims = simsSource.getOrElse(itemSims(r, kernel, maxItemsPerUser, catalogSize))
 
     // target cohort's rated items feed the neighbor join on j
     val tgt = narrow(r)

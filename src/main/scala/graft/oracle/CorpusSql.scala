@@ -1,6 +1,6 @@
 package graft.oracle
 
-import SqlFragments.tokensSql
+import SqlFragments.{baseHashSql, tokensSql}
 
 /**
  * DuckDB oracles for [[graft.operators.Corpus]]. Float discipline:
@@ -17,7 +17,7 @@ object CorpusSql {
     s"toks AS (SELECT doc_id, ${tokensSql("lower(trim(text))")} AS tk FROM documents)"
 
   private def splitBucketSql(e: String): String =
-    s"CAST(('0x' || substr(md5(CAST($e AS VARCHAR)), 1, 7)) AS BIGINT) % 100"
+    s"${baseHashSql(s"CAST($e AS VARCHAR)")} % 100"
 
   val oracle: Map[String, String] = Map(
 
@@ -80,16 +80,16 @@ object CorpusSql {
       s"""SELECT lang, doc_id, CAST(rk AS INTEGER) AS rk FROM (
          |  SELECT lang, doc_id, row_number() OVER (
          |    PARTITION BY lang
-         |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
-         |             AS BIGINT) ASC, doc_id ASC) AS rk
+         |    ORDER BY ${baseHashSql("CAST(doc_id AS VARCHAR) || '_sample'")}
+         |             ASC, doc_id ASC) AS rk
          |  FROM documents)
          |WHERE rk <= 5""".stripMargin,
 
     "q69_seq_pack" ->
       s"""WITH base AS (
          |  SELECT lang, doc_id,
-         |         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
-         |              AS BIGINT) % 8 AS INTEGER) AS shard,
+         |         CAST(${baseHashSql("CAST(doc_id AS VARCHAR)")} % 8 AS INTEGER)
+         |           AS shard,
          |         CAST(len(${tokensSql("lower(trim(text))")}) AS BIGINT) AS n_tokens
          |  FROM documents),
          |offs AS (
@@ -106,9 +106,7 @@ object CorpusSql {
     "q70_source_mix" ->
       s"""WITH flags AS (
          |  SELECT source,
-         |         CASE WHEN CAST(('0x' ||
-         |                substr(md5(CAST(doc_id AS VARCHAR) || '_mix'), 1, 7))
-         |                AS BIGINT) % 100 <
+         |         CASE WHEN ${baseHashSql("CAST(doc_id AS VARCHAR) || '_mix'")} % 100 <
          |              CASE WHEN source IN ('src0','src1','src2','src3') THEN 100
          |                   WHEN source IN ('src4','src5','src6','src7') THEN 50
          |                   ELSE 20 END
