@@ -80,6 +80,26 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Idempotent micro-batch writer for `foreachBatch` sinks: each
+    * micro-batch lands in its own `batch_id=<id>` directory with
+    * overwrite semantics, so the batch a restarted query REPLAYS (the
+    * engine re-delivers the last uncommitted micro-batch after a
+    * crash) overwrites its own previous partial output instead of
+    * appending duplicates — the standard exactly-once-effect recipe
+    * when the sink is a file store. Readers see the union via the
+    * partitioned layout (`spark.read.parquet(outDir)`). */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, outDir: String): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  /** A replay-safe parquet sink over any streaming DataFrame —
+    * [[writeBatchIdempotent]] wired through `foreachBatch`. */
+  def idempotentParquetSink(df: DataFrame, outDir: String,
+                            checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, id: Long) => writeBatchIdempotent(b, id, outDir))
+      .start()
+
   /** Stream-stream interval join (§2.12): attribute each purchase to
     * every click by the same user in the preceding `horizonMin`
     * minutes. On streams, BOTH sides carry watermarks and the join
