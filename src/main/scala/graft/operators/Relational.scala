@@ -47,7 +47,10 @@ object Relational {
     "q57_event_sessions" -> q57,
     "q68_click_attribution" -> q68,
     "q53b_approx_percentiles" -> q53b,
-    "q71_trending_users" -> q71
+    "q71_trending_users" -> q71,
+    "q73_event_funnel" -> q73,
+    "q74_trailing_window" -> q74,
+    "q75_cohort_retention" -> q75
   )
 
   val SESSION_GAP_SECONDS = 1800L // 30 min
@@ -545,6 +548,87 @@ object Relational {
         countDistinct(col("event_type")).as("n_types"))
       .withColumn("duration_s",
         unix_timestamp(col("session_end")) - unix_timestamp(col("session_start")))
+  }
+
+  /** Ordered event funnel: view → click-after-view → purchase-after-
+    * click, per user on earliest qualifying timestamps, emitted as
+    * per-stage user counts with conversion rates against stage 1. The
+    * ordering constraint (each stage's event must be STRICTLY after
+    * the previous stage's chosen one) is what makes this a funnel and
+    * not three independent counts. Shape at scale: each stage is one
+    * map-side-filtered keyed agg plus a user-keyed join against the
+    * previous stage's (user, ts) — shuffles carry only the per-type
+    * event slices and one row per surviving user, and AQE picks
+    * broadcast for the later (shrinking) stages. */
+  private def q73(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def stage(prev: DataFrame, prevTs: String, etype: String, outTs: String) =
+      ev.filter(col("event_type") === etype)
+        .join(prev.select(col("user_id"), col(prevTs)), Seq("user_id"))
+        .filter(col("ts") > col(prevTs))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(outTs))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = stage(v, "t_view", "click", "t_click")
+    val p = stage(c, "t_click", "purchase", "t_purchase")
+    def cnt(df: DataFrame, stageNo: Int, name: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(stageNo).as("stage"), lit(name).as("stage_name"),
+          col("n_users"))
+    val out = cnt(v, 1, "view").unionAll(cnt(c, 2, "click_after_view"))
+      .unionAll(cnt(p, 3, "purchase_after_click"))
+    val base = v.agg(count(lit(1)).as("n_base"))
+    out.crossJoin(broadcast(base))
+      .select(col("stage"), col("stage_name"), col("n_users"),
+        graft.functions.Rounding.r4(
+          col("n_users").cast("double") / col("n_base")).as("conversion"))
+  }
+
+  val TRAILING_WINDOW_MICROS: Long = 7L * 86400L * 1000000L
+
+  /** Time-RANGE trailing window — per-user 7-day moving count/sum/max
+    * over the event stream (W1's sliding cousin: frame bounds are
+    * event-time offsets, not row offsets). Ordering key is
+    * `unix_micros(ts)` so the frame is microsecond-exact in both
+    * engines (casting ts to long truncates to seconds and would shift
+    * frame edges). The moving sum accumulates in DECIMAL(18,6) after
+    * engine-stable 6-dp quantization — exact, order-independent
+    * addition, so sliding-frame re-aggregation order can't flip the
+    * 4-dp emit (the q55 money-sum convention applied to frames).
+    * Partitioned by user — fully parallel at any user count. */
+  private def q74(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.{r4, r6}
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-TRAILING_WINDOW_MICROS, 0L)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_7d"),
+        sum(r6(col("value")).cast("decimal(18,6)")).over(w).as("s"),
+        max(col("value")).over(w).as("mx"))
+      .select(col("user_id"), col("event_id"), col("n_7d"),
+        round(col("s"), 4).cast("double").as("sum_7d"),
+        r4(col("s").cast("double") / col("n_7d")).as("avg_7d"),
+        r4(col("mx")).as("max_7d"))
+  }
+
+  /** Cohort retention matrix: users bucketed by first-activity week,
+    * counted distinct per (cohort week, week offset) — the standard
+    * engagement table. All-integer (week starts are exact timestamps,
+    * offsets exact multiples of 7 days), so the oracle hash-matches
+    * with no float discipline. Two user-keyed shuffles (first-week
+    * agg, join back) plus one distinct agg — partial aggregation
+    * applies everywhere, nothing global. */
+  private def q75(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val firstWk = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    ev.join(firstWk, Seq("user_id"))
+      .groupBy(col("cohort_wk"),
+        (datediff(col("wk"), col("cohort_wk")) / 7).cast("int").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(col("cohort_wk").as("cohort_week"), col("week_offset"),
+        col("n_active"))
   }
 
   /** P5/U4/F4 — higher-order array functions instead of the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.functions.VectorFns
+import graft.functions.{MisraGriesAggregator, VectorFns}
 import graft.functions.Rounding.r4
 
 /**
@@ -23,7 +23,8 @@ object TextOps {
     "q26_doc_fingerprint" -> q26,
     "q47_token_count" -> q47,
     "q48_bigram_lang_id" -> q48,
-    "q61_repetition_stats" -> q61
+    "q61_repetition_stats" -> q61,
+    "q72_heavy_hitters" -> q72
   )
 
   /** Gopher-rule repetition threshold: a doc whose single most common
@@ -200,6 +201,41 @@ object TextOps {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .groupBy(col("lang"), col("plang").as("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Heavy-hitter support threshold as a fraction of total tokens. */
+  val HH_PHI = 0.02
+  /** Misra-Gries sketch capacity. Exactness needs HH_PHI > 1/(m+1);
+    * 0.02 ≫ 1/257 leaves a 5× margin. */
+  val HH_CAPACITY = 256
+
+  /** Two-pass EXACT heavy hitters over the corpus token stream —
+    * tokens covering ≥ [[HH_PHI]] of all token occurrences, with exact
+    * counts. Pass 1 runs the bounded-memory [[graft.functions
+    * .MisraGriesAggregator]] (capacity [[HH_CAPACITY]]) as a global
+    * typed agg: map-side partial sketches hold ≤ 256 counters per
+    * partition and only sketches cross the wire, yet the merged
+    * summary provably contains every token above the threshold. Pass 2
+    * broadcast-semi-joins the token stream down to the candidate set
+    * BEFORE the count shuffle, recounts exactly, and filters at
+    * ceil(φ·n) — so the full token-cardinality shuffle (the thing that
+    * hurts at 100 TB: shuffling one record per distinct token
+    * occurrence) never happens, and the result is still exact, hence
+    * hash-checkable against the plain GROUP BY / HAVING oracle. */
+  private def q72(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(explode(VectorFns.tokens(col("text"))).as("tok"))
+    val sketch = new MisraGriesAggregator(HH_CAPACITY).toColumn
+    // the typed global agg yields Dataset[MGBuf], flattened to `counts`
+    val cand = toks.as[String].select(sketch)
+      .select(explode(map_keys(col("counts"))).as("tok"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(cand), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") >= ceil(col("n_total") * lit(HH_PHI)))
+      .select(col("tok"), col("cnt"))
   }
 
   /** Positional rolling fingerprint: Σ position·(md5-hash(token) mod

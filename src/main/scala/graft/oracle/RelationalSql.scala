@@ -296,6 +296,52 @@ object RelationalSql {
         |       CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600 + 21600) AS TIMESTAMP) AS w_end,
         |       event_type, count(*) AS n,
         |       round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY 1, 2, 3""".stripMargin
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "q73_event_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |      GROUP BY e.user_id),
+        |base AS (SELECT count(*) AS n_base FROM v),
+        |stages AS (
+        |  SELECT 1 AS stage, 'view' AS stage_name, count(*) AS n_users FROM v
+        |  UNION ALL SELECT 2, 'click_after_view', count(*) FROM c
+        |  UNION ALL SELECT 3, 'purchase_after_click', count(*) FROM p)
+        |SELECT stage, stage_name, n_users,
+        |       floor(CAST(n_users AS DOUBLE) / n_base * 10000.0 + 0.5) / 10000.0
+        |         AS conversion
+        |FROM stages CROSS JOIN base""".stripMargin,
+
+    "q74_trailing_window" ->
+      """WITH wt AS (
+        |  SELECT user_id, event_id,
+        |         count(*) OVER win AS n_7d,
+        |         sum(CAST(floor(value * 1000000.0 + 0.5) / 1000000.0
+        |                  AS DECIMAL(18,6))) OVER win AS s,
+        |         max(value) OVER win AS mx
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |                 RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, n_7d,
+        |       CAST(round(s, 4) AS DOUBLE) AS sum_7d,
+        |       floor(CAST(s AS DOUBLE) / n_7d * 10000.0 + 0.5) / 10000.0 AS avg_7d,
+        |       floor(mx * 10000.0 + 0.5) / 10000.0 AS max_7d
+        |FROM wt""".stripMargin,
+
+    "q75_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        |fw AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id)
+        |SELECT CAST(cohort_wk AS TIMESTAMP) AS cohort_week,
+        |       CAST(date_diff('day', cohort_wk, wk) / 7 AS INT) AS week_offset,
+        |       count(DISTINCT ev.user_id) AS n_active
+        |FROM ev JOIN fw USING (user_id)
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -9,6 +9,15 @@ object TextSql {
     s"toks AS (SELECT doc_id, lang, ${tokensSql("lower(trim(text))")} AS tk FROM documents)"
 
   val oracle: Map[String, String] = Map(
+    // exact two-pass heavy hitters: the sketch pass only prunes, so the
+    // oracle is the plain full GROUP BY with the same ceil(φ·n) floor
+    // (φ = TextOps.HH_PHI = 0.02)
+    "q72_heavy_hitters" ->
+      s"""WITH $toksCte,
+         |te AS MATERIALIZED (SELECT unnest(tk) AS tok FROM toks)
+         |SELECT tok, count(*) AS cnt FROM te GROUP BY tok
+         |HAVING count(*) >= ceil((SELECT count(*) FROM te) * 0.02)""".stripMargin,
+
     "q24_text_stats" ->
       s"""WITH $toksCte,
          |stats AS (

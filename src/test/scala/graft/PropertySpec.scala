@@ -92,4 +92,37 @@ class PropertySpec extends SparkSuite {
       assert(got == want, s"trial $trial sessions diverged")
     }
   }
+
+  test("MisraGries: candidate superset guarantee under arbitrary split+merge") {
+    import graft.functions.{MGBuf, MisraGriesAggregator}
+    val rnd = new Random(11)
+    for (trial <- 1 to 200) {
+      val m = 2 + rnd.nextInt(14) // capacities 2..15
+      val agg = new MisraGriesAggregator(m)
+      // zipf-ish stream: item i drawn with weight ~ 1/(i+1)
+      val vocab = 1 + rnd.nextInt(40)
+      val weights = (0 until vocab).map(i => 1.0 / (i + 1))
+      val cum = weights.scanLeft(0.0)(_ + _).tail
+      val total = cum.last
+      val n = 50 + rnd.nextInt(500)
+      val stream = Seq.fill(n) {
+        val x = rnd.nextDouble() * total
+        "t" + cum.indexWhere(x <= _)
+      }
+      // arbitrary split into 1..6 chunks, reduce each, merge in random order
+      val chunks = stream.grouped(1 + rnd.nextInt(stream.size)).toSeq
+      val bufs = chunks.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(bufs).foldLeft(agg.zero)(agg.merge)
+      assert(merged.counts.size <= m, s"trial $trial: over capacity")
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
+      // the MG bound: every item with true count > n/(m+1) must survive,
+      // and no surviving estimate exceeds the true count
+      for ((tok, c) <- exact if c > n.toDouble / (m + 1))
+        assert(merged.counts.contains(tok),
+          s"trial $trial: heavy item $tok (count $c, n=$n, m=$m) lost")
+      for ((tok, est) <- merged.counts)
+        assert(est <= exact.getOrElse(tok, 0L),
+          s"trial $trial: $tok overestimated")
+    }
+  }
 }
