@@ -114,4 +114,44 @@ class StorageSpec extends SparkSuite {
       s"q64 top-k is not TakeOrdered:\n$plan")
     assert(df.count() == operators.Corpus.TOP_DOCS)
   }
+
+  test("q72 heavy hitters: candidate prune is broadcast, ONE keyed shuffle") {
+    val df = SparkEntry.queries("q72_heavy_hitters")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the scale claim: the full token-cardinality shuffle never happens —
+    // pass 2 prunes the stream against the broadcast candidate set, so the
+    // only hash-keyed Exchange in the whole plan is the candidate recount
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate prune is not a broadcast join:\n$plan")
+    val keyedShuffles = "Exchange hashpartitioning".r
+      .findAllMatchIn(plan).size
+    assert(keyedShuffles == 1,
+      s"expected exactly 1 keyed shuffle (candidate recount), got $keyedShuffles:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("q74 trailing window: one user-keyed shuffle, no unpartitioned window") {
+    val df = SparkEntry.queries("q74_trailing_window")(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = df.queryExecution.executedPlan
+    var unpart = 0
+    plan.foreach {
+      case w: WindowExec if w.partitionSpec.isEmpty => unpart += 1
+      case _ => ()
+    }
+    assert(unpart == 0, s"$unpart unpartitioned WindowExec in q74's plan")
+    val keyedShuffles = "Exchange hashpartitioning".r
+      .findAllMatchIn(plan.toString).size
+    assert(keyedShuffles == 1,
+      s"expected exactly 1 keyed shuffle (user partition), got $keyedShuffles")
+  }
+
+  test("q75 cohort retention plans without an Expand (no countDistinct blowup)") {
+    val df = SparkEntry.queries("q75_cohort_retention")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // a single countDistinct plans as two-phase partial agg; Expand (the
+    // multi-distinct fallback that multiplies every input row) must not appear
+    assert(!plan.contains("Expand"), s"q75 plans an Expand:\n$plan")
+    assert(df.count() > 0)
+  }
 }
