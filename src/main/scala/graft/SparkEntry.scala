@@ -28,7 +28,8 @@ object SparkEntry {
       operators.Evaluation.queries ++
       operators.Sequential.queries ++
       operators.SeqRecommender.queries ++
-      operators.Corpus.queries
+      operators.Corpus.queries ++
+      operators.Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       oracle.TextSql.oracle ++
       oracle.EvalSeqSql.oracle ++
       oracle.SeqRecSql.oracle ++
-      oracle.CorpusSql.oracle
+      oracle.CorpusSql.oracle ++
+      oracle.GraphSql.oracle
 }

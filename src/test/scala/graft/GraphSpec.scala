@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Fixed-point PageRank invariants the oracle hash can't express:
+  * conservation of rank mass (up to the bounded integer-division
+  * truncation) and the symmetric-cycle fixed point. */
+class GraphSpec extends SparkSuite {
+
+  test("ring graph: uniform rank is the exact fixed point") {
+    val s = spark
+    import s.implicits._
+    val n = 10
+    val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong))
+      .toDF("src", "dst")
+    val ranks = Graph.pageRankFixedPoint(edges, 5).collect()
+      .map(r => r.getLong(1))
+    // deg=1 everywhere: each iteration maps base -> teleport + 85%·base
+    // identically for every node, so ranks stay exactly equal
+    assert(ranks.toSet.size == 1, s"ring ranks diverged: ${ranks.toSeq}")
+  }
+
+  test("rank mass is conserved up to bounded truncation loss") {
+    val s = spark
+    import s.implicits._
+    // star + chords, all symmetrized (every node has out-degree >= 1)
+    val raw = Seq((1, 2), (1, 3), (1, 4), (2, 3), (4, 5), (5, 1))
+    val edges = raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .map { case (a, b) => (a.toLong, b.toLong) }
+      .toDF("src", "dst").distinct()
+    val nNodes = 5
+    val total = Graph.pageRankFixedPoint(edges, Graph.ITERS)
+      .agg(sum(col("rank"))).collect()(0).getLong(0)
+    // each division truncates < 1 unit per edge per iteration, each
+    // damping step < 1 unit per node per iteration, plus the N·(SCALE/N)
+    // base rounding — all ~1e1 units against SCALE = 1e12
+    val maxLoss = Graph.ITERS.toLong * (raw.size * 2 + nNodes + 1) + nNodes
+    assert(total <= Graph.SCALE && total >= Graph.SCALE - maxLoss * 100,
+      s"mass not conserved: $total vs ${Graph.SCALE}")
+  }
+}
