@@ -100,6 +100,51 @@ object EventStreams {
       .foreachBatch((b: DataFrame, id: Long) => writeBatchIdempotent(b, id, outDir))
       .start()
 
+  /** Per-window user volumes for the trending pipeline — the
+    * watermarked streaming half of the batch q71. Append mode emits
+    * each (window, user) aggregate EXACTLY ONCE, when the watermark
+    * passes the window end — and because every key of a window
+    * finalizes at that same moment, a whole window always lands in a
+    * single micro-batch. That is the invariant [[trendingTopKSink]]
+    * leans on: per-window top-k inside `foreachBatch` is complete,
+    * never a partial ranking. */
+  def trendingUserVolumes(events: DataFrame, windowLen: String,
+                          watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("user_id"))
+      .agg(graft.functions.Rounding.r6(sum(col("value"))).as("vol"))
+      .select(col("window.start").as("w_start"), col("user_id"), col("vol"))
+
+  /** Batch finisher: bounded-heap top-k users per window (the q71
+    * shape — low-cardinality group key, so the heap aggregator beats
+    * a rank window that would single-partition each window's rows). */
+  def topKWithinWindows(batch: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    batch.groupBy(col("w_start"))
+      .agg(topk(col("user_id"), col("vol")).as("top"))
+      .select(col("w_start"), posexplode(col("top").getField("items")))
+      .select(col("w_start"), col("col._1").as("user_id"),
+        graft.functions.Rounding.r4(col("col._2")).as("volume"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+
+  /** Streaming trending top-k, end to end: two chained aggregations
+    * are not allowed in one streaming query, so the second level (the
+    * per-window ranking) runs as BATCH work inside `foreachBatch` on
+    * the finalized append-mode output, and lands through the
+    * replay-safe idempotent writer. State in the engine is the
+    * watermark-bounded (window, user) aggregation only — the ranking
+    * itself holds no streaming state. */
+  def trendingTopKSink(events: DataFrame, windowLen: String,
+                       watermark: String, k: Int, outDir: String,
+                       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    trendingUserVolumes(events, windowLen, watermark)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, id: Long) =>
+        writeBatchIdempotent(topKWithinWindows(b, k), id, outDir))
+      .start()
+
   /** Stream-stream interval join (§2.12): attribute each purchase to
     * every click by the same user in the preceding `horizonMin`
     * minutes. On streams, BOTH sides carry watermarks and the join

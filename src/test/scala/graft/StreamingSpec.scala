@@ -245,6 +245,53 @@ class StreamingSpec extends SparkSuite {
     assert(sp.read.parquet(out).count() == 3, "replayed batch duplicated rows")
   }
 
+  test("trendingTopKSink: streamed per-window top-k equals the batch ranking") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_trend").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_trend_ck").toString
+
+    val day1 = Seq(
+      (ts("2024-03-01 01:00:00"), 1L, 10.0), (ts("2024-03-01 02:00:00"), 1L, 5.0),
+      (ts("2024-03-01 03:00:00"), 2L, 9.0), (ts("2024-03-01 04:00:00"), 3L, 20.0),
+      (ts("2024-03-01 05:00:00"), 4L, 1.0))
+    val day2 = Seq(
+      (ts("2024-03-02 01:00:00"), 2L, 3.0), (ts("2024-03-02 02:00:00"), 5L, 7.0),
+      (ts("2024-03-02 03:00:00"), 1L, 7.0)) // user 1 ties user 5: id-asc break
+    val sentinels = Seq((ts("2024-03-04 12:00:00"), 9L, 0.0))
+    val lateSentinel = Seq((ts("2024-03-06 12:00:00"), 9L, 0.0))
+
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val q = EventStreams.trendingTopKSink(
+      mem.toDF.toDF("ts", "user_id", "value"), "1 day", "1 hour", 2, out, ckpt)
+    try {
+      mem.addData(day1)
+      q.processAllAvailable()
+      mem.addData(day2 ++ sentinels) // watermark passes day 1 AND day 2
+      q.processAllAvailable()
+      mem.addData(lateSentinel) // one more batch so the flush lands
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = sp.read.parquet(out)
+      .select("w_start", "user_id", "volume", "rk")
+      .filter(org.apache.spark.sql.functions.col("w_start") <
+        ts("2024-03-03 00:00:00"))
+      .orderBy("w_start", "rk")
+      .collect().map(_.toSeq).toSeq
+    // batch twin: same transforms on the same rows, as plain DataFrames
+    val batch = EventStreams.topKWithinWindows(
+        EventStreams.trendingUserVolumes(
+          (day1 ++ day2).toDF("ts", "user_id", "value"), "1 day", "1 hour"), 2)
+      .orderBy("w_start", "rk")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.length == 4) // 2 days × top-2
+    // the day-2 tie (users 1 and 5 both at 7.0) breaks id-ascending
+    assert(batch.last(1) == 5L || batch(2)(1) == 1L)
+  }
+
   test("readEventStream file source reproduces the batch q06-shape counts") {
     val sp = spark
     // stage the table into a fresh ingest dir (the file-source contract
