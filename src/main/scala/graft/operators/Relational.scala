@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -50,7 +50,8 @@ object Relational {
     "q71_trending_users" -> q71,
     "q73_event_funnel" -> q73,
     "q74_trailing_window" -> q74,
-    "q75_cohort_retention" -> q75
+    "q75_cohort_retention" -> q75,
+    "q77_column_profile" -> q77
   )
 
   val SESSION_GAP_SECONDS = 1800L // 30 min
@@ -629,6 +630,44 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("n_active"))
       .select(col("cohort_wk").as("cohort_week"), col("week_offset"),
         col("n_active"))
+  }
+
+  /** Columns q77 profiles — key/code/date columns stringified with
+    * pinned formats; floats are excluded because double→string
+    * rendering is not engine-portable. */
+  val PROFILE_COLS = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate")
+
+  /** One-pass column profiler — the data-quality sweep every ingest
+    * runs: per column, row/fill counts, exact distinct count, and
+    * lexicographic min/max of the stringified domain. Shape at scale:
+    * ONE table scan unpivoted to (col_name, value) long form, then a
+    * TWO chained keyed aggs — k columns never plan k scans (the
+    * unpivot is one Expand emitting k narrow rows per input row,
+    * with partial aggregation directly above it), and the distinct
+    * count comes from first grouping on (col_name, value) and then
+    * counting the groups, NOT from countDistinct mixed into a wide
+    * agg (RewriteDistinctAggregates would stack a SECOND Expand on
+    * the already-multiplied rows; the chained form's first agg
+    * instead COLLAPSES to the distinct cardinality map-side). */
+  private def q77(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_orderkey").cast("string"),
+      col("l_partkey").cast("string"),
+      col("l_suppkey").cast("string"),
+      col("l_linenumber").cast("string"),
+      col("l_returnflag"),
+      col("l_linestatus"),
+      date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("l_shipdate"))
+    li.unpivot(Array.empty[Column], PROFILE_COLS.map(col).toArray,
+        "col_name", "v")
+      .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("col_name"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        sum(when(col("v").isNotNull, col("cnt")).otherwise(lit(0L))).as("n_filled"),
+        count(col("v")).as("n_distinct"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
   }
 
   /** P5/U4/F4 — higher-order array functions instead of the

@@ -146,6 +146,20 @@ class StorageSpec extends SparkSuite {
       s"expected exactly 1 keyed shuffle (user partition), got $keyedShuffles")
   }
 
+  test("q77 column profile: ONE scan, only the unpivot's Expand") {
+    val df = SparkEntry.queries("q77_column_profile")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the unpivot IS one Expand (k rows per input row — the point);
+    // the chained distinct agg must not add RewriteDistinctAggregates'
+    // SECOND Expand on top of it, and partial aggregation must apply
+    assert("Expand".r.findAllMatchIn(plan).size == 1,
+      s"q77 expands more than the unpivot:\n$plan")
+    assert("FileScan|BatchScan".r.findAllMatchIn(plan).size == 1,
+      s"q77 scans more than once:\n$plan")
+    assert(plan.contains("partial_count"), s"no map-side partial agg:\n$plan")
+    assert(df.count() == operators.Relational.PROFILE_COLS.size)
+  }
+
   test("q75 cohort retention plans without an Expand (no countDistinct blowup)") {
     val df = SparkEntry.queries("q75_cohort_retention")(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
