@@ -29,7 +29,8 @@ object SparkEntry {
       operators.Sequential.queries ++
       operators.SeqRecommender.queries ++
       operators.Corpus.queries ++
-      operators.Graph.queries
+      operators.Graph.queries ++
+      operators.Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       oracle.EvalSeqSql.oracle ++
       oracle.SeqRecSql.oracle ++
       oracle.CorpusSql.oracle ++
-      oracle.GraphSql.oracle
+      oracle.GraphSql.oracle ++
+      oracle.AnalyticsSql.oracle
 }

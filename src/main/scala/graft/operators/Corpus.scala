@@ -23,7 +23,9 @@ object Corpus {
     "q66_hash_split" -> q66,
     "q67_hash_sample" -> q67,
     "q69_seq_pack" -> q69,
-    "q70_source_mix" -> q70
+    "q70_source_mix" -> q70,
+    "q81_decontaminate" -> q81,
+    "q84_tfidf_topterms" -> q84
   )
 
   /** Lucene-standard BM25 parameters. */
@@ -234,4 +236,86 @@ object Corpus {
 
   private def q70(spark: SparkSession, dir: String): DataFrame =
     mixSample(Tables.documents(spark, dir))
+
+  /** Decontamination n-gram width and benchmark-set fraction (%). */
+  val DECON_NGRAM = 5
+  val BENCH_PCT = 5
+
+  /** True iff `id` falls in the held-out benchmark set (salted md5
+    * bucket, decorrelated from the [[splitAssign]]/[[mixSample]]
+    * draws). */
+  def benchFlag(id: Column): Column =
+    Dedup.baseHash(concat(id.cast("string"), lit("_bench"))) % 100 < BENCH_PCT
+
+  /** Benchmark decontamination: flag every training document sharing a
+    * word `n`-gram with the benchmark set — the pre-training hygiene
+    * pass that keeps eval data out of the corpus (the n-gram-overlap
+    * method GPT-3/Dolma-style pipelines use). Emits, per contaminated
+    * doc, its distinct-gram count, the number of benchmark-shared
+    * grams, and the overlap fraction.
+    *
+    * Scale shape: grams are distinct per doc (one keyed dedup agg);
+    * the benchmark side is small BY CONSTRUCTION (an eval set, not a
+    * second corpus), so its distinct grams ride a broadcast hash join
+    * — the 100-TB training side never shuffles on the gram key; the
+    * per-doc recount is one more keyed agg. */
+  def decontaminate(docs: DataFrame, n: Int = DECON_NGRAM): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        explode(VectorFns.shingles(VectorFns.tokens(
+          Dedup.normText(col("text"))), n)).as("g"))
+      .distinct()
+    val benchGrams = grams.filter(benchFlag(col("doc_id")))
+      .select(col("g")).distinct()
+    val corpus = grams.filter(!benchFlag(col("doc_id")))
+    corpus.join(broadcast(benchGrams), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .join(corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams")),
+        "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        r4(col("n_shared").cast("double") / col("n_grams")).as("shared_frac"))
+  }
+
+  private def q81(spark: SparkSession, dir: String): DataFrame =
+    decontaminate(Tables.documents(spark, dir))
+
+  /** Top terms per document for q84. */
+  val TFIDF_TOP = 3
+
+  /** TF-IDF top-`k` terms per document: tf/dl · ln(N/df), the
+    * classic salient-term extraction (BM25's q64 sibling, but per-doc
+    * rather than per-query). Emits (doc_id, rk, term, tfidf).
+    *
+    * Scale shape: one tokenize-explode into a (doc, term) keyed agg;
+    * dl rides a doc-keyed window over that agg's output (high-
+    * cardinality partition key — never global); df is a term-keyed agg
+    * shuffle-joined back (vocabulary can be huge, so NO broadcast
+    * assumption on the term dim); N is a 1-row broadcast. The per-doc
+    * rank partitions on doc_id. Score is a single IEEE expression over
+    * exact integers on both engines, so ordering needs no rounding
+    * guard; ties break on term asc. */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = TFIDF_TOP): DataFrame = {
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val wRank = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    val tf = docs
+      .select(col("doc_id"), explode(VectorFns.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfDim = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = tf.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("bigN"))
+    tf.withColumn("dl", sum(col("tf")).over(wDoc))
+      .join(dfDim, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", (col("tf").cast("double") / col("dl")) *
+        log(col("bigN").cast("double") / col("df")))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("rk"), col("term"),
+        r6(col("score")).as("tfidf"))
+  }
+
+  private def q84(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTerms(Tables.documents(spark, dir))
 }

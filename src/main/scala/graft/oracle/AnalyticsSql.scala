@@ -1,0 +1,79 @@
+package graft.oracle
+
+import graft.functions.Rounding.sql4
+
+/**
+ * DuckDB oracles for [[graft.operators.Analytics]]. Float discipline
+ * matches the Spark side: money/moment sums in DECIMAL (exact,
+ * order-independent), derived doubles through the same single IEEE
+ * expression sequence, emit-rounding via the engine-stable
+ * floor(x·10⁴ + 0.5)/10⁴ form.
+ */
+object AnalyticsSql {
+
+  val oracle: Map[String, String] = Map(
+
+    // props is a JSON payload; ->> is DuckDB's json_extract_string
+    "q78_json_extract" ->
+      s"""SELECT event_type,
+         |       count(*) AS n,
+         |       min(CAST(props->>'$$.k' AS INTEGER)) AS min_k,
+         |       max(CAST(props->>'$$.k' AS INTEGER)) AS max_k,
+         |       ${sql4("avg(CAST(props->>'$.k' AS INTEGER))")} AS avg_k,
+         |       count(DISTINCT CAST(props->>'$$.k' AS INTEGER)) AS n_distinct_k
+         |FROM events GROUP BY 1""".stripMargin,
+
+    // 2-day windows sliding 1 day, epoch-aligned like Spark's
+    // window(ts, size, slide): every event belongs to the two windows
+    // starting at (floor(epoch/86400) - i) days, i ∈ {0,1}
+    "q79_hopping_window" ->
+      """SELECT make_timestamp((CAST(floor(epoch(ts) / 86400) AS BIGINT) - i)
+        |         * 86400 * 1000000) AS w_start,
+        |       make_timestamp((CAST(floor(epoch(ts) / 86400) AS BIGINT) - i + 2)
+        |         * 86400 * 1000000) AS w_end,
+        |       count(*) AS n,
+        |       CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)
+        |         AS sum_value
+        |FROM events, (SELECT unnest([0, 1]) AS i)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q80_cube" ->
+      """SELECT COALESCE(l_returnflag, '<all>') AS flag,
+        |       COALESCE(l_linestatus, '<all>') AS status,
+        |       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+        |       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+        |       count(*) AS n,
+        |       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+        |                           AS DECIMAL(30,8))), 4) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q82_price_histogram" ->
+      s"""SELECT CAST(floor(l_extendedprice / 500.0) AS BIGINT) AS bucket,
+         |       count(*) AS n,
+         |       ${sql4("min(l_extendedprice)")} AS min_price,
+         |       ${sql4("max(l_extendedprice)")} AS max_price,
+         |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,8))), 4)
+         |            AS DOUBLE) AS sum_price
+         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // moments over DECIMAL(18,6)-quantized values (exact sums), then
+    // mu/sigma/z through the identical double expression as Spark
+    "q83_zscore_outliers" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, event_type, CAST(value AS DECIMAL(18,6)) AS vd
+         |  FROM events),
+         |stats AS (
+         |  SELECT event_type,
+         |         CAST(sum(vd) AS DOUBLE) / count(*) AS mu,
+         |         sqrt(CAST(sum(vd * vd) AS DOUBLE) / count(*)
+         |              - (CAST(sum(vd) AS DOUBLE) / count(*))
+         |                * (CAST(sum(vd) AS DOUBLE) / count(*))) AS sigma
+         |  FROM ev GROUP BY 1)
+         |SELECT event_id, ev.event_type,
+         |       ${sql4("CAST(vd AS DOUBLE)")} AS value,
+         |       ${sql4("(CAST(vd AS DOUBLE) - mu) / sigma")} AS zscore
+         |FROM ev JOIN stats USING (event_type)
+         |WHERE abs((CAST(vd AS DOUBLE) - mu) / sigma) > 2.5""".stripMargin
+  )
+}

@@ -1,6 +1,7 @@
 package graft.oracle
 
-import SqlFragments.{baseHashSql, tokensSql}
+import SqlFragments.{baseHashSql, normTextSql, shinglesSql, tokensSql}
+import graft.functions.Rounding.{sql4, sql6}
 
 /**
  * DuckDB oracles for [[graft.operators.Corpus]]. Float discipline:
@@ -117,6 +118,56 @@ object CorpusSql {
          |       floor(CAST(sum(kept) AS DOUBLE) / count(*) * 10000.0 + 0.5)
          |         / 10000.0 AS kept_frac
          |FROM flags
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+
+    // 5-gram overlap vs the salted-hash benchmark set; grams distinct
+    // per doc on both sides, so the join-then-count is exact
+    "q81_decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${tokensSql(normTextSql("text"))} AS tk
+         |  FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, g
+         |  FROM toks, UNNEST(${shinglesSql("tk", 5)}) AS t(g)),
+         |bench AS (
+         |  SELECT DISTINCT g FROM grams
+         |  WHERE ${baseHashSql("CAST(doc_id AS VARCHAR) || '_bench'")} % 100 < 5),
+         |corpus AS (
+         |  SELECT * FROM grams
+         |  WHERE ${baseHashSql("CAST(doc_id AS VARCHAR) || '_bench'")} % 100 >= 5),
+         |shared AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM corpus JOIN bench USING (g) GROUP BY 1),
+         |tot AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+         |  FROM corpus GROUP BY 1)
+         |SELECT doc_id, n_grams, n_shared,
+         |       ${sql4("CAST(n_shared AS DOUBLE) / n_grams")} AS shared_frac
+         |FROM tot JOIN shared USING (doc_id)""".stripMargin,
+
+    // tf/dl · ln(N/df) over exact integers — same IEEE sequence as the
+    // Spark side, so the rank needs no rounding guard
+    "q84_tfidf_topterms" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${tokensSql("lower(trim(text))")} AS tk FROM documents),
+         |tf AS (
+         |  SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks, UNNEST(tk) AS u(tok) GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |dfd AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS bigN FROM dl),
+         |scored AS (
+         |  SELECT t.doc_id, t.term,
+         |         (CAST(t.tf AS DOUBLE) / d.dl)
+         |           * ln(CAST(bigN AS DOUBLE) / f.df) AS score
+         |  FROM tf t JOIN dl d USING (doc_id) JOIN dfd f USING (term)
+         |  CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc_id, term, score, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+         |  FROM scored)
+         |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term,
+         |       ${sql6("score")} AS tfidf
+         |FROM ranked WHERE rk <= 3""".stripMargin
   )
 }

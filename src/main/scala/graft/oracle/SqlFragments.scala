@@ -22,8 +22,14 @@ object SqlFragments {
     * token-list expression; empty when the list is shorter than 3
     * (generate_series over an empty range). DuckDB list slices are
     * 1-based and end-inclusive: tk[i:i+2] is 3 tokens. */
-  def shingles3Sql(tk: String): String =
-    s"list_transform(generate_series(1, len($tk) - 2), i -> array_to_string(($tk)[i:i+2], ' '))"
+  def shingles3Sql(tk: String): String = shinglesSql(tk, 3)
+
+  /** Twin of [[graft.functions.VectorFns.shingles]] for arbitrary `n`
+    * over a token-list expression; empty when the list is shorter than
+    * `n` (generate_series over an empty range). DuckDB list slices are
+    * 1-based and end-inclusive: tk[i:i+n-1] is n tokens. */
+  def shinglesSql(tk: String, n: Int): String =
+    s"list_transform(generate_series(1, len($tk) - ${n - 1}), i -> array_to_string(($tk)[i:i+${n - 1}], ' '))"
 
   /** Twin of [[graft.operators.Dedup.baseHash]] (28-bit md5 prefix). */
   def baseHashSql(e: String): String =

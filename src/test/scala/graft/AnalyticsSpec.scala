@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Corpus}
+
+/** Library-surface checks for the analytics batch (hopping windows,
+  * cube, z-score outliers) and the corpus decontamination / TF-IDF
+  * operators: fixture semantics plus the plan shapes the 100-TB
+  * posture depends on. The hash-exact gates are the q78–q84 DuckDB
+  * oracles. */
+class AnalyticsSpec extends SparkSuite {
+
+  test("hopping window: every row lands in exactly two 2d/1d windows") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 05:00:00"), 10.0),
+      (2L, Timestamp.valueOf("2024-01-02 23:59:59"), 20.0),
+      (3L, Timestamp.valueOf("2024-01-02 00:00:00"), 30.0) // exact boundary
+    ).toDF("event_id", "ts", "value")
+    val out = ev.groupBy(window(col("ts"), "2 days", "1 day"))
+      .agg(sum(col("value")).as("sv"), count(lit(1)).as("n"))
+      .select(col("window.start").cast("string").as("ws"), col("sv"), col("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // row 1 ∈ {12-31, 01-01}; rows 2,3 ∈ {01-01, 01-02} (the 01-02
+    // 00:00:00 boundary opens the 01-02 window, closes none early)
+    assert(out("2023-12-31 00:00:00") == ((10.0, 1L)))
+    assert(out("2024-01-01 00:00:00") == ((60.0, 3L)))
+    assert(out("2024-01-02 00:00:00") == ((50.0, 2L)))
+    assert(out.values.map(_._2).sum == 2 * ev.count())
+  }
+
+  test("cube: one Expand feeds all four granularities in a single pass") {
+    val df = Analytics.queries("q80_cube")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.split("Expand").length - 1 == 1, s"want exactly 1 Expand:\n$plan")
+    assert(plan.split("Scan parquet").length - 1 == 1, "one scan of the fact table")
+    val rows = df.collect()
+    val total = rows.filter(r => r.getInt(2) == 1 && r.getInt(3) == 1)
+    assert(total.length == 1, "exactly one grand-total row")
+    assert(total.head.getLong(4) ==
+      rows.filter(r => r.getInt(2) == 0 && r.getInt(3) == 0).map(_.getLong(4)).sum,
+      "grand total = sum of finest cells")
+  }
+
+  test("z-score outliers: brute-force parity and broadcast stats dim") {
+    val s = spark
+    import s.implicits._
+    val df = Analytics.queries("q83_zscore_outliers")(spark, "/root/testdata/sf0.001")
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "per-type moment stats must ride a broadcast, never shuffle the facts")
+    val got = df.collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // brute-force the same moments in driver scala (exact on 6dp-quantized values)
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,6)").cast("double").as("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byType = ev.groupBy(_._2)
+    val want = ev.flatMap { case (id, t, v) =>
+      val vs = byType(t).map(_._3)
+      val mu = vs.sum / vs.length
+      val sigma = math.sqrt(vs.map(x => x * x).sum / vs.length - mu * mu)
+      val z = (v - mu) / sigma
+      if (math.abs(z) > Analytics.Z_THRESH) Some(id -> z) else None
+    }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, z) => assert(math.abs(z - want(id)) < 1e-3) }
+  }
+
+  test("decontaminate flags gram overlap with the hash-selected bench set") {
+    val s = spark
+    import s.implicits._
+    // ids 3,5,6 are bench (md5 bucket < 5); 1,2 are corpus
+    val phrase = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (3L, phrase + " ending one"),
+      (1L, "prefix words " + phrase), // shares the 5-grams inside `phrase`
+      (2L, "totally different words with no shared five gram anywhere here")
+    ).toDF("doc_id", "text")
+    val out = Corpus.decontaminate(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.keySet == Set(1L), "only the overlapping corpus doc is flagged")
+    assert(out(1L) == 2, "two shared 5-grams inside the 6-token phrase")
+  }
+
+  test("tfidf top terms: rare-but-frequent-in-doc term wins; stopword-like term scores 0") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "rare rare rare common"),
+      (2L, "common other other"),
+      (3L, "common filler filler filler")
+    ).toDF("doc_id", "text")
+    val out = Corpus.tfidfTopTerms(docs, topK = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getDouble(3))).toMap
+    assert(out((1L, 1))._1 == "rare")
+    // 'common' appears in every doc → ln(N/df) = ln(1) = 0 exactly
+    assert(out((1L, 2)) == (("common", 0.0)))
+    assert(out((2L, 1))._1 == "other" && out((3L, 1))._1 == "filler")
+  }
+}
