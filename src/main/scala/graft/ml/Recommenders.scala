@@ -203,6 +203,92 @@ class HybridRecommender(override val uid: String)
     KnnRecommenderModel.OUT_SCHEMA
 }
 
+private[ml] trait AlsParams extends Params {
+  final val rank = new IntParam(this, "rank", "latent factor dimension",
+    ParamValidators.gt(0))
+  final val maxIter = new IntParam(this, "maxIter", "ALS sweeps",
+    ParamValidators.gt(0))
+  final val regParam = new DoubleParam(this, "regParam", "L2 regularization",
+    ParamValidators.gtEq(0.0))
+  final val seed = new LongParam(this, "seed", "factor init seed")
+  final val kItems = new IntParam(this, "kItems", "recommendations per user",
+    ParamValidators.gt(0))
+  setDefault(rank -> 10, maxIter -> 10, regParam -> 0.1, seed -> 42L,
+    kItems -> 5)
+}
+
+/** ALS matrix factorization behind the same `fit`/`transform` surface
+  * as [[KnnRecommender]] (beyond-reference). This is the method that
+  * actually scales collaborative filtering past the kNN family: every
+  * kNN path materializes co-occurrence PAIRS (bounded by caps/DIMSUM
+  * but still pair-shaped), while ALS is O(nnz·rank²) per sweep over
+  * block-partitioned factor matrices — the shape you run when the
+  * rating matrix itself is the 100-TB table. Wraps
+  * `ml.recommendation.ALS` (seed-fixed, coldStartStrategy=drop) and
+  * emits the layer's common (user_id, item_id, score, rk) output. */
+class AlsRecommender(override val uid: String)
+    extends Estimator[AlsRecommenderModel] with AlsParams {
+  def this() = this(Identifiable.randomUID("alsRec"))
+  def setRank(v: Int): this.type = set(rank, v)
+  def setMaxIter(v: Int): this.type = set(maxIter, v)
+  def setRegParam(v: Double): this.type = set(regParam, v)
+  def setSeed(v: Long): this.type = set(seed, v)
+  def setKItems(v: Int): this.type = set(kItems, v)
+
+  override def fit(dataset: Dataset[_]): AlsRecommenderModel = {
+    import org.apache.spark.sql.functions.col
+    // ALS requires integer ids; long-form ratings cast down (checked
+    // nowhere because the testdata/MovieLens id spaces are int-sized —
+    // a production caller with long ids supplies a dense re-indexing)
+    val train = dataset.toDF().select(
+      col("user_id").cast("int").as("als_user"),
+      col("item_id").cast("int").as("als_item"),
+      col("rating").cast("float").as("als_rating"))
+    val als = new org.apache.spark.ml.recommendation.ALS()
+      .setUserCol("als_user").setItemCol("als_item").setRatingCol("als_rating")
+      .setRank($(rank)).setMaxIter($(maxIter)).setRegParam($(regParam))
+      .setSeed($(seed)).setColdStartStrategy("drop")
+    copyValues(new AlsRecommenderModel(uid, als.fit(train)).setParent(this))
+  }
+  override def copy(extra: ParamMap): AlsRecommender = defaultCopy(extra)
+  override def transformSchema(schema: StructType): StructType =
+    KnnRecommenderModel.OUT_SCHEMA
+}
+
+class AlsRecommenderModel private[ml] (override val uid: String,
+    val alsModel: org.apache.spark.ml.recommendation.ALSModel)
+    extends Model[AlsRecommenderModel] with AlsParams {
+  import org.apache.spark.sql.functions._
+
+  /** Top-k recommendations for the users in `targets` (a `user_id`
+    * column) — `recommendForUserSubset` scores only the cohort. */
+  override def transform(targets: Dataset[_]): DataFrame =
+    alsModel.recommendForUserSubset(
+        targets.toDF().select(col("user_id").cast("int").as("als_user")).distinct(),
+        $(kItems))
+      .select(col("als_user").cast("long").as("user_id"),
+        posexplode(col("recommendations")))
+      .select(col("user_id"), col("col.als_item").cast("long").as("item_id"),
+        col("col.rating").cast("double").as("score"),
+        (col("pos") + 1).cast("int").as("rk"))
+
+  /** Rating prediction for held-out `(u, item_id, actual)` pairs —
+    * same fold-evaluation surface as [[KnnRecommenderModel]];
+    * cold-start users/items drop (coldStartStrategy=drop). */
+  def predictRatings(cohort: DataFrame): DataFrame =
+    alsModel.transform(cohort.select(col("u"), col("item_id"), col("actual"),
+        col("u").cast("int").as("als_user"),
+        col("item_id").cast("int").as("als_item")))
+      .filter(!isnan(col("prediction")))
+      .select(col("u"), col("item_id"), col("actual"),
+        col("prediction").cast("double").as("predicted"))
+
+  override def copy(extra: ParamMap): AlsRecommenderModel =
+    copyValues(new AlsRecommenderModel(uid, alsModel), extra).setParent(parent)
+  override def transformSchema(schema: StructType): StructType =
+    KnnRecommenderModel.OUT_SCHEMA
+}
+
 class HybridRecommenderModel private[ml] (override val uid: String,
                                           val childA: Model[_], val childB: Model[_],
                                           wa: Double, wb: Double, kItems: Int)

@@ -165,4 +165,36 @@ class MovieLensParitySpec extends SparkSuite {
     assert(map > 0.001 && map < 0.2, s"MAP@10 $map outside band")
     info(f"precision@10=$prec%.4f recall@10=$rec%.4f MAP@10=$map%.4f")
   }
+
+  test("fold-1 ALS factorization beats the kNN RMSE band (beyond-reference scale path)") {
+    requireData()
+    val train = trainDf
+    val test = Tables.ratingsTsv(spark, TEST1)
+    val model = new graft.ml.AlsRecommender()
+      .setRank(10).setMaxIter(10).setRegParam(0.1).setSeed(42L).setKItems(5)
+      .fit(train)
+    val preds = model.predictRatings(
+      test.select(col("user_id").as("u"), col("item_id"),
+        col("rating").as("actual"))).cache()
+
+    val n = preds.count()
+    // coldStartStrategy=drop removes test items/users unseen in train
+    assert(n > 18000L, s"coverage too low: $n of 20000 test pairs")
+    val row = preds.agg(
+      sqrt(avg(pow(col("actual") - col("predicted"), 2))).as("rmse"),
+      avg(abs(col("actual") - col("predicted"))).as("mae")).collect()(0)
+    val (rmse, mae) = (row.getDouble(0), row.getDouble(1))
+    // rank-10 ALS lands near 0.92 RMSE on ML-100k — materially under
+    // the kNN band's ~1.0; the bounds catch broken factors and leakage
+    assert(rmse > 0.8 && rmse < 1.0, s"ALS RMSE $rmse outside band")
+    assert(mae > 0.6 && mae < 0.8, s"ALS MAE $mae outside band")
+    info(f"ALS fold-1 RMSE=$rmse%.4f MAE=$mae%.4f over $n pairs")
+
+    // top-k surface: k rows per target, ranked, seen items allowed to
+    // drop only via recommendForUserSubset's own candidate set
+    val recs = model.transform(train.filter(col("user_id") <= 20)
+      .select("user_id"))
+    assert(recs.count() == 100L)
+    assert(recs.groupBy("user_id").count().filter(col("count") =!= 5).count() == 0L)
+  }
 }
