@@ -84,6 +84,13 @@ class AnalyticsSpec extends SparkSuite {
     assert(out(1L) == 2, "two shared 5-grams inside the 6-token phrase")
   }
 
+  test("decontaminate: the eval-gram side broadcasts; corpus never shuffles on the gram key") {
+    val df = Corpus.queries("q81_decontaminate")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench grams must ride a broadcast:\n$plan")
+  }
+
   test("tfidf top terms: rare-but-frequent-in-doc term wins; stopword-like term scores 0") {
     val s = spark
     import s.implicits._
