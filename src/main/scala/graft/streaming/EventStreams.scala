@@ -41,14 +41,22 @@ object EventStreams {
       .parquet(ingestDir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
-  /** Tumbling-window event statistics — the streaming twin of the
-    * batch q06/q40 aggregation. Works unchanged on a batch DataFrame
-    * (watermark is a no-op there). */
+  /** Tumbling- or sliding-window event statistics — the streaming twin
+    * of the batch q06/q40 (tumbling) and q79 (hopping) aggregations.
+    * `slide` defaults to the window length (= tumbling); a shorter
+    * slide expands each row into windowLen/slide overlapping windows
+    * map-side, and the watermark still bounds state — a window's
+    * aggregate finalizes when the watermark passes its END, so overlap
+    * multiplies live state by windowLen/slide, never unboundedly.
+    * Works unchanged on a batch DataFrame (watermark is a no-op
+    * there). */
   def windowedEventStats(events: DataFrame, windowLen: String,
-                         watermark: String): DataFrame =
+                         watermark: String,
+                         slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .groupBy(window(col("ts"), windowLen, slide.getOrElse(windowLen)),
+        col("event_type"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("value")), 4).as("sum_value"))
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),

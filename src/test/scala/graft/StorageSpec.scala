@@ -168,4 +168,29 @@ class StorageSpec extends SparkSuite {
     assert(!plan.contains("Expand"), s"q75 plans an Expand:\n$plan")
     assert(df.count() > 0)
   }
+
+  test("schema evolution: mergeSchema unifies drifted parquet batches; old readers unaffected") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpWarehouse("graft_evolve")
+    // batch 1: v1 schema; batch 2 (a later ingest day): adds a column —
+    // the drift every long-lived 100-TB table accumulates
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(s"$dir/day=1")
+    Seq((3L, "c", 9.5), (4L, "d", 7.0)).toDF("id", "name", "score")
+      .write.parquet(s"$dir/day=2")
+
+    // default read keeps ONE footer's schema (cheap, no per-file merge)
+    val plain = s.read.parquet(dir)
+    assert(plain.columns.toSet.subsetOf(Set("id", "name", "score", "day")))
+
+    // mergeSchema pays one footer pass and unifies: old files read the
+    // new column as null, nothing rewrites
+    val merged = s.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "name", "score", "day"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score")), "old rows null-fill")
+    assert(rows(2).getDouble(rows(2).fieldIndex("score")) == 9.5)
+    assert(merged.count() == 4)
+  }
 }

@@ -47,6 +47,43 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("hopping windowedEventStats: overlapping windows agree stream vs batch") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    val rows = Seq(
+      (ts("2024-01-01 01:00:00"), "click", 10.0),
+      (ts("2024-01-02 01:00:00"), "click", 5.0),
+      (ts("2024-01-02 12:00:00"), "view", 2.0),
+      (ts("2024-01-03 01:00:00"), "click", 1.0))
+
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams.windowedEventStats(
+        mem.toDF.toDF("ts", "event_type", "value"), "2 days", "2 hours",
+        slide = Some("1 day"))
+      .writeStream.format("memory").queryName("evt_hop")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows.take(2))
+      q.processAllAvailable()
+      mem.addData(rows.drop(2))
+      q.processAllAvailable()
+
+      val streamed = sp.sql(
+        "SELECT * FROM evt_hop ORDER BY w_start, event_type")
+        .collect().map(_.toSeq).toSeq
+      val batch = EventStreams.windowedEventStats(
+          rows.toDF("ts", "event_type", "value"), "2 days", "2 hours",
+          slide = Some("1 day"))
+        .orderBy("w_start", "event_type")
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      // every row lands in exactly two windows
+      assert(streamed.map(_(3).asInstanceOf[Long]).sum == 2L * rows.length)
+    } finally q.stop()
+  }
+
   test("windowedBaskets: distinct per-user sets accumulate across batches") {
     val sp = spark
     import sp.implicits._
