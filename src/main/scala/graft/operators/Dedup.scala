@@ -27,7 +27,8 @@ object Dedup {
     "q19_minhash_bands" -> q19,
     "q20_neardup_pairs" -> q20,
     "q21_simhash" -> q21,
-    "q50_dedup_clusters" -> q50
+    "q50_dedup_clusters" -> q50,
+    "q85_fuzzy_pairs" -> q85
   )
 
   val CLUSTER_JACCARD = 0.5
@@ -222,4 +223,46 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sum(col("bit")).as("simhash"))
   }
+
+  /** Single-deletion neighborhood of a string: the string itself plus
+    * every one-char-deleted variant, deduplicated — the FastSS
+    * signature set for edit distance 1. Two strings are within
+    * distance 1 ONLY IF they share a signature (self≡self for equal;
+    * self≡deletion for insert/delete; same-position deletions for
+    * substitution), so the signature is a complete candidate key. */
+  def deletionNeighborhood(s: Column): Column =
+    array_distinct(concat(array(s),
+      transform(sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))))
+
+  /** Edit-distance fuzzy matching (FastSS): candidate pairs meet only
+    * inside a shared deletion-neighborhood signature bucket, then an
+    * exact `levenshtein` verify keeps true ≤1 pairs — the entity-
+    * resolution join ("cold bolt" ≈ "old bolt") done without the
+    * all-pairs O(n²) a naive fuzzy join needs.
+    *
+    * Scale shape: the signature explode is narrow map work (|s|+1
+    * signatures per distinct string); candidates are a keyed self-join
+    * on the signature (bucket sizes bounded by how many strings share
+    * a deletion — the same bucketed-candidates posture as MinHash
+    * bands/IVF cells); verify is a per-row filter. Distinct-first
+    * means row volume never multiplies the corpus, only the name
+    * dictionary. Shared-signature-but-distance-2 collisions (e.g.
+    * "ab"/"ba" both delete to "b") exist — the verify filter is what
+    * makes the result exact, the signatures only bound the search. */
+  def fuzzyPairs(df: DataFrame, column: String): DataFrame = {
+    val names = df.select(col(column).as("name")).distinct()
+    val sigs = names.select(col("name"),
+      explode(deletionNeighborhood(col("name"))).as("sig"))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.sig") === col("b.sig") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 1)
+  }
+
+  /** q85: distance-1 name pairs in the part dimension. */
+  private def q85(spark: SparkSession, dir: String): DataFrame =
+    fuzzyPairs(Tables.part(spark, dir), "p_name")
 }

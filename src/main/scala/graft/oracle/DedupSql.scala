@@ -57,7 +57,24 @@ object DedupSql {
          |SELECT doc_id,
          |       CAST(sum(CASE WHEN w > 0
          |                THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
-         |FROM bits GROUP BY 1""".stripMargin
+         |FROM bits GROUP BY 1""".stripMargin,
+
+    // FastSS: candidates share a single-deletion signature, exact
+    // levenshtein verify; a.name < b.name emits each pair once
+    "q85_fuzzy_pairs" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+        |sigs AS (
+        |  SELECT name, sig
+        |  FROM names, UNNEST(list_distinct(list_prepend(name,
+        |    list_transform(generate_series(1, len(name)),
+        |      i -> substr(name, 1, i - 1) || substr(name, i + 1))))) AS t(sig)),
+        |cand AS (
+        |  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        |  FROM sigs a JOIN sigs b
+        |    ON a.sig = b.sig AND a.name < b.name)
+        |SELECT name_a, name_b,
+        |       CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 1""".stripMargin
   )
 
   /** q20's full oracle — also embedded as a subquery by q50. */

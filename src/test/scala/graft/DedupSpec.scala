@@ -49,4 +49,32 @@ class DedupSpec extends SparkSuite {
     assert(byDoc(1L).intersect(byDoc(3L)).isEmpty)
     assert(byDoc(1L).size == Dedup.NUM_BANDS)
   }
+
+  test("fuzzyPairs: FastSS candidates + verify = exact distance-1 set, no transposition false positives") {
+    val s = spark
+    import s.implicits._
+    val names = Seq(
+      "bolt",   // substitution neighbor of "bold"
+      "bold",
+      "bol",    // deletion neighbor of bolt AND bold
+      "ab", "ba", // share deletion signature "b" but distance 2 — must be verified away
+      "zzz"     // isolated
+    ).toDF("nm")
+    val got = Dedup.fuzzyPairs(names, "nm").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // brute force over all pairs
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val all = Seq("bolt", "bold", "bol", "ab", "ba", "zzz")
+    val want = (for (a <- all; b <- all if a < b && lev(a, b) <= 1) yield (a, b)).toSet
+    assert(got == want)
+    assert(!got.contains(("ab", "ba")), "distance-2 transposition must not survive the verify")
+    assert(got.contains(("bol", "bolt")) && got.contains(("bol", "bold")) &&
+      got.contains(("bold", "bolt")))
+  }
 }
