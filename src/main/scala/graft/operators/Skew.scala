@@ -47,4 +47,33 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("_partial")).as("cnt"))
   }
+
+  /** Bloom-filter semi-join reduction: build one sketch over the dim
+    * side's keys (`bloom_agg`, Catalyst's internal Bloom aggregate
+    * surfaced by [[graft.GraftExtensions]]), broadcast the single-row
+    * sketch, and pre-filter the fact side with `bloom_contains` BEFORE
+    * any join shuffle. Never a false negative (every true match
+    * survives — Bloom guarantees one-sided error), so an exact join
+    * downstream returns exactly its unpruned result; false positives
+    * only cost unpruned rows. This is the manual form of AQE's runtime
+    * filter injection, for when the join is too far from the scan for
+    * the optimizer to inject it: at 100 TB the win is shuffling only
+    * the ~matching fraction of the fact table instead of all of it.
+    * `numBits` sizes the sketch (8M bits ≈ 1 MB broadcast ≈ 1% FPR at
+    * 1M keys). */
+  private val bloomViewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def bloomPrune(facts: DataFrame, factKey: String,
+                 dim: DataFrame, dimKey: String,
+                 expectedItems: Long = 1000000L,
+                 numBits: Long = 8388608L): DataFrame = {
+    // might_contain demands the sketch as a constant or SCALAR SUBQUERY
+    // (it must be fixed at planning, not a joined column), so the dim
+    // rides a temp view and the sketch a subquery expression
+    val view = s"graft_bloom_dim_${bloomViewSeq.incrementAndGet()}"
+    dim.select(col(dimKey)).createOrReplaceTempView(view)
+    facts.filter(expr(
+      s"bloom_contains((SELECT bloom_agg($dimKey, ${expectedItems}L, " +
+        s"${numBits}L) FROM $view), $factKey)"))
+  }
 }
