@@ -20,7 +20,8 @@ object Analytics {
     "q79_hopping_window" -> q79,
     "q80_cube" -> q80,
     "q82_price_histogram" -> q82,
-    "q83_zscore_outliers" -> q83
+    "q83_zscore_outliers" -> q83,
+    "q86_quantile_buckets" -> q86
   )
 
   /** Semi-structured extraction: the `events.props` column is a JSON
@@ -125,5 +126,34 @@ object Analytics {
       .filter(abs(col("z")) > Z_THRESH)
       .select(col("event_id"), col("event_type"),
         r4(col("vd").cast("double")).as("value"), r4(col("z")).as("zscore"))
+  }
+
+  /** Quantile-bucket discretization — the `QuantileDiscretizer` shape
+    * done join-wise: per-group exact quartile boundaries (one ordered-
+    * statistics agg into a |groups|-row dim), broadcast back over the
+    * facts, bucket = 1 + Σ(v > boundary) as three narrow comparisons.
+    * The facts never shuffle and never sort — the discretization an
+    * ntile window would do with a per-group global sort happens as a
+    * map-side expression. Exact `percentile` sorts each GROUP's values
+    * (fine for bounded groups; [[q53b]]'s mergeable sketch is the
+    * unbounded-group path — same join-back shape either way). Spark's
+    * `percentile` and DuckDB's `quantile_cont` both interpolate at
+    * (n−1)·p, so boundaries and the > comparisons are engine-identical
+    * with no rounding guard. */
+  private def q86(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.25)").as("b25"),
+        expr("percentile(value, 0.5)").as("b50"),
+        expr("percentile(value, 0.75)").as("b75"))
+    ev.join(broadcast(bounds), "event_type")
+      .withColumn("bucket",
+        (lit(1) + (col("value") > col("b25")).cast("int")
+          + (col("value") > col("b50")).cast("int")
+          + (col("value") > col("b75")).cast("int")))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        r4(min(col("value"))).as("min_v"),
+        r4(max(col("value"))).as("max_v"))
   }
 }

@@ -74,6 +74,25 @@ object AnalyticsSql {
          |       ${sql4("CAST(vd AS DOUBLE)")} AS value,
          |       ${sql4("(CAST(vd AS DOUBLE) - mu) / sigma")} AS zscore
          |FROM ev JOIN stats USING (event_type)
-         |WHERE abs((CAST(vd AS DOUBLE) - mu) / sigma) > 2.5""".stripMargin
+         |WHERE abs((CAST(vd AS DOUBLE) - mu) / sigma) > 2.5""".stripMargin,
+
+    // quantile_cont interpolates at (n-1)·p exactly like Spark's
+    // percentile, so boundaries and comparisons are engine-identical
+    "q86_quantile_buckets" ->
+      s"""WITH bounds AS (
+         |  SELECT event_type,
+         |         quantile_cont(value, 0.25) AS b25,
+         |         quantile_cont(value, 0.5)  AS b50,
+         |         quantile_cont(value, 0.75) AS b75
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_type,
+         |       CAST(1 + CAST(e.value > b.b25 AS INTEGER)
+         |              + CAST(e.value > b.b50 AS INTEGER)
+         |              + CAST(e.value > b.b75 AS INTEGER) AS INTEGER) AS bucket,
+         |       count(*) AS n,
+         |       ${sql4("min(e.value)")} AS min_v,
+         |       ${sql4("max(e.value)")} AS max_v
+         |FROM events e JOIN bounds b USING (event_type)
+         |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -84,6 +84,20 @@ class AnalyticsSpec extends SparkSuite {
     assert(out(1L) == 2, "two shared 5-grams inside the 6-token phrase")
   }
 
+  test("quantile buckets: quartiles balance within rounding; bounds dim broadcasts") {
+    val df = Analytics.queries("q86_quantile_buckets")(spark, "/root/testdata/sf0.001")
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "the per-group boundary dim must broadcast, never shuffle the facts")
+    val rows = df.collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val byType = rows.groupBy(_._1._1)
+    byType.foreach { case (t, cells) =>
+      assert(cells.keySet.map(_._2) == Set(1, 2, 3, 4), s"$t missing a quartile")
+      val total = cells.values.sum.toDouble
+      cells.values.foreach(n =>
+        assert(math.abs(n / total - 0.25) < 0.05, s"$t buckets unbalanced: $cells"))
+    }
+  }
+
   test("decontaminate: the eval-gram side broadcasts; corpus never shuffles on the gram key") {
     val df = Corpus.queries("q81_decontaminate")(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
