@@ -21,7 +21,8 @@ object Analytics {
     "q80_cube" -> q80,
     "q82_price_histogram" -> q82,
     "q83_zscore_outliers" -> q83,
-    "q86_quantile_buckets" -> q86
+    "q86_quantile_buckets" -> q86,
+    "q87_quality_checks" -> q87
   )
 
   /** Semi-structured extraction: the `events.props` column is a JSON
@@ -155,5 +156,50 @@ object Analytics {
       .agg(count(lit(1)).as("n"),
         r4(min(col("value"))).as("min_v"),
         r4(max(col("value"))).as("max_v"))
+  }
+
+  /** Expectation rules for q87: (col, distinct lo/hi, lexicographic
+    * domain lo/hi); nulls skip that rule family for the column. The
+    * l_returnflag distinct bound [1,2] FAILS deliberately (3 flags
+    * exist) — a report that can't fail proves nothing. */
+  val QUALITY_RULES: Seq[(String, java.lang.Long, java.lang.Long, String, String)] = Seq(
+    ("l_returnflag", 1L, 2L, "A", "R"),
+    ("l_linestatus", 1L, 3L, null, null),
+    ("l_linenumber", 1L, 10L, null, null),
+    ("l_shipdate", null, null, "1992-01-01 00:00:00", "2002-12-31 23:59:59"))
+
+  /** Data-quality expectation report (the Deequ/Great-Expectations
+    * shape): declared rules checked against the one-pass column
+    * profile (q77's [[Relational.lineitemProfile]]). Completeness
+    * (integer fill percent — engine-portable, no float ratio) for
+    * every profiled column; distinct-cardinality and lexicographic
+    * domain bounds where declared. Emits (col_name, check_name,
+    * passed, observed).
+    *
+    * Scale shape: ONE profile pass (the q77 plan — one scan, one
+    * Expand) left-joined to a broadcast rules dim; all three check
+    * families ride one exploded array so the profile is never
+    * recomputed per family. The report is |cols|·|families| rows —
+    * driver-readable at any data scale. */
+  private def q87(spark: SparkSession, dir: String): DataFrame = {
+    val rules = spark.createDataFrame(QUALITY_RULES)
+      .toDF("col_name", "lo", "hi", "dlo", "dhi")
+    Relational.lineitemProfile(spark, dir)
+      .join(broadcast(rules), Seq("col_name"), "left")
+      .select(col("col_name"), explode(array(
+        struct(lit("completeness").as("check_name"),
+          (expr("n_filled * 100 DIV n_rows") >= 100).cast("int").as("passed"),
+          expr("CAST(n_filled * 100 DIV n_rows AS STRING)").as("observed")),
+        struct(when(col("lo").isNotNull, "distinct_bounds").as("check_name"),
+          col("n_distinct").between(col("lo"), col("hi")).cast("int").as("passed"),
+          col("n_distinct").cast("string").as("observed")),
+        struct(when(col("dlo").isNotNull, "domain_bounds").as("check_name"),
+          (col("min_v") >= col("dlo") && col("max_v") <= col("dhi"))
+            .cast("int").as("passed"),
+          concat(col("min_v"), lit(".."), col("max_v")).as("observed"))
+      )).as("c"))
+      .filter(col("c.check_name").isNotNull)
+      .select(col("col_name"), col("c.check_name").as("check_name"),
+        col("c.passed").as("passed"), col("c.observed").as("observed"))
   }
 }

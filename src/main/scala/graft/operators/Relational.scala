@@ -650,7 +650,12 @@ object Relational {
     * agg (RewriteDistinctAggregates would stack a SECOND Expand on
     * the already-multiplied rows; the chained form's first agg
     * instead COLLAPSES to the distinct cardinality map-side). */
-  private def q77(spark: SparkSession, dir: String): DataFrame = {
+  private def q77(spark: SparkSession, dir: String): DataFrame =
+    lineitemProfile(spark, dir)
+
+  /** q77's profile as a reusable surface — [[Analytics]]'s q87 quality
+    * checks consume it. */
+  def lineitemProfile(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select(
       col("l_orderkey").cast("string"),
       col("l_partkey").cast("string"),

@@ -93,6 +93,35 @@ object AnalyticsSql {
          |       ${sql4("min(e.value)")} AS min_v,
          |       ${sql4("max(e.value)")} AS max_v
          |FROM events e JOIN bounds b USING (event_type)
-         |GROUP BY 1, 2""".stripMargin
+         |GROUP BY 1, 2""".stripMargin,
+
+    // expectation report over the q77 profile; // is DuckDB's integer
+    // division (Spark DIV); rules match Analytics.QUALITY_RULES
+    "q87_quality_checks" ->
+      s"""WITH profile AS (${RelationalSql.lineitemProfileSql}),
+         |rules AS (
+         |  SELECT * FROM (VALUES
+         |    ('l_returnflag', CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'A', 'R'),
+         |    ('l_linestatus', CAST(1 AS BIGINT), CAST(3 AS BIGINT),
+         |     CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+         |    ('l_linenumber', CAST(1 AS BIGINT), CAST(10 AS BIGINT),
+         |     CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+         |    ('l_shipdate', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |     '1992-01-01 00:00:00', '2002-12-31 23:59:59'))
+         |    r(col_name, lo, hi, dlo, dhi))
+         |SELECT col_name, 'completeness' AS check_name,
+         |       CAST(n_filled * 100 // n_rows >= 100 AS INTEGER) AS passed,
+         |       CAST(n_filled * 100 // n_rows AS VARCHAR) AS observed
+         |FROM profile
+         |UNION ALL
+         |SELECT p.col_name, 'distinct_bounds',
+         |       CAST(p.n_distinct BETWEEN r.lo AND r.hi AS INTEGER),
+         |       CAST(p.n_distinct AS VARCHAR)
+         |FROM profile p JOIN rules r USING (col_name) WHERE r.lo IS NOT NULL
+         |UNION ALL
+         |SELECT p.col_name, 'domain_bounds',
+         |       CAST(p.min_v >= r.dlo AND p.max_v <= r.dhi AS INTEGER),
+         |       p.min_v || '..' || p.max_v
+         |FROM profile p JOIN rules r USING (col_name) WHERE r.dlo IS NOT NULL""".stripMargin
   )
 }

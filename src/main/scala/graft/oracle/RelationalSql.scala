@@ -335,24 +335,7 @@ object RelationalSql {
         |       floor(mx * 10000.0 + 0.5) / 10000.0 AS max_7d
         |FROM wt""".stripMargin,
 
-    "q77_column_profile" -> {
-      val branches = Seq(
-        "SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem",
-        "SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem",
-        "SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem",
-        "SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem",
-        "SELECT 'l_returnflag', l_returnflag FROM lineitem",
-        "SELECT 'l_linestatus', l_linestatus FROM lineitem",
-        "SELECT 'l_shipdate', strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') FROM lineitem")
-      s"""WITH lv AS (${branches.mkString("\nUNION ALL ")})
-         |SELECT col_name,
-         |       count(*) AS n_rows,
-         |       count(v) AS n_filled,
-         |       count(DISTINCT v) AS n_distinct,
-         |       min(v) AS min_v,
-         |       max(v) AS max_v
-         |FROM lv GROUP BY col_name""".stripMargin
-    },
+    "q77_column_profile" -> lineitemProfileSql,
 
     "q75_cohort_retention" ->
       """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
@@ -363,4 +346,24 @@ object RelationalSql {
         |FROM ev JOIN fw USING (user_id)
         |GROUP BY 1, 2""".stripMargin
   )
+
+  /** q77's profile — also embedded as a CTE by AnalyticsSql's q87. */
+  private[oracle] lazy val lineitemProfileSql: String = {
+    val branches = Seq(
+      "SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem",
+      "SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem",
+      "SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem",
+      "SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem",
+      "SELECT 'l_returnflag', l_returnflag FROM lineitem",
+      "SELECT 'l_linestatus', l_linestatus FROM lineitem",
+      "SELECT 'l_shipdate', strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') FROM lineitem")
+    s"""WITH lv AS (${branches.mkString("\nUNION ALL ")})
+       |SELECT col_name,
+       |       count(*) AS n_rows,
+       |       count(v) AS n_filled,
+       |       count(DISTINCT v) AS n_distinct,
+       |       min(v) AS min_v,
+       |       max(v) AS max_v
+       |FROM lv GROUP BY col_name""".stripMargin
+  }
 }

@@ -98,6 +98,19 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("quality checks: one deliberate failure, rest pass, still one scan") {
+    val df = Analytics.queries("q87_quality_checks")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("FileScan|BatchScan".r.findAllMatchIn(plan).size == 1,
+      s"all three check families must ride ONE profile pass:\n$plan")
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(rows.size == 12) // 7 completeness + 3 distinct + 2 domain
+    val failed = rows.filter(_._2 == 0).keySet
+    assert(failed == Set(("l_returnflag", "distinct_bounds")),
+      s"exactly the planted rule must fail, got: $failed")
+  }
+
   test("decontaminate: the eval-gram side broadcasts; corpus never shuffles on the gram key") {
     val df = Corpus.queries("q81_decontaminate")(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
