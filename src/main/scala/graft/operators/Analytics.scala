@@ -22,7 +22,10 @@ object Analytics {
     "q82_price_histogram" -> q82,
     "q83_zscore_outliers" -> q83,
     "q86_quantile_buckets" -> q86,
-    "q87_quality_checks" -> q87
+    "q87_quality_checks" -> q87,
+    "q88_corr_matrix" -> q88,
+    "q89_gap_fill" -> q89,
+    "q90_scd2" -> q90
   )
 
   /** Semi-structured extraction: the `events.props` column is a JSON
@@ -201,5 +204,116 @@ object Analytics {
       .filter(col("c.check_name").isNotNull)
       .select(col("col_name"), col("c.check_name").as("check_name"),
         col("c.passed").as("passed"), col("c.observed").as("observed"))
+  }
+
+  /** Numeric columns whose pairwise correlations q88 reports. */
+  val CORR_COLS: Seq[String] =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Pairwise Pearson correlation matrix in ONE pass: a single agg
+    * collects n plus every Σx, Σx², Σxy over DECIMAL(18,6)-quantized
+    * values (raw data has ≤2 dp, so the sums are exact and
+    * order-independent — a cluster-scale reduce cannot drift), then
+    * the C(4,2) coefficients derive from that one 15-column row via
+    * the identical IEEE sequence on both engines:
+    * (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²ᵗᵉʳᵐ) · √(n·Σy² − Σy²)).
+    * One scan, one map-side-combining agg, a 1-row result — versus
+    * C(k,2) separate corr() passes over a 100-TB fact table. (Built-in
+    * `corr` uses a streaming co-moment recurrence whose float result
+    * is partition-order-dependent — unusable under a hash gate; the
+    * decimal-moment form is the portable twin, asserted against
+    * `corr` to 1e-9 in the spec.) */
+  private def q88(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.r6
+    val short = Map("l_quantity" -> "q", "l_extendedprice" -> "e",
+      "l_discount" -> "d", "l_tax" -> "t")
+    val li = Tables.lineitem(spark, dir).select(
+      CORR_COLS.map(c => col(c).cast("decimal(18,6)").as(short(c))): _*)
+    val pairs = for {
+      i <- CORR_COLS.indices; j <- CORR_COLS.indices if i < j
+    } yield (CORR_COLS(i), CORR_COLS(j))
+    val aggs =
+      CORR_COLS.map(c => sum(col(short(c))).as(s"s_${short(c)}")) ++
+        CORR_COLS.map(c =>
+          sum(col(short(c)) * col(short(c))).as(s"ss_${short(c)}")) ++
+        pairs.map { case (x, y) =>
+          sum(col(short(x)) * col(short(y))).as(s"c_${short(x)}${short(y)}") }
+    val m = li.agg(count(lit(1)).as("n"), aggs: _*)
+    def corrOf(x: String, y: String) = {
+      val n = col("n").cast("double")
+      val sx = col(s"s_${short(x)}").cast("double")
+      val sy = col(s"s_${short(y)}").cast("double")
+      val sxx = col(s"ss_${short(x)}").cast("double")
+      val syy = col(s"ss_${short(y)}").cast("double")
+      val sxy = col(s"c_${short(x)}${short(y)}").cast("double")
+      (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+    }
+    m.select(explode(array(pairs.map { case (x, y) =>
+        struct(lit(x).as("col_x"), lit(y).as("col_y"),
+          r6(corrOf(x, y)).as("corr"))
+      }: _*)).as("p"))
+      .select(col("p.col_x").as("col_x"), col("p.col_y").as("col_y"),
+        col("p.corr").as("corr"))
+  }
+
+  /** Time-series resample + forward fill: per-user daily value sums
+    * re-gridded onto the full global day span (every user × every
+    * day), gaps carrying the last observed value forward — the
+    * feature-store "as of day d" densification step. The fill uses the
+    * portable group-carry form — grp = running count of non-null
+    * observations (the observation row starts its own group), then one
+    * max per (user, grp) — because both engines evaluate it
+    * identically, unlike last_value(IGNORE NULLS) dialects. Scale
+    * shape: the scaffold is |users| × |days| (inherent to resampling —
+    * that IS the output), built from a broadcast |days| dim so the
+    * user dim never shuffles; both windows partition by user_id, so no
+    * global sort anywhere. Days before a user's first observation fill
+    * with 0.0. */
+  private def q89(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val daily = ev
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum(col("value").cast("decimal(30,8)")), 4)
+        .cast("double").as("day_value"))
+    val days = ev
+      .agg(date_trunc("day", min(col("ts"))).as("d0"),
+        date_trunc("day", max(col("ts"))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+    val users = ev.select(col("user_id")).distinct()
+    val runningW = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    users.crossJoin(broadcast(days))
+      .join(daily, Seq("user_id", "day"), "left")
+      .withColumn("grp", count(col("day_value")).over(runningW))
+      .withColumn("fill", max(col("day_value"))
+        .over(Window.partitionBy(col("user_id"), col("grp"))))
+      .select(col("user_id"), col("day"),
+        coalesce(col("fill"), lit(0.0)).as("value"),
+        col("day_value").isNotNull.cast("int").as("observed"))
+  }
+
+  /** Slowly-changing-dimension (type 2) interval build: each
+    * customer's order stream becomes versioned validity intervals —
+    * valid_from = the order date, valid_to = the NEXT order's date
+    * (lead), open-ended on the latest (is_current). The point-in-time
+    * join side of a feature store: "which state was live at time t"
+    * becomes a range probe instead of a per-probe argmax (q56's as-of
+    * join is the probe twin). One keyed window per customer — no
+    * global sort; ties on order date break by order key so versions
+    * are total and deterministic. */
+  private def q90(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+      .withColumn("version", row_number().over(w).cast("int"))
+      .withColumn("valid_from", col("o_orderdate"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+      .drop("o_orderdate")
   }
 }

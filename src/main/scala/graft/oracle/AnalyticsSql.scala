@@ -122,6 +122,89 @@ object AnalyticsSql {
          |SELECT p.col_name, 'domain_bounds',
          |       CAST(p.min_v >= r.dlo AND p.max_v <= r.dhi AS INTEGER),
          |       p.min_v || '..' || p.max_v
-         |FROM profile p JOIN rules r USING (col_name) WHERE r.dlo IS NOT NULL""".stripMargin
+         |FROM profile p JOIN rules r USING (col_name) WHERE r.dlo IS NOT NULL""".stripMargin,
+
+    // one decimal-exact moment row, then each coefficient through the
+    // identical IEEE sequence as the Spark side (see Analytics.q88)
+    "q88_corr_matrix" -> corrMatrixSql,
+
+    // resample + forward fill via the portable group-carry form:
+    // grp = running count of non-nulls, carry = max per (user, grp)
+    "q89_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)
+        |           AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS d0,
+        |         CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS d1
+        |  FROM events),
+        |days AS (
+        |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        |  FROM span),
+        |scaffold AS (
+        |  SELECT user_id, day
+        |  FROM (SELECT DISTINCT user_id FROM events), days),
+        |j AS (
+        |  SELECT s.user_id, s.day, d.day_value
+        |  FROM scaffold s LEFT JOIN daily d USING (user_id, day)),
+        |g AS (
+        |  SELECT *, count(day_value) OVER (
+        |    PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM j)
+        |SELECT user_id, day,
+        |       COALESCE(max(day_value) OVER (PARTITION BY user_id, grp), 0.0)
+        |         AS value,
+        |       CAST(day_value IS NOT NULL AS INTEGER) AS observed
+        |FROM g""".stripMargin,
+
+    "q90_scd2" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+        |       CAST(row_number() OVER w AS INTEGER) AS version,
+        |       o_orderdate AS valid_from,
+        |       lead(o_orderdate, 1) OVER w AS valid_to,
+        |       CAST(lead(o_orderdate, 1) OVER w IS NULL AS INTEGER)
+        |         AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)""".stripMargin
   )
+
+  /** q88's oracle, generated from the same column list as the Spark
+    * side so the pair set and expression shapes cannot drift. */
+  private def corrMatrixSql: String = {
+    val cols = graft.operators.Analytics.CORR_COLS
+    val short = Map("l_quantity" -> "q", "l_extendedprice" -> "e",
+      "l_discount" -> "d", "l_tax" -> "t")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val moments =
+      cols.map(c => s"sum(${short(c)}) AS s_${short(c)}") ++
+        cols.map(c => s"sum(${short(c)} * ${short(c)}) AS ss_${short(c)}") ++
+        pairs.map { case (x, y) =>
+          s"sum(${short(x)} * ${short(y)}) AS c_${short(x)}${short(y)}" }
+    // DECIMAL(19) forces DuckDB's int128 physical type — an 18-wide
+    // decimal multiplies in int64 units and overflows on Σ-scale values
+    val quantized = cols
+      .map(c => s"CAST($c AS DECIMAL(19,6)) AS ${short(c)}").mkString(", ")
+    val arms = pairs.map { case (x, y) =>
+      val (a, b) = (short(x), short(y))
+      val num = s"CAST(n AS DOUBLE) * CAST(c_$a$b AS DOUBLE) " +
+        s"- CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)"
+      val dx = s"sqrt(CAST(n AS DOUBLE) * CAST(ss_$a AS DOUBLE) " +
+        s"- CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))"
+      val dy = s"sqrt(CAST(n AS DOUBLE) * CAST(ss_$b AS DOUBLE) " +
+        s"- CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))"
+      s"SELECT '$x' AS col_x, '$y' AS col_y, " +
+        s"${graft.functions.Rounding.sql6(s"($num) / ($dx * $dy)")} AS corr FROM m"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS (
+       |  SELECT count(*) AS n,
+       |         ${moments.mkString(",\n         ")}
+       |  FROM (SELECT $quantized FROM lineitem))
+       |$arms""".stripMargin
+  }
 }

@@ -133,4 +133,60 @@ class AnalyticsSpec extends SparkSuite {
     assert(out((1L, 2)) == (("common", 0.0)))
     assert(out((2L, 1))._1 == "other" && out((3L, 1))._1 == "filler")
   }
+
+  test("corr matrix: decimal-moment coefficients match built-in corr; one scan, one agg row") {
+    val df = Analytics.queries("q88_corr_matrix")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.split("Scan parquet").length - 1 == 1,
+      s"all 15 moments must ride ONE scan:\n$plan")
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 6 && got.values.forall(c => c >= -1.0 && c <= 1.0))
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    got.foreach { case ((x, y), c) =>
+      val ref = li.agg(corr(col(x), col(y))).head.getDouble(0)
+      // q88 emits at 6 dp — parity holds to the rounding half-ulp
+      assert(math.abs(c - ref) < 1e-6, s"($x,$y): $c vs corr()=$ref")
+    }
+  }
+
+  test("gap fill: dense user×day grid, carry = last observed, no unpartitioned window") {
+    val df = Analytics.queries("q89_gap_fill")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // both windows partition by user_id — no global-sort window (the
+    // scalar span agg legitimately reduces to one row; windows must not)
+    plan.linesIterator.filter(_.contains("windowspecdefinition")).foreach { l =>
+      assert(l.contains("windowspecdefinition(user_id"),
+        s"window must partition by user_id: $l")
+    }
+    val rows = df.collect()
+    val users = rows.map(_.getLong(0)).distinct
+    val days = rows.map(_.get(1)).distinct
+    assert(rows.length == users.length * days.length, "grid must be dense")
+    // per user: walking days in order, value changes only on observed rows
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      var carry = 0.0
+      rs.sortBy(_.get(1).toString).foreach { r =>
+        if (r.getInt(3) == 1) carry = r.getDouble(2)
+        assert(r.getDouble(2) == carry, s"fill must equal last observed: $r")
+      }
+    }
+  }
+
+  test("scd2: intervals chain per customer with exactly one open version") {
+    val df = Analytics.queries("q90_scd2")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect().groupBy(_.getLong(0))
+    rows.foreach { case (cust, rs) =>
+      val sorted = rs.sortBy(_.getInt(4)) // version order
+      assert(sorted.map(_.getInt(4)).toSeq == (1 to rs.length), s"dense versions for $cust")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.get(6) == b.get(5),
+            s"valid_to must chain to next valid_from for $cust")
+        case _ =>
+      }
+      assert(sorted.count(_.getInt(7) == 1) == 1, s"exactly one current row for $cust")
+      assert(sorted.last.getInt(7) == 1 && sorted.last.isNullAt(6))
+    }
+  }
 }
