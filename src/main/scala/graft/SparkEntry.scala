@@ -30,7 +30,8 @@ object SparkEntry {
       operators.SeqRecommender.queries ++
       operators.Corpus.queries ++
       operators.Graph.queries ++
-      operators.Analytics.queries
+      operators.Analytics.queries ++
+      operators.Privacy.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
       oracle.SeqRecSql.oracle ++
       oracle.CorpusSql.oracle ++
       oracle.GraphSql.oracle ++
-      oracle.AnalyticsSql.oracle
+      oracle.AnalyticsSql.oracle ++
+      oracle.PrivacySql.oracle
 }

@@ -28,7 +28,8 @@ object Dedup {
     "q20_neardup_pairs" -> q20,
     "q21_simhash" -> q21,
     "q50_dedup_clusters" -> q50,
-    "q85_fuzzy_pairs" -> q85
+    "q85_fuzzy_pairs" -> q85,
+    "q92_dedup_keep" -> q92
   )
 
   val CLUSTER_JACCARD = 0.5
@@ -163,6 +164,32 @@ object Dedup {
         concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
           x => x.cast("string"))).as("member_csv"))
       .filter(col("n_docs") > 1) // singleton "clusters" are just unique docs
+  }
+
+  /** Canonical-corpus selection — the step that turns q50's clusters
+    * into the deduplicated training corpus: every document labeled
+    * with its cluster canonical (itself when unclustered), kept iff it
+    * IS the canonical. Downstream consumers filter `kept = 1` and the
+    * near-dups are gone with exactly one survivor per cluster. Rides
+    * the same session-cached verified pairs as q20/q50 (one
+    * shingle→minhash→verify run per session); the label table is
+    * |near-dup nodes| rows — a broadcast-scale left join back onto the
+    * corpus, which itself never shuffles. */
+  private def q92(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val pairs = neardupPairsCached(spark, dir)
+      .filter(col("jaccard") >= CLUSTER_JACCARD)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    docs.join(broadcast(connectedComponents(nodes, pairs)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("canonical_id"),
+        (coalesce(col("label"), col("doc_id")) === col("doc_id"))
+          .cast("int").as("kept"),
+        col("source"), col("n_chars"))
   }
 
   /** Reusable library surface: connected components of an undirected

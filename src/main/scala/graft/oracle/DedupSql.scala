@@ -38,6 +38,28 @@ object DedupSql {
          |FROM labels GROUP BY 1
          |HAVING count(*) > 1""".stripMargin,
 
+    // q50's label CTE left-joined back onto the corpus: kept iff the
+    // doc IS its cluster canonical (unclustered docs are their own)
+    "q92_dedup_keep" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT * FROM (
+         |${oracleQ20}
+         |  ) WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         |labels AS (SELECT a AS doc_id, min(b) AS label FROM reach GROUP BY 1)
+         |SELECT d.doc_id,
+         |       COALESCE(l.label, d.doc_id) AS canonical_id,
+         |       CAST(COALESCE(l.label, d.doc_id) = d.doc_id AS INTEGER) AS kept,
+         |       d.source, d.n_chars
+         |FROM documents d LEFT JOIN labels l USING (doc_id)""".stripMargin,
+
     "q21_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, ${tokensSql(normTextSql("text"))} AS tk

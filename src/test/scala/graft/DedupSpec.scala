@@ -77,4 +77,19 @@ class DedupSpec extends SparkSuite {
     assert(got.contains(("bol", "bolt")) && got.contains(("bol", "bold")) &&
       got.contains(("bold", "bolt")))
   }
+
+  test("dedup keep: one survivor per cluster, corpus size minus dup mass") {
+    val keep = operators.Dedup.queries("q92_dedup_keep")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val clusters = operators.Dedup.queries("q50_dedup_clusters")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dupMass = clusters.values.map(_ - 1).sum
+    assert(keep.count(_.getInt(2) == 1) == keep.length - dupMass,
+      "kept = corpus - (cluster sizes - 1 survivor each)")
+    // every cluster's canonical is kept, every other member dropped
+    keep.groupBy(_.getLong(1)).foreach { case (canon, members) =>
+      assert(members.count(_.getInt(2) == 1) == 1, s"cluster $canon")
+      assert(members.filter(_.getInt(2) == 1).head.getLong(0) == canon)
+    }
+  }
 }
