@@ -29,7 +29,8 @@ import graft.sources.Tables
 object Graph {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q76_pagerank" -> q76
+    "q76_pagerank" -> q76,
+    "q93_triangles" -> q93
   )
 
   val SCALE = 1000000000000L // 10^12 micro-units of rank mass
@@ -43,12 +44,23 @@ object Graph {
     * and NEVER all-pairs). Edges are symmetric by construction, so
     * every node has in- and out-degree ≥ 1 — no dangling-mass term. */
   private def q76(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
-    val a = li.toDF("ok", "src")
-    val b = li.toDF("ok", "dst")
-    val edges = a.join(b, Seq("ok")).filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst")).distinct()
+    val und = coPurchaseUndCached(spark, dir)
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
     pageRankFixedPoint(edges, ITERS).toDF("part", "rank_fp")
+  }
+
+  /** Session-cached undirected co-purchase edge list `(a, b)`, a < b,
+    * deduplicated — q76 symmetrizes it into its directed graph and q93
+    * counts triangles on it, so the per-order pair fan-out + distinct
+    * (the expensive scan-side stage) runs ONCE per session via
+    * CacheManager plan-dedup (the itemSimsCached pattern). */
+  private[graft] def coPurchaseUndCached(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    li.toDF("ok", "a").join(li.toDF("ok", "b"), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct().cache()
   }
 
   /** Fixed-point PageRank over a directed edge list `(src, dst)` where
@@ -76,5 +88,59 @@ object Graph {
         .localCheckpoint(true) // kill 2^depth lineage re-execution
     }
     rank
+  }
+
+  /** Per-node triangle counts over the item co-purchase graph, via
+    * DEGREE-ORDERED wedge generation (the compact-forward scheme):
+    * orient every undirected edge from its (degree, id)-smaller
+    * endpoint, generate wedges only between a node's ORIENTED
+    * out-neighbors, and close them against the undirected edge set.
+    * Each triangle materializes exactly once (its (deg,id)-minimum
+    * corner owns it), then explodes to credit all three corners.
+    *
+    * The orientation is the whole scale story: naive wedge counting is
+    * Σᵥ C(deg v, 2) — quadratic in the hub degrees that dominate any
+    * real co-occurrence graph — while oriented out-degrees are bounded
+    * by O(√m), so wedge volume drops from hub-quadratic to
+    * arboricity-bounded. Everything is keyed equi-joins; the closing
+    * probe joins on the (lo, hi) edge key. */
+  private def q93(spark: SparkSession, dir: String): DataFrame =
+    // the part catalog is a dimension, so |E| ≤ |parts|² stays
+    // broadcast-scale no matter how large the fact table grows
+    triangleCounts(coPurchaseUndCached(spark, dir), broadcastClose = true)
+      .toDF("part", "n_triangles")
+
+  /** Per-node triangle counts of an undirected edge list `(a, b)` with
+    * `a < b` and no duplicates → `(node, n_triangles)`, nodes in ≥1
+    * triangle only. See [[q93]] for the orientation argument.
+    *
+    * `broadcastClose` ships the edge list to every executor for the
+    * closing probe, so the wedge stream (the big side — oriented
+    * out-degree² rows) never shuffles. Only enable when the edge list
+    * is genuinely dim-bounded (e.g. a catalog co-occurrence graph);
+    * the default shuffle join is the safe posture for web-scale edge
+    * lists. */
+  def triangleCounts(und0: DataFrame, broadcastClose: Boolean = false): DataFrame = {
+    val und = und0.cache()
+    val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient a→b iff (deg a, a) < (deg b, b); a < b breaks degree ties
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v"))
+      .cache()
+    val wedges = oriented.toDF("u", "v")
+      .join(oriented.toDF("u", "w"), Seq("u"))
+      .filter(col("v") < col("w"))
+    val triangles = wedges.join(
+      if (broadcastClose) broadcast(und) else und,
+      col("v") === col("a") && col("w") === col("b"))
+      .select(col("u"), col("v"), col("w"))
+    triangles
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 }

@@ -39,4 +39,27 @@ class GraphSpec extends SparkSuite {
     assert(total <= Graph.SCALE && total >= Graph.SCALE - maxLoss * 100,
       s"mass not conserved: $total vs ${Graph.SCALE}")
   }
+
+  test("triangles: fixture parity with brute force; hub wedges stay oriented-bounded") {
+    val s = spark
+    import s.implicits._
+    // K4 on {1..4} (4 triangles), a pendant 5, and a hub 6 joined to
+    // every K4 node but closing only the (1,2) edge
+    val raw = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+      (1, 6), (2, 6), (3, 6), (4, 6))
+      .map { case (a, b) => (a.toLong, b.toLong) }
+    val und = raw.toDF("a", "b")
+    val got = Graph.triangleCounts(und).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force over all node triples
+    val nodes = raw.flatMap(e => Seq(e._1, e._2)).distinct
+    val es = raw.toSet
+    def edge(x: Long, y: Long) = es.contains((math.min(x, y), math.max(x, y)))
+    val want = (for {
+      i <- nodes; j <- nodes if i < j; k <- nodes if j < k
+      if edge(i, j) && edge(j, k) && edge(i, k)
+    } yield Seq(i, j, k)).flatten.groupBy(identity).map { case (n, xs) => n -> xs.length.toLong }
+    assert(got == want, s"got $got want $want")
+    assert(!got.contains(5L), "pendant node joins no triangle")
+  }
 }
