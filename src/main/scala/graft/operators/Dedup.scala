@@ -29,7 +29,8 @@ object Dedup {
     "q21_simhash" -> q21,
     "q50_dedup_clusters" -> q50,
     "q85_fuzzy_pairs" -> q85,
-    "q92_dedup_keep" -> q92
+    "q92_dedup_keep" -> q92,
+    "q95_incremental_dedup" -> q95
   )
 
   val CLUSTER_JACCARD = 0.5
@@ -164,6 +165,49 @@ object Dedup {
         concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
           x => x.cast("string"))).as("member_csv"))
       .filter(col("n_docs") > 1) // singleton "clusters" are just unique docs
+  }
+
+  /** Source-id split point for q95: sources ≥ this are the "new
+    * batch", the rest the standing corpus. */
+  val INCREMENTAL_SPLIT = 10
+
+  /** Incremental (cross-corpus) near-dedup — the ingest-time variant
+    * of q20: a NEW batch of documents is checked against the standing
+    * corpus, and only cross pairs (new × existing) are generated —
+    * never new×new or existing×existing. This is the shape that
+    * matters operationally: the standing corpus's bands are a
+    * precomputed index you probe with each incoming batch, so ingest
+    * cost scales with the batch, not the corpus. Candidates meet only
+    * inside (band_id, band_hash) buckets as always; exact-Jaccard
+    * verify then keeps real duplicates (≥ [[CLUSTER_JACCARD]]). */
+  private def q95(spark: SparkSession, dir: String): DataFrame = {
+    val srcs = Tables.documents(spark, dir).select(col("doc_id"),
+      substring(col("source"), 4, 10).cast("int").as("src_id"))
+    val sh = shingleSet(spark, dir).cache()
+    val bands = minhashBands(sh).join(srcs, Seq("doc_id"))
+    val newB = bands.filter(col("src_id") >= INCREMENTAL_SPLIT)
+      .select(col("doc_id").as("new_doc_id"), col("band_id"), col("band_hash"))
+    val oldB = bands.filter(col("src_id") < INCREMENTAL_SPLIT)
+      .select(col("doc_id").as("existing_doc_id"), col("band_id"), col("band_hash"))
+    val cand = newB.join(oldB, Seq("band_id", "band_hash"))
+      .select(col("new_doc_id"), col("existing_doc_id")).distinct()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("new_doc_id"), col("s")), Seq("new_doc_id"))
+      .join(sh.select(col("doc_id").as("existing_doc_id"), col("s")),
+        Seq("existing_doc_id", "s"))
+      .groupBy(col("new_doc_id"), col("existing_doc_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    cand.join(inter, Seq("new_doc_id", "existing_doc_id"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(counts.select(col("doc_id").as("new_doc_id"), col("n_sh").as("n_a")),
+        Seq("new_doc_id"))
+      .join(counts.select(col("doc_id").as("existing_doc_id"), col("n_sh").as("n_b")),
+        Seq("existing_doc_id"))
+      .select(col("new_doc_id"), col("existing_doc_id"),
+        r4(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= CLUSTER_JACCARD)
   }
 
   /** Canonical-corpus selection — the step that turns q50's clusters

@@ -24,7 +24,8 @@ object TextOps {
     "q47_token_count" -> q47,
     "q48_bigram_lang_id" -> q48,
     "q61_repetition_stats" -> q61,
-    "q72_heavy_hitters" -> q72
+    "q72_heavy_hitters" -> q72,
+    "q94_lm_quality" -> q94
   )
 
   /** Gopher-rule repetition threshold: a doc whose single most common
@@ -249,4 +250,59 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg((sum((col("pos") + 1) * col("h")) % 2147483647L).as("fingerprint"),
         count(lit(1)).as("n_tokens"))
+
+  /** Flag docs whose average bigram log-prob falls below this. */
+  val LM_FLAG_THRESH = -3.5
+
+  /** Bigram-LM quality scoring — the KenLM-style perplexity filter a
+    * pretraining pipeline runs over every document: train an
+    * add-one-smoothed word-bigram model on the corpus itself, score
+    * each doc by its mean bigram log-probability, flag the low-prob
+    * tail. p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V) with c(w₁) counted over
+    * bigram histories and V = |distinct histories|.
+    *
+    * Float discipline for an ORDER-DEPENDENT sum of logs: each
+    * per-bigram ln goes through one IEEE sequence (exact-integer
+    * add → one double division → ln → r6) and is then quantized to
+    * DECIMAL(20,6) BEFORE the per-doc sum — so the aggregation is
+    * exact and order-independent at any parallelism, and only then
+    * does one double division produce the mean. Scale shape: two
+    * keyed count aggs build the model (the c₁₂ dim is vocab² — a
+    * SHUFFLE join on the bigram key, deliberately not broadcast),
+    * scoring is the same exploded-bigram stream joined back; V rides
+    * a 1-row broadcast. */
+  private def q94(spark: SparkSession, dir: String): DataFrame =
+    lmQualityScores(Tables.documents(spark, dir))
+      .withColumn("flagged",
+        (col("avg_logp") < LM_FLAG_THRESH).cast("int"))
+
+  /** Library surface of [[q94]]: `(doc_id, text)` → per-doc
+    * `(doc_id, n_bigrams, avg_logp)` under the corpus's own add-one
+    * bigram LM. Docs with < 2 tokens drop out (no bigrams). */
+  def lmQualityScores(docs: DataFrame): DataFrame = {
+    import graft.functions.Rounding.{r4, r6}
+    val bg = docs
+      .select(col("doc_id"),
+        VectorFns.tokens(Dedup.normText(col("text"))).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("tk")) - 1)).as("i"), col("tk"))
+      .select(col("doc_id"),
+        element_at(col("tk"), col("i")).as("w1"),
+        element_at(col("tk"), col("i") + 1).as("w2"))
+      .cache()
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vdim = bg.agg(countDistinct(col("w1")).as("v"))
+    bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vdim))
+      .select(col("doc_id"),
+        r6(log((col("c12") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")))
+          .cast("decimal(20,6)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        r4(col("slp").cast("double") / col("n_bigrams")).as("avg_logp"))
+  }
 }

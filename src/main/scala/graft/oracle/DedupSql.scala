@@ -60,6 +60,38 @@ object DedupSql {
          |       d.source, d.n_chars
          |FROM documents d LEFT JOIN labels l USING (doc_id)""".stripMargin,
 
+    // cross-corpus probe: new batch (src_id >= 10) against the
+    // standing corpus, candidates only inside shared band buckets
+    "q95_incremental_dedup" ->
+      s"""WITH ${SqlFragments.minhashBandsSql},
+         |srcs AS (
+         |  SELECT doc_id, CAST(substr(source, 4) AS INTEGER) AS src_id
+         |  FROM documents),
+         |cand AS (
+         |  SELECT DISTINCT nb.doc_id AS new_doc_id, ob.doc_id AS existing_doc_id
+         |  FROM bands nb
+         |  JOIN srcs ns ON ns.doc_id = nb.doc_id AND ns.src_id >= 10
+         |  JOIN bands ob ON ob.band_id = nb.band_id
+         |              AND ob.band_hash = nb.band_hash
+         |  JOIN srcs os ON os.doc_id = ob.doc_id AND os.src_id < 10),
+         |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT c.new_doc_id, c.existing_doc_id, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.new_doc_id
+         |  JOIN sh b ON b.doc_id = c.existing_doc_id AND b.s = a.s
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT c.new_doc_id, c.existing_doc_id,
+         |         floor((CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         |                / (ca.n_sh + cb.n_sh - COALESCE(i.n_inter, 0)))
+         |               * 10000.0 + 0.5) / 10000.0 AS jaccard
+         |  FROM cand c
+         |  LEFT JOIN inter i USING (new_doc_id, existing_doc_id)
+         |  JOIN counts ca ON ca.doc_id = c.new_doc_id
+         |  JOIN counts cb ON cb.doc_id = c.existing_doc_id)
+         |SELECT * FROM scored WHERE jaccard >= 0.5""".stripMargin,
+
     "q21_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, ${tokensSql(normTextSql("text"))} AS tk

@@ -162,6 +162,34 @@ object TextSql {
         |       substring(hx, 1, 8) AS frame_head,
         |       substring(hx, 2 * CAST(floor(n_bytes / 2.0) AS BIGINT) + 1, 8) AS frame_mid,
         |       substring(hx, 2 * (greatest(n_bytes - 3, 1) - 1) + 1, 8) AS frame_tail
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // add-one bigram LM: per-bigram ln through ONE IEEE sequence then
+    // r6-quantized to DECIMAL before the per-doc sum (order-free agg)
+    "q94_lm_quality" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${SqlFragments.tokensSql(SqlFragments.normTextSql("text"))} AS tk
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+         |  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+         |  WHERE len(tk) >= 2),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w1) AS v FROM bg),
+         |scored AS (
+         |  SELECT bg.doc_id,
+         |         CAST(${graft.functions.Rounding.sql6(
+                     "ln(CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))")}
+         |              AS DECIMAL(20,6)) AS lp
+         |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS slp
+         |  FROM scored GROUP BY 1)
+         |SELECT doc_id, n_bigrams,
+         |       ${graft.functions.Rounding.sql4("CAST(slp AS DOUBLE) / n_bigrams")} AS avg_logp,
+         |       CAST(${graft.functions.Rounding.sql4("CAST(slp AS DOUBLE) / n_bigrams")}
+         |            < ${graft.operators.TextOps.LM_FLAG_THRESH} AS INTEGER) AS flagged
+         |FROM agg""".stripMargin
   )
 }

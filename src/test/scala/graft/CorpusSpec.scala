@@ -79,4 +79,30 @@ class CorpusSpec extends SparkSuite {
     assert(out.map(_._1).toSeq == Seq(1L, 2L))
     assert(out(0)._2 > out(1)._2 && out(1)._2 > 0.0)
   }
+
+  test("lm quality: fixture parity with a hand-rolled add-one bigram model") {
+    val s = spark
+    import s.implicits._
+    val fixture = Seq(
+      (1L, "a b a b"), (2L, "a b c"), (3L, "z z"), (4L, "solo"))
+    val got = graft.operators.TextOps.lmQualityScores(fixture.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // brute force with the same float discipline (r6 per term, r4 emit)
+    def r(x: Double, d: Double) = math.floor(x * d + 0.5) / d
+    val bigrams = fixture.flatMap { case (id, t) =>
+      val tk = t.split(" "); tk.sliding(2).filter(_.length == 2)
+        .map(p => (id, p(0), p(1))).toSeq
+    }
+    val c12 = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.size)
+    val c1 = bigrams.groupBy(_._2).view.mapValues(_.size)
+    val v = bigrams.map(_._2).distinct.size
+    val want = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val slp = bs.map { case (_, w1, w2) =>
+        r(math.log((c12((w1, w2)) + 1).toDouble / (c1(w1) + v)), 1e6)
+      }.sum
+      id -> (bs.size.toLong, r(slp / bs.size, 1e4))
+    }
+    assert(!got.contains(4L), "single-token doc has no bigrams")
+    assert(got == want, s"got $got want $want")
+  }
 }

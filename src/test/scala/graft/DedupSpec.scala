@@ -92,4 +92,30 @@ class DedupSpec extends SparkSuite {
       assert(members.filter(_.getInt(2) == 1).head.getLong(0) == canon)
     }
   }
+
+  test("incremental dedup: exactly q20's cross-source duplicates, nothing else") {
+    val dir = "/root/testdata/sf0.001"
+    val srcOf = graft.sources.Tables.documents(spark, dir)
+      .selectExpr("doc_id", "CAST(substring(source, 4, 10) AS INT) AS s")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val inc = operators.Dedup.queries("q95_incremental_dedup")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    inc.keys.foreach { case (n, e) =>
+      assert(srcOf(n) >= operators.Dedup.INCREMENTAL_SPLIT &&
+        srcOf(e) < operators.Dedup.INCREMENTAL_SPLIT, s"($n,$e) not cross-corpus")
+    }
+    // q20 emits ALL verified band-bucket pairs; the cross-source ones
+    // at >= CLUSTER_JACCARD must be exactly q95's result, same scores
+    val want = operators.Dedup.queries("q20_neardup_pairs")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .filter(_._2 >= operators.Dedup.CLUSTER_JACCARD)
+      .flatMap { case ((a, b), j) =>
+        if (srcOf(a) >= 10 && srcOf(b) < 10) Some((a, b) -> j)
+        else if (srcOf(b) >= 10 && srcOf(a) < 10) Some((b, a) -> j)
+        else None
+      }.toMap
+    assert(inc == want, s"got ${inc.size} want ${want.size}")
+  }
 }
