@@ -66,4 +66,24 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z", "xmin", "xmax", "ymin", "ymax")
   }
+
+  /** Small-file compaction — the maintenance pass every long-lived
+    * 100-TB table needs: streaming/incremental writers leave thousands
+    * of KB-scale files whose per-file open/footer cost dominates scan
+    * time. Rewrite a directory into ⌈rows / targetRowsPerFile⌉ files:
+    * ONE count pass (column-pruned to nothing by parquet metadata),
+    * one round-robin repartition, one rewrite to a new directory —
+    * never in place, so readers of the old layout are never broken
+    * (swap is the caller's atomic-rename/metastore step). Partitioned
+    * tables compact per partition directory; sort-ordered tables
+    * should use [[zcluster]] instead, which IS a compaction with
+    * layout. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, targetRowsPerFile: Long): Long = {
+    val df = spark.read.parquet(inDir)
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartition(nFiles).write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
 }

@@ -68,4 +68,23 @@ class LayoutSpec extends SparkSuite {
       df.filter(col("y") >= 300 && col("y") < 400).count()
     assert(q(s.read.parquet(s"$dir/linear")) == q(s.read.parquet(s"$dir/zorder")))
   }
+
+  test("compact: many tiny files become ceil(rows/target) files, content identical") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    // 40 writer tasks × 25 rows — the streaming-sink small-file pattern
+    (0 until 1000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+      .repartition(40).write.parquet(s"$dir/small")
+    def files(p: String) = new java.io.File(p).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files(s"$dir/small") == 40)
+    val n = graft.operators.Layout.compact(s, s"$dir/small", s"$dir/big", 400L)
+    assert(n == 3 && files(s"$dir/big") == 3, s"want 3 files, got $n")
+    val before = s.read.parquet(s"$dir/small").collect().map(_.toSeq).toSet
+    val after = s.read.parquet(s"$dir/big").collect().map(_.toSeq).toSet
+    assert(after == before, "compaction must be a pure rewrite")
+    // source directory untouched — rewrite is never in place
+    assert(files(s"$dir/small") == 40)
+  }
 }
