@@ -197,4 +197,18 @@ class MovieLensParitySpec extends SparkSuite {
     assert(recs.count() == 100L)
     assert(recs.groupBy("user_id").count().filter(col("count") =!= 5).count() == 0L)
   }
+
+  test("estimators compose inside org.apache.spark.ml.Pipeline") {
+    requireData()
+    import org.apache.spark.ml.Pipeline
+    val train = trainDf
+    val pipe = new Pipeline().setStages(Array(
+      new KnnRecommender().setUserBased(true).setKNeighbors(25).setKItems(5)))
+    val fitted = pipe.fit(train)
+    // PipelineModel.transform drives the fitted recommender stage
+    val recs = fitted.transform(train.filter(col("user_id") <= 10)
+      .select("user_id"))
+    assert(recs.count() == 50L, "5 ranked items per target user")
+    assert(recs.columns.contains("item_id") && recs.columns.contains("rk"))
+  }
 }
