@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -25,7 +25,8 @@ object Evaluation {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_eval_metrics" -> q27,
-    "q44_cv_metrics" -> q44
+    "q44_cv_metrics" -> q44,
+    "q96_ndcg" -> q96
   )
 
   val K = 10
@@ -36,16 +37,7 @@ object Evaluation {
     val r = Tables.ratingsCached(spark, dir)
     val umean = r.groupBy("user_id").agg(avg(col("rating")).as("umean"))
 
-    // popularity top-10: orderBy().limit() is TakeOrdered — every
-    // partition keeps only its local top-10, the driver merges 10-row
-    // buffers. No global single-partition window anywhere. Ranks are
-    // then derived windowlessly from the 10 surviving rows (struct sort
-    // on (-cnt, item_id) + posexplode).
-    val pop = r.groupBy("item_id").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("item_id").asc).limit(K)
-      .agg(collect_list(struct((-col("cnt")).as("negcnt"), col("item_id"))).as("xs"))
-      .select(posexplode(array_sort(col("xs"))))
-      .select((col("pos") + 1).cast("int").as("rn"), col("col.item_id").as("item_id"))
+    val pop = popTopK(r)
 
     val rel = r.filter(col("rating") >= REL_THRESHOLD)
       .select(col("user_id"), col("item_id"))
@@ -143,5 +135,63 @@ object Evaluation {
       .agg(count(lit(1)).as("n_test"),
         r4(sqrt(avg(col("err") * col("err")))).as("rmse"),
         r4(avg(abs(col("err")))).as("mae"))
+  }
+
+  /** Popularity top-[[K]] with dense ranks — shared by q27 and q96.
+    * orderBy().limit() is TakeOrdered: every partition keeps only its
+    * local top-K, the driver merges K-row buffers. No global
+    * single-partition window anywhere. Ranks derive windowlessly from
+    * the K surviving rows (struct sort on (-cnt, item_id) +
+    * posexplode). */
+  private def popTopK(r: DataFrame): DataFrame =
+    r.groupBy("item_id").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item_id").asc).limit(K)
+      .agg(collect_list(struct((-col("cnt")).as("negcnt"), col("item_id"))).as("xs"))
+      .select(posexplode(array_sort(col("xs"))))
+      .select((col("pos") + 1).cast("int").as("rn"), col("col.item_id").as("item_id"))
+
+  /** Mean NDCG@[[K]] of the popularity recommender against the
+    * ≥ [[REL_THRESHOLD]] relevant sets — the graded-ranking metric
+    * E1–E3 lack (DCG discounts hits by log₂ rank; IDCG normalizes by
+    * the best achievable ordering, min(K, |rel|) ideal hits). Users
+    * with no relevant items score 0, matching q27's recall convention.
+    *
+    * Float discipline: every per-rank discount term walks ONE IEEE
+    * sequence — hit / (ln(rank+1) / ln 2) — is r6-quantized to
+    * DECIMAL(20,6) and only then summed, so the per-user DCG/IDCG
+    * sums and the final cross-user mean are order-independent at any
+    * parallelism. Scale shape: the K-row ranked dim broadcasts over
+    * the user grid; IDCG explodes ≤ K rows per user; everything else
+    * is keyed aggs. */
+  private def q96(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.r6
+    val r = Tables.ratingsCached(spark, dir)
+    def log2(c: Column): Column = log(c.cast("double")) / log(lit(2.0))
+    val rel = r.filter(col("rating") >= REL_THRESHOLD)
+      .select(col("user_id"), col("item_id"))
+    val nrel = rel.groupBy("user_id").agg(count(lit(1)).as("n_rel"))
+    val users = r.select("user_id").distinct()
+
+    val dcg = users.crossJoin(broadcast(popTopK(r)))
+      .join(rel.withColumn("hit_", lit(1)), Seq("user_id", "item_id"), "left")
+      .select(col("user_id"),
+        r6(coalesce(col("hit_"), lit(0)).cast("double") / log2(col("rn") + 1))
+          .cast("decimal(20,6)").as("t"))
+      .groupBy("user_id").agg(sum(col("t")).as("dcg"))
+
+    val idcg = nrel
+      .select(col("user_id"),
+        explode(sequence(lit(1), least(col("n_rel"), lit(K)).cast("int"))).as("i"))
+      .select(col("user_id"),
+        r6(lit(1.0) / log2(col("i") + 1)).cast("decimal(20,6)").as("t"))
+      .groupBy("user_id").agg(sum(col("t")).as("idcg"))
+
+    users.join(dcg, Seq("user_id")).join(idcg, Seq("user_id"), "left")
+      .select(r6(when(col("idcg").isNotNull,
+          col("dcg").cast("double") / col("idcg").cast("double"))
+        .otherwise(lit(0.0))).cast("decimal(20,6)").as("nd"))
+      .agg(r4(sum(col("nd")).cast("double") / count(lit(1)))
+          .as("avg_ndcg_at_10"),
+        count(lit(1)).as("n_users"))
   }
 }

@@ -178,6 +178,48 @@ object EvalSeqSql {
          |        FROM ratings r JOIN umean u USING (user_id)))
          |SELECT * FROM rankm CROSS JOIN predm""".stripMargin,
 
+    // NDCG@10: per-rank discount terms r6-quantized to DECIMAL before
+    // the per-user sums (order-free), ln-based log2 in ONE IEEE shape
+    "q96_ndcg" -> {
+      import graft.functions.Rounding.{sql4, sql6}
+      val dcgTerm = sql6("CAST(CASE WHEN r.item_id IS NULL THEN 0 ELSE 1 END AS DOUBLE)" +
+        " / (ln(CAST(g.rn + 1 AS DOUBLE)) / ln(2.0))")
+      val idcgTerm = sql6("1.0 / (ln(CAST(i + 1 AS DOUBLE)) / ln(2.0))")
+      val ndTerm = sql6("CASE WHEN i.idcg IS NOT NULL" +
+        " THEN CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE) ELSE 0.0 END")
+      s"""WITH $ratingsSql,
+         |pop AS (
+         |  SELECT item_id, rn FROM (
+         |    SELECT item_id, row_number() OVER (
+         |      ORDER BY count(*) DESC, item_id ASC) AS rn
+         |    FROM ratings GROUP BY item_id)
+         |  WHERE rn <= 10),
+         |rel AS (SELECT user_id, item_id FROM ratings WHERE rating >= 30),
+         |nrel AS (SELECT user_id, count(*) AS n_rel FROM rel GROUP BY 1),
+         |users AS (SELECT DISTINCT user_id FROM ratings),
+         |dcg AS (
+         |  SELECT g.user_id,
+         |         sum(CAST($dcgTerm AS DECIMAL(20,6))) AS dcg
+         |  FROM (SELECT u.user_id, p.item_id, p.rn
+         |        FROM users u CROSS JOIN pop p) g
+         |  LEFT JOIN rel r ON r.user_id = g.user_id AND r.item_id = g.item_id
+         |  GROUP BY 1),
+         |idcg AS (
+         |  SELECT user_id,
+         |         sum(CAST($idcgTerm AS DECIMAL(20,6))) AS idcg
+         |  FROM (SELECT user_id, unnest(generate_series(1, least(n_rel, 10))) AS i
+         |        FROM nrel)
+         |  GROUP BY 1),
+         |nd AS (
+         |  SELECT CAST($ndTerm AS DECIMAL(20,6)) AS nd
+         |  FROM users u
+         |  JOIN dcg d USING (user_id)
+         |  LEFT JOIN idcg i USING (user_id))
+         |SELECT ${sql4("CAST(sum(nd) AS DOUBLE) / count(*)")} AS avg_ndcg_at_10,
+         |       count(*) AS n_users
+         |FROM nd""".stripMargin
+    },
+
     "q28_periods_w2" ->
       s"""WITH bounds AS (
          |  SELECT min(o_orderdate) AS dmin, max(o_orderdate) AS dmax FROM orders),

@@ -35,4 +35,30 @@ class EvaluationSpec extends SparkSuite {
     assert(math.abs(m.getDouble(1) - wantRec) < 5e-5, s"rec ${m.getDouble(1)}")
     assert(math.abs(m.getDouble(2) - wantMap) < 5e-5, s"map ${m.getDouble(2)}")
   }
+
+  test("q96 NDCG matches a hand-rolled model on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.operators.Evaluation.queries("q96_ndcg")(spark, dir).head()
+    // hand-rolled: popularity top-10, binary gains, log2 discounts
+    val r = graft.sources.Tables.ratingsCached(spark, dir)
+      .select("user_id", "item_id", "rating").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    val pop = r.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy { case (item, cnt) => (-cnt, item) }.take(10).map(_._1)
+    val rel = r.filter(_._3 >= 30.0).map(t => (t._1, t._2)).toSet
+    val users = r.map(_._1).distinct
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val ndcgs = users.map { u =>
+      val dcg = pop.zipWithIndex.map { case (it, i) =>
+        (if (rel((u, it))) 1.0 else 0.0) / log2(i + 2.0) }.sum
+      val m = math.min(10, r.count(t => t._1 == u && t._3 >= 30.0))
+      if (m == 0) 0.0
+      else dcg / (1 to m).map(i => 1.0 / log2(i + 1.0)).sum
+    }
+    val want = ndcgs.sum / users.length
+    assert(math.abs(got.getDouble(0) - want) < 5e-4,
+      s"ndcg ${got.getDouble(0)} vs model $want")
+    assert(got.getLong(1) == users.length.toLong)
+    assert(got.getDouble(0) > 0.0 && got.getDouble(0) < 1.0)
+  }
 }
