@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] on a 128 GiB host: the single JVM is both driver and all
+  // executors, and the bench session pins ~20 shared caches — an 8g
+  // heap evicts them mid-run and the heavy kNN queries rebuild their
+  // sims from scratch (measured 71s vs 29s for q17). 48g leaves
+  // headroom for the OS page cache over the parquet inputs.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
