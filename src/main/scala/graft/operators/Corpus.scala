@@ -25,7 +25,8 @@ object Corpus {
     "q69_seq_pack" -> q69,
     "q70_source_mix" -> q70,
     "q81_decontaminate" -> q81,
-    "q84_tfidf_topterms" -> q84
+    "q84_tfidf_topterms" -> q84,
+    "q98_weighted_sample" -> q98
   )
 
   /** Lucene-standard BM25 parameters. */
@@ -318,4 +319,28 @@ object Corpus {
 
   private def q84(spark: SparkSession, dir: String): DataFrame =
     tfidfTopTerms(Tables.documents(spark, dir))
+
+  /** Sample size for q98. */
+  val WSAMPLE_K = 100
+
+  /** Weighted sampling WITHOUT replacement via exponential sort keys
+    * (Efraimidis–Spirakis A-ES): each row draws u ∈ (0,1) and the
+    * top-k rows by u^(1/w) — equivalently ln(u)/w — form an exact
+    * weight-proportional sample. The draw is the repo's deterministic
+    * hash (28-bit md5 → (h+0.5)/2²⁸), never rand(): re-runs and
+    * retried tasks pick the SAME sample, and the DuckDB oracle
+    * replays it bit-for-bit (single IEEE sequence: one add, one
+    * division, one ln, one division). Selection is orderBy().limit()
+    * = TakeOrdered — every partition keeps a local top-k, no global
+    * sort. Orders sampled ∝ o_totalprice. */
+  private def q98(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.r6
+    val u = (Dedup.baseHash(concat(col("o_orderkey").cast("string"),
+      lit("_ws"))) + lit(0.5)) / lit((1L << 28).toDouble)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (log(u) / col("o_totalprice")).as("wkey"))
+      .orderBy(col("wkey").desc, col("o_orderkey").asc).limit(WSAMPLE_K)
+      .select(col("o_orderkey"), col("o_totalprice"), r6(col("wkey")).as("wkey"))
+  }
 }

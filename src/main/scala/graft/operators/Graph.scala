@@ -30,8 +30,14 @@ object Graph {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_pagerank" -> q76,
-    "q93_triangles" -> q93
+    "q93_triangles" -> q93,
+    "q97_label_propagation" -> q97
   )
+
+  val LPA_ITERS = 3
+  // LPA runs on the >= 2-support co-purchase graph: weight-1 edges are
+  // single-order coincidences that fuse everything into one community
+  val LPA_MIN_SUPPORT = 2
 
   val SCALE = 1000000000000L // 10^12 micro-units of rank mass
   val ITERS = 5
@@ -44,23 +50,24 @@ object Graph {
     * and NEVER all-pairs). Edges are symmetric by construction, so
     * every node has in- and out-degree ≥ 1 — no dangling-mass term. */
   private def q76(spark: SparkSession, dir: String): DataFrame = {
-    val und = coPurchaseUndCached(spark, dir)
+    val und = coPurchaseUndCached(spark, dir).select(col("a"), col("b"))
     val edges = und.select(col("a").as("src"), col("b").as("dst"))
       .union(und.select(col("b").as("src"), col("a").as("dst")))
     pageRankFixedPoint(edges, ITERS).toDF("part", "rank_fp")
   }
 
-  /** Session-cached undirected co-purchase edge list `(a, b)`, a < b,
-    * deduplicated — q76 symmetrizes it into its directed graph and q93
-    * counts triangles on it, so the per-order pair fan-out + distinct
-    * (the expensive scan-side stage) runs ONCE per session via
-    * CacheManager plan-dedup (the itemSimsCached pattern). */
+  /** Session-cached undirected co-purchase edge list `(a, b, w)`,
+    * a < b, w = number of orders containing both — q76 symmetrizes it
+    * into its directed graph, q93 counts triangles on it, and q97
+    * thresholds on w, so the per-order pair fan-out + count (the
+    * expensive scan-side stage) runs ONCE per session via CacheManager
+    * plan-dedup (the itemSimsCached pattern). */
   private[graft] def coPurchaseUndCached(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
     li.toDF("ok", "a").join(li.toDF("ok", "b"), Seq("ok"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct().cache()
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w")).cache()
   }
 
   /** Fixed-point PageRank over a directed edge list `(src, dst)` where
@@ -107,8 +114,8 @@ object Graph {
   private def q93(spark: SparkSession, dir: String): DataFrame =
     // the part catalog is a dimension, so |E| ≤ |parts|² stays
     // broadcast-scale no matter how large the fact table grows
-    triangleCounts(coPurchaseUndCached(spark, dir), broadcastClose = true)
-      .toDF("part", "n_triangles")
+    triangleCounts(coPurchaseUndCached(spark, dir).select(col("a"), col("b")),
+      broadcastClose = true).toDF("part", "n_triangles")
 
   /** Per-node triangle counts of an undirected edge list `(a, b)` with
     * `a < b` and no duplicates → `(node, n_triangles)`, nodes in ≥1
@@ -142,5 +149,50 @@ object Graph {
     triangles
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Community detection by SYNCHRONOUS label propagation over the
+    * co-purchase graph: every node starts as its own label; each round
+    * every node adopts the most frequent label among its neighbors,
+    * ties broken by the smallest label — fully deterministic, unlike
+    * the classic randomized-order LPA, so the whole iterative
+    * computation hash-matches an unrolled-CTE oracle (the q76
+    * posture). Fixed [[LPA_ITERS]] rounds: LPA has no fixed point in
+    * general (labels can oscillate on bipartite-ish structure), so a
+    * bounded round count IS the algorithm. Distinct from
+    * [[Dedup.connectedComponents]]: min-label CC merges everything
+    * reachable; frequency-vote LPA finds dense communities INSIDE one
+    * component.
+    *
+    * Each round is one keyed join (labels onto the symmetrized edges)
+    * + one (node, label) count + one all-integer argmax via
+    * max(struct(cnt, −label)) — no window, no global sort;
+    * localCheckpoint per round kills the 2^depth lineage. */
+  private def q97(spark: SparkSession, dir: String): DataFrame =
+    labelPropagation(coPurchaseUndCached(spark, dir)
+        .filter(col("w") >= LPA_MIN_SUPPORT).select(col("a"), col("b")),
+      LPA_ITERS)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"))
+
+  /** Library surface of [[q97]]: `iters` rounds of deterministic
+    * synchronous LPA over an undirected edge list `(a, b)` →
+    * `(node, label)`. */
+  def labelPropagation(und: DataFrame, iters: Int): DataFrame = {
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      labels = edges
+        .join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.neg")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
   }
 }

@@ -168,6 +168,20 @@ object CorpusSql {
          |  FROM scored)
          |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term,
          |       ${sql6("score")} AS tfidf
-         |FROM ranked WHERE rk <= 3""".stripMargin
+         |FROM ranked WHERE rk <= 3""".stripMargin,
+
+    // A-ES weighted sample: same deterministic md5 draw and the same
+    // single IEEE key sequence as the Spark side
+    "q98_weighted_sample" ->
+      s"""WITH keyed AS (
+         |  SELECT o_orderkey, o_totalprice,
+         |         ln((${SqlFragments.baseHashSql(
+                    "o_orderkey::VARCHAR || '_ws'")} + 0.5) / 268435456.0)
+         |           / o_totalprice AS wkey_raw
+         |  FROM orders)
+         |SELECT o_orderkey, o_totalprice, ${sql6("wkey_raw")} AS wkey
+         |FROM keyed
+         |ORDER BY wkey_raw DESC, o_orderkey ASC
+         |LIMIT ${graft.operators.Corpus.WSAMPLE_K}""".stripMargin
   )
 }

@@ -105,4 +105,28 @@ class CorpusSpec extends SparkSuite {
     assert(!got.contains(4L), "single-token doc has no bigrams")
     assert(got == want, s"got $got want $want")
   }
+
+  test("weighted sample: exact A-ES replication and weight-proportional bias") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Corpus.queries("q98_weighted_sample")(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    // replicate the md5-draw + exponential-key selection in plain Scala
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    def u(k: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${k}_ws".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(7)
+      (java.lang.Long.parseLong(hex, 16) + 0.5) / (1L << 28).toDouble
+    }
+    val want = orders.map { case (k, p) => (math.log(u(k)) / p, k) }
+      .sortBy { case (key, k) => (-key, k) }.take(100).map(_._2).toSet
+    assert(got == want, s"sample mismatch: ${got.diff(want)} / ${want.diff(got)}")
+    // weight-proportionality: sampled mean price well above the corpus mean
+    val sampled = orders.filter(o => got(o._1)).map(_._2)
+    val all = orders.map(_._2)
+    assert(sampled.sum / sampled.length > 1.2 * all.sum / all.length,
+      "high-value orders must be overrepresented")
+  }
 }

@@ -62,4 +62,20 @@ class GraphSpec extends SparkSuite {
     assert(got == want, s"got $got want $want")
     assert(!got.contains(5L), "pendant node joins no triangle")
   }
+
+  test("label propagation: two cliques + a bridge resolve to two communities") {
+    val s = spark
+    import s.implicits._
+    val clique = (xs: Seq[Long]) =>
+      for (a <- xs; b <- xs if a < b) yield (a, b)
+    val und = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L))
+      ++ Seq((4L, 10L))).toDF("a", "b")
+    val labels = Graph.labelPropagation(und, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c1 = Seq(1L, 2L, 3L, 4L).map(labels)
+    val c2 = Seq(11L, 12L, 13L).map(labels)
+    assert(c1.distinct.length == 1, s"first clique must agree: $labels")
+    assert(c2.distinct.length == 1, s"second clique must agree: $labels")
+    assert(c1.head != c2.head, s"cliques must stay separate: $labels")
+  }
 }
