@@ -28,7 +28,8 @@ object Similarity {
     "q41_emb_neardup" -> q41,
     "q42_ivf_ann" -> q42,
     "q49_neardup_banded" -> q49,
-    "q62_embed_quantize" -> q62
+    "q62_embed_quantize" -> q62,
+    "q99_pq_ann" -> q99
   )
 
   val NUM_SIGN_BANDS = 4
@@ -236,5 +237,115 @@ object Similarity {
     pairs.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("cell"), col("n_id"), r4(col("cos")).as("cosine"), col("rk"))
+  }
+
+  /** PQ geometry: 64-dim embeddings → [[PQ_M]] subspaces of
+    * [[PQ_SUBDIM]] dims, [[PQ_K]] centroids each → 8 one-byte codes
+    * per vector, a 32× compression of the float corpus. */
+  val PQ_M = 8
+  val PQ_SUBDIM = 8
+  val PQ_K = 16
+  val PQ_LLOYD_ROUNDS = 2
+  /** Seed vec_ids whose subvectors initialize every subspace codebook
+    * (spread across the id range; present at every SF). */
+  val PQ_SEEDS: Seq[Long] = (0 until PQ_K).map(i => (i * 31 + 3).toLong)
+
+  /** Product-quantization ANN — the compression half of the standard
+    * 100-TB vector-search layout (IVF partitions the corpus, [[q42]];
+    * PQ shrinks what each probe scans): per-subspace codebooks train
+    * with [[PQ_LLOYD_ROUNDS]] deterministic Lloyd rounds from fixed
+    * seed subvectors (the q34 posture — ties to the smallest cell, no
+    * RNG), every vector quantizes to [[PQ_M]] small codes, and
+    * queries rank candidates by ASYMMETRIC distance: a per-query
+    * lookup table of exact query-subvector→centroid distances, summed
+    * over the corpus's codes — the corpus's floats are never touched
+    * at query time, only its byte codes. Approximate by construction,
+    * so shape-gated like q05b/q17b (recall vs the exact baseline is
+    * quantified in AnnRecallSpec).
+    *
+    * Scale shape: codebooks are M·K tiny rows (broadcast); training
+    * and assignment are keyed argmins over the exploded (vec,
+    * subspace) stream; the ADC join is codes ⋈ broadcast LUT on
+    * (m, cell) + one keyed sum per (query, vec). */
+  private def q99(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = pqTrain(e)
+    val codes = pqCodes(e, cents)
+    pqTopK(e, codes, cents, col("vec_id") % 25 === 0, TOP_K)
+  }
+
+  /** Subvector stream: (vec_id, m, sv) with sv = dims [m·SUBDIM,
+    * (m+1)·SUBDIM). */
+  private def subvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      explode(sequence(lit(0), lit(PQ_M - 1))).as("m"), col("v"))
+      .select(col("vec_id"), col("m"),
+        slice(col("v"), col("m") * PQ_SUBDIM + 1, lit(PQ_SUBDIM)).as("sv"))
+
+  /** Nearest-centroid assignment per (vec, subspace): broadcast the
+    * M·K codebook, keyed argmin with smallest-cell ties (r6-quantized
+    * distances so ties are representation-stable — the q34
+    * discipline). */
+  private def assignCodes(sub: DataFrame, cents: DataFrame): DataFrame = {
+    val wAsg = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2").asc, col("cell").asc)
+    sub.join(broadcast(cents), Seq("m"))
+      .select(col("vec_id"), col("m"), col("sv"), col("cell"),
+        r6(sqDistArr(col("sv"), col("cv"))).as("d2"))
+      .withColumn("crk", row_number().over(wAsg))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("m"), col("sv"), col("cell"))
+  }
+
+  /** Train the per-subspace codebooks with [[PQ_LLOYD_ROUNDS]]
+    * deterministic Lloyd rounds (r6-quantized per-dim means, the
+    * q34 recenter discipline) → (m, cell, cv). */
+  def pqTrain(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val sub = subvectors(e).cache()
+    val seeds = spark.createDataFrame(PQ_SEEDS.zipWithIndex)
+      .toDF("vec_id", "cell")
+    val c0 = sub.join(broadcast(seeds), Seq("vec_id"))
+      .select(col("m"), col("cell"), col("sv").as("cv"))
+    def recenter(asg: DataFrame): DataFrame =
+      asg.select(col("m"), col("cell"), posexplode(col("sv")))
+        .groupBy(col("m"), col("cell"), col("pos"))
+        .agg(r6(avg(col("col"))).as("x"))
+        .groupBy(col("m"), col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
+          s => s.getField("x")).as("cv"))
+    (1 to PQ_LLOYD_ROUNDS)
+      .foldLeft(c0)((c, _) => recenter(assignCodes(sub, c)).localCheckpoint())
+  }
+
+  /** Quantize the corpus against a trained codebook →
+    * (vec_id, m, cell). */
+  def pqCodes(e: DataFrame, cents: DataFrame): DataFrame =
+    assignCodes(subvectors(e), cents)
+      .select(col("vec_id"), col("m"), col("cell"))
+
+  /** ADC top-k: exact per-subspace query→centroid distance LUT
+    * (|queries|·M·K rows, broadcast), summed over each corpus
+    * vector's codes — approx d²(q, x) = Σₘ lut(m, code_m(x)). The
+    * LUT is built against the SAME codebook the codes were assigned
+    * to; the corpus's floats never participate at query time. */
+  def pqTopK(e: DataFrame, codes: DataFrame, cents: DataFrame,
+             queryPred: Column, k: Int): DataFrame = {
+    val qsub = subvectors(e).filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qv"))
+    val lut = qsub.join(cents, Seq("m"))
+      .select(col("q_id"), col("m"), col("cell"),
+        sqDistArr(col("qv"), col("cv")).as("ld2"))
+    val approx = codes.join(broadcast(lut), Seq("m", "cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("ld2")).as("ad2"), count(lit(1)).as("nm"))
+      // only vectors with all M subspace terms (always true, belt+braces)
+      .filter(col("nm") === PQ_M)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ad2").asc, col("vec_id").asc)
+    approx.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        r4(col("ad2")).as("approx_d2"), col("rk"))
   }
 }

@@ -36,4 +36,41 @@ class AnnRecallSpec extends SparkSuite {
       s"probing ALL 8 cells must equal the exact baseline, got $r8")
     exact.unpersist()
   }
+
+  test("PQ ADC recall vs exact L2, full code coverage, stable codes") {
+    import graft.operators.Similarity._
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .cache()
+    val cents = pqTrain(e).cache()
+    val codes = pqCodes(e, cents).cache()
+    // every vector quantizes in every subspace, codes within [0, K)
+    val n = e.count()
+    assert(codes.count() == n * PQ_M)
+    assert(codes.agg(min(col("cell")), max(col("cell"))).head() match {
+      case r => r.getInt(0) >= 0 && r.getInt(1) < PQ_K
+    })
+    // deterministic: a second train+assign produces identical codes
+    val codes2 = pqCodes(e, pqTrain(e))
+    assert(codes.except(codes2).count() == 0 && codes2.except(codes).count() == 0)
+
+    // ADC recall@10 against exact squared-L2 top-10
+    val pq = pqTopK(e, codes, cents, col("vec_id") % 25 === 0, 10)
+      .select(col("q_id"), col("n_id"))
+    val q = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id").asc)
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        graft.functions.VectorFns.sqDistArr(col("qv"), col("v")).as("d2"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select(col("q_id"), col("n_id")).cache()
+    val recall = exact.join(pq, Seq("q_id", "n_id")).count().toDouble / exact.count()
+    info(f"PQ ADC recall@10 = $recall%.3f (8 bytes/vec vs 512)")
+    // uniform embeddings are the hardest case for PQ too; the floor
+    // catches codebook/LUT regressions, not absolute quality
+    assert(recall > 0.2, s"PQ recall $recall implausibly low")
+  }
 }
