@@ -86,4 +86,36 @@ object Layout {
     df.repartition(nFiles).write.mode("overwrite").parquet(outDir)
     nFiles
   }
+
+  /** Tombstone column name understood by [[mergeUpsert]]. */
+  val DELETED_COL = "_deleted"
+
+  /** MERGE INTO for plain parquet — the SCD1 upsert maintenance pass
+    * (Delta/Iceberg `MERGE` semantics without a table format): rows of
+    * `updates` replace base rows with the same key, unmatched update
+    * rows insert, and updates carrying `_deleted = true` drop the key.
+    * Writes the merged state to a NEW directory (never in place — the
+    * [[compact]] contract); the caller's atomic-rename/metastore swap
+    * publishes it.
+    *
+    * Scale shape: ONE keyed anti-join (base minus touched keys) + a
+    * union with the surviving updates — the base table streams through
+    * a single shuffle-free-on-the-update-side pass when the touched-key
+    * set broadcasts (updates are a batch, the base is the 100-TB
+    * side; AQE picks the broadcast automatically for batch-sized
+    * updates). Update batches must be key-unique — last-writer-wins
+    * inside one batch is a caller decision, not something a
+    * distributed merge can order. */
+  def mergeUpsert(spark: org.apache.spark.sql.SparkSession, baseDir: String,
+      updates: DataFrame, keyCol: String, outDir: String): Unit = {
+    val base = spark.read.parquet(baseDir)
+    val survivors = base.join(
+      updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val applied =
+      if (updates.columns.contains(DELETED_COL))
+        updates.filter(!coalesce(col(DELETED_COL), lit(false)))
+          .drop(DELETED_COL)
+      else updates
+    survivors.unionByName(applied).write.mode("overwrite").parquet(outDir)
+  }
 }

@@ -87,4 +87,23 @@ class LayoutSpec extends SparkSuite {
     // source directory untouched — rewrite is never in place
     assert(files(s"$dir/small") == 40)
   }
+
+  test("mergeUpsert: update + insert + tombstone-delete in one pass, base untouched") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("merge").toString
+    Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("id", "v", "n").write.parquet(s"$dir/base")
+    val updates = Seq(
+      (2L, "B2", 21, false), // update
+      (4L, "d", 40, false),  // insert
+      (3L, "c", 30, true)    // delete
+    ).toDF("id", "v", "n", graft.operators.Layout.DELETED_COL)
+    graft.operators.Layout.mergeUpsert(s, s"$dir/base", updates, "id", s"$dir/v2")
+    val got = s.read.parquet(s"$dir/v2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set((1L, "a", 10), (2L, "B2", 21), (4L, "d", 40)), s"$got")
+    // base version still readable and unchanged
+    assert(s.read.parquet(s"$dir/base").count() == 3)
+  }
 }
