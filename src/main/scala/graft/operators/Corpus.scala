@@ -26,7 +26,8 @@ object Corpus {
     "q70_source_mix" -> q70,
     "q81_decontaminate" -> q81,
     "q84_tfidf_topterms" -> q84,
-    "q98_weighted_sample" -> q98
+    "q98_weighted_sample" -> q98,
+    "q100_corpus_pipeline" -> q100
   )
 
   /** Lucene-standard BM25 parameters. */
@@ -333,6 +334,84 @@ object Corpus {
     * division, one ln, one division). Selection is orderBy().limit()
     * = TakeOrdered — every partition keeps a local top-k, no global
     * sort. Orders sampled ∝ o_totalprice. */
+  /** q100 stage thresholds: minimum tokens to keep a doc, and the
+    * shared-5-gram fraction above which a doc counts as benchmark
+    * contamination (a few shared grams are coincidence; half the doc
+    * is a leak). */
+  val MIN_TOKENS = 15
+  val CONTAM_FRAC = 0.5
+
+  /** THE composed corpus-prep pipeline — every hygiene operator this
+    * library ships, wired into the one DataFrame program an LLM data
+    * team actually runs, with a per-document verdict: the FIRST
+    * failing stage in a fixed order, or `kept`.
+    *
+    *   1. eval_set      — the held-out benchmark slice ([[benchFlag]])
+    *   2. exact_dup     — not the canonical copy under md5(norm) (q18)
+    *   3. near_dup      — not the canonical of its ≥0.5-Jaccard
+    *                      MinHash-LSH cluster (q19/q20/q50/q92)
+    *   4. too_short     — < [[MIN_TOKENS]] tokens (q47's counter)
+    *   5. repetitive    — Gopher top-2-gram rule (q61)
+    *   6. low_lm        — bigram-LM mean log-prob below
+    *                      [[TextOps.LM_FLAG_THRESH]] (q94)
+    *   7. contaminated  — > [[CONTAM_FRAC]] of 5-grams shared with the
+    *                      eval slice (q81)
+    *
+    * Every stage is the library call the standalone query uses, so
+    * the DuckDB oracle replays the ENTIRE pipeline — dedup banding,
+    * clustering, LM training and all — and the per-doc verdicts
+    * hash-match end to end (the q58 composition story, corpus-side).
+    * Scale: each stage is the already-audited keyed-agg/broadcast
+    * shape; the verdict assembly is left joins of per-stage drop SETS
+    * (each far smaller than the corpus) onto the doc dim. */
+  private def q100(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+
+    val exactDup = docs
+      .select(col("doc_id"), md5(Dedup.normText(col("text"))).as("h"))
+      .withColumn("canon", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("doc_id") =!= col("canon"))
+      .select(col("doc_id"), lit(1).as("f_exact"))
+
+    val ndPairs = Dedup.neardupPairsCached(spark, dir)
+      .filter(col("jaccard") >= Dedup.CLUSTER_JACCARD)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val ndNodes = ndPairs.select(col("doc_a").as("doc_id"))
+      .union(ndPairs.select(col("doc_b").as("doc_id"))).distinct()
+    val nearDup = Dedup.connectedComponents(ndNodes, ndPairs)
+      .filter(col("doc_id") =!= col("label"))
+      .select(col("doc_id"), lit(1).as("f_near"))
+
+    val rep = TextOps.repetitionStats(docs)
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("repetitive"), lit(false)).as("f_rep"))
+    val lm = TextOps.lmQualityScores(docs)
+      .filter(col("avg_logp") < TextOps.LM_FLAG_THRESH)
+      .select(col("doc_id"), lit(1).as("f_lm"))
+    val contam = decontaminate(docs)
+      .filter(col("shared_frac") > CONTAM_FRAC)
+      .select(col("doc_id"), lit(1).as("f_cont"))
+
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(exactDup), Seq("doc_id"), "left")
+      .join(broadcast(nearDup), Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
+      .join(broadcast(lm), Seq("doc_id"), "left")
+      .join(broadcast(contam), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_words"), lit(0L)).as("n_tokens"),
+        when(benchFlag(col("doc_id")), "eval_set")
+          .when(col("f_exact") === 1, "exact_dup")
+          .when(col("f_near") === 1, "near_dup")
+          .when(coalesce(col("n_words"), lit(0L)) < MIN_TOKENS, "too_short")
+          .when(col("f_rep"), "repetitive")
+          .when(col("f_lm") === 1, "low_lm")
+          .when(col("f_cont") === 1, "contaminated")
+          .otherwise("kept").as("verdict"))
+  }
+
   private def q98(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Rounding.r6
     val u = (Dedup.baseHash(concat(col("o_orderkey").cast("string"),

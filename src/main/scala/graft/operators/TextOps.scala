@@ -134,8 +134,14 @@ object TextOps {
     * top-2-gram > [[TOP_BIGRAM_REPETITIVE]] flag. All keyed aggs over
     * exploded tokens (positions only feed the 2-gram self-join on
     * pos+1) — one shuffle per statistic family at any corpus size. */
-  private def q61(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+  private def q61(spark: SparkSession, dir: String): DataFrame =
+    repetitionStats(Tables.documents(spark, dir))
+
+  /** Library surface of [[q61]]: Gopher-style repetition stats over
+    * `(doc_id, text)` — top-word fraction, distinct-word ratio,
+    * top-2-gram fraction and the > [[TOP_BIGRAM_REPETITIVE]] flag. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), posexplode(VectorFns.tokens(col("text"))))
       .select(col("doc_id"), col("pos"), col("col").as("w"))
     val wagg = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))

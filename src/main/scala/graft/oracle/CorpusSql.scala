@@ -182,6 +182,130 @@ object CorpusSql {
          |SELECT o_orderkey, o_totalprice, ${sql6("wkey_raw")} AS wkey
          |FROM keyed
          |ORDER BY wkey_raw DESC, o_orderkey ASC
-         |LIMIT ${graft.operators.Corpus.WSAMPLE_K}""".stripMargin
+         |LIMIT ${graft.operators.Corpus.WSAMPLE_K}""".stripMargin,
+
+    // the COMPOSED corpus-prep pipeline: replays every stage — exact
+    // dedup, MinHash-LSH near-dup clustering, token floor, Gopher
+    // repetition, bigram-LM scoring, decontamination — and assigns
+    // each doc its first failing stage. CTEs reuse the shingle/band
+    // chain (toks/sh/bands); repetition tokenizes its own rtoks.
+    "q100_corpus_pipeline" -> {
+      val K = graft.operators.Dedup.CLUSTER_JACCARD
+      val jexpr = sql4("CAST(COALESCE(i.n_inter, 0) AS DOUBLE)" +
+        " / (ca.n_sh + cb.n_sh - COALESCE(i.n_inter, 0))")
+      val lmTerm = sql6("ln(CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))")
+      val lmAvg = sql4("CAST(slp AS DOUBLE) / n_bigrams")
+      s"""WITH RECURSIVE ${SqlFragments.minhashBandsSql},
+         |ndc AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a
+         |  JOIN bands b ON a.band_id = b.band_id
+         |             AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |ndcounts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |ndinter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM ndc c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+         |  GROUP BY 1, 2),
+         |ndpairs AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT c.doc_a, c.doc_b, $jexpr AS j
+         |    FROM ndc c
+         |    LEFT JOIN ndinter i USING (doc_a, doc_b)
+         |    JOIN ndcounts ca ON ca.doc_id = c.doc_a
+         |    JOIN ndcounts cb ON cb.doc_id = c.doc_b)
+         |  WHERE j >= $K),
+         |ndedges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM ndpairs
+         |  UNION ALL SELECT doc_b, doc_a FROM ndpairs),
+         |reach(a, b) AS (
+         |  SELECT src, src FROM ndedges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN ndedges e ON e.src = r.b),
+         |neardup AS (
+         |  SELECT a AS doc_id FROM reach GROUP BY 1 HAVING a <> min(b)),
+         |exact AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (
+         |      PARTITION BY md5(${SqlFragments.normTextSql("text")})) AS canon
+         |    FROM documents)
+         |  WHERE doc_id <> canon),
+         |rtoks0 AS MATERIALIZED (
+         |  SELECT doc_id, ${tokensSql("lower(trim(text))")} AS tk FROM documents),
+         |rtoks AS MATERIALIZED (
+         |  SELECT doc_id, i AS pos, tk[i] AS w
+         |  FROM rtoks0, UNNEST(generate_series(1, len(tk))) AS u(i)),
+         |rwagg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words FROM rtoks GROUP BY 1),
+         |rbagg AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bg
+         |  FROM (
+         |    SELECT a.doc_id, a.w || ' ' || b.w AS g, count(*) AS c
+         |    FROM rtoks a
+         |    JOIN rtoks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |rep AS (
+         |  SELECT w.doc_id,
+         |         COALESCE(${sql4("CAST(b.top_bg AS DOUBLE) / b.n_bigrams")}
+         |           > ${graft.operators.TextOps.TOP_BIGRAM_REPETITIVE}, false)
+         |           AS f_rep
+         |  FROM rwagg w LEFT JOIN rbagg b ON b.doc_id = w.doc_id),
+         |lmbg AS (
+         |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+         |  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+         |  WHERE len(tk) >= 2),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM lmbg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM lmbg GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w1) AS v FROM lmbg),
+         |lmagg AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |         sum(CAST($lmTerm AS DECIMAL(20,6))) AS slp
+         |  FROM lmbg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+         |  GROUP BY 1),
+         |lmflag AS (
+         |  SELECT doc_id FROM lmagg
+         |  WHERE $lmAvg < ${graft.operators.TextOps.LM_FLAG_THRESH}),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, g
+         |  FROM toks, UNNEST(${shinglesSql("tk", 5)}) AS t(g)),
+         |bench AS (
+         |  SELECT DISTINCT g FROM grams
+         |  WHERE ${baseHashSql("CAST(doc_id AS VARCHAR) || '_bench'")} % 100
+         |        < ${graft.operators.Corpus.BENCH_PCT}),
+         |corpus AS (
+         |  SELECT * FROM grams
+         |  WHERE ${baseHashSql("CAST(doc_id AS VARCHAR) || '_bench'")} % 100
+         |        >= ${graft.operators.Corpus.BENCH_PCT}),
+         |contam AS (
+         |  SELECT s.doc_id FROM
+         |    (SELECT doc_id, count(*) AS n_shared
+         |     FROM corpus JOIN bench USING (g) GROUP BY 1) s
+         |  JOIN (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1) t
+         |    ON t.doc_id = s.doc_id
+         |  WHERE ${sql4("CAST(s.n_shared AS DOUBLE) / t.n_grams")}
+         |        > ${graft.operators.Corpus.CONTAM_FRAC})
+         |SELECT d.doc_id, d.source,
+         |       COALESCE(w.n_words, 0) AS n_tokens,
+         |       CASE
+         |         WHEN ${baseHashSql("CAST(d.doc_id AS VARCHAR) || '_bench'")} % 100
+         |              < ${graft.operators.Corpus.BENCH_PCT} THEN 'eval_set'
+         |         WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+         |         WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+         |         WHEN COALESCE(w.n_words, 0) < ${graft.operators.Corpus.MIN_TOKENS}
+         |           THEN 'too_short'
+         |         WHEN COALESCE(r.f_rep, false) THEN 'repetitive'
+         |         WHEN l.doc_id IS NOT NULL THEN 'low_lm'
+         |         WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+         |         ELSE 'kept' END AS verdict
+         |FROM documents d
+         |LEFT JOIN exact e ON e.doc_id = d.doc_id
+         |LEFT JOIN neardup n ON n.doc_id = d.doc_id
+         |LEFT JOIN rwagg w ON w.doc_id = d.doc_id
+         |LEFT JOIN rep r ON r.doc_id = d.doc_id
+         |LEFT JOIN lmflag l ON l.doc_id = d.doc_id
+         |LEFT JOIN contam c ON c.doc_id = d.doc_id""".stripMargin
+    }
   )
 }

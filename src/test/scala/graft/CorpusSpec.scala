@@ -129,4 +129,46 @@ class CorpusSpec extends SparkSuite {
     assert(sampled.sum / sampled.length > 1.2 * all.sum / all.length,
       "high-value orders must be overrepresented")
   }
+
+  test("corpus pipeline: q100 verdicts = first-failing stage of the standalone queries") {
+    val dir = "/root/testdata/sf0.001"
+    def byDoc(q: String) = SparkEntry.queries(q)(spark, dir).collect()
+    val got = byDoc("q100_corpus_pipeline")
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+
+    def evalSet(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${id}_bench".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(7)
+      java.lang.Long.parseLong(hex, 16) % 100 < Corpus.BENCH_PCT
+    }
+    // standalone stage outputs
+    val exactGroups = byDoc("q18_exact_dedup")
+    assert(exactGroups.forall(_.getLong(2) == 1L),
+      "fixture corpus has no exact dups; stage verified vacuously")
+    val nearDropped = byDoc("q92_dedup_keep")
+      .filter(_.getInt(2) == 0).map(_.getLong(0)).toSet
+    val rep = byDoc("q61_repetition_stats")
+      .map(r => r.getLong(0) -> (r.getLong(1), !r.isNullAt(5) && r.getBoolean(5))).toMap
+    val lmFlag = byDoc("q94_lm_quality")
+      .filter(_.getInt(3) == 1).map(_.getLong(0)).toSet
+    val contam = byDoc("q81_decontaminate")
+      .filter(_.getDouble(3) > Corpus.CONTAM_FRAC).map(_.getLong(0)).toSet
+
+    got.foreach { case (id, verdict) =>
+      val (nWords, isRep) = rep.getOrElse(id, (0L, false))
+      val want =
+        if (evalSet(id)) "eval_set"
+        else if (nearDropped(id)) "near_dup"
+        else if (nWords < Corpus.MIN_TOKENS) "too_short"
+        else if (isRep) "repetitive"
+        else if (lmFlag(id)) "low_lm"
+        else if (contam(id)) "contaminated"
+        else "kept"
+      assert(verdict == want, s"doc $id: got $verdict want $want")
+    }
+    // the funnel actually fires
+    val counts = got.values.groupBy(identity).view.mapValues(_.size)
+    assert(counts("kept") > 0 && counts.size >= 4, s"degenerate funnel: $counts")
+  }
 }
