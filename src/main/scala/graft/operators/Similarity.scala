@@ -348,4 +348,50 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"),
         r4(col("ad2")).as("approx_d2"), col("rk"))
   }
+
+  /** The COMPOSED 100-TB vector-search layout: IVF cell assignment
+    * partitions the corpus ([[ivfTopK]]'s coarse quantizer), PQ codes
+    * compress what each probe scans ([[pqTopK]]'s ADC) — a query
+    * ranks only the byte codes of vectors in its `probes` nearest
+    * cells. Cell id is the partition/pruning key; within a probe the
+    * scan is LUT arithmetic over 8-byte codes. Both halves keep their
+    * standalone recall specs; composition recall = what IVF's probe
+    * set retains of PQ's ranking. */
+  def ivfPqTopK(e: DataFrame, seedIds: Seq[Long], probes: Int,
+                queryPred: Column, k: Int): DataFrame = {
+    val cents = e.filter(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id").cast("int").as("ivf_cell"), col("v").as("cv"))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("ivf_cell").asc)
+    val ranked = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("ivf_cell"),
+        r6(sqDistArr(col("v"), col("cv"))).as("d2"))
+      .withColumn("crk", row_number().over(wAsg))
+    val corpusCells = ranked.filter(col("crk") === 1)
+      .select(col("vec_id"), col("ivf_cell"))
+    val qProbes = ranked.filter(queryPred && col("crk") <= probes)
+      .select(col("vec_id").as("q_id"), col("ivf_cell"))
+    val pqCents = pqTrain(e)
+    val codes = pqCodes(e, pqCents)
+      .join(corpusCells, Seq("vec_id"))
+    // restrict each query's candidate codes to its probed cells, then
+    // rank by ADC exactly as pqTopK does
+    val lut = subvectors(e).filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qv"))
+      .join(pqCents, Seq("m"))
+      .select(col("q_id"), col("m"), col("cell"),
+        sqDistArr(col("qv"), col("cv")).as("ld2"))
+    val approx = codes
+      .join(broadcast(qProbes), Seq("ivf_cell"))
+      .join(broadcast(lut), Seq("q_id", "m", "cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("ld2")).as("ad2"), count(lit(1)).as("nm"))
+      .filter(col("nm") === PQ_M)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ad2").asc, col("vec_id").asc)
+    approx.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        r4(col("ad2")).as("approx_d2"), col("rk"))
+  }
 }

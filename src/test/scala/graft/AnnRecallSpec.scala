@@ -72,5 +72,16 @@ class AnnRecallSpec extends SparkSuite {
     // uniform embeddings are the hardest case for PQ too; the floor
     // catches codebook/LUT regressions, not absolute quality
     assert(recall > 0.2, s"PQ recall $recall implausibly low")
+
+    // composed IVF×PQ: probing ALL cells must equal plain PQ ranking
+    val full = ivfPqTopK(e, IVF_SEEDS, probes = 8,
+      col("vec_id") % 25 === 0, 10).select(col("q_id"), col("n_id"))
+    val pqOnly = pq
+    assert(full.except(pqOnly).count() == 0 && pqOnly.except(full).count() == 0,
+      "probe-all IVF×PQ must reduce to plain PQ")
+    val p1 = ivfPqTopK(e, IVF_SEEDS, probes = 1, col("vec_id") % 25 === 0, 10)
+    // probe-1 returns <= k candidates per query, all from probed cells
+    assert(p1.groupBy("q_id").count().agg(max("count")).head.getLong(0) <= 10)
+    exact.unpersist()
   }
 }
