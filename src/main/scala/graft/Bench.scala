@@ -23,13 +23,24 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // a 48g heap sees almost no GC, so ContextCleaner never learns
+      // that early queries' RDDs died — shuffle files from 100+
+      // queries pile up on local disk and the late heavy joins go
+      // IO-bound. Aggressive periodic GC keeps the shuffle dir pruned.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                   case c if c < ' ' => " "; case c => c.toString }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted order: run-to-run comparability (Map hash order reshuffles
+    // whenever a query is added, moving shared-cache build costs
+    // between queries); GC nudge every 8 queries lets ContextCleaner
+    // drop dead shuffle files promptly
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((name, fn), i) =>
+      if (i % 8 == 7) System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -38,7 +49,7 @@ object Bench {
           false
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }

@@ -25,7 +25,8 @@ object Analytics {
     "q87_quality_checks" -> q87,
     "q88_corr_matrix" -> q88,
     "q89_gap_fill" -> q89,
-    "q90_scd2" -> q90
+    "q90_scd2" -> q90,
+    "q101_pit_join" -> q101
   )
 
   /** Semi-structured extraction: the `events.props` column is a JSON
@@ -315,5 +316,57 @@ object Analytics {
       .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull.cast("int"))
       .drop("o_orderdate")
+  }
+
+  /** Point-in-time join — the probe side of [[q90]]'s SCD2 build and
+    * the feature-store guarantee that training joins are leak-free:
+    * each lineitem's SHIP event fetches the customer's order-state
+    * version whose [valid_from, valid_to) interval contains the ship
+    * time — the state that was ACTUALLY live, never a later version
+    * (temporal leakage) and never an aggregate over all versions.
+    *
+    * Implemented as the q56 as-of shape rather than an interval
+    * range join: union the version STARTS with the probes, sort each
+    * customer's stream by (ts, probe-after-dim, version), and carry
+    * the last seen version forward with the portable group-carry
+    * windows (running count of dim rows → one max per group — the
+    * q89 form both engines evaluate identically). No interval-overlap
+    * fan-out, one customer-partitioned sort, and probes before a
+    * customer's first version degrade to version 0 / `<none>`.
+    * Same-instant semantics: a dim row sorts before probes at its own
+    * ts, and of two versions starting at the same instant the LATER
+    * wins (the earlier interval is empty) — both fall out of the sort
+    * order, spec-asserted. */
+  private def q101(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scd = q90(spark, dir).select(
+      col("o_custkey").as("cust"), col("valid_from").as("ts"),
+      col("version"), col("o_orderstatus").as("status"))
+    val probes = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("probe_id"),
+        col("l_shipdate").as("ts"))
+    val tagged = scd
+      .select(col("cust"), col("ts"), lit(null).cast("long").as("probe_id"),
+        col("version"), col("status"), lit(0).as("is_probe"))
+      .unionByName(probes.select(col("cust"), col("ts"), col("probe_id"),
+        lit(null).cast("int").as("version"),
+        lit(null).cast("string").as("status"), lit(1).as("is_probe")))
+    val wRun = Window.partitionBy(col("cust"))
+      .orderBy(col("ts").asc, col("is_probe").asc, col("version").asc,
+        col("probe_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("grp", count(col("version")).over(wRun))
+      .withColumn("v", max(col("version"))
+        .over(Window.partitionBy(col("cust"), col("grp"))))
+      .withColumn("st", max(col("status"))
+        .over(Window.partitionBy(col("cust"), col("grp"))))
+      .filter(col("is_probe") === 1)
+      .select(col("cust"), col("probe_id"), col("ts").as("ship_ts"),
+        coalesce(col("v"), lit(0)).as("version"),
+        coalesce(col("st"), lit("<none>")).as("status"))
   }
 }

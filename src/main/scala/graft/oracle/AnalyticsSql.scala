@@ -169,7 +169,45 @@ object AnalyticsSql {
         |         AS is_current
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
-        |             ORDER BY o_orderdate, o_orderkey)""".stripMargin
+        |             ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    // as-of carry of the SCD2 version onto ship-time probes: the q89
+    // group-carry windows (engine-portable; null tiebreaks never mix
+    // within one is_probe stratum)
+    "q101_pit_join" ->
+      """WITH scd AS (
+        |  SELECT o_custkey AS cust, o_orderdate AS ts,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS version,
+        |         o_orderstatus AS status
+        |  FROM orders),
+        |probes AS (
+        |  SELECT o.o_custkey AS cust,
+        |         l.l_orderkey * 10 + l.l_linenumber AS probe_id,
+        |         l.l_shipdate AS ts
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |tagged AS (
+        |  SELECT cust, ts, CAST(NULL AS BIGINT) AS probe_id,
+        |         version, status, 0 AS is_probe
+        |  FROM scd
+        |  UNION ALL
+        |  SELECT cust, ts, probe_id, CAST(NULL AS INTEGER),
+        |         CAST(NULL AS VARCHAR), 1
+        |  FROM probes),
+        |g AS (
+        |  SELECT *, count(version) OVER (
+        |    PARTITION BY cust ORDER BY ts, is_probe, version, probe_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM tagged),
+        |carried AS (
+        |  SELECT cust, probe_id, ts, is_probe,
+        |         max(version) OVER (PARTITION BY cust, grp) AS v,
+        |         max(status) OVER (PARTITION BY cust, grp) AS st
+        |  FROM g)
+        |SELECT cust, probe_id, ts AS ship_ts,
+        |       COALESCE(v, 0) AS version,
+        |       COALESCE(st, '<none>') AS status
+        |FROM carried WHERE is_probe = 1""".stripMargin
   )
 
   /** q88's oracle, generated from the same column list as the Spark

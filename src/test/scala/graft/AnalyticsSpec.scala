@@ -189,4 +189,27 @@ class AnalyticsSpec extends SparkSuite {
       assert(sorted.last.getInt(7) == 1 && sorted.last.isNullAt(6))
     }
   }
+
+  test("pit join: every probe carries the version live at ship time, never a later one") {
+    import java.time.LocalDateTime
+    val dir = "/root/testdata/sf0.001"
+    val scd = Analytics.queries("q90_scd2")(spark, dir).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r =>
+        (r.getInt(4), r.getAs[LocalDateTime](5))).sortBy(_._1)).toMap
+    val pit = Analytics.queries("q101_pit_join")(spark, dir).collect()
+    assert(pit.nonEmpty)
+    pit.foreach { r =>
+      val (cust, ship, got) = (r.getLong(0), r.getAs[LocalDateTime](2), r.getInt(3))
+      // brute force: the max version whose valid_from <= ship_ts
+      val want = scd(cust).filter(!_._2.isAfter(ship))
+        .map(_._1).maxOption.getOrElse(0)
+      assert(got == want, s"cust $cust ship $ship: got v$got want v$want")
+    }
+    // the interesting cases actually occur: early ship dates see v0 or
+    // an old version, i.e. not every probe lands on the final version
+    val finals = scd.view.mapValues(_.map(_._1).max)
+    assert(pit.exists(r => r.getInt(3) < finals(r.getLong(0))),
+      "fixture must exercise non-final versions")
+  }
 }
