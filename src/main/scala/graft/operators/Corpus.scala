@@ -394,12 +394,17 @@ object Corpus {
       .filter(col("shared_frac") > CONTAM_FRAC)
       .select(col("doc_id"), lit(1).as("f_cont"))
 
+    // NO broadcast hints on the drop sets: their size is data-
+    // dependent (a 50%-duplicate crawl makes exactDup corpus-scale),
+    // and an explicit hint would override AQE's runtime decision —
+    // the r2-verdict lesson. AQE broadcasts whichever sets turn out
+    // small and shuffle-joins the rest.
     docs.select(col("doc_id"), col("source"))
-      .join(broadcast(exactDup), Seq("doc_id"), "left")
-      .join(broadcast(nearDup), Seq("doc_id"), "left")
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
       .join(rep, Seq("doc_id"), "left")
-      .join(broadcast(lm), Seq("doc_id"), "left")
-      .join(broadcast(contam), Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
         coalesce(col("n_words"), lit(0L)).as("n_tokens"),
         when(benchFlag(col("doc_id")), "eval_set")

@@ -228,7 +228,9 @@ object Dedup {
       .localCheckpoint()
     val nodes = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    docs.join(broadcast(connectedComponents(nodes, pairs)), Seq("doc_id"), "left")
+    // no broadcast hint: the label table is |near-dup nodes| rows —
+    // tiny here, corpus-scale on a dup-heavy crawl. AQE decides.
+    docs.join(connectedComponents(nodes, pairs), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("canonical_id"),
         (coalesce(col("label"), col("doc_id")) === col("doc_id"))
