@@ -212,4 +212,30 @@ class AnalyticsSpec extends SparkSuite {
     assert(pit.exists(r => r.getInt(3) < finals(r.getLong(0))),
       "fixture must exercise non-final versions")
   }
+
+  test("plan hygiene for the late-round operators: no cartesians, keyed windows only") {
+    val dir = "/root/testdata/sf0.001"
+    // queries whose scale posture forbids any unkeyed pair blow-up
+    val noCartesian = Seq("q93_triangles", "q95_incremental_dedup",
+      "q97_label_propagation", "q100_corpus_pipeline", "q101_pit_join",
+      "q90_scd2", "q94_lm_quality")
+    noCartesian.foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$q plans a cartesian:\n${plan.take(2000)}")
+      // every window must carry a partition spec: in the plan text an
+      // unpartitioned window's FIRST windowspecdefinition argument is
+      // an ORDER column (carries ASC/DESC); partition columns are bare
+      """windowspecdefinition\(([^,)]*)""".r.findAllMatchIn(plan).foreach { m =>
+        assert(!m.group(1).contains(" ASC") && !m.group(1).contains(" DESC"),
+          s"$q has an unpartitioned window: ${m.matched}")
+      }
+    }
+    // q93's closing probe rides the requested broadcast
+    val tri = SparkEntry.queries("q93_triangles")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(tri.contains("BroadcastHashJoin"),
+      s"q93 closing probe must broadcast:\n${tri.take(1500)}")
+  }
 }
