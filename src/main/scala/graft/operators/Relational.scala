@@ -35,6 +35,7 @@ object Relational {
     "q14_period_ids" -> q14,
     "q15_array_hof" -> q15,
     "q05b_approx_distinct" -> q05b,
+    "q102_sketch_rollup" -> q102,
     "q37_candidate_freq" -> q37,
     "q51_topk_heap" -> q51,
     "q38_seq_encode" -> q38,
@@ -290,6 +291,34 @@ object Relational {
       approx_count_distinct(col("l_suppkey"), 0.01).as("n_supps"),
       approx_count_distinct(col("l_orderkey"), 0.01).as("n_orders"),
       count(lit(1)).as("n_rows"))
+
+  /** Mergeable-sketch rollup — the pre-aggregation pattern that makes
+    * "distinct users over ANY date range" an O(|sketch table|) merge
+    * instead of a fact-table rescan: one pass builds per-(day, type)
+    * Datasketches HLL sketches (`hll_sketch_agg`, a mergeable binary
+    * state — the materialized sketch TABLE a 100-TB warehouse stores
+    * next to its cubes), then arbitrary slices union sketches
+    * (`hll_union_agg`) and estimate. Here: daily sketches → per-type
+    * month-to-date distinct users + a whole-corpus estimate from the
+    * same 450-row sketch table — the facts are scanned ONCE for any
+    * number of downstream distinct questions. Approximate by
+    * construction → shape-gated like [[q05b]]; the merge-vs-exact
+    * error band is spec-asserted. */
+  private def q102(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+        count(lit(1)).as("n_events"))
+      .cache() // THE sketch table: both rollups below read it, not the facts
+    val perType = daily.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"),
+        sum(col("n_events")).as("n_events"))
+    val total = daily.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"),
+      sum(col("n_events")).as("n_events"))
+      .select(lit("<all>").as("event_type"), col("approx_users"), col("n_events"))
+    perType.unionByName(total)
+  }
 
   /** A8 — explode + candidate frequency (reference
     * SequentialTopKRecommender.scala:137-143 counted item frequency

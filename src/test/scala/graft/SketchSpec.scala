@@ -33,4 +33,28 @@ class SketchSpec extends SparkSuite {
         s"$t p${brackets(idx)._1}: approx $a outside exact bracket [$lo, $hi]")
     }
   }
+
+  test("HLL sketch rollup: merged daily sketches track exact distincts within 5%") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("q102_sketch_rollup")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = graft.sources.Tables.events(spark, dir)
+    val exactPer = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = ev.agg(countDistinct(col("user_id"))).head.getLong(0)
+    (exactPer + ("<all>" -> exactAll)).foreach { case (t, exact) =>
+      val a = got(t).toDouble
+      assert(math.abs(a - exact) <= math.max(1.0, 0.05 * exact),
+        s"$t: sketch $a vs exact $exact")
+    }
+    // mergeability: union of daily sketches == sketching the raw facts
+    val direct = ev.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    direct.foreach { case (t, d) =>
+      assert(got(t) == d, s"$t: merged-daily ${got(t)} != direct-sketch $d")
+    }
+  }
 }
