@@ -26,7 +26,8 @@ object Analytics {
     "q88_corr_matrix" -> q88,
     "q89_gap_fill" -> q89,
     "q90_scd2" -> q90,
-    "q101_pit_join" -> q101
+    "q101_pit_join" -> q101,
+    "q103_ab_test" -> q103
   )
 
   /** Semi-structured extraction: the `events.props` column is a JSON
@@ -368,5 +369,62 @@ object Analytics {
       .select(col("cust"), col("probe_id"), col("ts").as("ship_ts"),
         coalesce(col("v"), lit(0)).as("version"),
         coalesce(col("st"), lit("<none>")).as("status"))
+  }
+
+  /** |z| threshold for q103 (two-sided 5%). */
+  val AB_Z_CRIT = 1.96
+
+  /** A/B experiment readout — the experimentation-analytics shape:
+    * users assign to arms by the deterministic salted hash (never
+    * rand(): the assignment is reproducible across reruns, retried
+    * tasks and both engines — the property a real experiment
+    * platform's bucketing service guarantees), conversion = the user
+    * ever fired a `purchase` event, and the readout is the pooled
+    * two-proportion z statistic from exact integer counts through one
+    * IEEE sequence (no variance recurrences — the q88 moment
+    * discipline). On hash-split identical populations z ≈ 0 by
+    * construction; the spec drives a biased fixture through
+    * [[abTest]] to prove the statistic moves. Scale shape: one
+    * distinct-user agg, one distinct-converter agg, a 1-row result. */
+  /** Conversion floor for q103: every user fires SOME purchase on the
+    * synthetic stream (presence alone is pp = 1, a degenerate test),
+    * so conversion = "power buyer" — at least this many purchases,
+    * sitting at the Poisson mean so the population splits. */
+  val AB_CONV_MIN_PURCHASES = 14
+
+  private def q103(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    abTest(ev.select(col("user_id")).distinct(),
+      ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("np"))
+        .filter(col("np") >= AB_CONV_MIN_PURCHASES)
+        .select(col("user_id")))
+  }
+
+  /** Library surface of [[q103]]: `population` (distinct user_id) vs
+    * `converters` (distinct user_id subset) → one-row arm readout. */
+  def abTest(population: DataFrame, converters: DataFrame): DataFrame = {
+    import graft.functions.Rounding.r6
+    val per = population
+      .withColumn("arm", (Dedup.baseHash(concat(col("user_id").cast("string"),
+        lit("_ab"))) % 2).cast("int"))
+      .join(converters.withColumn("cv", lit(1)), Seq("user_id"), "left")
+      .select(col("arm"), coalesce(col("cv"), lit(0)).as("cv"))
+    val m = per.agg(
+      sum(when(col("arm") === 0, 1).otherwise(0)).as("n0"),
+      sum(when(col("arm") === 0, col("cv")).otherwise(0)).as("k0"),
+      sum(when(col("arm") === 1, 1).otherwise(0)).as("n1"),
+      sum(when(col("arm") === 1, col("cv")).otherwise(0)).as("k1"))
+    def d(c: String) = col(c).cast("double")
+    val p0 = d("k0") / d("n0")
+    val p1 = d("k1") / d("n1")
+    val pp = (d("k0") + d("k1")) / (d("n0") + d("n1"))
+    // degenerate pools (pp 0 or 1) carry no evidence: z := 0 rather
+    // than a 0-variance division (ANSI mode raises on it)
+    val se2 = pp * (lit(1.0) - pp) * (lit(1.0) / d("n0") + lit(1.0) / d("n1"))
+    val z = when(se2 > 0, (p1 - p0) / sqrt(se2)).otherwise(lit(0.0))
+    m.select(col("n0"), col("k0"), col("n1"), col("k1"),
+      r6(p0).as("rate0"), r6(p1).as("rate1"), r6(z).as("z"),
+      (abs(z) > AB_Z_CRIT).cast("int").as("significant"))
   }
 }

@@ -207,7 +207,42 @@ object AnalyticsSql {
         |SELECT cust, probe_id, ts AS ship_ts,
         |       COALESCE(v, 0) AS version,
         |       COALESCE(st, '<none>') AS status
-        |FROM carried WHERE is_probe = 1""".stripMargin
+        |FROM carried WHERE is_probe = 1""".stripMargin,
+
+    // deterministic-hash arm assignment; pooled two-proportion z from
+    // exact counts through the identical IEEE sequence as Spark
+    "q103_ab_test" -> {
+      import graft.operators.Analytics.AB_Z_CRIT
+      val hash = graft.oracle.SqlFragments.baseHashSql(
+        "CAST(p.user_id AS VARCHAR) || '_ab'")
+      def dd(c: String) = s"CAST($c AS DOUBLE)"
+      val pp = s"((${dd("k0")} + ${dd("k1")}) / (${dd("n0")} + ${dd("n1")}))"
+      val se2 = s"($pp * (1.0 - $pp)" +
+        s" * (1.0 / ${dd("n0")} + 1.0 / ${dd("n1")}))"
+      val z = s"(CASE WHEN $se2 > 0 THEN (${dd("k1")} / ${dd("n1")}" +
+        s" - ${dd("k0")} / ${dd("n0")}) / sqrt($se2) ELSE 0.0 END)"
+      s"""WITH pop AS (SELECT DISTINCT user_id FROM events),
+         |conv AS (
+         |  SELECT user_id FROM events WHERE event_type = 'purchase'
+         |  GROUP BY 1
+         |  HAVING count(*) >= ${graft.operators.Analytics.AB_CONV_MIN_PURCHASES}),
+         |per AS (
+         |  SELECT CAST($hash % 2 AS INTEGER) AS arm,
+         |         CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS cv
+         |  FROM pop p LEFT JOIN conv c ON c.user_id = p.user_id),
+         |m AS (
+         |  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |         CAST(sum(CASE WHEN arm = 0 THEN cv ELSE 0 END) AS BIGINT) AS k0,
+         |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |         CAST(sum(CASE WHEN arm = 1 THEN cv ELSE 0 END) AS BIGINT) AS k1
+         |  FROM per)
+         |SELECT n0, k0, n1, k1,
+         |       ${graft.functions.Rounding.sql6(s"${dd("k0")} / ${dd("n0")}")} AS rate0,
+         |       ${graft.functions.Rounding.sql6(s"${dd("k1")} / ${dd("n1")}")} AS rate1,
+         |       ${graft.functions.Rounding.sql6(z)} AS z,
+         |       CAST(abs($z) > $AB_Z_CRIT AS INTEGER) AS significant
+         |FROM m""".stripMargin
+    }
   )
 
   /** q88's oracle, generated from the same column list as the Spark

@@ -238,4 +238,29 @@ class AnalyticsSpec extends SparkSuite {
     assert(tri.contains("BroadcastHashJoin"),
       s"q93 closing probe must broadcast:\n${tri.take(1500)}")
   }
+
+  test("ab test: strong lift is significant, no lift scores z=0, assignment deterministic") {
+    val s = spark
+    import s.implicits._
+    val pop = (1L to 400L).toDF("user_id")
+    // which arm each user hashes into (read off one run — deterministic)
+    val arms = pop.select(col("user_id"),
+      (graft.operators.Dedup.baseHash(concat(col("user_id").cast("string"),
+        lit("_ab"))) % 2).cast("int").as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // biased world: 80% of arm-1 converts, 20% of arm-0 (by hash order)
+    val conv = arms.toSeq.filter { case (u, a) =>
+      if (a == 1) u % 5 != 0 else u % 5 == 0
+    }.map(_._1).toDF("user_id")
+    val out = Analytics.abTest(pop, conv).head()
+    assert(out.getInt(7) == 1, s"strong lift must be significant: $out")
+    assert(out.getDouble(6) > Analytics.AB_Z_CRIT, s"z must be positive: $out")
+    // identical conversion in both arms → z exactly 0 via the guard path
+    val all = Analytics.abTest(pop, pop.select("user_id")).head()
+    assert(all.getDouble(6) == 0.0 && all.getInt(7) == 0,
+      s"pp=1 pool must read z=0, not a 0-variance division: $all")
+    // rerun → identical assignment counts (determinism)
+    val again = Analytics.abTest(pop, conv).head()
+    assert(again == out)
+  }
 }
