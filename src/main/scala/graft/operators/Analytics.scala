@@ -416,13 +416,20 @@ object Analytics {
       sum(when(col("arm") === 1, 1).otherwise(0)).as("n1"),
       sum(when(col("arm") === 1, col("cv")).otherwise(0)).as("k1"))
     def d(c: String) = col(c).cast("double")
-    val p0 = d("k0") / d("n0")
-    val p1 = d("k1") / d("n1")
+    // empty arms (tiny populations where the hash lands everyone on
+    // one side) carry no comparison: rates read null, z reads 0. The
+    // arm guard nests OUTSIDE the se2 branch so the 1/n divisions are
+    // never evaluated on an empty arm (ANSI mode raises on them).
+    val armed = col("n0") > 0 && col("n1") > 0
+    val p0 = when(col("n0") > 0, d("k0") / d("n0"))
+    val p1 = when(col("n1") > 0, d("k1") / d("n1"))
     val pp = (d("k0") + d("k1")) / (d("n0") + d("n1"))
     // degenerate pools (pp 0 or 1) carry no evidence: z := 0 rather
     // than a 0-variance division (ANSI mode raises on it)
     val se2 = pp * (lit(1.0) - pp) * (lit(1.0) / d("n0") + lit(1.0) / d("n1"))
-    val z = when(se2 > 0, (p1 - p0) / sqrt(se2)).otherwise(lit(0.0))
+    val z = when(armed,
+      when(se2 > 0, (p1 - p0) / sqrt(se2)).otherwise(lit(0.0)))
+      .otherwise(lit(0.0))
     m.select(col("n0"), col("k0"), col("n1"), col("k1"),
       r6(p0).as("rate0"), r6(p1).as("rate1"), r6(z).as("z"),
       (abs(z) > AB_Z_CRIT).cast("int").as("significant"))

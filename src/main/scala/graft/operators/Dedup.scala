@@ -182,7 +182,9 @@ object Dedup {
     * verify then keeps real duplicates (≥ [[CLUSTER_JACCARD]]). */
   private def q95(spark: SparkSession, dir: String): DataFrame = {
     val srcs = Tables.documents(spark, dir).select(col("doc_id"),
-      substring(col("source"), 4, 10).cast("int").as("src_id"))
+      // unbounded suffix (matches the oracle's substr(source, 4)) —
+      // a bounded length would silently drift if source ids grow
+      expr("substring(source, 4)").cast("int").as("src_id"))
     val sh = shingleSet(spark, dir).cache()
     val bands = minhashBands(sh).join(srcs, Seq("doc_id"))
     val newB = bands.filter(col("src_id") >= INCREMENTAL_SPLIT)
@@ -304,9 +306,15 @@ object Dedup {
     * self≡deletion for insert/delete; same-position deletions for
     * substitution), so the signature is a complete candidate key. */
   def deletionNeighborhood(s: Column): Column =
-    array_distinct(concat(array(s),
-      transform(sequence(lit(1), length(s)),
-        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))))
+    // empty-string guard: Spark's sequence(1, 0) infers a DESCENDING
+    // step and yields [1, 0] (DuckDB's generate_series(1, 0) is
+    // empty), so "" is pinned to the bare [s] neighborhood both
+    // engines agree on rather than riding the sequence at all
+    when(length(s) > 0,
+      array_distinct(concat(array(s),
+        transform(sequence(lit(1), length(s)),
+          i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))))
+      .otherwise(array(s))
 
   /** Edit-distance fuzzy matching (FastSS): candidate pairs meet only
     * inside a shared deletion-neighborhood signature bucket, then an

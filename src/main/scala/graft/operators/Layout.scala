@@ -108,6 +108,14 @@ object Layout {
     * distributed merge can order. */
   def mergeUpsert(spark: org.apache.spark.sql.SparkSession, baseDir: String,
       updates: DataFrame, keyCol: String, outDir: String): Unit = {
+    // key-uniqueness is a hard contract, not a doc note: a duplicate
+    // key would survive the union TWICE and corrupt the published
+    // table version silently. One batch-sized agg catches it first.
+    val dup = updates.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"mergeUpsert: update batch has duplicate key $keyCol=${
+        if (dup.isEmpty) "" else dup.head.get(0)} — batches must be key-unique")
     val base = spark.read.parquet(baseDir)
     val survivors = base.join(
       updates.select(col(keyCol)), Seq(keyCol), "left_anti")

@@ -69,11 +69,18 @@ object Skew {
                  numBits: Long = 8388608L): DataFrame = {
     // might_contain demands the sketch as a constant or SCALAR SUBQUERY
     // (it must be fixed at planning, not a joined column), so the dim
-    // rides a temp view and the sketch a subquery expression
+    // rides a temp view and the sketch a subquery expression. The view
+    // is dropped as soon as the filter is analyzed (Dataset creation
+    // resolves the subquery eagerly), so repeated calls leave nothing
+    // in the session catalog; identifiers are backquote-escaped so
+    // column names with specials survive the SQL round-trip.
+    def q(id: String) = "`" + id.replace("`", "``") + "`"
     val view = s"graft_bloom_dim_${bloomViewSeq.incrementAndGet()}"
     dim.select(col(dimKey)).createOrReplaceTempView(view)
-    facts.filter(expr(
-      s"bloom_contains((SELECT bloom_agg($dimKey, ${expectedItems}L, " +
-        s"${numBits}L) FROM $view), $factKey)"))
+    try {
+      facts.filter(expr(
+        s"bloom_contains((SELECT bloom_agg(${q(dimKey)}, ${expectedItems}L, " +
+          s"${numBits}L) FROM $view), ${q(factKey)})"))
+    } finally dim.sparkSession.catalog.dropTempView(view)
   }
 }

@@ -219,8 +219,12 @@ object AnalyticsSql {
       val pp = s"((${dd("k0")} + ${dd("k1")}) / (${dd("n0")} + ${dd("n1")}))"
       val se2 = s"($pp * (1.0 - $pp)" +
         s" * (1.0 / ${dd("n0")} + 1.0 / ${dd("n1")}))"
-      val z = s"(CASE WHEN $se2 > 0 THEN (${dd("k1")} / ${dd("n1")}" +
-        s" - ${dd("k0")} / ${dd("n0")}) / sqrt($se2) ELSE 0.0 END)"
+      // arm guard nests OUTSIDE the se2 branch (mirrors the Spark
+      // side): an empty arm never evaluates the 1/n divisions
+      val z = s"(CASE WHEN n0 > 0 AND n1 > 0 THEN " +
+        s"(CASE WHEN $se2 > 0 THEN (${dd("k1")} / ${dd("n1")}" +
+        s" - ${dd("k0")} / ${dd("n0")}) / sqrt($se2) ELSE 0.0 END)" +
+        s" ELSE 0.0 END)"
       s"""WITH pop AS (SELECT DISTINCT user_id FROM events),
          |conv AS (
          |  SELECT user_id FROM events WHERE event_type = 'purchase'
@@ -237,8 +241,8 @@ object AnalyticsSql {
          |         CAST(sum(CASE WHEN arm = 1 THEN cv ELSE 0 END) AS BIGINT) AS k1
          |  FROM per)
          |SELECT n0, k0, n1, k1,
-         |       ${graft.functions.Rounding.sql6(s"${dd("k0")} / ${dd("n0")}")} AS rate0,
-         |       ${graft.functions.Rounding.sql6(s"${dd("k1")} / ${dd("n1")}")} AS rate1,
+         |       CASE WHEN n0 > 0 THEN ${graft.functions.Rounding.sql6(s"${dd("k0")} / ${dd("n0")}")} END AS rate0,
+         |       CASE WHEN n1 > 0 THEN ${graft.functions.Rounding.sql6(s"${dd("k1")} / ${dd("n1")}")} END AS rate1,
          |       ${graft.functions.Rounding.sql6(z)} AS z,
          |       CAST(abs($z) > $AB_Z_CRIT AS INTEGER) AS significant
          |FROM m""".stripMargin

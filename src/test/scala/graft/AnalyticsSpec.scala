@@ -263,4 +263,16 @@ class AnalyticsSpec extends SparkSuite {
     val again = Analytics.abTest(pop, conv).head()
     assert(again == out)
   }
+
+  test("ab test: a one-user population (one empty arm) reads z=0 and a null rate, not a division error") {
+    val s = spark
+    import s.implicits._
+    val pop = Seq(1L).toDF("user_id")
+    val out = Analytics.abTest(pop, pop.select("user_id")).head()
+    assert(out.getLong(0) + out.getLong(2) == 1L, s"one user, two arms? $out")
+    assert(out.getDouble(6) == 0.0 && out.getInt(7) == 0,
+      s"empty arm must read z=0: $out")
+    // exactly one arm has a rate; the empty arm's rate is null
+    assert(out.isNullAt(4) ^ out.isNullAt(5), s"empty arm rate must be null: $out")
+  }
 }

@@ -36,6 +36,14 @@ class BloomPruneSpec extends SparkSuite {
       s"sketch must plan as a scalar subquery:\n$plan")
     assert(!plan.contains("Exchange hashpartitioning"),
       s"fact side must not shuffle for the prune:\n$plan")
+
+    // hygiene: the helper temp view is dropped once the filter is
+    // analyzed — repeated calls must not accumulate catalog entries,
+    // and the already-returned DataFrame stays evaluable after drop
+    Skew.bloomPrune(facts, "k", dim, "k", 100L, 65536L).count()
+    val leftover = s.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_bloom_dim"))
+    assert(leftover.isEmpty, s"bloom temp views leaked: ${leftover.mkString(",")}")
   }
 
   test("bloom_agg / bloom_contains SQL functions resolve via GraftExtensions") {

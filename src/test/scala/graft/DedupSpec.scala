@@ -58,7 +58,9 @@ class DedupSpec extends SparkSuite {
       "bold",
       "bol",    // deletion neighbor of bolt AND bold
       "ab", "ba", // share deletion signature "b" but distance 2 — must be verified away
-      "zzz"     // isolated
+      "zzz",    // isolated
+      "",       // empty string: Spark sequence(1,0) would yield [1,0], guard pins it to [""]
+      "z"       // distance 1 from "" via deletion
     ).toDF("nm")
     val got = Dedup.fuzzyPairs(names, "nm").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
@@ -70,7 +72,7 @@ class DedupSpec extends SparkSuite {
           d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
       d(a.length)(b.length)
     }
-    val all = Seq("bolt", "bold", "bol", "ab", "ba", "zzz")
+    val all = Seq("bolt", "bold", "bol", "ab", "ba", "zzz", "", "z")
     val want = (for (a <- all; b <- all if a < b && lev(a, b) <= 1) yield (a, b)).toSet
     assert(got == want)
     assert(!got.contains(("ab", "ba")), "distance-2 transposition must not survive the verify")

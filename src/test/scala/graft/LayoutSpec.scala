@@ -105,5 +105,16 @@ class LayoutSpec extends SparkSuite {
     assert(got == Set((1L, "a", 10), (2L, "B2", 21), (4L, "d", 40)), s"$got")
     // base version still readable and unchanged
     assert(s.read.parquet(s"$dir/base").count() == 3)
+
+    // a batch violating key-uniqueness must FAIL before writing, not
+    // silently publish both duplicates into the new table version
+    val dupBatch = Seq((5L, "x", 50, false), (5L, "y", 51, false))
+      .toDF("id", "v", "n", graft.operators.Layout.DELETED_COL)
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Layout.mergeUpsert(s, s"$dir/base", dupBatch, "id", s"$dir/v3")
+    }
+    assert(err.getMessage.contains("duplicate key"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/v3")),
+      "failed merge must not publish an output directory")
   }
 }
