@@ -279,18 +279,44 @@ object Relational {
         (col("pos") + 1).cast("int").as("rk"))
   }
 
+  /** Relative tolerance the approx-sketch contracts certify: HLL++ at
+    * rsd 0.01 has ~1% standard error, Datasketches HLL lgK=12 ~1.6%,
+    * so 5% is a ≥3σ band — loose enough to never flake, tight enough
+    * that a broken sketch (or a wrong merge) trips it. */
+  val APPROX_REL_TOL = 0.05
+
+  /** `ok` verdict: approx within [[APPROX_REL_TOL]] of exact (the
+    * `greatest(…, 1)` floor keeps near-zero exacts meaningful). Both
+    * sides of the comparison live in THIS query's output contract:
+    * the oracle recomputes the exact column and pins `ok` to literal
+    * 1, so a drifting sketch hash-fails the row. */
+  private def withinTol(approx: Column, exact: Column): Column =
+    (abs(approx.cast("double") - exact.cast("double")) <=
+      lit(APPROX_REL_TOL) * greatest(abs(exact.cast("double")), lit(1.0)))
+      .cast("int")
+
   /** A3 at the 100-TB posture: the approximate twin of q05. Exact
     * multi-countDistinct triggers an `Expand` (3× the input through
     * the shuffle); HyperLogLog++ sketches aggregate in one pass with
     * fixed-size state and merge associatively across any partitioning.
-    * No SQL oracle — approx results can't hash-match; the driver's
-    * rows/schema gate covers the shape. */
+    * The production form is the approx agg ALONE; this contract query
+    * additionally recomputes the exact counts and emits a
+    * [[withinTol]] verdict per sketch, which the DuckDB oracle pins
+    * to 1 — turning "approximate" into a driver-checkable bound
+    * instead of an unaudited `no_oracle` row. */
   private def q05b(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir).agg(
-      approx_count_distinct(col("l_partkey"), 0.01).as("n_parts"),
-      approx_count_distinct(col("l_suppkey"), 0.01).as("n_supps"),
-      approx_count_distinct(col("l_orderkey"), 0.01).as("n_orders"),
+      approx_count_distinct(col("l_partkey"), 0.01).as("a_parts"),
+      approx_count_distinct(col("l_suppkey"), 0.01).as("a_supps"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("a_orders"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
       count(lit(1)).as("n_rows"))
+    .select(col("n_parts"), col("n_supps"), col("n_orders"), col("n_rows"),
+      withinTol(col("a_parts"), col("n_parts")).as("parts_ok"),
+      withinTol(col("a_supps"), col("n_supps")).as("supps_ok"),
+      withinTol(col("a_orders"), col("n_orders")).as("orders_ok"))
 
   /** Mergeable-sketch rollup — the pre-aggregation pattern that makes
     * "distinct users over ANY date range" an O(|sketch table|) merge
@@ -301,11 +327,13 @@ object Relational {
     * (`hll_union_agg`) and estimate. Here: daily sketches → per-type
     * month-to-date distinct users + a whole-corpus estimate from the
     * same 450-row sketch table — the facts are scanned ONCE for any
-    * number of downstream distinct questions. Approximate by
-    * construction → shape-gated like [[q05b]]; the merge-vs-exact
-    * error band is spec-asserted. */
+    * number of downstream distinct questions. The contract query also
+    * recomputes each slice's EXACT distinct users and emits a
+    * [[withinTol]] verdict the oracle pins to 1 (the q05b pattern);
+    * bit-exact mergeability stays spec-asserted. */
   private def q102(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
+    val ev = Tables.events(spark, dir)
+    val daily = ev
       .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
       .agg(expr("hll_sketch_agg(user_id)").as("sk"),
         count(lit(1)).as("n_events"))
@@ -317,7 +345,16 @@ object Relational {
       expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"),
       sum(col("n_events")).as("n_events"))
       .select(lit("<all>").as("event_type"), col("approx_users"), col("n_events"))
-    perType.unionByName(total)
+    val approx = perType.unionByName(total)
+    // exact twins (the audit side of the contract — a rescan the
+    // sketch table exists to avoid in production)
+    val exactType = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val exactAll = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+      .select(lit("<all>").as("event_type"), col("exact_users"))
+    approx.join(exactType.unionByName(exactAll), Seq("event_type"))
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        withinTol(col("approx_users"), col("exact_users")).as("users_ok"))
   }
 
   /** A8 — explode + candidate frequency (reference
@@ -423,20 +460,39 @@ object Relational {
     * `percentile` sorts every group's values; `approx_percentile`
     * keeps a fixed-size mergeable sketch per group (state bounded by
     * the accuracy parameter, not by n), so partial aggregation applies
-    * map-side at any scale. No SQL oracle — sketch results can't
-    * hash-match; the driver's rows/schema gate covers the shape, and
-    * the spec bounds the error against q53's exact values. */
-  private def q53b(spark: SparkSession, dir: String): DataFrame =
+    * map-side at any scale. The contract query emits q53's exact
+    * per-group percentiles (oracle-recomputable, r4) alongside a
+    * verdict per statistic, and the oracle pins the verdicts to 1
+    * (the q05b pattern). The verdict is a RANK bracket, not a value
+    * band: the sketch's guarantee is on rank error (a heavy tail
+    * makes adjacent order statistics arbitrarily far apart in value),
+    * so each approx quantile must lie between the exact quantiles at
+    * target ±2% rank — hundreds of times looser than the sketch's
+    * 1/accuracy rank guarantee, sound for ANY value distribution. */
+  private def q53b(spark: SparkSession, dir: String): DataFrame = {
+    def bracketOk(a: Column, lo: Column, hi: Column): Column =
+      (a >= lo - lit(1e-9) && a <= hi + lit(1e-9)).cast("int")
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
-        graft.functions.Rounding.r4(
-          expr("approx_percentile(value, 0.5, 10000)")).as("p50"),
-        graft.functions.Rounding.r4(
-          expr("approx_percentile(value, 0.9, 10000)")).as("p90"),
-        graft.functions.Rounding.r4(
-          expr("approx_percentile(value, 0.99, 10000)")).as("p99"),
+        graft.functions.Rounding.r4(expr("percentile(value, 0.5)")).as("p50"),
+        graft.functions.Rounding.r4(expr("percentile(value, 0.9)")).as("p90"),
+        graft.functions.Rounding.r4(expr("percentile(value, 0.99)")).as("p99"),
+        expr("approx_percentile(value, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(value, 0.9, 10000)").as("a90"),
+        expr("approx_percentile(value, 0.99, 10000)").as("a99"),
+        expr("percentile(value, 0.48)").as("lo50"),
+        expr("percentile(value, 0.52)").as("hi50"),
+        expr("percentile(value, 0.88)").as("lo90"),
+        expr("percentile(value, 0.92)").as("hi90"),
+        expr("percentile(value, 0.97)").as("lo99"),
+        expr("percentile(value, 1.0)").as("hi99"),
         count(lit(1)).as("n"))
+      .select(col("event_type"), col("p50"), col("p90"), col("p99"), col("n"),
+        bracketOk(col("a50"), col("lo50"), col("hi50")).as("p50_ok"),
+        bracketOk(col("a90"), col("lo90"), col("hi90")).as("p90_ok"),
+        bracketOk(col("a99"), col("lo99"), col("hi99")).as("p99_ok"))
+  }
 
   val TRENDING_TOP_K = 5
 

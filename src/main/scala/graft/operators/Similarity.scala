@@ -35,6 +35,12 @@ object Similarity {
   val NUM_SIGN_BANDS = 4
 
   val TOP_K = 10
+  /** q99's certified mean-recall floor. Uniform random embeddings are
+    * PQ's worst case (no cluster structure for codebooks to exploit);
+    * observed mean recall@10 sits well above this at both test scales
+    * — the floor catches codebook/LUT regressions, not absolute
+    * quality. */
+  val PQ_RECALL_FLOOR = 0.15
   val SIGN_BITS = 4
   val NEARDUP_THRESHOLD = 0.4
   val IVF_TOP_K = 5
@@ -259,19 +265,41 @@ object Similarity {
     * queries rank candidates by ASYMMETRIC distance: a per-query
     * lookup table of exact query-subvector→centroid distances, summed
     * over the corpus's codes — the corpus's floats are never touched
-    * at query time, only its byte codes. Approximate by construction,
-    * so shape-gated like q05b/q17b (recall vs the exact baseline is
-    * quantified in AnnRecallSpec).
+    * at query time, only its byte codes.
+    *
+    * The contract query runs the full PQ pipeline AND the exact
+    * squared-L2 baseline on the same cohort, then emits one row of
+    * oracle-recomputable facts (cohort size, corpus size, k) plus a
+    * `recall_ok` verdict — mean recall@k ≥ [[PQ_RECALL_FLOOR]] — that
+    * the DuckDB oracle pins to 1. A codebook/LUT regression now
+    * hash-fails the driver row instead of hiding behind `no_oracle`;
+    * the finer-grained recall curve stays in AnnRecallSpec.
     *
     * Scale shape: codebooks are M·K tiny rows (broadcast); training
     * and assignment are keyed argmins over the exploded (vec,
     * subspace) stream; the ADC join is codes ⋈ broadcast LUT on
-    * (m, cell) + one keyed sum per (query, vec). */
+    * (m, cell) + one keyed sum per (query, vec). The exact baseline
+    * is the audit side of the contract, priced like q22. */
   private def q99(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
+    val e = emb(spark, dir).cache()
     val cents = pqTrain(e)
     val codes = pqCodes(e, cents)
-    pqTopK(e, codes, cents, col("vec_id") % 25 === 0, TOP_K)
+    val qPred = col("vec_id") % 25 === 0
+    val pq = pqTopK(e, codes, cents, qPred, TOP_K)
+      .select(col("q_id"), col("n_id"))
+    val q = e.filter(qPred).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id").asc)
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        sqDistArr(col("qv"), col("v")).as("d2"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= TOP_K)
+      .select(col("q_id"), col("n_id"))
+    val hits = exact.join(pq, Seq("q_id", "n_id")).count()
+    val nq = q.count()
+    val recall = hits.toDouble / (nq * TOP_K)
+    import spark.implicits._
+    Seq((nq, e.count(), TOP_K, if (recall >= PQ_RECALL_FLOOR) 1 else 0))
+      .toDF("n_queries", "n_corpus", "k", "recall_ok")
   }
 
   /** Subvector stream: (vec_id, m, sv) with sv = dims [m·SUBDIM,

@@ -60,6 +60,18 @@ object RelationalSql {
         |       count(*) AS n_rows
         |FROM lineitem""".stripMargin,
 
+    // approx-sketch CONTRACT row: the oracle recomputes the exact
+    // counts and pins each within-5% verdict to literal 1 — a
+    // drifting HLL estimate flips the Spark-side ok column and
+    // hash-fails the row (same pattern for q53b/q99/q102)
+    "q05b_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(DISTINCT l_orderkey) AS n_orders,
+        |       count(*) AS n_rows,
+        |       1 AS parts_ok, 1 AS supps_ok, 1 AS orders_ok
+        |FROM lineitem""".stripMargin,
+
     "q06_daily_events" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
         |       count(*) AS n,
@@ -211,6 +223,26 @@ object RelationalSql {
         |       floor(quantile_cont(value, 0.99) * 10000.0 + 0.5) / 10000.0 AS p99,
         |       count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+
+    // q53's exact percentiles + pinned within-tolerance verdicts for
+    // the approx_percentile sketch (see q05b note)
+    "q53b_approx_percentiles" ->
+      """SELECT event_type,
+        |       floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+        |       floor(quantile_cont(value, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90,
+        |       floor(quantile_cont(value, 0.99) * 10000.0 + 0.5) / 10000.0 AS p99,
+        |       count(*) AS n,
+        |       1 AS p50_ok, 1 AS p90_ok, 1 AS p99_ok
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // exact slice distincts + pinned within-tolerance verdicts for the
+    // mergeable-HLL rollup (see q05b note)
+    "q102_sketch_rollup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |       count(*) AS n_events, 1 AS users_ok
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT '<all>', count(DISTINCT user_id), count(*), 1 FROM events""".stripMargin,
 
     "q54_event_pivot" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

