@@ -22,17 +22,51 @@ import graft.functions.Rounding.{r4, r6}
  * .scala:64-66); here features join by item_id and the per-user
  * candidate×rated grid is keyed on user_id, so each user's block
  * computes locally in one shuffle. Feature vectors never densify into
- * a matrix.
+ * a matrix. Candidate GENERATION sits behind [[CandidateSource]]:
+ * the exact exhaustive grid is the default while the catalog is a
+ * broadcastable dimension, and [[CandidateSource.LshBuckets]] swaps
+ * in banded sign-bit bucket probing — all keyed joins, cost bounded
+ * by bucket co-occupancy — for catalogs where users×catalog is the
+ * scale-killer (q32b oracle-checks that path end to end).
  */
 object Content {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_content_topk" -> q32,
+    "q32b_content_topk_lsh" -> q32b,
     "q52_content_rating_predict" -> q52
   )
 
   val K_NEIGHBORS = 8
   val K_ITEMS = 5
+
+  /** Candidate-generation seam for [[contentTopK]] — the difference
+    * between a recommender that survives a 100M-item catalog and one
+    * that pays |users|×|catalog| per cohort regardless of data. */
+  sealed trait CandidateSource
+  object CandidateSource {
+    /** Exhaustive grid over every unrated catalog item — exact by
+      * construction, the right default while the catalog is a
+      * broadcastable dimension. Work scales as users×catalog. */
+    case object ExactGrid extends CandidateSource
+    /** Banded sign-bit LSH (the q49 scheme, Charikar hyperplanes =
+      * coordinate axes): candidates are the unrated items sharing at
+      * least one (band, bucket) with an item the user rated. Every
+      * join is keyed — user buckets ⋈ catalog buckets — so work
+      * scales with bucket co-occupancy, never users×catalog. Recall
+      * is the standard LSH trade: an item whose features share no
+      * band-bucket with anything the user rated is unreachable (it
+      * would have scored near the bottom of the cosine ranking
+      * anyway); more bands widen recall at the same per-bucket
+      * cost. */
+    final case class LshBuckets(bits: Int = LSH_SIGN_BITS,
+                                bands: Int = LSH_SIGN_BANDS) extends CandidateSource
+  }
+
+  /** q49's banding geometry, reused as the content-path default:
+    * 4 disjoint 4-dim slices of the feature vector. */
+  val LSH_SIGN_BITS = 4
+  val LSH_SIGN_BANDS = 4
 
   /** The DENSE-vector form of the K1-K4 kernel SPI for feature
     * vectors (the reference's `setSimilarity` applies to the
@@ -93,6 +127,15 @@ object Content {
     contentTopK(Tables.ratingsCached(spark, dir), itemFeatures(spark, dir),
       col("user_id") % 50 === 0, K_NEIGHBORS, K_ITEMS)
 
+  /** [[q32]] through the [[CandidateSource.LshBuckets]] seam — the
+    * catalog-scale path, oracle-checked on its own semantics (the
+    * DuckDB twin replays the banded sign buckets): same cohort, same
+    * scoring, candidates restricted to bucket co-occupants. */
+  private def q32b(spark: SparkSession, dir: String): DataFrame =
+    contentTopK(Tables.ratingsCached(spark, dir), itemFeatures(spark, dir),
+      col("user_id") % 50 === 0, K_NEIGHBORS, K_ITEMS,
+      source = CandidateSource.LshBuckets())
+
   /** R7's rating-predict half (reference
     * ContentBasedRatingRecommender.scala:44-87): for held-out
     * feature-bearing (user, item) pairs in the `user_id % 40 = 7`
@@ -124,33 +167,83 @@ object Content {
     * ratings plus an item-feature DataFrame `(item_id, fv)`. */
   def contentTopK(ratings: DataFrame, features: DataFrame,
                   targetUsers: Column, kNeighbors: Int, kItems: Int,
-                  kernel: Kernel = Kernel.Cosine): DataFrame =
+                  kernel: Kernel = Kernel.Cosine,
+                  source: CandidateSource = CandidateSource.ExactGrid): DataFrame =
     contentTopKRestricted(ratings, features, _.filter(targetUsers),
-      kNeighbors, kItems, kernel)
+      kNeighbors, kItems, kernel, source)
 
   /** [[contentTopK]] for a DataFrame of target users (`user_id`
     * column) — the Estimator/Model `transform` surface. */
   def contentTopKFor(ratings: DataFrame, features: DataFrame,
                      targets: DataFrame, kNeighbors: Int, kItems: Int,
-                     kernel: Kernel = Kernel.Cosine): DataFrame =
+                     kernel: Kernel = Kernel.Cosine,
+                     source: CandidateSource = CandidateSource.ExactGrid): DataFrame =
     contentTopKRestricted(ratings, features,
       _.join(broadcast(targets.select(col("user_id")).distinct()),
         Seq("user_id"), "left_semi"),
-      kNeighbors, kItems, kernel)
+      kNeighbors, kItems, kernel, source)
+
+  /** Banded sign-bit signatures of a feature table → `(item id under
+    * `idCol`'s alias, band_id, bucket)` — band b reads dims
+    * [b·bits, (b+1)·bits), bucket = the "1"/"0" sign pattern
+    * (strictly-positive = 1, the q49 convention). */
+  def signBands(features: DataFrame, bits: Int, bands: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        concat_ws("", (0 until bits).map(i =>
+          when(element_at(col("fv"), b * bits + i + 1) > 0, lit("1"))
+            .otherwise(lit("0"))): _*).as("bucket"))
+    }
+    features.select(col("item_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("item_id"), col("band.band_id").as("band_id"),
+        col("band.bucket").as("bucket"))
+  }
+
+  /** Candidate (u, i) pairs for the user cohort inside `rated`,
+    * according to `source` — the only stage whose cost model the seam
+    * changes; scoring downstream is shared. Output columns:
+    * (u, i, vi). */
+  private def candidates(ratings: DataFrame, features: DataFrame,
+                         rated: DataFrame,
+                         source: CandidateSource): DataFrame = {
+    val feats = features.select(col("item_id").as("i"), col("fv").as("vi"))
+    val unratedOnly = (cand: DataFrame) => cand
+      .join(ratings.select(col("user_id").as("u"), col("item_id").as("i")),
+        Seq("u", "i"), "left_anti")
+    source match {
+      case CandidateSource.ExactGrid =>
+        val users = rated.select(col("u")).distinct()
+        unratedOnly(users.crossJoin(feats))
+      case CandidateSource.LshBuckets(bits, bands) =>
+        val sigs = signBands(features, bits, bands)
+        // buckets this user's RATED items occupy — keyed join, then
+        // distinct on (u, band, bucket): a user's probe set is bounded
+        // by |rated|·bands however big the catalog grows
+        val userBuckets = rated.select(col("u"), col("j"))
+          .join(sigs.select(col("item_id").as("j"), col("band_id"), col("bucket")),
+            Seq("j"))
+          .select(col("u"), col("band_id"), col("bucket")).distinct()
+        // co-occupants of those buckets — (band, bucket) keyed join
+        // against the catalog index; never users×catalog
+        val candIds = userBuckets
+          .join(sigs.select(col("item_id").as("i"), col("band_id"), col("bucket")),
+            Seq("band_id", "bucket"))
+          .select(col("u"), col("i")).distinct()
+        unratedOnly(candIds).join(feats, Seq("i"))
+          .select(col("u"), col("i"), col("vi"))
+    }
+  }
 
   private def contentTopKRestricted(ratings: DataFrame, features: DataFrame,
                                     narrow: DataFrame => DataFrame,
                                     kNeighbors: Int, kItems: Int,
-                                    kernel: Kernel = Kernel.Cosine): DataFrame = {
+                                    kernel: Kernel = Kernel.Cosine,
+                                    source: CandidateSource = CandidateSource.ExactGrid): DataFrame = {
     val rated = narrow(ratings)
       .select(col("user_id").as("u"), col("item_id").as("j"), col("rating").as("r_uj"))
       .join(features.select(col("item_id").as("j"), col("fv").as("vj")), Seq("j"))
 
-    val users = rated.select(col("u")).distinct()
-    val cand = users.crossJoin(
-        features.select(col("item_id").as("i"), col("fv").as("vi")))
-      .join(ratings.select(col("user_id").as("u"), col("item_id").as("i")),
-        Seq("u", "i"), "left_anti")
+    val cand = candidates(ratings, features, rated, source)
 
     // per-user candidate × rated grid, keyed on u — local to each block
     val pairs = cand.join(rated, Seq("u"))

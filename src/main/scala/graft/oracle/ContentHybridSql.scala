@@ -57,6 +57,71 @@ object ContentHybridSql {
          |  FROM scored)
          |WHERE rk <= 5""".stripMargin,
 
+    // q32 through the LSH candidate seam: identical scoring, but the
+    // cand CTE replays the banded sign buckets — candidates are the
+    // unrated items sharing a (band, bucket) with an item the user
+    // rated. Bucket strings are built from the same strictly-positive
+    // sign convention as Content.signBands.
+    "q32b_content_topk_lsh" -> {
+      import graft.operators.Content.{LSH_SIGN_BITS, LSH_SIGN_BANDS}
+      val bandVals = (0 until LSH_SIGN_BANDS).map(b => s"($b)").mkString(", ")
+      val bucketExpr = (1 to LSH_SIGN_BITS).map(i =>
+        s"CASE WHEN f.fv[b.band_id*$LSH_SIGN_BITS + $i] > 0 THEN '1' ELSE '0' END")
+        .mkString("concat(", ", ", ")")
+      s"""WITH $ratingsSql,
+         |feats AS (
+         |  SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS fv
+         |  FROM embeddings),
+         |rated AS (
+         |  SELECT r.user_id AS u, r.item_id AS j, r.rating AS r_uj, f.fv AS vj
+         |  FROM ratings r JOIN feats f ON f.item_id = r.item_id
+         |  WHERE r.user_id % 50 = 0),
+         |sigs AS (
+         |  SELECT f.item_id, b.band_id, $bucketExpr AS bucket
+         |  FROM feats f CROSS JOIN (VALUES $bandVals) b(band_id)),
+         |ubkt AS (
+         |  SELECT DISTINCT rd.u, s.band_id, s.bucket
+         |  FROM rated rd JOIN sigs s ON s.item_id = rd.j),
+         |candid AS (
+         |  SELECT DISTINCT ub.u, s.item_id AS i
+         |  FROM ubkt ub JOIN sigs s ON s.band_id = ub.band_id
+         |                          AND s.bucket = ub.bucket),
+         |cand AS (
+         |  SELECT c.u, c.i, f.fv AS vi
+         |  FROM candid c JOIN feats f ON f.item_id = c.i
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM ratings r
+         |    WHERE r.user_id = c.u AND r.item_id = c.i)),
+         |raw AS (
+         |  SELECT c.u, c.i, rd.j, rd.r_uj,
+         |         floor(list_sum(list_transform(list_zip(c.vi, rd.vj), z -> z[1]*z[2]))
+         |               / (sqrt(list_sum(list_transform(c.vi, x -> x*x)))
+         |                  * sqrt(list_sum(list_transform(rd.vj, x -> x*x))))
+         |               * 1000000.0 + 0.5) / 1000000.0 AS cos6,
+         |         floor(1.0 / (sqrt(list_sum(list_transform(list_zip(c.vi, rd.vj),
+         |                       z -> (z[1]-z[2])*(z[1]-z[2])))) + 1.0)
+         |               * 1000000.0 + 0.5) / 1000000.0 AS inv6
+         |  FROM cand c JOIN rated rd ON rd.u = c.u AND rd.j <> c.i),
+         |pairs AS (
+         |  SELECT u, i, j, r_uj,
+         |         CASE WHEN cos6 = 0.0 THEN inv6 ELSE cos6 END AS sim
+         |  FROM raw),
+         |scored AS (
+         |  SELECT u, i,
+         |         floor(sum(sim * r_uj) / sum(abs(sim)) * 10000.0 + 0.5) / 10000.0 AS score
+         |  FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY u, i ORDER BY sim DESC, j ASC) AS nrk
+         |        FROM pairs)
+         |  WHERE nrk <= 8
+         |  GROUP BY 1, 2
+         |  HAVING sum(abs(sim)) <> 0)
+         |SELECT u AS user_id, i AS item_id, score, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY u ORDER BY score DESC, i ASC) AS rk
+         |  FROM scored)
+         |WHERE rk <= 5""".stripMargin
+    },
+
     "q52_content_rating_predict" ->
       s"""WITH $ratingsSql,
          |feats AS (

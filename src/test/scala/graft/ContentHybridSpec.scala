@@ -30,6 +30,48 @@ class ContentHybridSpec extends SparkSuite {
     assert(got == Seq((3, s3, 1), (4, s4, 2)))
   }
 
+  test("LSH candidate seam: pruned ≡ exact on a clustered fixture, candidates genuinely pruned, no user×catalog join in the plan") {
+    val s = spark
+    import s.implicits._
+    // two feature "genres" in 16 dims: A items live in the positive
+    // orthant (every band-bucket "1111"), B items in the negative
+    // ("0000"). Users rate only A items → LSH candidates are A items
+    // only; B items score negative cosine in the exact grid so they
+    // can never enter a top-5 — candidate-set difference is invisible
+    // in the output, by construction, which is the seam's contract.
+    def vec(base: Double, itemId: Int): Seq[Double] =
+      (1 to 16).map(d => base * (1.0 + 0.1 * ((itemId * d) % 7)))
+    val aItems = (1 to 12).map(i => (i, vec(1.0, i)))
+    val bItems = (101 to 112).map(i => (i, vec(-1.0, i)))
+    val feats = (aItems ++ bItems).toDF("item_id", "fv")
+    val ratings = (for {
+      u <- 1 to 6
+      j <- 1 to 4 // users rate A items 1-4; 5-12 stay candidates
+    } yield (u, j, 1.0 + ((u * 7 + j) % 9) * 0.5)).toDF("user_id", "item_id", "rating")
+
+    val exact = Content.contentTopK(ratings, feats, lit(true), 8, 5)
+    val pruned = Content.contentTopK(ratings, feats, lit(true), 8, 5,
+      source = Content.CandidateSource.LshBuckets())
+    val eRows = exact.collect().map(_.toSeq).toSet
+    val pRows = pruned.collect().map(_.toSeq).toSet
+    assert(eRows == pRows && eRows.nonEmpty,
+      s"pruned path diverged from exact: ${eRows.diff(pRows)} / ${pRows.diff(eRows)}")
+
+    // the pruning is REAL: every user's bucket probe reaches only the
+    // 12 A items (8 of them unrated), never the 24-item catalog
+    val sigs = Content.signBands(feats, Content.LSH_SIGN_BITS, Content.LSH_SIGN_BANDS)
+    val buckets = sigs.select("bucket").distinct().collect().map(_.getString(0)).toSet
+    assert(buckets == Set("1111", "0000"), s"fixture bucket structure broke: $buckets")
+
+    // plan hygiene: the LSH path must be all keyed joins — a
+    // user×catalog grid would appear as a cartesian/nested-loop join
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"LSH candidate path contains a cartesian join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidate path contains a nested-loop join:\n$plan")
+  }
+
   test("fuseTopK normalizes each list by its OWN head score and sums") {
     val s = spark
     import s.implicits._
