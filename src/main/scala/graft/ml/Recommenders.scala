@@ -2,9 +2,10 @@ package graft.ml
 
 import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.param._
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.types.StructType
+import org.json4s._
 import graft.operators.{Content, Hybrid, Kernel, Recommender}
 
 /**
@@ -82,14 +83,32 @@ class KnnRecommender(override val uid: String)
     KnnRecommenderModel.OUT_SCHEMA
 }
 
-object KnnRecommenderModel {
+object KnnRecommenderModel extends MLReadable[KnnRecommenderModel] {
   private[ml] val OUT_SCHEMA: StructType =
     StructType.fromDDL("user_id LONG, item_id LONG, score DOUBLE, rk INT")
+
+  override def read: MLReader[KnnRecommenderModel] = new MLReader[KnnRecommenderModel] {
+    override def load(path: String): KnnRecommenderModel = {
+      val (_, uid, params, _) = GraftMLIO.readMeta(path)
+      val train = sparkSession.read.parquet(GraftMLIO.subPath(path, "train"))
+      val m = new KnnRecommenderModel(uid, train)
+      GraftMLIO.applyParams(m, params)
+      m
+    }
+  }
 }
 
 class KnnRecommenderModel private[ml] (override val uid: String,
                                        val train: DataFrame)
-    extends Model[KnnRecommenderModel] with KnnParams {
+    extends Model[KnnRecommenderModel] with KnnParams with MLWritable {
+
+  override def write: MLWriter = new MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      GraftMLIO.writeMeta(path, "graft.ml.KnnRecommenderModel", uid,
+        GraftMLIO.paramsJson(KnnRecommenderModel.this))
+      train.write.mode("overwrite").parquet(GraftMLIO.subPath(path, "train"))
+    }
+  }
 
   /** Dense cohort sims are a user-based concept (the item-side pair
     * table has no dense rebuild) — fail loudly instead of silently
@@ -163,8 +182,8 @@ class ContentKnnRecommender(override val uid: String)
 class ContentKnnRecommenderModel private[ml] (override val uid: String,
                                               val train: DataFrame,
                                               val features: DataFrame,
-                                              kNeighbors: Int, kItems: Int)
-    extends Model[ContentKnnRecommenderModel] {
+                                              val kNeighbors: Int, val kItems: Int)
+    extends Model[ContentKnnRecommenderModel] with MLWritable {
   override def transform(targets: Dataset[_]): DataFrame =
     Content.contentTopKFor(train, features, targets.toDF(), kNeighbors, kItems)
   override def copy(extra: ParamMap): ContentKnnRecommenderModel =
@@ -172,6 +191,31 @@ class ContentKnnRecommenderModel private[ml] (override val uid: String,
       kNeighbors, kItems), extra).setParent(parent)
   override def transformSchema(schema: StructType): StructType =
     KnnRecommenderModel.OUT_SCHEMA
+
+  override def write: MLWriter = new MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      GraftMLIO.writeMeta(path, "graft.ml.ContentKnnRecommenderModel", uid,
+        JObject(), JObject(List[JField](
+          "kNeighbors" -> JInt(kNeighbors), "kItems" -> JInt(kItems))))
+      train.write.mode("overwrite").parquet(GraftMLIO.subPath(path, "train"))
+      features.write.mode("overwrite").parquet(GraftMLIO.subPath(path, "features"))
+    }
+  }
+}
+
+object ContentKnnRecommenderModel extends MLReadable[ContentKnnRecommenderModel] {
+  override def read: MLReader[ContentKnnRecommenderModel] =
+    new MLReader[ContentKnnRecommenderModel] {
+      override def load(path: String): ContentKnnRecommenderModel = {
+        val (_, uid, _, meta) = GraftMLIO.readMeta(path)
+        val kn = (meta \ "kNeighbors").asInstanceOf[JInt].num.toInt
+        val ki = (meta \ "kItems").asInstanceOf[JInt].num.toInt
+        new ContentKnnRecommenderModel(uid,
+          sparkSession.read.parquet(GraftMLIO.subPath(path, "train")),
+          sparkSession.read.parquet(GraftMLIO.subPath(path, "features")),
+          kn, ki)
+      }
+    }
 }
 
 /** Hybrid fusion (R10): two child recommenders, head-normalized and
@@ -257,8 +301,16 @@ class AlsRecommender(override val uid: String)
 
 class AlsRecommenderModel private[ml] (override val uid: String,
     val alsModel: org.apache.spark.ml.recommendation.ALSModel)
-    extends Model[AlsRecommenderModel] with AlsParams {
+    extends Model[AlsRecommenderModel] with AlsParams with MLWritable {
   import org.apache.spark.sql.functions._
+
+  override def write: MLWriter = new MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      GraftMLIO.writeMeta(path, "graft.ml.AlsRecommenderModel", uid,
+        GraftMLIO.paramsJson(AlsRecommenderModel.this))
+      alsModel.write.overwrite().save(GraftMLIO.subPath(path, "als"))
+    }
+  }
 
   /** Top-k recommendations for the users in `targets` (a `user_id`
     * column) — `recommendForUserSubset` scores only the cohort. */
@@ -289,10 +341,25 @@ class AlsRecommenderModel private[ml] (override val uid: String,
     KnnRecommenderModel.OUT_SCHEMA
 }
 
+object AlsRecommenderModel extends MLReadable[AlsRecommenderModel] {
+  override def read: MLReader[AlsRecommenderModel] =
+    new MLReader[AlsRecommenderModel] {
+      override def load(path: String): AlsRecommenderModel = {
+        val (_, uid, params, _) = GraftMLIO.readMeta(path)
+        val als = org.apache.spark.ml.recommendation.ALSModel
+          .load(GraftMLIO.subPath(path, "als"))
+        val m = new AlsRecommenderModel(uid, als)
+        GraftMLIO.applyParams(m, params)
+        m
+      }
+    }
+}
+
 class HybridRecommenderModel private[ml] (override val uid: String,
                                           val childA: Model[_], val childB: Model[_],
-                                          wa: Double, wb: Double, kItems: Int)
-    extends Model[HybridRecommenderModel] {
+                                          val wa: Double, val wb: Double,
+                                          val kItems: Int)
+    extends Model[HybridRecommenderModel] with MLWritable {
   override def transform(targets: Dataset[_]): DataFrame =
     Hybrid.fuseTopK(childA.transform(targets), childB.transform(targets),
       wa, wb, kItems)
@@ -301,4 +368,36 @@ class HybridRecommenderModel private[ml] (override val uid: String,
       extra).setParent(parent)
   override def transformSchema(schema: StructType): StructType =
     KnnRecommenderModel.OUT_SCHEMA
+
+  override def write: MLWriter = new MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      def saveChild(c: Model[_], sub: String): Unit = c match {
+        case w: MLWritable => w.write.overwrite()
+          .save(GraftMLIO.subPath(path, sub))
+        case other => throw new IllegalArgumentException(
+          s"hybrid child ${other.getClass.getName} is not MLWritable")
+      }
+      GraftMLIO.writeMeta(path, "graft.ml.HybridRecommenderModel", uid,
+        JObject(), JObject(List[JField](
+          "wa" -> JDouble(wa), "wb" -> JDouble(wb), "kItems" -> JInt(kItems))))
+      saveChild(childA, "childA")
+      saveChild(childB, "childB")
+    }
+  }
+}
+
+object HybridRecommenderModel extends MLReadable[HybridRecommenderModel] {
+  override def read: MLReader[HybridRecommenderModel] =
+    new MLReader[HybridRecommenderModel] {
+      override def load(path: String): HybridRecommenderModel = {
+        val (_, uid, _, meta) = GraftMLIO.readMeta(path)
+        val wa = (meta \ "wa").asInstanceOf[JDouble].num
+        val wb = (meta \ "wb").asInstanceOf[JDouble].num
+        val ki = (meta \ "kItems").asInstanceOf[JInt].num.toInt
+        new HybridRecommenderModel(uid,
+          GraftMLIO.loadChild(GraftMLIO.subPath(path, "childA")),
+          GraftMLIO.loadChild(GraftMLIO.subPath(path, "childB")),
+          wa, wb, ki)
+      }
+    }
 }

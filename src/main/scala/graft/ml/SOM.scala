@@ -2,7 +2,7 @@ package graft.ml
 
 import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.param._
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
@@ -123,7 +123,20 @@ object SOM {
   * index (row-major neuron id) as the prediction column. */
 class SOMModel private[ml] (override val uid: String,
                             val weights: Array[Array[Double]])
-    extends Model[SOMModel] {
+    extends Model[SOMModel] with MLWritable {
+
+  /** The weight grid rides the metadata JSON itself (h·w·dim doubles
+    * — a few KB at any sane grid; jackson's double round-trip is
+    * exact), so a SOM save is one small file, no parquet job. */
+  override def write: MLWriter = new MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      import org.json4s._
+      GraftMLIO.writeMeta(path, "graft.ml.SOMModel", uid,
+        GraftMLIO.paramsJson(SOMModel.this),
+        JObject(List[JField]("weights" -> JArray(weights.toList.map(row =>
+          JArray(row.toList.map(JDouble(_): JValue)))))))
+    }
+  }
 
   final val featuresCol = new Param[String](this, "featuresCol", "array<double> input column")
   final val predictionCol = new Param[String](this, "predictionCol", "BMU output column")
@@ -138,4 +151,23 @@ class SOMModel private[ml] (override val uid: String,
     copyValues(new SOMModel(uid, weights), extra).setParent(parent)
   override def transformSchema(schema: StructType): StructType =
     StructType(schema.fields :+ StructField($(predictionCol), IntegerType, nullable = false))
+}
+
+object SOMModel extends MLReadable[SOMModel] {
+  override def read: MLReader[SOMModel] = new MLReader[SOMModel] {
+    override def load(path: String): SOMModel = {
+      import org.json4s._
+      val (_, uid, params, meta) = GraftMLIO.readMeta(path)
+      val weights = (meta \ "weights").asInstanceOf[JArray].arr.map { row =>
+        row.asInstanceOf[JArray].arr.map {
+          case JDouble(d) => d
+          case JInt(i) => i.toDouble
+          case other => throw new IllegalArgumentException(s"bad weight $other")
+        }.toArray
+      }.toArray
+      val m = new SOMModel(uid, weights)
+      GraftMLIO.applyParams(m, params)
+      m
+    }
+  }
 }
