@@ -83,7 +83,57 @@ object Evaluation {
     * counted (not only hit positions) — and recall guards the empty
     * relevant set as 0 (E2). Users in `recs` with NO relevant pairs
     * still average in, exactly like the reference's per-user loop. */
-  def rankingMetricsAt(recs: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+  def rankingMetricsAt(recs: DataFrame, relevant: DataFrame, k: Int): DataFrame =
+    rankingMetricsAt(recs, relevant, k, compatUnorderedAp = false)
+
+  /** [[rankingMetricsAt]] with the reference-parity seam (SURVEY §5
+    * risk 1): `compatUnorderedAp = true` replays the reference's AP
+    * EXACTLY AS SHIPPED — `_selected.take(i)` over an unordered
+    * `Set[Int]` (RankingMetrics.scala:49-53), so prefix order is the
+    * JVM's hash-set iteration order, not rank order. That is a latent
+    * bug the corrected default fixes, but bit-parity experiments
+    * against reference outputs need the shipped semantics. Precision
+    * and recall are pure set intersections — identical either way;
+    * only AP differs.
+    *
+    * Implementation note: hash-set iteration order is a JVM
+    * collection behavior, inexpressible in SQL — so compat mode runs
+    * a typed `Dataset.map` over per-user lists already bounded by k
+    * (recs) and the user's relevant set, mirroring the reference's
+    * own per-user loop (Main.scala:96-124). The default path stays
+    * pure codegen'd SQL. */
+  def rankingMetricsAt(recs: DataFrame, relevant: DataFrame, k: Int,
+                       compatUnorderedAp: Boolean): DataFrame = {
+    if (compatUnorderedAp) {
+      val spark = recs.sparkSession
+      import spark.implicits._
+      val rel = relevant.select(col("user_id").cast("long").as("user_id"),
+        col("item_id").cast("long").as("item_id")).distinct()
+      val sel = recs.select(col("user_id").cast("long").as("user_id"),
+          col("item_id").cast("long").as("item_id"), col("rk").cast("int").as("rk"))
+        .groupBy("user_id")
+        .agg(transform(array_sort(collect_list(struct(col("rk"), col("item_id")))),
+          s => s.getField("item_id")).as("sel_ranked"))
+      val relAgg = rel.groupBy("user_id").agg(collect_set(col("item_id")).as("rel_items"))
+      val per = sel.join(relAgg, Seq("user_id"), "left")
+        .select(col("user_id"), col("sel_ranked"),
+          coalesce(col("rel_items"), array().cast("array<bigint>")).as("rel_items"))
+        .as[(Long, Seq[Long], Seq[Long])]
+        .map { case (u, selRanked, relItems) =>
+          // the reference's exact collection types and calls
+          val selSet: Set[Int] = selRanked.map(_.toInt).toSet
+          val relSet: Set[Int] = relItems.map(_.toInt).toSet
+          val nHit = selSet.intersect(relSet).size
+          val ap = (1 to k).map(i =>
+            selSet.take(i).intersect(relSet).size.toDouble / i).sum / k
+          val rec = if (relSet.isEmpty) 0.0 else nHit.toDouble / relSet.size
+          (u, nHit.toDouble / k, rec, ap)
+        }
+        .toDF("user_id", "preck", "reck", "apk")
+      return per.agg(r4(avg(col("preck"))).as(s"avg_precision_at_$k"),
+        r4(avg(col("reck"))).as(s"avg_recall_at_$k"),
+        r4(avg(col("apk"))).as(s"map_at_$k"))
+    }
     val rel = relevant.select("user_id", "item_id").distinct()
     val nrel = rel.groupBy("user_id").agg(count(lit(1)).as("n_rel"))
     val hits = recs.select("user_id", "item_id", "rk")

@@ -36,6 +36,40 @@ class EvaluationSpec extends SparkSuite {
     assert(math.abs(m.getDouble(2) - wantMap) < 5e-5, s"map ${m.getDouble(2)}")
   }
 
+  test("compatUnorderedAp replays the reference's Set-order AP and diverges from the corrected ranked AP") {
+    val s = spark
+    import s.implicits._
+    // one user, items 1..10 recommended in rank order, only item 1
+    // relevant. The reference's _selected is a Set[Int]; Scala's
+    // 10-element HashSet iterates 5,10,1,6,9,2,7,3,8,4 — item 1 sits
+    // at SET position 3, not rank position 1. Pin the order first so
+    // a JVM/collection change fails here, not in the math.
+    val setOrder = (1 to 10).toSet.toList
+    assert(setOrder == List(5, 10, 1, 6, 9, 2, 7, 3, 8, 4),
+      s"HashSet iteration order changed: $setOrder")
+    val recs = (1 to 10).map(i => (7L, i.toLong, i)).toDF("user_id", "item_id", "rk")
+    val rel = Seq((7L, 1L)).toDF("user_id", "item_id")
+
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    // corrected (rank order): hit at rank 1 → Σ_{i=1..10} 1/i / 10
+    val correctedAp = r4((1 to 10).map(1.0 / _).sum / 10)
+    // reference formula BY HAND off the pinned set order: item 1 is
+    // the 3rd set element → prefixes of length ≥ 3 contain the hit
+    val compatAp = r4((3 to 10).map(1.0 / _).sum / 10)
+    assert(compatAp != correctedAp)
+
+    val corrected = graft.operators.Evaluation.rankingMetricsAt(recs, rel, 10).head()
+    val compat = graft.operators.Evaluation.rankingMetricsAt(recs, rel, 10,
+      compatUnorderedAp = true).head()
+    assert(corrected.getDouble(2) == correctedAp,
+      s"corrected AP ${corrected.getDouble(2)} != $correctedAp")
+    assert(compat.getDouble(2) == compatAp,
+      s"compat AP ${compat.getDouble(2)} != $compatAp")
+    // precision and recall are set intersections — identical either way
+    assert(compat.getDouble(0) == corrected.getDouble(0))
+    assert(compat.getDouble(1) == corrected.getDouble(1))
+  }
+
   test("q96 NDCG matches a hand-rolled model on sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.operators.Evaluation.queries("q96_ndcg")(spark, dir).head()
