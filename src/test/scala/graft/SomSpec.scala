@@ -62,5 +62,30 @@ class SomSpec extends SparkSuite {
     assert(recs.count() > 0)
     val seen = trans.select("user_id", "item_id").distinct()
     assert(recs.join(seen, Seq("user_id", "item_id")).count() == 0)
+
+    // SOM↔Lloyd parity through the SAME seam: the survey-sanctioned
+    // sparse-Lloyd default (q58's oracle-checked path) and the real
+    // batch SOM are interchangeable behind recommendFrom — identical
+    // output contract (schema, ≤5 per user, unseen-only already
+    // asserted above), and the SOM arm is deterministic: a full
+    // refit + re-transform reproduces every assignment and every
+    // recommendation bit-for-bit (seed-fixed init, single-action
+    // epochs — nothing in the pipeline depends on partitioning).
+    val lloydRecs = SparkEntry.queries("q58_seq_recommend")(spark, dir)
+    assert(recs.schema == lloydRecs.schema,
+      s"seam output contract drifted: ${recs.schema} vs ${lloydRecs.schema}")
+    val perUser = recs.groupBy("user_id").count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(perUser <= 5, s"more than 5 recs per user: $perUser")
+
+    val model2 = new SOM().setHeight(2).setWidth(4).setMaxIter(2).setSeed(42L)
+      .fit(feats)
+    val assigned2 = model2.transform(feats)
+      .select(col("t_id"), col("prediction").cast("long").as("cluster"))
+    assert(assigned.except(assigned2).isEmpty && assigned2.except(assigned).isEmpty,
+      "SOM assignments must be deterministic across refits")
+    val recs2 = SeqRecommender.recommendFrom(trans, assigned2)
+    assert(recs.except(recs2).isEmpty && recs2.except(recs).isEmpty,
+      "SOM-clustered recommendations must be deterministic across refits")
   }
 }
