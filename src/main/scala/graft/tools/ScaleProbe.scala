@@ -1,0 +1,124 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The honest test of the 100-TB scaling claims (round-4 verdict item
+ * 5): replicate the sf0.1 tables K× with consistent key strides into
+ * a synthetic sf≈1 dataset, run the heaviest queries against it, and
+ * compare seconds-per-SF against the sf0.1 medians.
+ *
+ * `build`: every entity key shifts by `copy · STRIDE` so the K copies
+ * are disjoint, internally consistent universes (orders still join
+ * their lineitems, ratings their features) — grouped work scales
+ * linearly by construction, which is exactly the property the probe
+ * verifies the PLANS preserve (a users×catalog grid or an unbucketed
+ * pair stage would go quadratic instead). STRIDE is a multiple of
+ * every cohort modulus in the suite (25/40/50/200), so `user_id % 50
+ * = 0`-style cohorts keep their population fraction in every copy.
+ *
+ * The probe set deliberately EXCLUDES the dedup/corpus family: key
+ * shifts cannot mutate document text, so replication makes every doc
+ * a 10-way near-duplicate of its clones and banded-LSH bucket work
+ * grows quadratically in the data itself — a property of the
+ * synthetic clone corpus, not of the plans (their per-bucket shapes
+ * are spec'd and oracle-checked separately).
+ *
+ * `run` emits one JSON line and writes scale_probe.json (the
+ * bench_results.json conventions).
+ */
+object ScaleProbe {
+
+  /** lcm-of-cohort-moduli × 60000 — far above every sf0.1 key. */
+  val STRIDE = 12000000L
+
+  /** Tables whose keys shift per copy (key columns listed); nation
+    * and region are true dimension domains and stay single-copy. */
+  val SHIFTS: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "events" -> Seq("user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  val PROBE_QUERIES: Seq[String] = Seq(
+    "q01_pricing_summary", "q16_user_knn_topk", "q17_item_knn_topk",
+    "q30_user_rating_predict", "q31_item_rating_predict", "q33_hybrid_topk",
+    "q59_user_knn_pearson", "q63_user_knn_euclidean", "q64_bm25",
+    "q76_pagerank", "q93_triangles", "q97_label_propagation",
+    "q32b_content_topk_lsh")
+
+  private def session(cpus: String): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+    .config("spark.cleaner.periodicGC.interval", "1min")
+    .getOrCreate()
+
+  def main(args: Array[String]): Unit = args(0) match {
+    case "build" => build(args(1), args(2), args(3).toInt)
+    case "run" => run(args(1), args(2).toInt,
+      if (args.length > 3) args.drop(3).toSeq else PROBE_QUERIES)
+  }
+
+  def build(src: String, out: String, copies: Int): Unit = {
+    val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+    spark.sparkContext.setLogLevel("WARN")
+    SHIFTS.foreach { case (t, keys) =>
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      val all = (0 until copies).map { c =>
+        keys.foldLeft(df)((d, k) =>
+          // keep the source column type — int keys stay int (9 copies
+          // × STRIDE tops out well under Int.MaxValue)
+          d.withColumn(k, (col(k) + lit(c * STRIDE)).cast(types(k))))
+      }.reduce(_ unionByName _)
+      all.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scale] $t: ${all.count()} rows (${copies}x)")
+    }
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    spark.stop()
+  }
+
+  def run(dir: String, repeats: Int, queries: Seq[String]): Unit = {
+    val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s((s.size - 1) / 2) }
+    val fns = queries.sorted.map(n => n -> graft.SparkEntry.queries(n))
+    val runs = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
+    for (r <- 1 to repeats) {
+      runs += fns.zipWithIndex.map { case ((name, fn), i) =>
+        if (i % 8 == 7) System.gc()
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(s"[scale] run $r $name ${f3(dt)}s")
+        name -> dt
+      }.toMap
+      val med = fns.map { case (n, _) => n -> median(runs.map(_(n)).toSeq) }
+      val qs = med.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      val runsJson = runs.map(run => fns.map { case (n, _) =>
+        "\"" + n + "\":" + f3(run(n)) }.mkString("{", ",", "}"))
+        .mkString("[", ",", "]")
+      val total = med.map(_._2).sum
+      val json = s"""{"metric":"scale_probe","unit":"sec","sf_dir":"$dir",""" +
+        s""""repeats_done":$r,"queries":$qs,"runs":$runsJson,"value":${f3(total)}}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("scale_probe.json"), json)
+      println(json)
+    }
+    spark.stop()
+  }
+}
