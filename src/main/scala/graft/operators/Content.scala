@@ -214,23 +214,12 @@ object Content {
       case CandidateSource.ExactGrid =>
         val users = rated.select(col("u")).distinct()
         unratedOnly(users.crossJoin(feats))
-      case CandidateSource.LshBuckets(bits, bands) =>
-        val sigs = signBands(features, bits, bands)
-        // buckets this user's RATED items occupy — keyed join, then
-        // distinct on (u, band, bucket): a user's probe set is bounded
-        // by |rated|·bands however big the catalog grows
-        val userBuckets = rated.select(col("u"), col("j"))
-          .join(sigs.select(col("item_id").as("j"), col("band_id"), col("bucket")),
-            Seq("j"))
-          .select(col("u"), col("band_id"), col("bucket")).distinct()
-        // co-occupants of those buckets — (band, bucket) keyed join
-        // against the catalog index; never users×catalog
-        val candIds = userBuckets
-          .join(sigs.select(col("item_id").as("i"), col("band_id"), col("bucket")),
-            Seq("band_id", "bucket"))
-          .select(col("u"), col("i")).distinct()
-        unratedOnly(candIds).join(feats, Seq("i"))
-          .select(col("u"), col("i"), col("vi"))
+      case _: CandidateSource.LshBuckets =>
+        // the LSH path generates candidates per distinct VECTOR and
+        // never materializes per-item (u, i, vi) rows — it lives
+        // whole inside contentTopKRestricted's scoring match
+        throw new IllegalArgumentException(
+          "LshBuckets candidates are generated per distinct vector inside contentTopKRestricted")
     }
   }
 
@@ -243,15 +232,60 @@ object Content {
       .select(col("user_id").as("u"), col("item_id").as("j"), col("rating").as("r_uj"))
       .join(features.select(col("item_id").as("j"), col("fv").as("vj")), Seq("j"))
 
-    val cand = candidates(ratings, features, rated, source)
-
-    // per-user candidate × rated grid, keyed on u — local to each block
-    val pairs = cand.join(rated, Seq("u"))
-      .filter(col("i") =!= col("j"))
-      .select(col("u"), col("i"), col("j"), k5FeatureSim(kernel).as("sim"), col("r_uj"))
-
-    val scored = neighborAgg(pairs, Seq("u", "i"), kNeighbors)
-      .select(col("u"), col("i"), r4(col("num") / col("den")).as("score"))
+    val scored = source match {
+      case CandidateSource.ExactGrid =>
+        val cand = candidates(ratings, features, rated, source)
+        // per-user candidate × rated grid, keyed on u — local to each block
+        val pairs = cand.join(rated, Seq("u"))
+          .filter(col("i") =!= col("j"))
+          .select(col("u"), col("i"), col("j"), k5FeatureSim(kernel).as("sim"), col("r_uj"))
+        neighborAgg(pairs, Seq("u", "i"), kNeighbors)
+          .select(col("u"), col("i"), r4(col("num") / col("den")).as("score"))
+      case CandidateSource.LshBuckets(bits, bands) =>
+        // The kernel depends on the candidate item only through its
+        // feature VECTOR, so this path generates candidates and
+        // scores per DISTINCT vector, fanning scores back to items at
+        // the end — provably identical output (bucket membership and
+        // the neighbor aggregate are functions of (u, vector) alone;
+        // a candidate is never its own neighbor since candidates end
+        // up unrated and neighbors rated). Kernel evals are capped at
+        // users × distinct-vectors: catalogs with repeated vectors
+        // (clone SKUs, flag-valued features) pay for the vector set,
+        // not the item count — the sf1 probe measured the per-item
+        // grid going ~3× superlinear on a 10× replicated catalog.
+        // Every shuffle below keys on COMPACT (u, v) ids — a naive
+        // per-vector form keyed on the raw double-array was 7× SLOWER
+        // than per-item (array hashing/compares on every exchange);
+        // the array only ever rides the small vector dim and the
+        // kernel-eval projection.
+        val feats = features.select(col("item_id").as("i"), col("fv"))
+        // distinct-vector dim: rep id = min item id sharing the vector
+        val vecs = feats.groupBy(col("fv")).agg(min(col("i")).as("v"))
+        val itemVec = feats.join(vecs, Seq("fv")).select(col("i"), col("v"))
+        val sigs = signBands(vecs.select(col("v").as("item_id"), col("fv")), bits, bands)
+          .select(col("item_id").as("v"), col("band_id"), col("bucket"))
+        // buckets this user's RATED vectors occupy — probe set bounded
+        // by |rated|·bands however big the catalog grows
+        val userBuckets = rated.select(col("u"), col("j"))
+          .join(itemVec.select(col("i").as("j"), col("v")), Seq("j"))
+          .join(sigs, Seq("v"))
+          .select(col("u"), col("band_id"), col("bucket")).distinct()
+        // co-occupant vectors of those buckets — (band, bucket) keyed
+        val candVecs = userBuckets.join(sigs, Seq("band_id", "bucket"))
+          .select(col("u"), col("v")).distinct()
+        val pairs = candVecs.join(vecs.select(col("v"), col("fv").as("vi")), Seq("v"))
+          .join(rated, Seq("u"))
+          .select(col("u"), col("v"), col("j"), k5FeatureSim(kernel).as("sim"), col("r_uj"))
+        val vecScores = neighborAgg(pairs, Seq("u", "v"), kNeighbors)
+          .select(col("u"), col("v"), r4(col("num") / col("den")).as("score"))
+        // fan back to items and drop rated ones — exactly the per-item
+        // candidate set: i unrated ∧ vec(i) shares a (band,bucket)
+        // with a vector the user rated
+        vecScores.join(itemVec, Seq("v"))
+          .join(ratings.select(col("user_id").as("u"), col("item_id").as("i")),
+            Seq("u", "i"), "left_anti")
+          .select(col("u"), col("i"), col("score"))
+    }
 
     val wTop = Window.partitionBy(col("u")).orderBy(col("score").desc, col("i").asc)
     scored.withColumn("rk", row_number().over(wTop))
