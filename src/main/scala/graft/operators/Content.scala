@@ -58,9 +58,14 @@ object Content {
       * band-bucket with anything the user rated is unreachable (it
       * would have scored near the bottom of the cosine ranking
       * anyway); more bands widen recall at the same per-bucket
-      * cost. */
+      * cost. `hyperplaneDims = Some(d)` swaps the coordinate-axis
+      * bits for seeded random-hyperplane projections over d-dim
+      * vectors ([[hyperplaneBands]]) — the geometry to widen when
+      * the vector set outgrows the 2^dims coordinate codebook, since
+      * hyperplane bits·bands is unbounded. */
     final case class LshBuckets(bits: Int = LSH_SIGN_BITS,
-                                bands: Int = LSH_SIGN_BANDS) extends CandidateSource
+                                bands: Int = LSH_SIGN_BANDS,
+                                hyperplaneDims: Option[Int] = None) extends CandidateSource
   }
 
   /** q49's banding geometry, reused as the content-path default:
@@ -199,6 +204,34 @@ object Content {
         col("band.bucket").as("bucket"))
   }
 
+  /** Charikar random-hyperplane sign bands — the codebook-widening
+    * path for catalogs whose VECTOR set outgrows the coordinate-axis
+    * geometry (which caps at 2^dims buckets total): band b bit i is
+    * sign(Σ_d h(b,i,d)·fv[d]) with h ∈ [-1,1) drawn from a
+    * fixed-seed PRNG. The coefficients are pure functions of literal
+    * (band, bit, dim) indices, so they are computed driver-side ONCE
+    * and baked into the plan as literals — the projection is plain
+    * codegen arithmetic, deterministic across runs, engines and
+    * cluster topologies (never rand() in the plan). bits·bands is
+    * unbounded: holding bucket occupancy flat as the catalog grows
+    * is a matter of widening `bits` by log2(growth). */
+  def hyperplaneBands(features: DataFrame, bits: Int, bands: Int,
+                      dims: Int, seed: Long = 42L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val coefs = Array.fill(bands, bits, dims)(rng.nextDouble() * 2 - 1)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        concat_ws("", (0 until bits).map { i =>
+          val proj = (0 until dims).map(d =>
+            lit(coefs(b)(i)(d)) * element_at(col("fv"), d + 1)).reduce(_ + _)
+          when(proj > 0, lit("1")).otherwise(lit("0"))
+        }: _*).as("bucket"))
+    }
+    features.select(col("item_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("item_id"), col("band.band_id").as("band_id"),
+        col("band.bucket").as("bucket"))
+  }
+
   /** Candidate (u, i) pairs for the user cohort inside `rated`,
     * according to `source` — the only stage whose cost model the seam
     * changes; scoring downstream is shared. Output columns:
@@ -241,7 +274,7 @@ object Content {
           .select(col("u"), col("i"), col("j"), k5FeatureSim(kernel).as("sim"), col("r_uj"))
         neighborAgg(pairs, Seq("u", "i"), kNeighbors)
           .select(col("u"), col("i"), r4(col("num") / col("den")).as("score"))
-      case CandidateSource.LshBuckets(bits, bands) =>
+      case CandidateSource.LshBuckets(bits, bands, hyperDims) =>
         // The kernel depends on the candidate item only through its
         // feature VECTOR, so this path generates candidates and
         // scores per DISTINCT vector, fanning scores back to items at
@@ -262,8 +295,11 @@ object Content {
         // distinct-vector dim: rep id = min item id sharing the vector
         val vecs = feats.groupBy(col("fv")).agg(min(col("i")).as("v"))
         val itemVec = feats.join(vecs, Seq("fv")).select(col("i"), col("v"))
-        val sigs = signBands(vecs.select(col("v").as("item_id"), col("fv")), bits, bands)
-          .select(col("item_id").as("v"), col("band_id"), col("bucket"))
+        val vecFeats = vecs.select(col("v").as("item_id"), col("fv"))
+        val sigs = (hyperDims match {
+          case Some(d) => hyperplaneBands(vecFeats, bits, bands, d)
+          case None    => signBands(vecFeats, bits, bands)
+        }).select(col("item_id").as("v"), col("band_id"), col("bucket"))
         // buckets this user's RATED vectors occupy — probe set bounded
         // by |rated|·bands however big the catalog grows
         val userBuckets = rated.select(col("u"), col("j"))

@@ -72,6 +72,57 @@ class ContentHybridSpec extends SparkSuite {
       s"LSH candidate path contains a nested-loop join:\n$plan")
   }
 
+  test("hyperplane band geometry: deterministic, negation-complement buckets, wider bits split buckets, recommender output stays score-exact") {
+    val s = spark
+    import s.implicits._
+    def vec(base: Double, itemId: Int): Seq[Double] =
+      (1 to 16).map(d => base * (1.0 + 0.1 * ((itemId * d) % 7)))
+    val aItems = (1 to 12).map(i => (i, vec(1.0, i)))
+    val bItems = (101 to 112).map(i => (i, vec(-1.0, i)))
+    val feats = (aItems ++ bItems).toDF("item_id", "fv")
+    val ratings = (for {
+      u <- 1 to 6
+      j <- 1 to 4
+    } yield (u, j, 1.0 + ((u * 7 + j) % 9) * 0.5)).toDF("user_id", "item_id", "rating")
+
+    // (a) deterministic: two independent plans, identical signatures
+    val sig1 = Content.hyperplaneBands(feats, 6, 4, 16).collect().map(_.toSeq).toSet
+    val sig2 = Content.hyperplaneBands(feats, 6, 4, 16).collect().map(_.toSeq).toSet
+    assert(sig1 == sig2 && sig1.nonEmpty)
+
+    // (b) a vector and its negation project to complementary signs —
+    // opposite-direction items can never share a bucket, whatever the
+    // seed drew (proj(-v) = -proj(v))
+    val sigs = Content.hyperplaneBands(feats, 6, 4, 16)
+    val shared = sigs.filter(col("item_id") <= 12).as("a")
+      .join(sigs.filter(col("item_id") >= 101).as("b"),
+        Seq("band_id", "bucket"))
+    assert(shared.count() == 0)
+
+    // (c) widening bits only ever splits buckets: total distinct
+    // (band, bucket) count is non-decreasing in bits — occupancy
+    // control as the catalog grows is exactly this knob
+    val occ = (bits: Int) => Content.hyperplaneBands(feats, bits, 4, 16)
+      .select("band_id", "bucket").distinct().count()
+    val counts = Seq(1, 3, 6).map(occ)
+    assert(counts == counts.sorted, s"bucket count not monotone in bits: $counts")
+
+    // (d) through the recommender seam: every recommendation the
+    // hyperplane path emits carries EXACTLY the exact-grid score for
+    // that (user, item) — candidate pruning may drop items (the LSH
+    // recall trade) but can never corrupt a score. kItems=24 on the
+    // exact side keeps every scored candidate, not just the top-5 cut
+    val hyper = Content.contentTopK(ratings, feats, lit(true), 8, 5,
+      source = Content.CandidateSource.LshBuckets(6, 4, hyperplaneDims = Some(16)))
+    assert(hyper.select("user_id").distinct().count() == 6)
+    val exactAll = Content.contentTopK(ratings, feats, lit(true), 8, 24)
+      .select("user_id", "item_id", "score")
+    val corrupted = hyper.select("user_id", "item_id", "score")
+      .join(exactAll, Seq("user_id", "item_id", "score"), "left_anti")
+    assert(corrupted.count() == 0,
+      s"hyperplane path emitted a (u,i,score) absent from the exact scoring: ${corrupted.collect().mkString}")
+  }
+
   test("fuseTopK normalizes each list by its OWN head score and sums") {
     val s = spark
     import s.implicits._
