@@ -25,9 +25,13 @@ import graft.functions.Rounding.{r4, r6}
  * a matrix. Candidate GENERATION sits behind [[CandidateSource]]:
  * the exact exhaustive grid is the default while the catalog is a
  * broadcastable dimension, and [[CandidateSource.LshBuckets]] swaps
- * in banded sign-bit bucket probing — all keyed joins, cost bounded
- * by bucket co-occupancy — for catalogs where users×catalog is the
- * scale-killer (q32b oracle-checks that path end to end).
+ * in banded sign-bit bucket probing for catalogs where users×catalog
+ * is the scale-killer (q32b oracle-checks that path end to end). The
+ * LSH path additionally generates and scores per distinct feature
+ * VECTOR on compact int rep ids — kernel work caps at users×|vector
+ * set| however large the item count grows (the sf1 probe's fix) —
+ * and [[hyperplaneBands]] widens the codebook past the 2^dims
+ * coordinate-axis ceiling when the vector set itself grows.
  */
 object Content {
 
@@ -232,10 +236,10 @@ object Content {
         col("band.bucket").as("bucket"))
   }
 
-  /** Candidate (u, i) pairs for the user cohort inside `rated`,
-    * according to `source` — the only stage whose cost model the seam
-    * changes; scoring downstream is shared. Output columns:
-    * (u, i, vi). */
+  /** Candidate (u, i, vi) rows for the user cohort inside `rated` —
+    * EXACT-GRID ONLY: the LSH path never materializes per-item
+    * candidates (it generates and scores per distinct vector inside
+    * [[contentTopKRestricted]]'s scoring match). */
   private def candidates(ratings: DataFrame, features: DataFrame,
                          rated: DataFrame,
                          source: CandidateSource): DataFrame = {
