@@ -20,7 +20,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default matches the driver contract (local[32]); a bare launch
+    // must never silently bench at low parallelism — a local[4] run
+    // reads as a uniform ~3× regression on every heavy query (three
+    // such series burned before this default changed from "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,8 +38,13 @@ object Bench {
       // a 48g heap sees almost no GC, so ContextCleaner never learns
       // that early queries' RDDs died — shuffle files from 100+
       // queries pile up on local disk and the late heavy joins go
-      // IO-bound. Aggressive periodic GC keeps the shuffle dir pruned.
-      .config("spark.cleaner.periodicGC.interval", "1min")
+      // IO-bound. But the cleaner's PERIODIC System.gc() fires on its
+      // own thread DURING query execution, so a full-collection pause
+      // over ~20 resident caches can land inside a timed query. The
+      // interval is set LONGER than a full repeat and all forced GCs
+      // happen in the UNTIMED gaps between queries (the every-6
+      // nudge below) — same cleanup, never charged to one query.
+      .config("spark.cleaner.periodicGC.interval", "30min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def esc(s: String): String =
@@ -53,10 +62,11 @@ object Bench {
     for (r <- 1 to repeats) {
       // sorted order: run-to-run comparability (Map hash order
       // reshuffles whenever a query is added, moving shared-cache
-      // build costs between queries); GC nudge every 8 queries lets
-      // ContextCleaner drop dead shuffle files promptly
+      // build costs between queries); GC nudge every 6 queries lets
+      // ContextCleaner drop dead shuffle files promptly — and because
+      // it runs BETWEEN queries, the pause is never charged to one
       val run = names.zipWithIndex.map { case ((name, fn), i) =>
-        if (i % 8 == 7) System.gc()
+        if (i % 6 == 5) System.gc()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }

@@ -59,7 +59,10 @@ object ScaleProbe {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.ui.enabled", "false")
-    .config("spark.cleaner.periodicGC.interval", "1min")
+    // longer than any probe pass: forced GCs happen between queries
+    // (see Bench — in-flight periodic GC pauses land inside the
+    // longest queries and corrupt their timings)
+    .config("spark.cleaner.periodicGC.interval", "30min")
     .getOrCreate()
 
   def main(args: Array[String]): Unit = args(0) match {
@@ -99,7 +102,7 @@ object ScaleProbe {
     val runs = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
     for (r <- 1 to repeats) {
       runs += fns.zipWithIndex.map { case ((name, fn), i) =>
-        if (i % 8 == 7) System.gc()
+        if (i % 6 == 5) System.gc()
         val t0 = System.nanoTime()
         fn(spark, dir).write.mode("overwrite").format("noop").save()
         val dt = (System.nanoTime() - t0) / 1e9
