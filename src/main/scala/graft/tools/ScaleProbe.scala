@@ -74,6 +74,12 @@ object ScaleProbe {
   def build(src: String, out: String, copies: Int): Unit = {
     val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     spark.sparkContext.setLogLevel("WARN")
+    try buildWith(spark, src, out, copies) finally spark.stop()
+  }
+
+  /** Session-borrowing core of `build` (the spec drives it on the
+    * shared test session, which must not be stopped). */
+  def buildWith(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
     SHIFTS.foreach { case (t, keys) =>
       val df = spark.read.parquet(s"$src/$t.parquet")
       val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -90,7 +96,6 @@ object ScaleProbe {
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
-    spark.stop()
   }
 
   def run(dir: String, repeats: Int, queries: Seq[String]): Unit = {

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.tools.ScaleProbe
+
+/** The sf1 linearity probe is only honest if the replica it builds
+  * really is K disjoint, internally consistent universes — these
+  * pin the invariants `ScaleProbe.build` claims (BASELINE.md §round-5)
+  * on a 3× replica of sf0.001. */
+class ScaleProbeSpec extends SparkSuite {
+
+  private val src = "/root/testdata/sf0.001"
+  private lazy val out = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale_spec").toString
+    ScaleProbe.buildWith(spark, src, dir, 3)
+    dir
+  }
+
+  test("every shifted table triples its rows and keeps its schema") {
+    for ((t, _) <- ScaleProbe.SHIFTS) {
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      val rep = spark.read.parquet(s"$out/$t.parquet")
+      assert(rep.count() == 3 * base.count(), s"$t row count")
+      assert(rep.schema == base.schema, s"$t schema drifted")
+    }
+  }
+
+  test("copies are key-disjoint: every key column's values split into 3 stride windows of equal size") {
+    for ((t, keys) <- ScaleProbe.SHIFTS; k <- keys) {
+      val rep = spark.read.parquet(s"$out/$t.parquet")
+      val perCopy = rep
+        .groupBy((col(k).cast("long") / lit(ScaleProbe.STRIDE)).cast("long").as("copy"))
+        .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(perCopy.keySet == Set(0L, 1L, 2L), s"$t.$k copies: ${perCopy.keySet}")
+      assert(perCopy.values.toSet.size == 1, s"$t.$k unequal copy sizes: $perCopy")
+    }
+  }
+
+  test("universes stay internally consistent: the ratings view has zero cross-copy joins and exactly 3x the pairs") {
+    val base = graft.sources.Tables.ratings(spark, src)
+    val rep = graft.sources.Tables.ratings(spark, out)
+    assert(rep.count() == 3 * base.count(), "ratings pair count")
+    // a lineitem joining an order from another copy would put user and
+    // item in different stride windows somewhere; prove it can't by
+    // joining each replica pair back to its source-universe twin
+    val folded = rep.select(
+      (col("user_id") % ScaleProbe.STRIDE).as("user_id"),
+      (col("item_id") % ScaleProbe.STRIDE).as("item_id"),
+      col("rating"))
+    assert(folded.except(base).isEmpty && base.except(folded.distinct()).isEmpty,
+      "folded replica ratings diverge from the source universe")
+  }
+
+  test("cohort fractions survive replication (STRIDE divides every cohort modulus)") {
+    for (m <- Seq(25, 40, 50, 200)) {
+      assert(ScaleProbe.STRIDE % m == 0, s"STRIDE not a multiple of $m")
+      val base = spark.read.parquet(s"$src/customer.parquet")
+        .filter(col("c_custkey") % m === 0).count()
+      val rep = spark.read.parquet(s"$out/customer.parquet")
+        .filter(col("c_custkey") % m === 0).count()
+      assert(rep == 3 * base, s"cohort %$m fraction drifted: $base -> $rep")
+    }
+  }
+}
