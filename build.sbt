@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to stdout, not through sbt's logger:
+// the driver's bench capture parses the tail of stdout for the final
+// JSON line, and the logger's "[info] " prefix breaks any
+// line-starts-with-'{' heuristic (BENCH_r05 "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -56,7 +56,12 @@ object Bench {
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted; s((s.size - 1) / 2)
     }
+    // SPARK_GRAFT_BENCH_ONLY=q59_…,q63_… — local probing aid; the
+    // driver's full-suite runs leave it unset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val runs = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
     for (r <- 1 to repeats) {
@@ -97,21 +102,25 @@ object Bench {
         s""""queries":$qs,"runs":$runsJson,"errors":$errJson,"value":${f3(total)}}"""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_results.json"), fileJson)
-      // "value" deliberately LAST: the driver keeps only the tail
-      // bytes of sbt output, so trailing keys survive truncation
-      // (JSON key order is semantically free)
-      println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","runs_done":$r,"value":${f3(total)}}""")
-      // the driver's capture is the LAST 2000 chars of output — a
-      // 107-entry map (~2.7 KB) cannot fit, so the line above is for
-      // full logs/humans only. The FINAL line is a compact one that
-      // fits the window whole and therefore parses: the 20 slowest
-      // medians (the perf-graded ones), counts, and the pointer to
-      // the complete committed artifact.
+      // per-repeat detail goes to STDERR: stdout must stay clean so
+      // the driver's 2000-char tail capture holds exactly one JSON
+      // line (the compact one below) with no partial-line garbage
+      // ahead of it — a truncated 2.7 KB full-map line on stdout is
+      // what made BENCH_r04/r05 unparseable. Humans and full logs
+      // still see every repeat via stderr; bench_results.json is the
+      // crash-insurance artifact.
+      Console.err.println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","runs_done":$r,"value":${f3(total)}}""")
+      // the FINAL (and only) stdout line: compact enough to fit the
+      // capture window whole — the 20 slowest medians (the
+      // perf-graded ones), counts, an explicit failure signal
+      // (n_errors: a crashed query must not read as a fast total),
+      // and the pointer to the complete committed artifact.
       if (r == repeats) {
         val slow = med.filter(_._2 >= 0).sortBy(-_._2).take(20)
         val sq = slow.map { case (k, v) => "\"" + k + "\":" + f3(v) }
           .mkString("{", ",", "}")
-        println(s"""{"metric":"total","unit":"sec","sf":"${esc(sfDir)}","n_queries":${names.size},"repeats":$repeats,"queries_file":"bench_results.json","queries":$sq,"value":${f3(total)}}""")
+        println(s"""{"metric":"total","unit":"sec","sf":"${esc(sfDir)}","n_queries":${names.size},"repeats":$repeats,"n_errors":${errors.size},"queries_file":"bench_results.json","queries":$sq,"value":${f3(total)}}""")
+        Console.out.flush()
       }
     }
     spark.stop()

@@ -474,17 +474,29 @@ object Recommender {
       case _ =>
         moments.select(col("user_id").as("v"), lit(0.0).as("t"))
     }
-    def maxBlocked(m: Int): Int = {
-      val prefix = scalars.orderBy(col("t").asc_nulls_last, col("v").asc).limit(m)
+    val spark = r.sparkSession
+    // one collected prefix serves the blocked-count probe (as a
+    // LocalRelation broadcast) AND the threshold lookup — no re-sorts
+    def takePrefix(m: Int): Array[(Long, Double)] =
+      scalars.orderBy(col("t").asc_nulls_last, col("v").asc).limit(m)
+        .collect().map(row => (row.get(0) match {
+          case i: Int => i.toLong
+          case l: Long => l
+          case x => x.toString.toLong
+        }, row.getDouble(1)))
+    def maxBlocked(prefix: Array[(Long, Double)]): Int = {
+      import spark.implicits._
+      val ids = spark.createDataset(prefix.map(_._1).toSeq).toDF("vid")
       val row = dots
-        .join(broadcast(prefix.select(col("v"))), Seq("v"), "left_semi")
+        .join(broadcast(ids), col("v").cast("long") === col("vid"), "left_semi")
         .groupBy(col("u")).agg(count(lit(1)).as("b"))
         .agg(max(col("b"))).collect()(0)
       if (row.isNullAt(0)) 0 else row.getLong(0).toInt
     }
     var m = k + 512
-    var cut = k + maxBlocked(m) + 1
-    if (cut > m) {
+    var prefix = takePrefix(m)
+    var cut = k + maxBlocked(prefix) + 1
+    if (cut > m && prefix.length == m) {
       // jump straight past the worst cohort co-rating degree — the
       // fixed point of the escalation, so one re-probe suffices
       val degMax = dots.groupBy(col("u")).agg(count(lit(1)).as("b"))
@@ -493,15 +505,20 @@ object Recommender {
         case _ => 0
       }
       m = k + degMax + 1
-      cut = k + maxBlocked(m) + 1
+      prefix = takePrefix(m)
+      cut = k + maxBlocked(prefix) + 1
     }
     kernel match {
+      case _ if cut > prefix.length =>
+        // the whole user universe fits inside the cut — no pruning
+        scalars.select(col("v"))
       case Kernel.Cosine | Kernel.Jaccard =>
+        // all non-co-rated sims are EXACTLY equal; ties resolve by
+        // v asc, so the first `cut` ids by (t, v) are the candidates
         scalars.orderBy(col("t").asc_nulls_last, col("v").asc).limit(cut)
           .select(col("v"))
       case _ =>
-        val tCut = scalars.orderBy(col("t").asc_nulls_last, col("v").asc)
-          .limit(cut).agg(max(col("t"))).collect()(0).getDouble(0)
+        val tCut = prefix(cut - 1)._2
         val delta = kernel match {
           case Kernel.Pearson =>
             val tMin = scalars
@@ -510,11 +527,14 @@ object Recommender {
             val cMin = bigN * tMin
             if (cMin > 0) 2e-6 / cMin else Double.PositiveInfinity
           case _ =>
-            val qAll = moments.agg(max(col("q").cast("double"))).collect()(0).getDouble(0)
-            val qCoh = moments
-              .join(broadcast(cohortU.select(col("u").as("user_id"))), Seq("user_id"), "left_semi")
-              .agg(max(col("q").cast("double"))).collect()(0).getDouble(0)
-            val q0 = qAll + qCoh
+            val flagged = moments.join(
+              broadcast(cohortU.select(col("u").as("user_id"), lit(1).as("in_c"))),
+              Seq("user_id"), "left")
+            val row = flagged.agg(
+              max(col("q").cast("double")).as("q_all"),
+              max(when(col("in_c") === 1, col("q").cast("double"))).as("q_coh"))
+              .collect()(0)
+            val q0 = row.getDouble(0) + row.getDouble(1)
             4e-6 * math.sqrt(q0) * (1.0 + math.sqrt(q0)) * (1.0 + math.sqrt(q0))
         }
         val threshold = tCut + delta
