@@ -710,11 +710,13 @@ object Recommender {
   }
 
   /** q17's DIMSUM twin — the documented 100-TB path run as an actual
-    * query: magnitude-pruned sampled similarities
-    * ([[itemSimsDimsum]], threshold 0.3) slot into the same cohort
-    * pipeline through `simsSource`. Approximate (sampling), so
-    * shape-gated like q05b — no SQL oracle, rows-only check; the
-    * threshold-0 exactness is spec-proven in RecommenderSpec. */
+    * query, now FULLY hash-checked (the last `no_oracle`, closed): the
+    * deterministic sampled similarities ([[itemSimsDimsum]], threshold
+    * 0.3) drive the same cohort pipeline through `simsSource`, and
+    * because the sampling is a pure function of (user, item, salt) the
+    * DuckDB oracle replays the draws, the scaled estimator and the
+    * scoring end to end — rows, schema AND hashes must match, no
+    * tolerance verdict needed. */
   private def q17b(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Rounding.{r6 => rr6}
     val r = Tables.ratingsCached(spark, dir)
@@ -828,32 +830,65 @@ object Recommender {
   }
 
   /** The 100-TB similarity path SURVEY §2.9 K1 names: DIMSUM sampling
-    * (`RowMatrix.columnSimilarities(threshold)`) over the user×item
-    * interaction matrix — probabilistic magnitude pruning that bounds
-    * shuffle size independently of the co-rating fan-out, where the
-    * exact self-join pair-dot (userKnnTopK/itemKnnTopK) grows with
-    * Σ n_k². Exact when threshold = 0; with threshold > 0 each pair is
-    * sampled ∝ 1/(‖cᵢ‖‖cⱼ‖), preserving high-similarity pairs.
-    * Returns (i, j, sim) with i < j. Library surface — approximate
-    * results can't hash-match a SQL oracle; spec-checked against the
-    * exact kernel instead. */
+    * (Zadeh & Goel's magnitude-proportional row sampling) over the
+    * user×item interaction matrix — probabilistic magnitude pruning
+    * that bounds shuffle size independently of the co-rating fan-out,
+    * where the exact self-join pair-dot (userKnnTopK/itemKnnTopK)
+    * grows with Σ n_k².
+    *
+    * Rebuilt round 6 as a DETERMINISTIC DataFrame pipeline (the
+    * repo-wide hash-sampling discipline, never rand()) replacing
+    * mllib's `RowMatrix.columnSimilarities`: (a) the mllib estimator
+    * bypassed CacheManager plan-dedup via a raw-RDD groupBy (the r5
+    * q17b regression) and its draws change with partitioning, so the
+    * query it feeds could never be oracle-checked; (b) measured at
+    * threshold 0.3 on sf0.001 it emitted estimates up to 19.3 against
+    * true cosines ≤ 0.5 — unusable even under a tolerance contract.
+    * Here each rating row (u, i) keeps with probability
+    * p_i = min(1, sg/‖c_i‖) decided by an integer compare of
+    * [[Dedup.baseHash]](u:i:dimsum) against floor(p_i·2²⁸ + 0.5) —
+    * exactly replayable in DuckDB SQL — and the pair estimate is
+    * Σ_kept r_i·r_j / (min(sg,‖c_i‖)·min(sg,‖c_j‖)), the unbiased
+    * per-entry DIMSUM estimator (E = cosine: the 1/q² scaling cancels
+    * the p_i·p_j keep probability for oversampled columns and reduces
+    * to the exact cosine for small ones). sg = √(10·ln(nItems)/θ)
+    * quantized to 6 dp so both engines share the literal; norms come
+    * from exact integer ten-thousandths sums (order-independent).
+    * θ < 1e-6 disables sampling: the output IS the exact cosine.
+    * Returns (i, j, sim) with i < j, sim unrounded (seams round r6). */
   def itemSimsDimsum(ratings: DataFrame, threshold: Double): DataFrame = {
-    import org.apache.spark.mllib.linalg.Vectors
-    import org.apache.spark.mllib.linalg.distributed.RowMatrix
-    val spark = ratings.sparkSession
-    import spark.implicits._
-    val nItems = ratings
-      .agg(max(col("item_id")).cast("int")).collect()(0).getInt(0) + 1
-    val rows = ratings
-      .select(col("user_id").cast("long"), col("item_id").cast("int"),
-        col("rating").cast("double"))
-      .as[(Long, Int, Double)].rdd
-      .groupBy(_._1)
-      .map { case (_, cells) =>
-        Vectors.sparse(nItems, cells.map(c => (c._2, c._3)).toSeq)
+    val sgQ: Double =
+      if (threshold < 1e-6) Double.PositiveInfinity
+      else {
+        val nItems = ratings.agg(countDistinct(col("item_id")))
+          .collect()(0).getLong(0).toDouble
+        math.floor(math.sqrt(10.0 * math.log(nItems) / threshold) * 1e6 + 0.5) / 1e6
       }
-    val sims = new RowMatrix(rows).columnSimilarities(threshold)
-    sims.entries.map(e => (e.i, e.j, e.value)).toDF("i", "j", "sim")
+    // exact integer ten-thousandths norm: Σ n² is order-independent,
+    // so ‖c‖ is ONE ieee expression over one exact long on both engines
+    val n4 = floor(col("rating") * 1e4 + 0.5).cast("long")
+    val norms = ratings
+      .groupBy(col("item_id"))
+      .agg(sum(n4 * n4).as("s2"))
+      .select(col("item_id"),
+        sqrt(col("s2").cast("double") / 1e8).as("cnorm"))
+    val withP = ratings.join(broadcast(norms), Seq("item_id"))
+      .withColumn("p_q", floor(least(lit(1.0), lit(sgQ) / col("cnorm"))
+        * lit(268435456.0) + 0.5).cast("long"))
+    val kept = withP.filter(
+      Dedup.baseHash(concat_ws(":", col("user_id"), col("item_id"),
+        lit("dimsum"))) < col("p_q"))
+    val a = kept.select(col("user_id"), col("item_id").as("i"), col("rating").as("ra"))
+    val b = kept.select(col("user_id"), col("item_id").as("j"), col("rating").as("rb"))
+    a.join(b, Seq("user_id"))
+      .filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("ra") * col("rb")).as("dot"))
+      .join(broadcast(norms.select(col("item_id").as("i"), col("cnorm").as("ca"))), Seq("i"))
+      .join(broadcast(norms.select(col("item_id").as("j"), col("cnorm").as("cb"))), Seq("j"))
+      .select(col("i"), col("j"),
+        (col("dot") / (least(lit(sgQ), col("ca")) * least(lit(sgQ), col("cb"))))
+          .as("sim"))
   }
 
   /** R1/R11/A2: the explicit per-user sparse profile build — the

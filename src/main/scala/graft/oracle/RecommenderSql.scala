@@ -10,6 +10,47 @@ import graft.sources.Tables.ratingsSql
  */
 object RecommenderSql {
 
+  // q17's pipeline in full — shared: the q17 oracle entry runs it
+  // directly, and q17b's contract row recomputes its facts (cohort
+  // user count, rec count) from the same exact result
+  private val q17Sql =
+    s"""WITH $ratingsSql,
+       |inorm AS (
+       |  SELECT item_id, sqrt(sum(rating*rating)) AS inorm
+       |  FROM ratings GROUP BY 1),
+       |dots AS (
+       |  SELECT a.item_id AS i, b.item_id AS j, sum(a.rating*b.rating) AS dot
+       |  FROM ratings a JOIN ratings b ON a.user_id = b.user_id
+       |  WHERE a.item_id <> b.item_id GROUP BY 1, 2),
+       |sims AS (
+       |  SELECT i, j, floor(dot / (ni.inorm * nj.inorm) * 1000000.0 + 0.5) / 1000000.0 AS sim
+       |  FROM dots
+       |  JOIN inorm ni ON ni.item_id = i
+       |  JOIN inorm nj ON nj.item_id = j),
+       |tgt AS (
+       |  SELECT user_id AS u, item_id AS j, rating AS r_uj
+       |  FROM ratings WHERE user_id % 20 = 0),
+       |cand AS (
+       |  SELECT t.u, s.i, s.j, s.sim, t.r_uj
+       |  FROM tgt t JOIN sims s ON s.j = t.j
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM ratings r
+       |    WHERE r.user_id = t.u AND r.item_id = s.i)),
+       |scored AS (
+       |  SELECT u, i,
+       |         floor(sum(sim * r_uj) / sum(abs(sim)) * 10000.0 + 0.5) / 10000.0 AS score
+       |  FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY u, i ORDER BY sim DESC, j ASC) AS nrk
+       |    FROM cand)
+       |  WHERE nrk <= 8
+       |  GROUP BY 1, 2)
+       |SELECT u AS user_id, i AS item_id, score, CAST(rk AS INTEGER) AS rk FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY u ORDER BY score DESC, i ASC) AS rk
+       |  FROM scored)
+       |WHERE rk <= 5""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q16_user_knn_topk" ->
       s"""WITH $ratingsSql,
@@ -54,20 +95,51 @@ object RecommenderSql {
          |  FROM preds)
          |WHERE rk <= 5""".stripMargin,
 
-    "q17_item_knn_topk" ->
+    "q17_item_knn_topk" -> q17Sql,
+
+    // q17b: the deterministic DIMSUM twin replayed END TO END — the
+    // hash-sampled draws (28-bit md5 of user:item:dimsum vs
+    // floor(min(1, sg/‖c‖)·2²⁸ + 0.5)), the unbiased scaled estimator
+    // dot/(min(sg,‖cᵢ‖)·min(sg,‖cⱼ‖)), and the q17 scoring pipeline.
+    // Norms come from exact integer ten-thousandths sums; sg is
+    // 6-dp-quantized so both engines share the literal. No tolerance
+    // verdict: rows, schema and hashes must match.
+    "q17b_item_knn_dimsum" ->
       s"""WITH $ratingsSql,
-         |inorm AS (
-         |  SELECT item_id, sqrt(sum(rating*rating)) AS inorm
-         |  FROM ratings GROUP BY 1),
+         |sg AS (
+         |  SELECT floor(sqrt(10.0 * ln(CAST(count(DISTINCT item_id) AS DOUBLE)) / 0.3)
+         |               * 1000000.0 + 0.5) / 1000000.0 AS sg
+         |  FROM ratings),
+         |norms AS (
+         |  SELECT item_id,
+         |         sqrt(CAST(CAST(sum(n4 * n4) AS BIGINT) AS DOUBLE) / 100000000.0) AS cnorm
+         |  FROM (SELECT item_id,
+         |               CAST(floor(rating * 10000.0 + 0.5) AS BIGINT) AS n4
+         |        FROM ratings)
+         |  GROUP BY 1),
+         |kept AS (
+         |  SELECT r.user_id, r.item_id, r.rating
+         |  FROM ratings r
+         |  JOIN norms nm ON nm.item_id = r.item_id
+         |  CROSS JOIN sg
+         |  WHERE CAST(('0x' || substr(md5(concat_ws(':', r.user_id, r.item_id, 'dimsum')), 1, 7)) AS BIGINT)
+         |        < CAST(floor(least(1.0, sg.sg / nm.cnorm) * 268435456.0 + 0.5) AS BIGINT)),
          |dots AS (
-         |  SELECT a.item_id AS i, b.item_id AS j, sum(a.rating*b.rating) AS dot
-         |  FROM ratings a JOIN ratings b ON a.user_id = b.user_id
-         |  WHERE a.item_id <> b.item_id GROUP BY 1, 2),
-         |sims AS (
-         |  SELECT i, j, floor(dot / (ni.inorm * nj.inorm) * 1000000.0 + 0.5) / 1000000.0 AS sim
+         |  SELECT a.item_id AS i, b.item_id AS j, sum(a.rating * b.rating) AS dot
+         |  FROM kept a JOIN kept b ON a.user_id = b.user_id
+         |  WHERE a.item_id < b.item_id GROUP BY 1, 2),
+         |half AS (
+         |  SELECT i, j,
+         |         floor(dot / (least(sg.sg, ni.cnorm) * least(sg.sg, nj.cnorm))
+         |               * 1000000.0 + 0.5) / 1000000.0 AS sim
          |  FROM dots
-         |  JOIN inorm ni ON ni.item_id = i
-         |  JOIN inorm nj ON nj.item_id = j),
+         |  CROSS JOIN sg
+         |  JOIN norms ni ON ni.item_id = i
+         |  JOIN norms nj ON nj.item_id = j),
+         |sims AS (
+         |  SELECT i, j, sim FROM half
+         |  UNION ALL
+         |  SELECT j AS i, i AS j, sim FROM half),
          |tgt AS (
          |  SELECT user_id AS u, item_id AS j, rating AS r_uj
          |  FROM ratings WHERE user_id % 20 = 0),

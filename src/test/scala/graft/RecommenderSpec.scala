@@ -56,12 +56,12 @@ class RecommenderSpec extends SparkSuite {
       .groupBy(col("a.item_id").as("i"), col("b.item_id").as("j"))
       .agg(org.apache.spark.sql.functions.sum(
         col("a.rating") * col("b.rating")).as("dot"))
-      .collect().map(r => ((r.getInt(0).toLong, r.getInt(1).toLong), r.getDouble(2))).toMap
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
     val norms = tiny.groupBy("item_id")
       .agg(org.apache.spark.sql.functions.sum(col("rating") * col("rating")).as("nsq"))
-      .collect().map(r => (r.getInt(0).toLong, math.sqrt(r.getDouble(1)))).toMap
+      .collect().map(r => (r.getInt(0), math.sqrt(r.getDouble(1)))).toMap
     val got = Recommender.itemSimsDimsum(tiny, threshold = 0.0)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
     assert(got.keySet == exact.keySet)
     got.foreach { case (k, sim) =>
       val want = exact(k) / (norms(k._1) * norms(k._2))
@@ -143,6 +143,41 @@ class RecommenderSpec extends SparkSuite {
     assert(math.abs(sim(Some(4L)) - 7.0 / 11.0) < 1e-6)
   }
 
+  test("itemSimsDimsum sampling is deterministic across partitionings") {
+    // threshold 0.9 → sg ≈ 3.92 < the fixture's big item norms, so
+    // the hash draws genuinely fire; md5(user:item:salt) is a pure
+    // function of values, so layout must not change a single pair
+    def sims(df: org.apache.spark.sql.DataFrame) =
+      Recommender.itemSimsDimsum(df, threshold = 0.9)
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val base = sims(tiny)
+    val shuffled = sims(tiny.repartition(7))
+    assert(base == shuffled, "draws changed with partitioning")
+    assert(base.nonEmpty)
+  }
+
+  test("itemSimsDimsum: pairs of small-norm columns stay EXACT under sampling") {
+    // DIMSUM only thins oversampled (high-norm) columns: when both
+    // norms ≤ sg, p = 1 and q = ‖c‖, so the estimator reduces to the
+    // exact cosine — the property that makes threshold a pure
+    // scale/accuracy dial rather than a semantics change. θ = 0.45 →
+    // sg ≈ 5.55 puts items 3 (norm 5) and 4 (norm 1) both below it.
+    val sg = math.floor(math.sqrt(10.0 * math.log(4.0) / 0.45) * 1e6 + 0.5) / 1e6
+    val norms = tiny.groupBy("item_id")
+      .agg(org.apache.spark.sql.functions.sum(col("rating") * col("rating")).as("nsq"))
+      .collect().map(r => (r.getInt(0), math.sqrt(r.getDouble(1)))).toMap
+    val exact = Recommender.itemSims(tiny)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val got = Recommender.itemSimsDimsum(tiny, threshold = 0.45)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+    val smallPairs = got.filter { case ((i, j), _) =>
+      norms(i) <= sg && norms(j) <= sg }
+    assert(smallPairs.nonEmpty, "fixture must contain a small-norm pair")
+    smallPairs.foreach { case ((i, j), sim) =>
+      assert(math.abs(sim - exact((i, j))) < 2e-6, s"($i,$j): $sim")
+    }
+  }
+
   test("itemKnnTopK accepts an external sims source (DIMSUM slot-in)") {
     import graft.functions.Rounding.r6
     // rounded to the same 6 dp the internal kernel uses, threshold-0
@@ -154,12 +189,12 @@ class RecommenderSpec extends SparkSuite {
         simsSource = Some(dimsum))
       .orderBy("user_id", "rk")
       .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
       .toSeq
     val want = Seq(
-      (1, 3L, 3.8022, 1), (1, 4L, 3.0, 2),
-      (2, 4L, 2.8504, 1),
-      (3, 1L, 4.0766, 1))
+      (1, 3, 3.8022, 1), (1, 4, 3.0, 2),
+      (2, 4, 2.8504, 1),
+      (3, 1, 4.0766, 1))
     assert(got == want)
   }
 
