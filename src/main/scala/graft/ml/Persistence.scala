@@ -104,6 +104,12 @@ private[ml] object GraftMLIO {
       case "graft.ml.ContentKnnRecommenderModel" => ContentKnnRecommenderModel.load(path)
       case "graft.ml.AlsRecommenderModel" => AlsRecommenderModel.load(path)
       case "graft.ml.SOMModel" => SOMModel.load(path)
+      case "graft.ml.SequentialRecommenderModel" =>
+        SequentialRecommenderModel.load(path)
+      // a nested hybrid (hybrid-of-hybrids) saves fine — its write path
+      // only requires MLWritable children — so the loader must accept it
+      // too, or the asymmetry surfaces as a post-write load failure
+      case "graft.ml.HybridRecommenderModel" => HybridRecommenderModel.load(path)
       case other => throw new IllegalArgumentException(
         s"unknown child model class $other at $path")
     }

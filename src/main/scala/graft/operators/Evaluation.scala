@@ -120,7 +120,14 @@ object Evaluation {
           coalesce(col("rel_items"), array().cast("array<bigint>")).as("rel_items"))
         .as[(Long, Seq[Long], Seq[Long])]
         .map { case (u, selRanked, relItems) =>
-          // the reference's exact collection types and calls
+          // the reference's exact collection types and calls. Compat
+          // mode replays Scala's Set[Int] hash-iteration order, so ids
+          // MUST narrow losslessly (a truncated id would silently
+          // collide) — and the replayed order is a Scala/JVM collections
+          // detail: a stdlib change flips EvaluationSpec's pin, which is
+          // the intended loud signal, not something to adapt around.
+          (selRanked.iterator ++ relItems.iterator).foreach(id => require(
+            id.isValidInt, s"compatUnorderedAp requires int-sized ids, got $id"))
           val selSet: Set[Int] = selRanked.map(_.toInt).toSet
           val relSet: Set[Int] = relItems.map(_.toInt).toSet
           val nHit = selSet.intersect(relSet).size

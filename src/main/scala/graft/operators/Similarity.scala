@@ -281,25 +281,31 @@ object Similarity {
     * (m, cell) + one keyed sum per (query, vec). The exact baseline
     * is the audit side of the contract, priced like q22. */
   private def q99(spark: SparkSession, dir: String): DataFrame = {
+    // cache scope: the recall audit reads e four times (train, codes,
+    // queries, exact baseline); unpersist before returning so repeated
+    // bench runs don't stack a new residency per repeat
     val e = emb(spark, dir).cache()
-    val cents = pqTrain(e)
-    val codes = pqCodes(e, cents)
-    val qPred = col("vec_id") % 25 === 0
-    val pq = pqTopK(e, codes, cents, qPred, TOP_K)
-      .select(col("q_id"), col("n_id"))
-    val q = e.filter(qPred).select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id").asc)
-    val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        sqDistArr(col("qv"), col("v")).as("d2"))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") <= TOP_K)
-      .select(col("q_id"), col("n_id"))
-    val hits = exact.join(pq, Seq("q_id", "n_id")).count()
-    val nq = q.count()
-    val recall = hits.toDouble / (nq * TOP_K)
-    import spark.implicits._
-    Seq((nq, e.count(), TOP_K, if (recall >= PQ_RECALL_FLOOR) 1 else 0))
-      .toDF("n_queries", "n_corpus", "k", "recall_ok")
+    try {
+      val cents = pqTrain(e)
+      val codes = pqCodes(e, cents)
+      val qPred = col("vec_id") % 25 === 0
+      val pq = pqTopK(e, codes, cents, qPred, TOP_K)
+        .select(col("q_id"), col("n_id"))
+      val q = e.filter(qPred).select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id").asc)
+      val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          sqDistArr(col("qv"), col("v")).as("d2"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= TOP_K)
+        .select(col("q_id"), col("n_id"))
+      val hits = exact.join(pq, Seq("q_id", "n_id")).count()
+      val nq = q.count()
+      val nCorpus = e.count()
+      val recall = hits.toDouble / (nq * TOP_K)
+      import spark.implicits._
+      Seq((nq, nCorpus, TOP_K, if (recall >= PQ_RECALL_FLOOR) 1 else 0))
+        .toDF("n_queries", "n_corpus", "k", "recall_ok")
+    } finally e.unpersist()
   }
 
   /** Subvector stream: (vec_id, m, sv) with sv = dims [m·SUBDIM,

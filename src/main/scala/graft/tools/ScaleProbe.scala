@@ -34,14 +34,21 @@ object ScaleProbe {
   val STRIDE = 12000000L
 
   /** Tables whose keys shift per copy (key columns listed); nation
-    * and region are true dimension domains and stay single-copy. */
+    * and region are true dimension domains and stay single-copy.
+    * event_id shifts too — it is a per-row surrogate key, and leaving
+    * it duplicated across copies would distort any future probe query
+    * that groups or distinct-counts on it. documents.source is the one
+    * knowingly-unshifted id-ish column: it is a STRING category (a
+    * bounded domain like nation), not a surrogate key, and the dedup/
+    * corpus family that reads it is excluded from the probe set anyway
+    * (clone-corpus caveat below). */
   val SHIFTS: Map[String, Seq[String]] = Map(
     "customer" -> Seq("c_custkey"),
     "orders" -> Seq("o_orderkey", "o_custkey"),
     "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
     "part" -> Seq("p_partkey"),
     "supplier" -> Seq("s_suppkey"),
-    "events" -> Seq("user_id"),
+    "events" -> Seq("event_id", "user_id"),
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
