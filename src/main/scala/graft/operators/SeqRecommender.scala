@@ -197,8 +197,19 @@ object SeqRecommender {
       .groupBy("user_id").agg(sort_array(collect_set(col("token"))).as("items"))
       .cache()
     val rules = mineSeqRules(baskets, baskets.count())
+    scoreRules(trans, assigned, baskets, rules, TOP_K)
+  }
 
-    // R9 scoring: similarity = |antecedent ∩ user tokens| (≥ 1 via the
+  /** R9 scoring over PRE-MINED rules — the fit/transform split point
+    * the [[graft.ml.SequentialRecommender]] estimator rides: rules are
+    * model state (mined once over the full fit-time baskets), while
+    * `baskets` here may be a target-cohort subset — every downstream
+    * stage is per-user independent, so a narrowed run equals the full
+    * run filtered to the cohort. `trans`/`assigned` stay FULL: the
+    * candidate counts are cluster-level facts of the training data. */
+  def scoreRules(trans: DataFrame, assigned: DataFrame, baskets: DataFrame,
+                 rules: DataFrame, k: Int): DataFrame = {
+    // similarity = |antecedent ∩ user tokens| (≥ 1 via the
     // overlap join), score = sim·support·confidence, best rule per user
     // with a deterministic tie-break the reference's unstable sortWith
     // lacks (score desc, consequent asc, antecedent asc)
@@ -234,12 +245,12 @@ object SeqRecommender {
     val wCl = Window.partitionBy(col("cluster"))
       .orderBy(col("cnt").desc, col("item_id").asc)
     val topItems = itemCnt.withColumn("crk", row_number().over(wCl))
-      .filter(col("crk") <= lit(TOP_K + maxSeen)).drop("crk")
+      .filter(col("crk") <= lit(k + maxSeen)).drop("crk")
     val cands = best.join(topItems, Seq("cluster"))
       .join(seen, Seq("user_id", "item_id"), "left_anti")
     val wTop = Window.partitionBy(col("user_id"))
       .orderBy(col("cnt").desc, col("item_id").asc)
-    cands.withColumn("rk", row_number().over(wTop)).filter(col("rk") <= TOP_K)
+    cands.withColumn("rk", row_number().over(wTop)).filter(col("rk") <= k)
       .select(col("user_id"), col("cluster"), col("item_id"), col("cnt"), col("rk"))
   }
 }

@@ -120,4 +120,54 @@ class PersistenceSpec extends SparkSuite {
     assert(loaded.childB.isInstanceOf[ContentKnnRecommenderModel])
     assert(rows(loaded.transform(targets)) == before)
   }
+
+  test("SequentialRecommenderModel round-trips trans + assignment + rules") {
+    val s = spark
+    import s.implicits._
+    // 12 users × the LAST 4 periods (rel −3…0 under NUM_PERIODS = 8,
+    // so period-0 rules actually fire) over two item neighborhoods;
+    // users repeat their group's basket every period
+    val trans = (for {
+      u <- 1L to 12L
+      p <- 4L to 7L
+      i <- if (u % 2 == 0) Seq(1L, 2L, 3L) else Seq(8L, 9L, 10L)
+    } yield (u * 10 + p, u, p, i)).toDF("t_id", "user_id", "period_id", "item_id")
+    val m = new graft.ml.SequentialRecommender()
+      .setNumClusters(4).setClusterIters(2).setKItems(3).fit(trans)
+    val allUsers = trans.select("user_id").distinct()
+    val before = rows(m.transform(allUsers))
+    assert(before.nonEmpty, "fixture must fire at least one sequential rule")
+    val path = tmp("seq")
+    m.write.overwrite().save(path)
+    val loaded = graft.ml.SequentialRecommenderModel.load(path)
+    assert(loaded.getOrDefault(loaded.numClusters) == 4)
+    assert(loaded.getOrDefault(loaded.kItems) == 3)
+    assert(rows(loaded.transform(allUsers)) == before)
+    assert(rows(loaded.recommendDetailed(allUsers)) ==
+      rows(m.recommendDetailed(allUsers)))
+  }
+
+  test("hybrid-of-hybrids loads back (loadChild accepts a nested hybrid)") {
+    val s = spark
+    import s.implicits._
+    val feats = (1L to 10L).map(i =>
+      (i, (1 to 16).map(d => math.cos(i * d.toDouble)).toSeq))
+      .toDF("item_id", "fv")
+    val inner = new HybridRecommender().setWeightA(0.6).setWeightB(0.4)
+      .setKItems(5)
+      .setChildren(
+        new KnnRecommender().setKNeighbors(3).setKItems(5),
+        new ContentKnnRecommender().setKNeighbors(4).setKItems(5)
+          .setItemFeatures(feats))
+    val m = new HybridRecommender().setWeightA(0.5).setWeightB(0.5).setKItems(3)
+      .setChildren(inner, new KnnRecommender().setKernel("jaccard").setKItems(5))
+      .fit(ratings)
+    val before = rows(m.transform(targets))
+    assert(before.nonEmpty)
+    val path = tmp("hybrid2")
+    m.write.overwrite().save(path)
+    val loaded = HybridRecommenderModel.load(path)
+    assert(loaded.childA.isInstanceOf[HybridRecommenderModel])
+    assert(rows(loaded.transform(targets)) == before)
+  }
 }

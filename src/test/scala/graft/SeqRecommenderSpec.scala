@@ -55,4 +55,30 @@ class SeqRecommenderSpec extends SparkSuite {
     assert(res.join(seen, Seq("user_id", "item_id")).count() == 0)
     assert(res.groupBy("user_id").count().filter(col("count") > 5).count() == 0)
   }
+
+  test("SequentialRecommender estimator output equals the q58 operator path") {
+    val dir = "/root/testdata/sf0.001"
+    val trans = SeqRecommender.transactions(spark, dir).cache()
+    val titems = trans.select("t_id", "item_id")
+    val assigned = SeqRecommender.clusterTransactionsSparse(
+      titems, SeqRecommender.NUM_CLUSTERS, SeqRecommender.KMEANS_ITERS).cache()
+    val operator = SeqRecommender.recommendFrom(trans, assigned)
+      .collect().map(_.toSeq).toSet
+    assert(operator.nonEmpty, "fixture must produce recommendations")
+
+    val model = new graft.ml.SequentialRecommender().fit(trans)
+    val allUsers = trans.select("user_id").distinct()
+    val estimator = model.recommendDetailed(allUsers)
+      .collect().map(_.toSeq).toSet
+    assert(estimator == operator,
+      "estimator fit/transform must replay the operator pipeline exactly")
+
+    // a cohort transform equals the full run filtered (per-user
+    // independence of the scoring stage)
+    val someUsers = allUsers.orderBy("user_id").limit(7)
+    val cohortIds = someUsers.collect().map(_.getLong(0)).toSet
+    val cohort = model.recommendDetailed(someUsers).collect().map(_.toSeq).toSet
+    assert(cohort == operator.filter(r => cohortIds(r.head.asInstanceOf[Long])))
+    trans.unpersist(); assigned.unpersist()
+  }
 }
