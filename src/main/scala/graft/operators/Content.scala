@@ -192,49 +192,25 @@ object Content {
         Seq("user_id"), "left_semi"),
       kNeighbors, kItems, kernel, source)
 
-  /** Banded sign-bit signatures of a feature table → `(item id under
-    * `idCol`'s alias, band_id, bucket)` — band b reads dims
-    * [b·bits, (b+1)·bits), bucket = the "1"/"0" sign pattern
-    * (strictly-positive = 1, the q49 convention). */
-  def signBands(features: DataFrame, bits: Int, bands: Int): DataFrame = {
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band_id"),
-        concat_ws("", (0 until bits).map(i =>
-          when(element_at(col("fv"), b * bits + i + 1) > 0, lit("1"))
-            .otherwise(lit("0"))): _*).as("bucket"))
-    }
-    features.select(col("item_id"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("item_id"), col("band.band_id").as("band_id"),
-        col("band.bucket").as("bucket"))
-  }
+  /** Banded sign-bit signatures of a feature table → `(item_id,
+    * band_id, bucket)` — the coordinate-axis geometry of the shared
+    * [[graft.functions.Banding]] util (band b reads dims
+    * [b·bits, (b+1)·bits), strictly-positive = 1). */
+  def signBands(features: DataFrame, bits: Int, bands: Int): DataFrame =
+    graft.functions.Banding.withBands(features, col("fv"), bits, bands,
+        graft.functions.Banding.CoordinateAxes)
+      .select(col("item_id"), col("band_id"), col("bucket"))
 
   /** Charikar random-hyperplane sign bands — the codebook-widening
-    * path for catalogs whose VECTOR set outgrows the coordinate-axis
-    * geometry (which caps at 2^dims buckets total): band b bit i is
-    * sign(Σ_d h(b,i,d)·fv[d]) with h ∈ [-1,1) drawn from a
-    * fixed-seed PRNG. The coefficients are pure functions of literal
-    * (band, bit, dim) indices, so they are computed driver-side ONCE
-    * and baked into the plan as literals — the projection is plain
-    * codegen arithmetic, deterministic across runs, engines and
-    * cluster topologies (never rand() in the plan). bits·bands is
-    * unbounded: holding bucket occupancy flat as the catalog grows
-    * is a matter of widening `bits` by log2(growth). */
+    * geometry of the shared [[graft.functions.Banding]] util (the
+    * coordinate-axis codebook caps at 2^dims buckets; hyperplane
+    * bits·bands is unbounded — see Banding's Scaladoc for the
+    * literal-coefficient determinism contract). */
   def hyperplaneBands(features: DataFrame, bits: Int, bands: Int,
-                      dims: Int, seed: Long = 42L): DataFrame = {
-    val rng = new scala.util.Random(seed)
-    val coefs = Array.fill(bands, bits, dims)(rng.nextDouble() * 2 - 1)
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band_id"),
-        concat_ws("", (0 until bits).map { i =>
-          val proj = (0 until dims).map(d =>
-            lit(coefs(b)(i)(d)) * element_at(col("fv"), d + 1)).reduce(_ + _)
-          when(proj > 0, lit("1")).otherwise(lit("0"))
-        }: _*).as("bucket"))
-    }
-    features.select(col("item_id"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("item_id"), col("band.band_id").as("band_id"),
-        col("band.bucket").as("bucket"))
-  }
+                      dims: Int, seed: Long = 42L): DataFrame =
+    graft.functions.Banding.withBands(features, col("fv"), bits, bands,
+        graft.functions.Banding.Hyperplanes(dims, seed))
+      .select(col("item_id"), col("band_id"), col("bucket"))
 
   /** Candidate (u, i, vi) rows for the user cohort inside `rated` —
     * EXACT-GRID ONLY: the LSH path never materializes per-item

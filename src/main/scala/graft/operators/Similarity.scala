@@ -149,11 +149,12 @@ object Similarity {
     * LSH trade; more bands/rotations widen recall at the same
     * per-bucket cost. */
   private def q41(spark: SparkSession, dir: String): DataFrame = {
+    // single band of the shared banding util: band 0 reads dims
+    // [0, SIGN_BITS) — the same bucket as the historical inline form
     val e = emb(spark, dir)
-    val bucketed = e.select(col("vec_id"), col("v"),
-      concat_ws("", (0 until SIGN_BITS).map(i =>
-        when(element_at(col("v"), i + 1) > 0, lit("1")).otherwise(lit("0"))): _*)
-        .as("bucket"))
+    val bucketed = graft.functions.Banding
+      .withBands(e, col("v"), SIGN_BITS, 1, graft.functions.Banding.CoordinateAxes)
+      .select(col("vec_id"), col("v"), col("bucket"))
     val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("va"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("vb"))
     a.join(b, Seq("bucket"))
@@ -172,18 +173,23 @@ object Similarity {
     * in [[Dedup.minhashBands]], applied to hyperplane signs).
     * At sf0.01 this finds 4× the q41 single-band pairs against the
     * same exact-cosine threshold. */
-  private def q49(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val bands = (0 until NUM_SIGN_BANDS).map { b =>
-      struct(lit(b).as("band_id"),
-        concat_ws("", (0 until SIGN_BITS).map(i =>
-          when(element_at(col("v"), b * SIGN_BITS + i + 1) > 0, lit("1"))
-            .otherwise(lit("0"))): _*).as("bucket"))
-    }
-    val bucketed = e.select(col("vec_id"), col("v"),
-        explode(array(bands: _*)).as("band"))
-      .select(col("vec_id"), col("v"),
-        col("band.band_id").as("band_id"), col("band.bucket").as("bucket"))
+  private def q49(spark: SparkSession, dir: String): DataFrame =
+    neardupBanded(emb(spark, dir), SIGN_BITS, NUM_SIGN_BANDS,
+      graft.functions.Banding.CoordinateAxes)
+
+  /** The geometry-parameterized banded near-dup: candidates meet only
+    * inside a shared (band_id, bucket) of [[graft.functions.Banding]]
+    * (pairs unioned across bands), exact cosine verifies against the
+    * threshold. [[q49]] is the coordinate-axis default; passing
+    * `Banding.Hyperplanes(dims)` gives the embedding near-dup family
+    * the same unbounded-codebook option the content path has — at
+    * catalogs where 2^dims buckets can no longer hold occupancy flat,
+    * widen hyperplane `bits` by log2(growth) instead. */
+  def neardupBanded(e: DataFrame, bits: Int, nBands: Int,
+                    geometry: graft.functions.Banding.Geometry): DataFrame = {
+    val bucketed = graft.functions.Banding
+      .withBands(e, col("v"), bits, nBands, geometry)
+      .select(col("vec_id"), col("v"), col("band_id"), col("bucket"))
     val a = bucketed.select(col("band_id"), col("bucket"),
       col("vec_id").as("id_a"), col("v").as("va"))
     val b = bucketed.select(col("band_id"), col("bucket"),

@@ -57,7 +57,10 @@ object ScaleProbe {
     "q30_user_rating_predict", "q31_item_rating_predict", "q33_hybrid_topk",
     "q59_user_knn_pearson", "q63_user_knn_euclidean", "q64_bm25",
     "q76_pagerank", "q93_triangles", "q97_label_propagation",
-    "q32b_content_topk_lsh")
+    // both content candidate sources probed side by side so BASELINE
+    // can state the catalog size where LshBuckets should become the
+    // default over the exact users×catalog grid
+    "q32_content_topk", "q32b_content_topk_lsh")
 
   private def session(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")

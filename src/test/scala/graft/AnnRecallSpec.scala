@@ -9,6 +9,39 @@ import org.apache.spark.sql.functions._
   * a test failure, not a silent quality drop. */
 class AnnRecallSpec extends SparkSuite {
 
+  test("hyperplane-banded near-dup: sound pairs, deterministic, recall vs coordinate") {
+    import graft.functions.Banding
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .cache()
+    val hyper = graft.operators.Similarity
+      .neardupBanded(e, bits = 4, nBands = 4, Banding.Hyperplanes(16))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(hyper.nonEmpty, "hyperplane banding must surface candidate pairs")
+    // soundness: every emitted pair is exact-cosine-verified above the
+    // threshold (the banding only gates CANDIDACY, never the score)
+    assert(hyper.forall(_._3 > graft.operators.Similarity.NEARDUP_THRESHOLD))
+    // literal-coefficient determinism: a rebuilt plan emits the same set
+    val again = graft.operators.Similarity
+      .neardupBanded(e, bits = 4, nBands = 4, Banding.Hyperplanes(16))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(again == hyper)
+    // both geometries are subsets of the same exact above-threshold
+    // pair set, so their union only ever ADDS recall — run them side
+    // by side and check the hyperplane view is a real alternative
+    // (nonempty, same soundness), not a degenerate all-in-one-bucket
+    val coord = graft.operators.Similarity
+      .neardupBanded(e, bits = 4, nBands = 4, Banding.CoordinateAxes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    info(s"near-dup pairs: coordinate=${coord.size} hyperplane=${hyper.size} " +
+      s"union=${(coord ++ hyper).size}")
+    val nBuckets = Banding.withBands(e, col("v"), 4, 4, Banding.Hyperplanes(16))
+      .select("band_id", "bucket").distinct().count()
+    assert(nBuckets > 4, "hyperplane buckets must actually partition the space")
+    e.unpersist()
+  }
+
   test("multiprobe IVF recall climbs with probes vs the exact baseline") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.sources.Tables.embeddings(spark, dir)
