@@ -57,10 +57,18 @@ object ScaleProbe {
     "q30_user_rating_predict", "q31_item_rating_predict", "q33_hybrid_topk",
     "q59_user_knn_pearson", "q63_user_knn_euclidean", "q64_bm25",
     "q76_pagerank", "q93_triangles", "q97_label_propagation",
-    // both content candidate sources probed side by side so BASELINE
-    // can state the catalog size where LshBuckets should become the
-    // default over the exact users×catalog grid
-    "q32_content_topk", "q32b_content_topk_lsh")
+    "q32b_content_topk_lsh")
+
+  /** q32 (the exact users×catalog content grid) is priced at sf1 next
+    * to q32b for the BASELINE crossover statement, but in its OWN
+    * session: `run <dir> <n> q32_content_topk`. Mixed into the shared
+    * session its quadratic grid materialization evicts the LRU caches
+    * every later query reuses — measured at sf1, q97 ran 3.9 s in
+    * repeat 1 but 13.8/16.7 s in repeats 2/3 (after q32 had run), and
+    * q17 read 141–168 s in-session vs 84 s warm isolated. Probing the
+    * deliberately-quadratic compat surface must not distort the
+    * linearity evidence of the 13 scale-path queries. */
+  val ISOLATED_QUERIES: Seq[String] = Seq("q32_content_topk")
 
   private def session(cpus: String): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
