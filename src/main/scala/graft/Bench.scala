@@ -30,8 +30,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores TIMESTAMP(NANOS); session-wide, set once
-      // (see graft.sources.Tables.events).
+      // kept for nanos-era events.parquet layouts (harmless on the
+      // current TIMESTAMP(MICROS) files — Tables.events sniffs the
+      // observed schema and handles both).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")

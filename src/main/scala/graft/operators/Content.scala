@@ -23,10 +23,12 @@ import graft.functions.Rounding.{r4, r6}
  * candidate×rated grid is keyed on user_id, so each user's block
  * computes locally in one shuffle. Feature vectors never densify into
  * a matrix. Candidate GENERATION sits behind [[CandidateSource]]:
- * the exact exhaustive grid is the default while the catalog is a
- * broadcastable dimension, and [[CandidateSource.LshBuckets]] swaps
- * in banded sign-bit bucket probing for catalogs where users×catalog
- * is the scale-killer (q32b oracle-checks that path end to end). The
+ * the default is [[CandidateSource.Auto]], which sizes the job and
+ * picks [[CandidateSource.ExactGrid]] only below the measured
+ * [[AUTO_EXACT_MAX_EVALS]] crossover, switching to
+ * [[CandidateSource.LshBuckets]]'s banded sign-bit bucket probing
+ * where users×catalog would be the scale-killer (q32b oracle-checks
+ * that path end to end; q32 pins ExactGrid as the compat query). The
  * LSH path additionally generates and scores per distinct feature
  * VECTOR on compact int rep ids — kernel work caps at users×|vector
  * set| however large the item count grows (the sf1 probe's fix) —
@@ -49,9 +51,20 @@ object Content {
     * that pays |users|×|catalog| per cohort regardless of data. */
   sealed trait CandidateSource
   object CandidateSource {
+    /** The DEFAULT: measure the job, then pick. Resolves to
+      * [[ExactGrid]] iff cohort-users × distinct-feature-vectors is at
+      * most [[AUTO_EXACT_MAX_EVALS]] (the measured BASELINE §r6
+      * crossover — below it the exact grid is cheaper than the LSH
+      * path's extra stages; above it the grid goes quadratic while
+      * LshBuckets stays keyed: 20–24× faster at sf1's ~6M evals),
+      * else [[LshBuckets]] with default geometry. The two sizing
+      * counts are bounded scalar aggregates over already-needed
+      * inputs — the contract-query pattern, not a hot-path collect. */
+    case object Auto extends CandidateSource
     /** Exhaustive grid over every unrated catalog item — exact by
-      * construction, the right default while the catalog is a
-      * broadcastable dimension. Work scales as users×catalog. */
+      * construction, right while cohort×catalog work is small (it is
+      * ~8× linear at sf1 — BASELINE §r6); pin it explicitly only when
+      * exactness over the full catalog is the point. */
     case object ExactGrid extends CandidateSource
     /** Banded sign-bit LSH (the q49 scheme, Charikar hyperplanes =
       * coordinate axes): candidates are the unrated items sharing at
@@ -76,6 +89,19 @@ object Content {
     * 4 disjoint 4-dim slices of the feature vector. */
   val LSH_SIGN_BITS = 4
   val LSH_SIGN_BANDS = 4
+
+  /** The measured ExactGrid↔LshBuckets crossover (BASELINE §round-6):
+    * at sf0.1's ~1e5 cohort×distinct-vector kernel evals the exact
+    * grid still wins (3.83 s vs 4.42 s); at sf1's ~6M evals LshBuckets
+    * is 20–24× faster (13.2 s vs 255–313 s). */
+  val AUTO_EXACT_MAX_EVALS: Long = 100000L
+
+  /** [[CandidateSource.Auto]]'s pure decision rule, exposed so the
+    * boundary is unit-testable without building either plan. */
+  def resolveAuto(cohortUsers: Long, distinctVectors: Long): CandidateSource =
+    if (cohortUsers * distinctVectors <= AUTO_EXACT_MAX_EVALS)
+      CandidateSource.ExactGrid
+    else CandidateSource.LshBuckets()
 
   /** The DENSE-vector form of the K1-K4 kernel SPI for feature
     * vectors (the reference's `setSimilarity` applies to the
@@ -134,7 +160,10 @@ object Content {
     * denominator), top-5 per user. */
   private def q32(spark: SparkSession, dir: String): DataFrame =
     contentTopK(Tables.ratingsCached(spark, dir), itemFeatures(spark, dir),
-      col("user_id") % 50 === 0, K_NEIGHBORS, K_ITEMS)
+      col("user_id") % 50 === 0, K_NEIGHBORS, K_ITEMS,
+      // pinned: q32 IS the exact-grid compat query (its DuckDB oracle
+      // replays the exhaustive grid); the library default is Auto
+      source = CandidateSource.ExactGrid)
 
   /** [[q32]] through the [[CandidateSource.LshBuckets]] seam — the
     * catalog-scale path, oracle-checked on its own semantics (the
@@ -177,7 +206,7 @@ object Content {
   def contentTopK(ratings: DataFrame, features: DataFrame,
                   targetUsers: Column, kNeighbors: Int, kItems: Int,
                   kernel: Kernel = Kernel.Cosine,
-                  source: CandidateSource = CandidateSource.ExactGrid): DataFrame =
+                  source: CandidateSource = CandidateSource.Auto): DataFrame =
     contentTopKRestricted(ratings, features, _.filter(targetUsers),
       kNeighbors, kItems, kernel, source)
 
@@ -186,7 +215,7 @@ object Content {
   def contentTopKFor(ratings: DataFrame, features: DataFrame,
                      targets: DataFrame, kNeighbors: Int, kItems: Int,
                      kernel: Kernel = Kernel.Cosine,
-                     source: CandidateSource = CandidateSource.ExactGrid): DataFrame =
+                     source: CandidateSource = CandidateSource.Auto): DataFrame =
     contentTopKRestricted(ratings, features,
       _.join(broadcast(targets.select(col("user_id")).distinct()),
         Seq("user_id"), "left_semi"),
@@ -227,12 +256,13 @@ object Content {
       case CandidateSource.ExactGrid =>
         val users = rated.select(col("u")).distinct()
         unratedOnly(users.crossJoin(feats))
-      case _: CandidateSource.LshBuckets =>
+      case other =>
         // the LSH path generates candidates per distinct VECTOR and
         // never materializes per-item (u, i, vi) rows — it lives
-        // whole inside contentTopKRestricted's scoring match
+        // whole inside contentTopKRestricted's scoring match; Auto is
+        // resolved to a concrete source before this point
         throw new IllegalArgumentException(
-          "LshBuckets candidates are generated per distinct vector inside contentTopKRestricted")
+          s"candidates() only materializes the ExactGrid form; got $other")
     }
   }
 
@@ -240,14 +270,25 @@ object Content {
                                     narrow: DataFrame => DataFrame,
                                     kNeighbors: Int, kItems: Int,
                                     kernel: Kernel = Kernel.Cosine,
-                                    source: CandidateSource = CandidateSource.ExactGrid): DataFrame = {
+                                    source: CandidateSource = CandidateSource.Auto): DataFrame = {
     val rated = narrow(ratings)
       .select(col("user_id").as("u"), col("item_id").as("j"), col("rating").as("r_uj"))
       .join(features.select(col("item_id").as("j"), col("fv").as("vj")), Seq("j"))
 
-    val scored = source match {
+    val resolved = source match {
+      case CandidateSource.Auto =>
+        // two bounded scalar aggregates size the job before the plan
+        // is chosen; both inputs are needed again immediately below
+        resolveAuto(rated.select(col("u")).distinct().count(),
+          features.select(col("fv")).distinct().count())
+      case s => s
+    }
+
+    val scored = resolved match {
+      case CandidateSource.Auto =>
+        throw new IllegalStateException("Auto must resolve before planning")
       case CandidateSource.ExactGrid =>
-        val cand = candidates(ratings, features, rated, source)
+        val cand = candidates(ratings, features, rated, CandidateSource.ExactGrid)
         // per-user candidate × rated grid, keyed on u — local to each block
         val pairs = cand.join(rated, Seq("u"))
           .filter(col("i") =!= col("j"))

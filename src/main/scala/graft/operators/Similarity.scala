@@ -184,7 +184,21 @@ object Similarity {
     * `Banding.Hyperplanes(dims)` gives the embedding near-dup family
     * the same unbounded-codebook option the content path has — at
     * catalogs where 2^dims buckets can no longer hold occupancy flat,
-    * widen hyperplane `bits` by log2(growth) instead. */
+    * widen hyperplane `bits` by log2(growth) instead.
+    *
+    * WHEN TO SWITCH GEOMETRY (the content path's measured crossover,
+    * BASELINE §round-6/7, applies here unchanged because both paths
+    * share [[graft.functions.Banding]]): per-band candidate work is
+    * Σ_buckets occupancy², so the goal is mean occupancy ≈ N/2^bits
+    * staying in the low hundreds. CoordinateAxes gives at most
+    * 2^slice-dims distinct buckets per band — fine while N ≲ 1e5·bands
+    * on low-dim sign-dense vectors, and ZERO per-row hash cost. Past
+    * that, or whenever the vectors are dense/correlated enough that
+    * axis signs collide (occupancy histograms skew), move to
+    * `Hyperplanes(dims)` and size `bits ≈ log2(N) - 7`: buckets track
+    * data geometry instead of the axis grid, and bits·bands is
+    * unbounded so occupancy can always be re-flattened after growth.
+    * Same coefficients-as-literals determinism either way. */
   def neardupBanded(e: DataFrame, bits: Int, nBands: Int,
                     geometry: graft.functions.Banding.Geometry): DataFrame = {
     val bucketed = graft.functions.Banding

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /**
  * Table readers over the driver-generated parquet star schema
@@ -27,16 +28,28 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects; read it as a nanos long
-    * (requires `spark.sql.legacy.parquet.nanosAsLong=true`, set ONCE at
-    * session construction by Verify/Bench/test entry points — a reader
-    * must not mutate session config as a side effect) and rebuild a
-    * micros timestamp with integer division — `DIV`, not `/`, because
-    * nanos ≈ 1.7e18 exceeds double mantissa precision. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  /** The events reader branches on the OBSERVED parquet schema of `ts`
+    * rather than assuming a remembered physical layout — generated
+    * datasets have shipped it both as TIMESTAMP(NANOS) (which, under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, reads as a nanos
+    * LongType and needs an integer-division rebuild — `DIV`, not `/`,
+    * because nanos ≈ 1.7e18 exceeds double mantissa precision) and as
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false (which reads as
+    * TIMESTAMP_NTZ and only needs a cast to the session-zone
+    * TimestampType; all entry points pin the session zone to UTC, so
+    * the cast is value-identical). Every downstream operator sees one
+    * canonical TimestampType `ts` whichever file layout is on disk. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other; expected LongType (nanos-as-long), TIMESTAMP_NTZ, or TIMESTAMP")
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 

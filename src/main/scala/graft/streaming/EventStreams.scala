@@ -32,14 +32,29 @@ object EventStreams {
 
   /** An events-parquet ingest DIRECTORY as a stream (the standard
     * file-source contract: producers drop part files into the
-    * directory, the stream picks them up). Explicit nanos schema — a
-    * streaming source cannot infer one — rebuilt to a micros timestamp
-    * exactly like the batch reader (graft.sources.Tables.events). */
-  def readEventStream(spark: SparkSession, ingestDir: String): DataFrame =
-    spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(ingestDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    * directory, the stream picks them up). A streaming source needs an
+    * explicit schema, but the PHYSICAL `ts` layout must not be assumed
+    * — generated data has shipped both TIMESTAMP(NANOS) (reads as a
+    * nanos long under the legacy flag) and TIMESTAMP(MICROS) (reads as
+    * TIMESTAMP_NTZ) — so the reader sniffs the observed schema from
+    * the files already in the directory (exactly like the batch
+    * reader, graft.sources.Tables.events) and canonicalizes to one
+    * session-zone TimestampType `ts` either way. An empty ingest
+    * directory defaults to the current micros layout. */
+  def readEventStream(spark: SparkSession, ingestDir: String): DataFrame = {
+    val observedTs = scala.util.Try(
+      spark.read.parquet(ingestDir).schema("ts").dataType).toOption
+    if (observedTs.contains(org.apache.spark.sql.types.LongType))
+      spark.readStream
+        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .parquet(ingestDir)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else
+      spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .parquet(ingestDir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+  }
 
   /** Tumbling- or sliding-window event statistics — the streaming twin
     * of the batch q06/q40 (tumbling) and q79 (hopping) aggregations.

@@ -123,6 +123,30 @@ class ContentHybridSpec extends SparkSuite {
       s"hyperplane path emitted a (u,i,score) absent from the exact scoring: ${corrupted.collect().mkString}")
   }
 
+  test("Auto candidate source: boundary is exactly AUTO_EXACT_MAX_EVALS; Auto ≡ pinned ExactGrid below it") {
+    val s = spark
+    import s.implicits._
+    // the pure decision rule at the measured crossover
+    val max = Content.AUTO_EXACT_MAX_EVALS
+    assert(Content.resolveAuto(1, max) == Content.CandidateSource.ExactGrid)
+    assert(Content.resolveAuto(max, 1) == Content.CandidateSource.ExactGrid)
+    assert(Content.resolveAuto(1, max + 1) == Content.CandidateSource.LshBuckets())
+    assert(Content.resolveAuto(317, 317) == Content.CandidateSource.LshBuckets()) // 317² > 1e5
+    assert(Content.resolveAuto(0, Long.MaxValue / 2) == Content.CandidateSource.ExactGrid) // empty cohort
+
+    // end-to-end: a small job resolves to ExactGrid and the DEFAULT
+    // (Auto) output is row-identical to the pinned exact grid
+    val ratings = Seq((1, 1, 5.0), (1, 2, 1.0), (2, 2, 3.0)).toDF("user_id", "item_id", "rating")
+    val feats = Seq(
+      (1, Seq(1.0, 0.0)), (2, Seq(0.0, 1.0)),
+      (3, Seq(2.0, 0.0)), (4, Seq(0.0, 3.0))
+    ).toDF("item_id", "fv")
+    val auto = Content.contentTopK(ratings, feats, lit(true), 2, 2)
+    val pinned = Content.contentTopK(ratings, feats, lit(true), 2, 2,
+      source = Content.CandidateSource.ExactGrid)
+    assert(auto.collect().map(_.toSeq).toSet == pinned.collect().map(_.toSeq).toSet)
+  }
+
   test("fuseTopK normalizes each list by its OWN head score and sums") {
     val s = spark
     import s.implicits._

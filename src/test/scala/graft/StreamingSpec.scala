@@ -346,6 +346,17 @@ class StreamingSpec extends SparkSuite {
       val streamed = sp.sql("SELECT sum(n) FROM evt_file").collect()(0).getLong(0)
       val batch = graft.sources.Tables.events(sp, "/root/testdata/sf0.001").count()
       assert(streamed == batch)
+      // and the stream's timestamps are in the BATCH reader's era, not
+      // a units mix-up landing in 1970: window starts must match the
+      // batch-side min/max event days exactly
+      val Array(sMin, sMax) = sp.sql("SELECT min(w_start), max(w_start) FROM evt_file")
+        .collect()(0).toSeq.map(_.toString.take(10)).toArray
+      val Array(bMin, bMax) = graft.sources.Tables.events(sp, "/root/testdata/sf0.001")
+        .selectExpr("cast(min(date_trunc('DAY', ts)) as string)",
+          "cast(max(date_trunc('DAY', ts)) as string)")
+        .collect()(0).toSeq.map(_.toString.take(10)).toArray
+      assert(sMin == bMin && sMax == bMax,
+        s"stream windows [$sMin, $sMax] drifted from batch event days [$bMin, $bMax]")
     } finally q.stop()
   }
 }
