@@ -25,7 +25,12 @@ object Bench {
     // reads as a uniform ~3× regression on every heavy query (three
     // such series burned before this default changed from "4")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
+    // 5 repeats by default: this host's ambient noise band is wide
+    // (BASELINE round-7: warm q16 reruns of an identical cached plan
+    // measured 7.7 / 16.7 / 28.4 s minutes apart). The lower median of
+    // 5 tolerates two noise-inflated repeats; a median of 3 tolerates
+    // only one.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -52,12 +52,25 @@ object ScaleProbe {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
+  /** Round-7 extension: representatives of the events/time-series
+    * family (restored this round after the testdata `ts` layout
+    * change), so the sf1 evidence covers sessionization, ordered
+    * funnels, RANGE trailing windows, as-of/point-in-time joins, JSON
+    * extraction, and the mergeable sketch rollup — the shapes a 100-TB
+    * event log exercises hardest. All are per-user-keyed or
+    * pre-aggregated designs; the probe verifies none hides a global
+    * sort or an unkeyed window that only shows past sf0.1. */
+  val EVENTS_QUERIES: Seq[String] = Seq(
+    "q06_daily_events", "q54_event_pivot", "q56_asof_join",
+    "q57_event_sessions", "q73_event_funnel", "q74_trailing_window",
+    "q78_json_extract", "q101_pit_join", "q102_sketch_rollup")
+
   val PROBE_QUERIES: Seq[String] = Seq(
     "q01_pricing_summary", "q16_user_knn_topk", "q17_item_knn_topk",
     "q30_user_rating_predict", "q31_item_rating_predict", "q33_hybrid_topk",
     "q59_user_knn_pearson", "q63_user_knn_euclidean", "q64_bm25",
     "q76_pagerank", "q93_triangles", "q97_label_propagation",
-    "q32b_content_topk_lsh")
+    "q32b_content_topk_lsh") ++ EVENTS_QUERIES
 
   /** q32 (the exact users×catalog content grid) is priced at sf1 next
     * to q32b for the BASELINE crossover statement, but in its OWN
