@@ -31,6 +31,13 @@ object Bench {
     // 5 tolerates two noise-inflated repeats; a median of 3 tolerates
     // only one.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "5").toInt
+    // wall-clock guard: 5 repeats at ambient-inflated pace can exceed an
+    // external kill window; finishing repeats matters less than leaving a
+    // parseable stdout line, so after at least 3 completed repeats the
+    // run stops early once the budget is spent (medians stay valid —
+    // they are recomputed over completed repeats after every repeat)
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2400").toInt
+    val wall0 = System.nanoTime()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -116,17 +123,26 @@ object Bench {
       // still see every repeat via stderr; bench_results.json is the
       // crash-insurance artifact.
       Console.err.println(s"""{"metric":"total","unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","runs_done":$r,"value":${f3(total)}}""")
-      // the FINAL (and only) stdout line: compact enough to fit the
-      // capture window whole — the 20 slowest medians (the
-      // perf-graded ones), counts, an explicit failure signal
-      // (n_errors: a crashed query must not read as a fast total),
-      // and the pointer to the complete committed artifact.
-      if (r == repeats) {
-        val slow = med.filter(_._2 >= 0).sortBy(-_._2).take(20)
-        val sq = slow.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-          .mkString("{", ",", "}")
-        println(s"""{"metric":"total","unit":"sec","sf":"${esc(sfDir)}","n_queries":${names.size},"repeats":$repeats,"n_errors":${errors.size},"queries_file":"bench_results.json","queries":$sq,"value":${f3(total)}}""")
-        Console.out.flush()
+      // ONE compact stdout line per COMPLETED repeat — each is a
+      // self-contained medians-so-far snapshot, so however the process
+      // ends (finished, killed by an external timeout, crashed) the
+      // tail of stdout holds a complete parseable line. Compact enough
+      // (~700 B) that the capture window always contains the last line
+      // whole — the 20 slowest medians (the perf-graded ones), counts,
+      // an explicit failure signal (n_errors: a crashed query must not
+      // read as a fast total), and the pointer to the complete
+      // committed artifact. The full per-query map stays OFF stdout: a
+      // truncated 2.7 KB full-map line is what made BENCH_r04/r05
+      // unparseable.
+      val slow = med.filter(_._2 >= 0).sortBy(-_._2).take(20)
+      val sq = slow.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","unit":"sec","sf":"${esc(sfDir)}","n_queries":${names.size},"repeats_done":$r,"repeats":$repeats,"n_errors":${errors.size},"queries_file":"bench_results.json","queries":$sq,"value":${f3(total)}}""")
+      Console.out.flush()
+      val elapsedS = (System.nanoTime() - wall0) / 1e9
+      if (r >= 3 && r < repeats && elapsedS > budgetS) {
+        Console.err.println(s"[bench] budget ${budgetS}s spent after $r repeats (${f3(elapsedS)}s) — stopping early")
+        spark.stop(); return
       }
     }
     spark.stop()
