@@ -9,7 +9,14 @@ import org.apache.spark.sql.SparkSession
   * is the authoritative one and earlier lines are crash insurance),
   * and writes the full per-run detail to `bench_results.json` in the
   * working directory so per-query regressions stay auditable even
-  * when the stdout capture truncates.
+  * when the stdout capture truncates. Narrow probe runs
+  * (`SPARK_GRAFT_BENCH_ONLY`) write `bench_results_partial.json`
+  * instead so they can never clobber the committed full-suite
+  * artifact. Every repeat records the HOST loadavg at its start and
+  * end (`host_loadavg`) — this container shares its kernel with other
+  * tenants, and host load is the measured source of the 2–4×
+  * ambient timing band: a series inflated under high recorded load is
+  * ambient; inflated timings at low load are a real regression.
   *
   * Each query is forced through a `noop`-format write so every
   * expression actually executes — a bare `count()` lets Catalyst
@@ -38,6 +45,17 @@ object Bench {
     // they are recomputed over completed repeats after every repeat)
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2400").toInt
     val wall0 = System.nanoTime()
+    // this container shares its kernel with other tenants: /proc/loadavg
+    // is the HOST's run-queue, and it is the ambient-noise source the
+    // bench bands have chased since round 4 (measured: identical cached
+    // plans swing 2-4x between load~0 and load~15-on-32-cpu windows).
+    // Recording it per repeat makes every series self-explaining — an
+    // inflated series under high recorded load is ambient; inflated
+    // timings at low load are a real regression.
+    def hostLoad(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -73,11 +91,18 @@ object Bench {
     // driver's full-suite runs leave it unset
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // probe runs (BENCH_ONLY set) default to a separate file so a
+    // narrow rerun can never clobber the committed full-suite artifact
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "bench_results_partial.json" else "bench_results.json")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val runs = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
+    // [load at repeat start, load at repeat end] per completed repeat
+    val loads = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     for (r <- 1 to repeats) {
+      val load0 = hostLoad()
       // sorted order: run-to-run comparability (Map hash order
       // reshuffles whenever a query is added, moving shared-cache
       // build costs between queries); GC nudge every 6 queries lets
@@ -95,6 +120,7 @@ object Bench {
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
       runs += run
+      loads += ((load0, hostLoad()))
       val med = names.map { case (n, _) =>
         n -> {
           val good = runs.map(_(n)).filter(_ >= 0)
@@ -110,11 +136,14 @@ object Bench {
       val runsJson = runs.map(run => names.map { case (n, _) =>
         "\"" + n + "\":" + f3(run(n)) }.mkString("{", ",", "}"))
         .mkString("[", ",", "]")
+      val loadsJson = loads.map { case (a, b) => s"[${f3(a)},${f3(b)}]" }
+        .mkString("[", ",", "]")
       val fileJson = s"""{"metric":"total","unit":"sec","sf":"${esc(sfDir)}",""" +
         s""""repeats_done":$r,"repeats_target":$repeats,""" +
+        s""""host_loadavg":$loadsJson,""" +
         s""""queries":$qs,"runs":$runsJson,"errors":$errJson,"value":${f3(total)}}"""
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("bench_results.json"), fileJson)
+        java.nio.file.Paths.get(outFile), fileJson)
       // per-repeat detail goes to STDERR: stdout must stay clean so
       // the driver's 2000-char tail capture holds exactly one JSON
       // line (the compact one below) with no partial-line garbage
@@ -137,7 +166,7 @@ object Bench {
       val slow = med.filter(_._2 >= 0).sortBy(-_._2).take(20)
       val sq = slow.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
-      println(s"""{"metric":"total","unit":"sec","sf":"${esc(sfDir)}","n_queries":${names.size},"repeats_done":$r,"repeats":$repeats,"n_errors":${errors.size},"queries_file":"bench_results.json","queries":$sq,"value":${f3(total)}}""")
+      println(s"""{"metric":"total","unit":"sec","sf":"${esc(sfDir)}","n_queries":${names.size},"repeats_done":$r,"repeats":$repeats,"n_errors":${errors.size},"host_loadavg":$loadsJson,"queries_file":"${esc(outFile)}","queries":$sq,"value":${f3(total)}}""")
       Console.out.flush()
       val elapsedS = (System.nanoTime() - wall0) / 1e9
       if (r >= 3 && r < repeats && elapsedS > budgetS) {
