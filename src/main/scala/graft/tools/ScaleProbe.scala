@@ -136,7 +136,17 @@ object ScaleProbe {
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s((s.size - 1) / 2) }
     val fns = queries.sorted.map(n => n -> graft.SparkEntry.queries(n))
     val runs = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
+    // HOST loadavg (shared kernel — other tenants' run-queue) at each
+    // repeat's start/end: linearity factors read across load windows
+    // need this to separate ambient inflation from real super-linearity
+    // (the Bench convention; see BASELINE round-7)
+    def hostLoad(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loads = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     for (r <- 1 to repeats) {
+      val load0 = hostLoad()
       runs += fns.zipWithIndex.map { case ((name, fn), i) =>
         if (i % 6 == 5) System.gc()
         val t0 = System.nanoTime()
@@ -145,6 +155,7 @@ object ScaleProbe {
         println(s"[scale] run $r $name ${f3(dt)}s")
         name -> dt
       }.toMap
+      loads += ((load0, hostLoad()))
       val med = fns.map { case (n, _) => n -> median(runs.map(_(n)).toSeq) }
       val qs = med.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
@@ -152,8 +163,11 @@ object ScaleProbe {
         "\"" + n + "\":" + f3(run(n)) }.mkString("{", ",", "}"))
         .mkString("[", ",", "]")
       val total = med.map(_._2).sum
+      val loadsJson = loads.map { case (a, b) => s"[${f3(a)},${f3(b)}]" }
+        .mkString("[", ",", "]")
       val json = s"""{"metric":"scale_probe","unit":"sec","sf_dir":"$dir",""" +
-        s""""repeats_done":$r,"queries":$qs,"runs":$runsJson,"value":${f3(total)}}"""
+        s""""repeats_done":$r,"host_loadavg":$loadsJson,""" +
+        s""""queries":$qs,"runs":$runsJson,"value":${f3(total)}}"""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("scale_probe.json"), json)
       println(json)
