@@ -39,6 +39,12 @@ object Hybrid {
     val ua = Recommender.userKnnTopK(r, Recommender.K_NEIGHBORS, K_ITEMS,
       targetUsers = Some(col("user_id") % 20 === 0),
       dotsSource = Some(Recommender.userDotsCached(spark, dir)))
+    // the item child is q17's exact plan; it deliberately does NOT
+    // cache its RESULT — a result cache would also satisfy q17 itself
+    // (CacheManager plan-dedup), turning that query's bench median into
+    // a cache read. Shared-stage caching stops at the sims table;
+    // library users composing repeatedly should precompute the children
+    // and hand them to [[fuseTopK]] directly.
     val ib = Recommender.itemKnnTopK(r, col("user_id") % 20 === 0,
       Recommender.K_ITEM_NEIGHBORS, K_ITEMS,
       simsSource = Some(Recommender.itemSimsCached(spark, dir)))
