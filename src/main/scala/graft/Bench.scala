@@ -45,17 +45,43 @@ object Bench {
     // they are recomputed over completed repeats after every repeat)
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2400").toInt
     val wall0 = System.nanoTime()
-    // this container shares its kernel with other tenants: /proc/loadavg
-    // is the HOST's run-queue, and it is the ambient-noise source the
-    // bench bands have chased since round 4 (measured: identical cached
-    // plans swing 2-4x between load~0 and load~15-on-32-cpu windows).
-    // Recording it per repeat makes every series self-explaining — an
-    // inflated series under high recorded load is ambient; inflated
-    // timings at low load are a real regression.
+    // Noise attribution per repeat. The container shares its kernel, so
+    // /proc/loadavg and /proc/stat are HOST-wide — but loadavg during a
+    // repeat mostly counts this bench's own threads, so on its own it
+    // cannot attribute noise. The discriminating set per repeat:
+    //   own_cpu_s   — this JVM's process CPU (OperatingSystemMXBean)
+    //   host_cpu_s  — host-wide busy CPU from /proc/stat (USER_HZ=100)
+    //   gc_s        — this JVM's cumulative GC time delta
+    //   host_sys_s  — host-wide kernel CPU (the churn-variance home)
+    // host_cpu_s >> own_cpu_s → real external tenant contention;
+    // host_cpu_s ≈ own_cpu_s but wall inflated vs own_cpu/32 → the JVM
+    // was WAITING (IO, scheduling, GC pauses — gc_s names the last one);
+    // everything ≈ flat but wall up → a plan regression. loadavg is
+    // still recorded for continuity with earlier rounds' notes.
     def hostLoad(): Double =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // (busy_s, system_s): kernel-side CPU is ~45% of this workload's
+    // burn (shuffle file churn, page cache, thread scheduling) and its
+    // variance is where the repeat-to-repeat band lives — worth
+    // tracking separately from user time
+    def hostBusyS(): (Double, Double) =
+      try {
+        val vals = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+          .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
+        ((vals.sum - vals(3) - vals(4)) / 100.0, vals(2) / 100.0) // minus idle+iowait; system
+      } catch { case _: Throwable => (-1.0, -1.0) }
+    def ownCpuS(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
+    def gcS(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).filter(_ >= 0).sum / 1e3
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -101,8 +127,11 @@ object Bench {
     val runs = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
     // [load at repeat start, load at repeat end] per completed repeat
     val loads = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    // per repeat: [wall_s, own_cpu_s, host_cpu_s, gc_s, host_sys_s] deltas
+    val cpuAttr = scala.collection.mutable.ArrayBuffer[(Double, Double, Double, Double, Double)]()
     for (r <- 1 to repeats) {
       val load0 = hostLoad()
+      val (w0, o0, (h0, s0), g0) = (System.nanoTime(), ownCpuS(), hostBusyS(), gcS())
       // sorted order: run-to-run comparability (Map hash order
       // reshuffles whenever a query is added, moving shared-cache
       // build costs between queries); GC nudge every 6 queries lets
@@ -121,6 +150,9 @@ object Bench {
       }.toMap
       runs += run
       loads += ((load0, hostLoad()))
+      val (h1, s1) = hostBusyS()
+      cpuAttr += (((System.nanoTime() - w0) / 1e9,
+        ownCpuS() - o0, h1 - h0, gcS() - g0, s1 - s0))
       val med = names.map { case (n, _) =>
         n -> {
           val good = runs.map(_(n)).filter(_ >= 0)
@@ -138,9 +170,14 @@ object Bench {
         .mkString("[", ",", "]")
       val loadsJson = loads.map { case (a, b) => s"[${f3(a)},${f3(b)}]" }
         .mkString("[", ",", "]")
+      // per-repeat [wall, own_cpu, host_cpu, gc, host_sys] — ambient
+      // tenant CPU is host_cpu - own_cpu; pure-wait inflation is
+      // wall·32 >> host_cpu; kernel-side churn shows in host_sys
+      val attrJson = cpuAttr.map { case (w, o, h, g, s) =>
+        s"[${f3(w)},${f3(o)},${f3(h)},${f3(g)},${f3(s)}]" }.mkString("[", ",", "]")
       val fileJson = s"""{"metric":"total","unit":"sec","sf":"${esc(sfDir)}",""" +
         s""""repeats_done":$r,"repeats_target":$repeats,""" +
-        s""""host_loadavg":$loadsJson,""" +
+        s""""host_loadavg":$loadsJson,"cpu_attr":$attrJson,""" +
         s""""queries":$qs,"runs":$runsJson,"errors":$errJson,"value":${f3(total)}}"""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outFile), fileJson)
@@ -166,7 +203,7 @@ object Bench {
       val slow = med.filter(_._2 >= 0).sortBy(-_._2).take(20)
       val sq = slow.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
-      println(s"""{"metric":"total","unit":"sec","sf":"${esc(sfDir)}","n_queries":${names.size},"repeats_done":$r,"repeats":$repeats,"n_errors":${errors.size},"host_loadavg":$loadsJson,"queries_file":"${esc(outFile)}","queries":$sq,"value":${f3(total)}}""")
+      println(s"""{"metric":"total","unit":"sec","sf":"${esc(sfDir)}","n_queries":${names.size},"repeats_done":$r,"repeats":$repeats,"n_errors":${errors.size},"host_loadavg":$loadsJson,"cpu_attr":$attrJson,"queries_file":"${esc(outFile)}","queries":$sq,"value":${f3(total)}}""")
       Console.out.flush()
       val elapsedS = (System.nanoTime() - wall0) / 1e9
       if (r >= 3 && r < repeats && elapsedS > budgetS) {
