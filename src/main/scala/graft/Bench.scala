@@ -125,6 +125,7 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val runs = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
+    val runsCpu = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
     // [load at repeat start, load at repeat end] per completed repeat
     val loads = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     // per repeat: [wall_s, own_cpu_s, host_cpu_s, gc_s, host_sys_s] deltas
@@ -137,17 +138,25 @@ object Bench {
       // build costs between queries); GC nudge every 6 queries lets
       // ContextCleaner drop dead shuffle files promptly — and because
       // it runs BETWEEN queries, the pause is never charged to one
+      // per-query OWN-CPU (process CPU delta around the query) rides
+      // next to the wall time in the artifact: band inflation shows as
+      // cpu rising with wall on the same query, a plan regression as a
+      // persistent wall/cpu floor shift — diagnosable per query
+      val runCpu = scala.collection.mutable.LinkedHashMap[String, Double]()
       val run = names.zipWithIndex.map { case ((name, fn), i) =>
         if (i % 6 == 5) System.gc()
         val t0 = System.nanoTime()
+        val c0 = ownCpuS()
         val ok =
           try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
           catch { case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
             false
           }
+        runCpu(name) = if (ok) ownCpuS() - c0 else -1.0
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
+      runsCpu += runCpu.toMap
       runs += run
       loads += ((load0, hostLoad()))
       val (h1, s1) = hostBusyS()
@@ -175,10 +184,14 @@ object Bench {
       // wall·32 >> host_cpu; kernel-side churn shows in host_sys
       val attrJson = cpuAttr.map { case (w, o, h, g, s) =>
         s"[${f3(w)},${f3(o)},${f3(h)},${f3(g)},${f3(s)}]" }.mkString("[", ",", "]")
+      val runsCpuJson = runsCpu.map(rc => names.map { case (n, _) =>
+        "\"" + n + "\":" + f3(rc(n)) }.mkString("{", ",", "}"))
+        .mkString("[", ",", "]")
       val fileJson = s"""{"metric":"total","unit":"sec","sf":"${esc(sfDir)}",""" +
         s""""repeats_done":$r,"repeats_target":$repeats,""" +
         s""""host_loadavg":$loadsJson,"cpu_attr":$attrJson,""" +
-        s""""queries":$qs,"runs":$runsJson,"errors":$errJson,"value":${f3(total)}}"""
+        s""""queries":$qs,"runs":$runsJson,"runs_cpu":$runsCpuJson,""" +
+        s""""errors":$errJson,"value":${f3(total)}}"""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outFile), fileJson)
       // per-repeat detail goes to STDERR: stdout must stay clean so
