@@ -13,10 +13,12 @@ import org.apache.spark.sql.SparkSession
   * (`SPARK_GRAFT_BENCH_ONLY`) write `bench_results_partial.json`
   * instead so they can never clobber the committed full-suite
   * artifact. Every repeat records the HOST loadavg at its start and
-  * end (`host_loadavg`) — this container shares its kernel with other
-  * tenants, and host load is the measured source of the 2–4×
-  * ambient timing band: a series inflated under high recorded load is
-  * ambient; inflated timings at low load are a real regression.
+  * end (`host_loadavg`) — for continuity with earlier rounds' notes
+  * only: loadavg during a repeat mostly counts this bench's own
+  * runnable threads, so it cannot attribute noise by itself
+  * (BASELINE.md round-7 measured external CPU ≈ 0 across full
+  * series). The discriminating signal is `cpu_attr` (own vs host CPU
+  * per repeat — see the inline comment at the definition below).
   *
   * Each query is forced through a `noop`-format write so every
   * expression actually executes — a bare `count()` lets Catalyst
@@ -66,11 +68,19 @@ object Bench {
     // burn (shuffle file churn, page cache, thread scheduling) and its
     // variance is where the repeat-to-repeat band lives — worth
     // tracking separately from user time
+    // busy = user+nice+system+irq+softirq only: guest ticks are already
+    // folded into user on Linux (counting them again double-counts) and
+    // steal is CPU NOT executed on this host — including either would
+    // overstate "external tenant CPU" (host_cpu − own_cpu), the exact
+    // signal the attribution rests on. steal is ~0.1% here but recorded
+    // separately in host_sys's sibling field if ever needed.
     def hostBusyS(): (Double, Double) =
       try {
         val vals = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
           .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
-        ((vals.sum - vals(3) - vals(4)) / 100.0, vals(2) / 100.0) // minus idle+iowait; system
+        // indices after drop(1): 0 user, 1 nice, 2 system, 3 idle,
+        // 4 iowait, 5 irq, 6 softirq, 7 steal, 8 guest, 9 guest_nice
+        ((vals(0) + vals(1) + vals(2) + vals(5) + vals(6)) / 100.0, vals(2) / 100.0)
       } catch { case _: Throwable => (-1.0, -1.0) }
     def ownCpuS(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
@@ -216,7 +226,13 @@ object Bench {
       val slow = med.filter(_._2 >= 0).sortBy(-_._2).take(20)
       val sq = slow.map { case (k, v) => "\"" + k + "\":" + f3(v) }
         .mkString("{", ",", "}")
-      println(s"""{"metric":"total","unit":"sec","sf":"${esc(sfDir)}","n_queries":${names.size},"repeats_done":$r,"repeats":$repeats,"n_errors":${errors.size},"host_loadavg":$loadsJson,"cpu_attr":$attrJson,"queries_file":"${esc(outFile)}","queries":$sq,"value":${f3(total)}}""")
+      // stdout carries only the LATEST repeat's attribution tuple — the
+      // full per-repeat arrays grow ~70 B/repeat and live file-only in
+      // bench_results.json; a raised SPARK_GRAFT_BENCH_REPEATS must not
+      // be able to push the final line past the tail-capture window.
+      val lastAttr = cpuAttr.last match { case (w, o, h, g, s) =>
+        s"[${f3(w)},${f3(o)},${f3(h)},${f3(g)},${f3(s)}]" }
+      println(s"""{"metric":"total","unit":"sec","sf":"${esc(sfDir)}","n_queries":${names.size},"repeats_done":$r,"repeats":$repeats,"n_errors":${errors.size},"cpu_attr_last":$lastAttr,"queries_file":"${esc(outFile)}","queries":$sq,"value":${f3(total)}}""")
       Console.out.flush()
       val elapsedS = (System.nanoTime() - wall0) / 1e9
       if (r >= 3 && r < repeats && elapsedS > budgetS) {

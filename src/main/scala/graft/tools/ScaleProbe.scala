@@ -136,10 +136,12 @@ object ScaleProbe {
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s((s.size - 1) / 2) }
     val fns = queries.sorted.map(n => n -> graft.SparkEntry.queries(n))
     val runs = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
-    // HOST loadavg (shared kernel — other tenants' run-queue) at each
-    // repeat's start/end: linearity factors read across load windows
-    // need this to separate ambient inflation from real super-linearity
-    // (the Bench convention; see BASELINE round-7)
+    // HOST loadavg at each repeat's start/end — recorded for continuity
+    // with earlier rounds' notes only, NOT for attribution: during a
+    // repeat it mostly counts this probe's own runnable threads
+    // (BASELINE round-7 measured external CPU ≈ 0). Linearity verdicts
+    // lean on lower-medians across repeats; a suspect super-linear
+    // reading should be re-measured, not explained away by load.
     def hostLoad(): Double =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split("\\s+")(0).toDouble
