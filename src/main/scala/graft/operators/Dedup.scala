@@ -262,13 +262,19 @@ object Dedup {
       val nbMin = sym.join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("label")).as("nb_label"))
+      // a label changes exactly when a neighbor's label beats it, so
+      // the convergence flag rides the SAME join that computes the new
+      // label — the old formulation re-joined next against labels just
+      // to diff them, a second full shuffle join per round whose jobs
+      // dominated the sf-constant floor of every CC caller (q50, q92,
+      // q95, q100)
       val next = labels.join(nbMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nb_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nb_label"), col("label"))).as("label"),
+          (coalesce(col("nb_label"), col("label")) < col("label")).as("chg"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("chg")).count() // scan of pinned blocks only
+      labels = next.drop("chg")
     }
     labels
   }

@@ -118,7 +118,14 @@ object SeqRecommender {
     // each stage consumes its input TWICE (cdim+dots / nc+join), so an
     // unmaterialized chain re-executes early iterations 2^depth times —
     // eager localCheckpoint pins each iteration's (small) result once
-    // and truncates lineage, the same lever as q50's dedup rounds
+    // and truncates lineage, the same lever as q50's dedup rounds.
+    // Round-8 measured three alternatives at sf0.001 and this eager
+    // per-half-iteration pin (c0 included) is the optimum: batching
+    // pins to every-2-iterations costs +40% build (no cross-job stage
+    // reuse once each action replans), dropping only c0's pin costs
+    // +15% (its limit/orderBy seed subplan re-executes per consumer),
+    // and swapping the pins for lazy cache() is pathological (nested
+    // unmaterialized InMemoryRelations → exec 60×).
     val last = (1 to iters).foldLeft(c0.localCheckpoint(true)) { (c, _) =>
       recenter(assign(c).localCheckpoint(true)).localCheckpoint(true)
     }

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /**
  * Diagnostic: split a registered query's wall time into Catalyst
@@ -32,6 +33,14 @@ object PlanTime {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // Untimed session warmup: the first job in a fresh JVM pays several
+    // seconds of one-off cost (executor thread spin-up, codegen
+    // compiler warmup, shuffle-system init) that a bench-context query
+    // never sees — without this, a fresh-JVM PlanTime over-attributes
+    // that constant to whichever query runs first (measured ~5 s of
+    // q58's "build" at sf0.001).
+    spark.range(1L << 20).repartition(32).groupBy((col("id") % 97).as("k"))
+      .count().write.mode("overwrite").format("noop").save()
     names.foreach { n =>
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(n)(spark, dir)
