@@ -3,8 +3,27 @@
 (via sbt) output against the DuckDB oracle and diff values.
 
 Usage: python3 scripts/check.py [sfdir] [outdir] [--no-run] [names...]
+       python3 scripts/check.py --smoke [sfdir]
+
+--smoke: the ~30-second round-start tripwire — runs graft.tools.Smoke
+(one representative query per source family at sf0.001) and exits with
+its status. Run it FIRST each round: it catches driver testdata
+regenerations that changed a physical parquet schema (the round-6
+events.ts incident) before any longer gate burns time.
 """
 import json, math, os, subprocess, sys
+
+if "--smoke" in sys.argv:
+    sf = next((a for a in sys.argv[1:] if not a.startswith("--")),
+              "/root/testdata/sf0.001")
+    r = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.tools.Smoke {sf}"],
+        cwd="/root/repo", capture_output=True, text=True)
+    for line in (r.stdout + r.stderr).splitlines():
+        if "[smoke]" in line:
+            print(line)
+    ok = r.returncode == 0 and "[smoke] all" in r.stdout
+    sys.exit(0 if ok else 1)
 
 SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 and not sys.argv[2].startswith("--") else "/tmp/verify_out"

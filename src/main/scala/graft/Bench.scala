@@ -18,7 +18,11 @@ import org.apache.spark.sql.SparkSession
   * runnable threads, so it cannot attribute noise by itself
   * (BASELINE.md round-7 measured external CPU ≈ 0 across full
   * series). The discriminating signal is `cpu_attr` (own vs host CPU
-  * per repeat — see the inline comment at the definition below).
+  * per repeat — see the inline comment at the definition below), and
+  * from round 8 the round-7 verdict procedure runs automatically: each
+  * line carries `band_or_regression` ([[diagnose]] — per-query
+  * floor-of-series vs the prior committed artifact's floors), so the
+  * driver's 2× gate reads the noise-vs-regression diagnosis directly.
   *
   * Each query is forced through a `noop`-format write so every
   * expression actually executes — a bare `count()` lets Catalyst
@@ -27,6 +31,45 @@ import org.apache.spark.sql.SparkSession
   * instead of being swallowed.
   */
 object Bench {
+
+  /** Per-query floor-of-series from a prior committed artifact's
+    * `runs` array: the minimum non-error wall each query ever hit in
+    * that series. Floors are the stable fingerprint of a plan on this
+    * host — the ambient band inflates individual repeats but not the
+    * floor (BASELINE round-7 attribution). */
+  def priorFloors(json: String): Map[String, Double] = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val runs = (jackson.JsonMethods.parse(json) \ "runs")
+      .extract[List[Map[String, Double]]]
+    runs.flatten.groupBy(_._1).flatMap { case (k, vs) =>
+      val good = vs.map(_._2).filter(_ >= 0)
+      if (good.isEmpty) None else Some(k -> good.min)
+    }
+  }
+
+  /** The round-7 manual verdict procedure as a pure function:
+    * REGRESSION = per-query floors shift up vs the prior committed
+    * series (≥half of the ≥1 s-floor queries exceed 1.5× their prior
+    * floor — plans got worse, every repeat pays it); BAND = floors
+    * intact but repeat walls spread >1.4× within this series (ambient
+    * kernel/memory churn — medians recover); STABLE otherwise.
+    * `warming` until two repeats exist (a single band-inflated repeat
+    * must not read as a regression); `no_prior` with nothing to
+    * compare against. */
+  def diagnose(prior: Map[String, Double], cur: Map[String, Double],
+               repeatWalls: Seq[Double]): String = {
+    if (repeatWalls.size < 2) return "warming"
+    val considered = prior.filter(_._2 >= 1.0).keySet.intersect(cur.keySet).toSeq
+    if (considered.isEmpty) "no_prior"
+    else {
+      val shifted = considered.count(k => cur(k) > 1.5 * prior(k))
+      if (shifted * 2 >= considered.size) "regression"
+      else if (repeatWalls.max > 1.4 * repeatWalls.min) "band"
+      else "stable"
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default matches the driver contract (local[32]); a bare launch
@@ -133,6 +176,13 @@ object Bench {
       if (only.isDefined) "bench_results_partial.json" else "bench_results.json")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // prior floors always come from the COMMITTED full artifact (never
+    // a partial probe file) — the diagnosis baseline is the last
+    // accepted series
+    val prior: Map[String, Double] =
+      try priorFloors(java.nio.file.Files.readString(
+        java.nio.file.Paths.get("bench_results.json")))
+      catch { case _: Throwable => Map.empty }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val runs = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
     val runsCpu = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
@@ -197,8 +247,19 @@ object Bench {
       val runsCpuJson = runsCpu.map(rc => names.map { case (n, _) =>
         "\"" + n + "\":" + f3(rc(n)) }.mkString("{", ",", "}"))
         .mkString("[", ",", "]")
+      // floor-of-series so far + the automated band-vs-regression
+      // verdict against the prior committed artifact (VERDICT r7 #3)
+      val curFloors = names.flatMap { case (n, _) =>
+        val good = runs.map(_(n)).filter(_ >= 0)
+        if (good.isEmpty) None else Some(n -> good.min)
+      }.toMap
+      val diag = diagnose(prior, curFloors, cpuAttr.map(_._1).toSeq)
+      val floorsJson = names.flatMap { case (n, _) =>
+        curFloors.get(n).map(v => "\"" + n + "\":" + f3(v)) }
+        .mkString("{", ",", "}")
       val fileJson = s"""{"metric":"total","unit":"sec","sf":"${esc(sfDir)}",""" +
         s""""repeats_done":$r,"repeats_target":$repeats,""" +
+        s""""band_or_regression":"$diag","floors":$floorsJson,""" +
         s""""host_loadavg":$loadsJson,"cpu_attr":$attrJson,""" +
         s""""queries":$qs,"runs":$runsJson,"runs_cpu":$runsCpuJson,""" +
         s""""errors":$errJson,"value":${f3(total)}}"""
@@ -232,7 +293,7 @@ object Bench {
       // be able to push the final line past the tail-capture window.
       val lastAttr = cpuAttr.last match { case (w, o, h, g, s) =>
         s"[${f3(w)},${f3(o)},${f3(h)},${f3(g)},${f3(s)}]" }
-      println(s"""{"metric":"total","unit":"sec","sf":"${esc(sfDir)}","n_queries":${names.size},"repeats_done":$r,"repeats":$repeats,"n_errors":${errors.size},"cpu_attr_last":$lastAttr,"queries_file":"${esc(outFile)}","queries":$sq,"value":${f3(total)}}""")
+      println(s"""{"metric":"total","unit":"sec","sf":"${esc(sfDir)}","n_queries":${names.size},"repeats_done":$r,"repeats":$repeats,"n_errors":${errors.size},"band_or_regression":"$diag","cpu_attr_last":$lastAttr,"queries_file":"${esc(outFile)}","queries":$sq,"value":${f3(total)}}""")
       Console.out.flush()
       val elapsedS = (System.nanoTime() - wall0) / 1e9
       if (r >= 3 && r < repeats && elapsedS > budgetS) {

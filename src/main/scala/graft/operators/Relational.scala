@@ -649,6 +649,44 @@ object Relational {
         unix_timestamp(col("session_end")) - unix_timestamp(col("session_start")))
   }
 
+  /** Third sessionizer implementation behind the same seam (VERDICT
+    * r7 stretch #6): Spark's built-in `session_window`, cross-checked
+    * three ways against [[sessionizeBatch]] (lag/cumsum) and the
+    * streaming `flatMapGroupsWithState` sessionizer
+    * (SessionWindowParitySpec) — cheap insurance that the custom gap
+    * logic matches the engine's own merging-session semantics.
+    *
+    * Boundary alignment: the batch twin splits on SECOND-TRUNCATED
+    * gaps with strict `> gap` (unix_timestamp arithmetic), i.e. merges
+    * iff trunc-diff ≤ gap — and `session_window` merges sessions whose
+    * windows touch or overlap (next.start ≤ prev.end, boundary pinned
+    * by SessionWindowParitySpec), i.e. iff diff ≤ gap. Feeding the
+    * built-in second-truncated timestamps with the SAME gap therefore
+    * makes the predicates coincide exactly. Aggregates still run over
+    * the raw timestamps, so emitted rows are bit-identical.
+    *
+    * Scale shape: identical to the batch twin — one user-keyed
+    * exchange into the merging-sessions agg, plus the same per-user
+    * window for the ordinal session_id. */
+  def sessionizeSessionWindow(ev: DataFrame): DataFrame = {
+    val sess = ev
+      .withColumn("ts_sec", date_trunc("second", col("ts")))
+      .groupBy(col("user_id"),
+        session_window(col("ts_sec"),
+          s"$SESSION_GAP_SECONDS seconds").as("sw"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"))
+    val wSess = Window.partitionBy(col("user_id")).orderBy(col("sw.start").asc)
+    sess.withColumn("session_id", row_number().over(wSess).cast("long"))
+      .select(col("user_id"), col("session_id"),
+        col("session_start"), col("session_end"),
+        col("n_events"), col("n_types"))
+      .withColumn("duration_s",
+        unix_timestamp(col("session_end")) - unix_timestamp(col("session_start")))
+  }
+
   /** Ordered event funnel: view → click-after-view → purchase-after-
     * click, per user on earliest qualifying timestamps, emitted as
     * per-stage user counts with conversion rates against stage 1. The

@@ -18,12 +18,18 @@ import org.apache.spark.sql.functions._
  * every cohort modulus in the suite (25/40/50/200), so `user_id % 50
  * = 0`-style cohorts keep their population fraction in every copy.
  *
- * The probe set deliberately EXCLUDES the dedup/corpus family: key
- * shifts cannot mutate document text, so replication makes every doc
- * a 10-way near-duplicate of its clones and banded-LSH bucket work
- * grows quadratically in the data itself — a property of the
- * synthetic clone corpus, not of the plans (their per-bucket shapes
- * are spec'd and oracle-checked separately).
+ * Round-8: the dedup/corpus family joins the probe. Naive replication
+ * would make every doc a K-way near-duplicate of its clones (banded-
+ * LSH bucket work quadratic in the data itself — a clone-corpus
+ * artifact, not a plan property), so `build` mutates document TEXT per
+ * copy: every whitespace-delimited run gets a copy-tagged suffix,
+ * which keeps each copy's token/shingle structure bit-identical to the
+ * original while making the copies disjoint text universes — the same
+ * disjoint-universe construction the key shifts give the relational
+ * tables. Grouped/bucketed text work then scales linearly by
+ * construction, which is the property the probe verifies the PLANS
+ * preserve. (documents.n_chars is stale w.r.t. the suffixed text; no
+ * probe query reads it.)
  *
  * `run` emits one JSON line and writes scale_probe.json (the
  * bench_results.json conventions).
@@ -65,12 +71,23 @@ object ScaleProbe {
     "q57_event_sessions", "q73_event_funnel", "q74_trailing_window",
     "q78_json_extract", "q101_pit_join", "q102_sketch_rollup")
 
+  /** Round-8 extension: the operators this engine actually aims at
+    * 100 TB — banded near-dup (q19/q20), components (q50), incremental
+    * cross-corpus dedup (q95), PQ ANN (q99), decontamination (q81) and
+    * the composed hygiene pipeline (q100). Meaningful only against a
+    * text-mutated build (see the class doc); on a naive clone corpus
+    * the near-dup queries measure the corpus, not the plans. */
+  val TEXT_QUERIES: Seq[String] = Seq(
+    "q19_minhash_bands", "q20_neardup_pairs", "q50_dedup_clusters",
+    "q95_incremental_dedup", "q99_pq_ann", "q81_decontaminate",
+    "q100_corpus_pipeline")
+
   val PROBE_QUERIES: Seq[String] = Seq(
     "q01_pricing_summary", "q16_user_knn_topk", "q17_item_knn_topk",
     "q30_user_rating_predict", "q31_item_rating_predict", "q33_hybrid_topk",
     "q59_user_knn_pearson", "q63_user_knn_euclidean", "q64_bm25",
     "q76_pagerank", "q93_triangles", "q97_label_propagation",
-    "q32b_content_topk_lsh") ++ EVENTS_QUERIES
+    "q32b_content_topk_lsh") ++ EVENTS_QUERIES ++ TEXT_QUERIES
 
   /** q32 (the exact users×catalog content grid) is priced at sf1 next
     * to q32b for the BASELINE crossover statement, but in its OWN
@@ -115,10 +132,20 @@ object ScaleProbe {
       val df = spark.read.parquet(s"$src/$t.parquet")
       val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
       val all = (0 until copies).map { c =>
-        keys.foldLeft(df)((d, k) =>
+        val shifted = keys.foldLeft(df)((d, k) =>
           // keep the source column type — int keys stay int (9 copies
           // × STRIDE tops out well under Int.MaxValue)
           d.withColumn(k, (col(k) + lit(c * STRIDE)).cast(types(k))))
+        // per-copy text mutation (copy 0 = the original corpus): a
+        // copy-tagged suffix on every whitespace run keeps token and
+        // shingle COUNTS identical per copy while making the copies'
+        // token/shingle/n-gram universes disjoint — no cross-copy
+        // near-dup pairs, LM bigrams, or shared decontamination grams,
+        // so text work is K× the organic sf0.1 work by construction
+        if (t == "documents" && c > 0)
+          shifted.withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", "$1" + ('a' + c - 1).toChar))
+        else shifted
       }.reduce(_ unionByName _)
       all.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[scale] $t: ${all.count()} rows (${copies}x)")

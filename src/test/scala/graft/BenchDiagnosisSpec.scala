@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The automated band-vs-regression verdict (VERDICT r7 #3) on a
+  * synthetic two-series fixture: the prior committed artifact is a
+  * quiet series; the current series either keeps its floors (stable /
+  * band) or shifts them (regression). Pure-function tests — no Spark. */
+class BenchDiagnosisSpec extends AnyFunSuite {
+
+  // prior series: q_heavy floor 10.0, q_mid floor 2.0, q_tiny floor 0.2
+  private val priorJson =
+    """{"metric":"total","runs":[
+      |{"q_heavy":12.0,"q_mid":2.4,"q_tiny":0.3},
+      |{"q_heavy":10.0,"q_mid":2.0,"q_tiny":0.2},
+      |{"q_heavy":11.0,"q_mid":2.2,"q_tiny":0.25}
+      |]}""".stripMargin
+
+  test("priorFloors extracts the per-query minimum, skipping error runs") {
+    val f = Bench.priorFloors(priorJson)
+    assert(f == Map("q_heavy" -> 10.0, "q_mid" -> 2.0, "q_tiny" -> 0.2))
+    val withErr = Bench.priorFloors(
+      """{"runs":[{"q_a":-1.0,"q_b":3.0},{"q_a":5.0,"q_b":-1.0}]}""")
+    assert(withErr == Map("q_a" -> 5.0, "q_b" -> 3.0))
+  }
+
+  private val prior = Bench.priorFloors(priorJson)
+
+  test("stable: floors reproduce, repeats tight") {
+    val cur = Map("q_heavy" -> 10.3, "q_mid" -> 2.1, "q_tiny" -> 0.22)
+    assert(Bench.diagnose(prior, cur, Seq(30.0, 31.5)) == "stable")
+  }
+
+  test("band: floors intact but repeat walls spread >1.4x (ambient churn)") {
+    val cur = Map("q_heavy" -> 10.3, "q_mid" -> 2.1, "q_tiny" -> 0.22)
+    assert(Bench.diagnose(prior, cur, Seq(30.0, 55.0, 31.0)) == "band")
+  }
+
+  test("regression: >=half of the >=1s-floor queries shift floors >1.5x") {
+    // q_heavy 10 -> 17 and q_mid 2 -> 3.5 shifted; q_tiny excluded (<1s)
+    val cur = Map("q_heavy" -> 17.0, "q_mid" -> 3.5, "q_tiny" -> 0.22)
+    assert(Bench.diagnose(prior, cur, Seq(40.0, 41.0)) == "regression")
+  }
+
+  test("one shifted floor out of two considered still reads regression (half rule)") {
+    val cur = Map("q_heavy" -> 17.0, "q_mid" -> 2.05, "q_tiny" -> 0.22)
+    assert(Bench.diagnose(prior, cur, Seq(40.0, 41.0)) == "regression")
+  }
+
+  test("a single inflated repeat reads warming, never regression") {
+    val cur = Map("q_heavy" -> 25.0, "q_mid" -> 5.0, "q_tiny" -> 0.5)
+    assert(Bench.diagnose(prior, cur, Seq(60.0)) == "warming")
+  }
+
+  test("no prior artifact or no comparable queries reads no_prior") {
+    assert(Bench.diagnose(Map.empty, Map("q" -> 1.0), Seq(1.0, 1.0)) == "no_prior")
+    // prior exists but only sub-1s floors -> nothing comparable
+    assert(Bench.diagnose(Map("q_tiny" -> 0.2), Map("q_tiny" -> 0.9),
+      Seq(1.0, 1.0)) == "no_prior")
+  }
+}

@@ -51,6 +51,27 @@ class ScaleProbeSpec extends SparkSuite {
       "folded replica ratings diverge from the source universe")
   }
 
+  test("text copies are disjoint token universes with identical per-doc token structure") {
+    import graft.functions.VectorFns
+    val rep = spark.read.parquet(s"$out/documents.parquet")
+      .select((col("doc_id") / lit(ScaleProbe.STRIDE)).cast("long").as("copy"),
+        (col("doc_id") % lit(ScaleProbe.STRIDE)).as("base_id"),
+        VectorFns.tokens(col("text")).as("tk"))
+      .cache()
+    // token COUNTS per doc identical across copies (structure preserved)
+    val perDoc = rep.select(col("copy"), col("base_id"), size(col("tk")).as("n"))
+    val drift = perDoc.groupBy("base_id").agg(countDistinct(col("n")).as("d"))
+      .filter(col("d") > 1).count()
+    assert(drift == 0, "token counts drifted across copies")
+    // token SETS disjoint across copies (no cross-copy near-dup pairs
+    // or shared decontamination grams by construction)
+    val toks = rep.select(col("copy"), explode(col("tk")).as("t")).distinct()
+    val cross = toks.groupBy("t").agg(countDistinct(col("copy")).as("c"))
+      .filter(col("c") > 1).count()
+    assert(cross == 0, "a token appears in more than one copy")
+    rep.unpersist()
+  }
+
   test("cohort fractions survive replication (STRIDE divides every cohort modulus)") {
     for (m <- Seq(25, 40, 50, 200)) {
       assert(ScaleProbe.STRIDE % m == 0, s"STRIDE not a multiple of $m")
