@@ -26,7 +26,8 @@ object Evaluation {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_eval_metrics" -> q27,
     "q44_cv_metrics" -> q44,
-    "q96_ndcg" -> q96
+    "q96_ndcg" -> q96,
+    "q104_als_topk" -> q104
   )
 
   val K = 10
@@ -192,6 +193,36 @@ object Evaluation {
       .agg(count(lit(1)).as("n_test"),
         r4(sqrt(avg(col("err") * col("err")))).as("rmse"),
         r4(avg(abs(col("err")))).as("mae"))
+  }
+
+  /** The ml-layer ALS surface under the driver gate (VERDICT r7
+    * stretch #7): seed-fixed factorization (rank 10, 10 sweeps, seed
+    * 42, coldStartStrategy=drop) of the ratings view, top-5 readout
+    * for the canonical `user_id % 50 = 0` cohort, scores rounded to
+    * 6 dp. Feasibility was established by measurement before
+    * registering (`tools/AlsDeterminism`): the 6-dp digest is
+    * bit-stable across JVMs AND across parallelism (local[16] vs
+    * local[32]) — Spark's ALS block partitioning and seeded factor
+    * init are deterministic for a fixed seed, and the normal-equation
+    * solves accumulate per-block in a fixed order. No `oracleSql`
+    * entry: factorization is not SQL-expressible in DuckDB, so the
+    * driver records the rows-only check — within Spark the readout is
+    * replay-exact, which is what the bench and Verify artifacts pin.
+    *
+    * Scale posture: ALS is the CF path when the rating matrix itself
+    * is the 100-TB table — O(nnz·rank²) per sweep over block-
+    * partitioned factors, and `recommendForUserSubset` scores only
+    * the cohort (never all-users unless asked). */
+  private def q104(spark: SparkSession, dir: String): DataFrame = {
+    val ratings = Tables.ratingsCached(spark, dir)
+    val model = new graft.ml.AlsRecommender()
+      .setRank(10).setMaxIter(10).setSeed(42L).setKItems(5)
+      .fit(ratings)
+    val cohort = ratings.select(col("user_id")).distinct()
+      .filter(col("user_id") % 50 === 0)
+    model.transform(cohort)
+      .select(col("user_id"), col("item_id"), col("rk"),
+        round(col("score"), 6).as("score"))
   }
 
   /** Popularity top-[[K]] with dense ranks — shared by q27 and q96.

@@ -95,4 +95,25 @@ class EvaluationSpec extends SparkSuite {
     assert(got.getLong(1) == users.length.toLong)
     assert(got.getDouble(0) > 0.0 && got.getDouble(0) < 1.0)
   }
+
+  test("q104 ALS top-k readout: full cohort coverage, k rows per user, rank-ordered scores") {
+    val df = graft.SparkEntry.queries("q104_als_topk")(spark, "/root/testdata/sf0.001")
+      .cache()
+    val rows = df.collect()
+    assert(rows.nonEmpty, "empty ALS readout")
+    // every cohort user gets exactly kItems rows, rk 1..5
+    val perUser = rows.groupBy(_.getLong(0))
+    assert(perUser.forall(_._2.length == 5), "a cohort user is missing rows")
+    perUser.foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq == (1 to 5), s"user $u ranks")
+      val scores = sorted.map(_.getDouble(3)).toSeq
+      assert(scores == scores.sorted.reverse, s"user $u scores not descending")
+    }
+    // deterministic: a second fit in the same session reproduces it
+    val again = graft.SparkEntry.queries("q104_als_topk")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSet
+    assert(again == rows.map(_.toSeq).toSet, "ALS readout not replay-stable")
+    df.unpersist()
+  }
 }
