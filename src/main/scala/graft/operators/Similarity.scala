@@ -29,7 +29,8 @@ object Similarity {
     "q42_ivf_ann" -> q42,
     "q49_neardup_banded" -> q49,
     "q62_embed_quantize" -> q62,
-    "q99_pq_ann" -> q99
+    "q99_pq_ann" -> q99,
+    "q105_semantic_dedup" -> q105
   )
 
   val NUM_SIGN_BANDS = 4
@@ -263,6 +264,57 @@ object Similarity {
     pairs.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("cell"), col("n_id"), r4(col("cos")).as("cosine"), col("rk"))
+  }
+
+  /** Semantic-dedup cosine threshold. On this synthetic near-random
+    * embedding corpus the within-cell cosine tail tops out ≈0.47, so
+    * 0.4 is the "semantic duplicate" regime here (aligned with
+    * [[NEARDUP_THRESHOLD]]); real text-embedding corpora run 0.9+ —
+    * the threshold is the caller's dial. */
+  val SEMDEDUP_TAU = 0.4
+
+  private def q105(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(emb(spark, dir), IVF_SEEDS, SEMDEDUP_TAU)
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023: cluster
+    * the embedding space, then near-dup ONLY within clusters): coarse
+    * k-means cell assignment (the q42 codebook + keyed argmin), exact
+    * within-cell cosine pairs, and a deterministic keep-min-id policy —
+    * a vector is dropped iff a smaller-id vector in its cell sits at
+    * cosine ≥ `tau`. Greedy per-pair (a chain a~b~c drops both b and c
+    * even when a~c is below τ) — deliberately NOT transitive-closure
+    * components: that is the published algorithm's greedy shape, it
+    * needs no iteration, and it is exactly SQL-replayable. Emits one
+    * row per vector: `(vec_id, cell, n_better_dups, kept)`.
+    *
+    * Scale shape: the only pairwise stage is the within-cell
+    * self-join — Σ_cell n² with the cell as partition key, the q42/LSH
+    * bucket posture. At 100 TB the codebook grows (more cells) so cell
+    * occupancy stays O(corpus/k); the all-pairs semantic dedup the
+    * paper replaces never happens. */
+  def semanticDedup(e: DataFrame, seedIds: Seq[Long], tau: Double): DataFrame = {
+    val cents = e.filter(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cell").asc)
+    val cells = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cell"),
+        r6(sqDistArr(col("v"), col("cv"))).as("d2"))
+      .withColumn("crk", row_number().over(wAsg)).filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("cell"))
+    val dups = cells.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"))
+      .join(cells.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb")),
+        Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b").as("vec_id"),
+        r6(cosineArr(col("va"), col("vb"))).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_better_dups"))
+    cells.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_better_dups"), lit(0L)).as("n_better_dups"),
+        (coalesce(col("n_better_dups"), lit(0L)) === 0).cast("int").as("kept"))
   }
 
   /** PQ geometry: 64-dim embeddings → [[PQ_M]] subspaces of

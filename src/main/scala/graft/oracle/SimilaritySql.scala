@@ -165,6 +165,36 @@ object SimilaritySql {
          |      FROM pairs)
          |WHERE rk <= 5""".stripMargin,
 
+    "q105_semantic_dedup" ->
+      s"""WITH $embCte,
+         |cents AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv FROM emb
+         |  WHERE vec_id IN (3, 67, 131, 195, 259, 323, 387, 451)),
+         |cells AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rk
+         |    FROM (
+         |      SELECT e.vec_id, e.v, c.cell,
+         |             floor(list_sum(list_transform(list_zip(e.v, c.cv),
+         |                     z -> (z[1]-z[2])*(z[1]-z[2])))
+         |                   * 1000000.0 + 0.5) / 1000000.0 AS d2
+         |      FROM emb e CROSS JOIN cents c))
+         |  WHERE rk = 1),
+         |dups AS (
+         |  SELECT b.vec_id AS vec_id, count(*) AS n_better_dups
+         |  FROM cells a JOIN cells b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE floor(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2]))
+         |              / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+         |                 * sqrt(list_sum(list_transform(b.v, x -> x*x))))
+         |              * 1000000.0 + 0.5) / 1000000.0 >= 0.4
+         |  GROUP BY b.vec_id)
+         |SELECT c.vec_id, c.cell,
+         |       CAST(coalesce(d.n_better_dups, 0) AS BIGINT) AS n_better_dups,
+         |       CASE WHEN coalesce(d.n_better_dups, 0) = 0 THEN 1 ELSE 0 END AS kept
+         |FROM cells c LEFT JOIN dups d ON c.vec_id = d.vec_id""".stripMargin,
+
     // q99 PQ contract row: cohort/corpus sizes and k are exact facts
     // the oracle recomputes; recall_ok certifies mean PQ recall@k ≥
     // the floor (the oracle pins it to 1 — a codebook/LUT regression
