@@ -25,7 +25,8 @@ object TextOps {
     "q48_bigram_lang_id" -> q48,
     "q61_repetition_stats" -> q61,
     "q72_heavy_hitters" -> q72,
-    "q94_lm_quality" -> q94
+    "q94_lm_quality" -> q94,
+    "q106_perplexity_buckets" -> q106
   )
 
   /** Gopher-rule repetition threshold: a doc whose single most common
@@ -310,5 +311,37 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
       .select(col("doc_id"), col("n_bigrams"),
         r4(col("slp").cast("double") / col("n_bigrams")).as("avg_logp"))
+  }
+
+  /** CCNet-style perplexity buckets: fixed avg-logp thresholds chosen
+    * from this corpus's observed range (−3.61…−3.26 at sf0.01 —
+    * tertile-ish cuts at −3.37/−3.40). CCNet calibrates per-language
+    * percentile cuts from a sample against a reference LM; FIXED
+    * constants keep the pipeline one-pass, scale-free (no global sort
+    * or percentile pass over the corpus) and exactly replayable — the
+    * production dial is the threshold pair. */
+  val LM_HEAD_THRESH = -3.37
+  val LM_MID_THRESH = -3.40
+
+  /** Per-(lang, bucket) corpus composition under the [[q94]] LM —
+    * the head/middle/tail split an LLM-data team samples from
+    * (head-heavy mixes for quality, tail for diversity). Bucket means
+    * accumulate in DECIMAL over the (already 4-dp-quantized) per-doc
+    * scores, so the emitted means are order-independent at any
+    * parallelism (the q55 lesson applied to averages). */
+  private def q106(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.select(col("doc_id"), col("lang"))
+      .join(lmQualityScores(docs).select(col("doc_id"), col("avg_logp")),
+        Seq("doc_id"))
+      .withColumn("bucket",
+        when(col("avg_logp") >= LM_HEAD_THRESH, "head")
+          .when(col("avg_logp") >= LM_MID_THRESH, "middle")
+          .otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("avg_logp").cast("decimal(20,4)")).as("s"))
+      .select(col("lang"), col("bucket"), col("n_docs"),
+        r4(col("s").cast("double") / col("n_docs")).as("mean_logp"))
   }
 }

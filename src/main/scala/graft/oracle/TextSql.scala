@@ -190,6 +190,38 @@ object TextSql {
          |       ${graft.functions.Rounding.sql4("CAST(slp AS DOUBLE) / n_bigrams")} AS avg_logp,
          |       CAST(${graft.functions.Rounding.sql4("CAST(slp AS DOUBLE) / n_bigrams")}
          |            < ${graft.operators.TextOps.LM_FLAG_THRESH} AS INTEGER) AS flagged
-         |FROM agg""".stripMargin
+         |FROM agg""".stripMargin,
+
+    "q106_perplexity_buckets" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${SqlFragments.tokensSql(SqlFragments.normTextSql("text"))} AS tk
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+         |  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+         |  WHERE len(tk) >= 2),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w1) AS v FROM bg),
+         |scored AS (
+         |  SELECT bg.doc_id,
+         |         CAST(${graft.functions.Rounding.sql6(
+                     "ln(CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))")}
+         |              AS DECIMAL(20,6)) AS lp
+         |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v),
+         |agg AS (
+         |  SELECT doc_id,
+         |         ${graft.functions.Rounding.sql4("CAST(sum(lp) AS DOUBLE) / count(*)")} AS avg_logp
+         |  FROM scored GROUP BY 1),
+         |b AS (
+         |  SELECT d.lang,
+         |         CASE WHEN a.avg_logp >= ${graft.operators.TextOps.LM_HEAD_THRESH} THEN 'head'
+         |              WHEN a.avg_logp >= ${graft.operators.TextOps.LM_MID_THRESH} THEN 'middle'
+         |              ELSE 'tail' END AS bucket,
+         |         CAST(a.avg_logp AS DECIMAL(20,4)) AS al
+         |  FROM agg a JOIN documents d USING (doc_id))
+         |SELECT lang, bucket, count(*) AS n_docs,
+         |       ${graft.functions.Rounding.sql4("CAST(sum(al) AS DOUBLE) / count(*)")} AS mean_logp
+         |FROM b GROUP BY 1, 2""".stripMargin
   )
 }
