@@ -25,6 +25,54 @@ class SemanticDedupSpec extends SparkSuite {
       Seq((1L, 0L, 1), (2L, 1L, 0), (3L, 1L, 0)), out.mkString("; "))
   }
 
+  test("random corpora match a brute-force model of the greedy policy (seeded)") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 5) {
+      val n = 20 + rnd.nextInt(20)
+      val dim = 4
+      val vecs = (1L to n).map(i =>
+        (i, Seq.fill(dim)(rnd.nextInt(21) / 10.0 - 1.0))).toMap
+      val seeds = Seq(1L, 2L)
+      val tau = 0.6
+      // model: nearest seed by rounded sq-dist (cell tie -> smaller),
+      // then drop iff ANY smaller-id same-cell vector has cos >= tau
+      def r6m(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      def sq(a: Seq[Double], b: Seq[Double]) =
+        r6m(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val na = math.sqrt(a.map(x => x * x).sum)
+        val nb = math.sqrt(b.map(x => x * x).sum)
+        if (na == 0 || nb == 0) Double.NaN
+        else r6m(a.zip(b).map { case (x, y) => x * y }.sum / (na * nb))
+      }
+      val cell = vecs.map { case (i, v) =>
+        i -> seeds.map(s => (sq(v, vecs(s)), s)).min._2 }
+      val model = vecs.keys.toSeq.sorted.map { i =>
+        val dups = vecs.keys.filter(j => j < i && cell(j) == cell(i) &&
+          cos(vecs(j), vecs(i)) >= tau).size
+        (i, cell(i).toInt, dups.toLong, if (dups == 0) 1 else 0)
+      }.toSet
+      val got = Similarity.semanticDedup(
+        vecs.toSeq.map { case (i, v) => (i, v) }.toDF("vec_id", "v"), seeds, tau)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+        .toSet
+      assert(got == model, s"trial $trial diverged: ${got.diff(model)} vs ${model.diff(got)}")
+    }
+  }
+
+  test("plan shape: codebook broadcasts, no cartesian product") {
+    val sp = spark
+    import sp.implicits._
+    val e = (1L to 50L).map(i => (i, Seq(i * 0.1, -i * 0.05))).toDF("vec_id", "v")
+    val plan = Similarity.semanticDedup(e, Seq(1L, 2L), 0.9)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), "codebook should broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "within-cell pairing must be a keyed join, never a cartesian")
+  }
+
   test("vectors in different cells never pair") {
     val sp = spark
     import sp.implicits._
