@@ -26,7 +26,8 @@ object TextOps {
     "q61_repetition_stats" -> q61,
     "q72_heavy_hitters" -> q72,
     "q94_lm_quality" -> q94,
-    "q106_perplexity_buckets" -> q106
+    "q106_perplexity_buckets" -> q106,
+    "q107_gopher_flags" -> q107
   )
 
   /** Gopher-rule repetition threshold: a doc whose single most common
@@ -311,6 +312,63 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
       .select(col("doc_id"), col("n_bigrams"),
         r4(col("slp").cast("double") / col("n_bigrams")).as("avg_logp"))
+  }
+
+  /** The published Gopher quality-rule bounds (Rae et al. 2021 §A1.1),
+    * word-level subset — the line-structure rules (bullet/ellipsis
+    * line fractions) need document line breaks this corpus does not
+    * model and are the documented omission. */
+  val GOPHER_MIN_WORDS = 50L
+  val GOPHER_MAX_WORDS = 100000L
+  val GOPHER_MIN_WORDLEN = 3.0
+  val GOPHER_MAX_WORDLEN = 10.0
+  val GOPHER_MAX_SYMBOL_RATIO = 0.1
+  val GOPHER_MIN_ALPHA_RATIO = 0.8
+  val GOPHER_STOPS: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GOPHER_MIN_STOPS = 2L
+
+  /** Per-doc Gopher quality flags: word-count bounds, mean-word-length
+    * bounds, symbol-to-word ratio (# / ellipsis), alphabetic-word
+    * fraction, and stop-word presence (≥2 distinct of the canonical
+    * 8), plus the conjunction verdict. Same contract and shape as
+    * [[q24]]: zero-token docs are excluded, and the single tokenize
+    * pass feeds a (doc, token) agg then a doc agg — two codegen'd hash
+    * aggs that partial-aggregate map-side, no distinct Expand (the
+    * stop-word distinct count rides the already-distinct token rows).
+    * Ratios quantize to 4 dp BEFORE the threshold compare so the
+    * boundary verdicts replay exactly cross-engine. */
+  private def q107(spark: SparkSession, dir: String): DataFrame = {
+    val perTok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(VectorFns.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = perTok.groupBy(col("doc_id")).agg(
+      sum(col("cnt")).as("n_words"),
+      sum(col("cnt") * length(col("tok"))).cast("double").as("sum_len"),
+      sum(when(col("tok").contains("#") || col("tok").contains("..."),
+        col("cnt")).otherwise(lit(0L))).cast("double").as("n_sym"),
+      sum(when(col("tok").rlike("[a-z]"), col("cnt")).otherwise(lit(0L)))
+        .cast("double").as("n_alpha"),
+      sum(when(col("tok").isin(GOPHER_STOPS: _*), lit(1L)).otherwise(lit(0L)))
+        .as("n_stop_distinct"))
+    val nW = col("n_words").cast("double")
+    val mlen = r4(col("sum_len") / nW)
+    val symr = r4(col("n_sym") / nW)
+    val alphar = r4(col("n_alpha") / nW)
+    stats.select(
+      col("doc_id"), col("n_words"),
+      (col("n_words") >= GOPHER_MIN_WORDS &&
+        col("n_words") <= GOPHER_MAX_WORDS).cast("int").as("ok_wordcount"),
+      (mlen >= GOPHER_MIN_WORDLEN && mlen <= GOPHER_MAX_WORDLEN)
+        .cast("int").as("ok_wordlen"),
+      (symr <= GOPHER_MAX_SYMBOL_RATIO).cast("int").as("ok_symbols"),
+      (alphar >= GOPHER_MIN_ALPHA_RATIO).cast("int").as("ok_alpha"),
+      (col("n_stop_distinct") >= GOPHER_MIN_STOPS).cast("int").as("ok_stop"))
+      .withColumn("gopher_pass",
+        (col("ok_wordcount") === 1 && col("ok_wordlen") === 1 &&
+          col("ok_symbols") === 1 && col("ok_alpha") === 1 &&
+          col("ok_stop") === 1).cast("int"))
   }
 
   /** CCNet-style perplexity buckets: fixed avg-logp thresholds chosen
