@@ -25,6 +25,7 @@ object Corpus {
     "q69_seq_pack" -> q69,
     "q70_source_mix" -> q70,
     "q81_decontaminate" -> q81,
+    "q108_chunk_dedup" -> q108,
     "q84_tfidf_topterms" -> q84,
     "q98_weighted_sample" -> q98,
     "q100_corpus_pipeline" -> q100
@@ -129,6 +130,39 @@ object Corpus {
 
   private def q65(spark: SparkSession, dir: String): DataFrame =
     chunkDocs(Tables.documents(spark, dir))
+
+  /** Chunk-level exact dedup — the stage [[chunkDocs]] exists to feed:
+    * group the corpus's chunk fingerprints, keep the duplicated ones,
+    * and name each group's canonical occurrence (smallest (doc_id,
+    * chunk_id)). Pretraining pipelines dedup at chunk granularity
+    * precisely because document-level dedup (q18/q20) misses shared
+    * boilerplate runs inside otherwise-distinct documents.
+    *
+    * Scale shape: the q18 posture one level down — the fingerprint is
+    * the shuffle key, so identical chunks co-locate at any volume; the
+    * canonical pick is a fingerprint-keyed window over the (tiny)
+    * duplicated slice, and the per-doc distinct count is an explicit
+    * two-stage agg (distinct pairs → count), never a countDistinct
+    * Expand. */
+  private def q108(spark: SparkSession, dir: String): DataFrame = {
+    val ch = chunkDocs(Tables.documents(spark, dir))
+      .select(col("chunk_fp"), col("doc_id"), col("chunk_id"))
+    val dup = ch.groupBy(col("chunk_fp"))
+      .agg(count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+    val nDocs = ch.select(col("chunk_fp"), col("doc_id")).distinct()
+      .groupBy(col("chunk_fp")).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_fp"))
+      .orderBy(col("doc_id").asc, col("chunk_id").asc)
+    val canon = ch.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("chunk_fp"), col("doc_id").as("canon_doc"),
+        col("chunk_id").as("canon_chunk"))
+    dup.join(nDocs, Seq("chunk_fp")).join(canon, Seq("chunk_fp"))
+      .select(col("chunk_fp"), col("n_copies"), col("n_docs"),
+        col("canon_doc"), col("canon_chunk"))
+  }
 
   /** Deterministic split assignment: the portable 28-bit md5 hash
     * ([[Dedup.baseHash]]) of the id column mod 100 → 80/10/10

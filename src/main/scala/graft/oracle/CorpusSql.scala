@@ -66,6 +66,31 @@ object CorpusSql {
          |     AS g(ci)
          |WHERE len(tk) > 0""".stripMargin,
 
+    "q108_chunk_dedup" ->
+      s"""WITH $toksSql,
+         |ch AS (
+         |  SELECT doc_id, CAST(ci AS INTEGER) AS chunk_id,
+         |         substr(md5(array_to_string(tk[ci*48+1 : ci*48+64], ' ')), 1, 16)
+         |           AS chunk_fp
+         |  FROM toks, UNNEST(generate_series(0, CAST((len(tk) - 1) // 48 AS BIGINT)))
+         |       AS g(ci)
+         |  WHERE len(tk) > 0),
+         |dup AS (
+         |  SELECT chunk_fp, count(*) AS n_copies FROM ch
+         |  GROUP BY 1 HAVING count(*) > 1),
+         |nd AS (
+         |  SELECT chunk_fp, count(*) AS n_docs
+         |  FROM (SELECT DISTINCT chunk_fp, doc_id FROM ch) GROUP BY 1),
+         |canon AS (
+         |  SELECT chunk_fp, doc_id AS canon_doc, chunk_id AS canon_chunk
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY chunk_fp
+         |          ORDER BY doc_id ASC, chunk_id ASC) AS rk FROM ch)
+         |  WHERE rk = 1)
+         |SELECT d.chunk_fp, CAST(d.n_copies AS BIGINT) AS n_copies,
+         |       CAST(nd.n_docs AS BIGINT) AS n_docs,
+         |       canon.canon_doc, canon.canon_chunk
+         |FROM dup d JOIN nd USING (chunk_fp) JOIN canon USING (chunk_fp)""".stripMargin,
+
     "q66_hash_split" ->
       s"""SELECT CASE WHEN ${splitBucketSql("doc_id")} < 80 THEN 'train'
          |            WHEN ${splitBucketSql("doc_id")} < 90 THEN 'val'
