@@ -195,34 +195,97 @@ object Evaluation {
         r4(avg(abs(col("err")))).as("mae"))
   }
 
-  /** The ml-layer ALS surface under the driver gate (VERDICT r7
-    * stretch #7): seed-fixed factorization (rank 10, 10 sweeps, seed
-    * 42, coldStartStrategy=drop) of the ratings view, top-5 readout
-    * for the canonical `user_id % 50 = 0` cohort, scores rounded to
-    * 6 dp. Feasibility was established by measurement before
-    * registering (`tools/AlsDeterminism`): the 6-dp digest is
-    * bit-stable across JVMs AND across parallelism (local[16] vs
-    * local[32]) — Spark's ALS block partitioning and seeded factor
-    * init are deterministic for a fixed seed, and the normal-equation
-    * solves accumulate per-block in a fixed order. No `oracleSql`
-    * entry: factorization is not SQL-expressible in DuckDB, so the
-    * driver records the rows-only check — within Spark the readout is
-    * replay-exact, which is what the bench and Verify artifacts pin.
+  /** ALS top-k cohort size divisor: every `user_id % ALS_COHORT_MOD
+    * == 0` user is scored. */
+  val ALS_COHORT_MOD = 50
+  /** ALS readout depth. */
+  val ALS_K = 5
+
+  /** Per-corpus expected values of the 6-dp ALS readout digest, keyed
+    * by the ratings-view row count (the corpus signature) — measured
+    * by `tools/AlsDeterminism`, which proved the digest bit-stable
+    * across JVMs AND across parallelism (local[16] vs local[32])
+    * before any value was baked. An unknown corpus yields
+    * `digest_ok = -1` (no baked expectation) rather than a false
+    * verdict; the driver's oracle only ever runs at sf0.01. A
+    * testdata regeneration that changes rating VALUES (not just
+    * schema) flips `digest_ok` to 0 and hash-fails the row — which is
+    * the point: the digest is the gate, and `tools/AlsDeterminism`
+    * re-derives the literals in one run per SF. */
+  val ALS_DIGESTS: Map[Long, Long] = Map(
+    5382L   -> 1407939674L,    // sf0.001
+    59391L  -> 19679235027L,   // sf0.01
+    599351L -> 211372329979L   // sf0.1
+  )
+
+  /** The ml-layer ALS surface under the driver's HARD gate (VERDICT r8
+    * task #1 — previously `no_oracle` rows-only, now hash-exact via
+    * the q99 verdict posture, `Similarity.scala` q99): seed-fixed
+    * factorization (rank 10, 10 sweeps, seed 42,
+    * coldStartStrategy=drop) of the ratings view, top-[[ALS_K]]
+    * readout for the canonical `user_id % ALS_COHORT_MOD = 0` cohort,
+    * scores rounded to 6 dp — then collapsed to ONE contract row of
+    * oracle-recomputable facts plus in-Spark verdicts:
+    *
+    *  - `n_users` — users actually receiving recommendations; the
+    *    DuckDB oracle recomputes the cohort count independently, so a
+    *    cold-start drop or cohort regression hash-fails the row;
+    *  - `k`, `n_rows` — readout depth and total rows (= n_users·k);
+    *  - `complete_ok` — every scored user has exactly k rows with
+    *    ranks forming 1..k (min over per-user checks);
+    *  - `digest_ok` — the order-insensitive md5-prefix digest of the
+    *    6-dp (user, item, rk, score) readout equals the baked
+    *    [[ALS_DIGESTS]] literal for this corpus. Determinism was
+    *    proven by `tools/AlsDeterminism` before baking, so the
+    *    literal is replay-stable; a factorization/readout regression
+    *    now hash-fails the driver row instead of hiding behind
+    *    `no_oracle`. The oracle pins both verdicts to 1.
     *
     * Scale posture: ALS is the CF path when the rating matrix itself
     * is the 100-TB table — O(nnz·rank²) per sweep over block-
     * partitioned factors, and `recommendForUserSubset` scores only
-    * the cohort (never all-users unless asked). */
+    * the cohort (never all-users unless asked). The contract-row
+    * collapse adds three 1-row aggregates over the k·|cohort| readout
+    * — noise next to the fit. */
   private def q104(spark: SparkSession, dir: String): DataFrame = {
     val ratings = Tables.ratingsCached(spark, dir)
     val model = new graft.ml.AlsRecommender()
-      .setRank(10).setMaxIter(10).setSeed(42L).setKItems(5)
+      .setRank(10).setMaxIter(10).setSeed(42L).setKItems(ALS_K)
       .fit(ratings)
     val cohort = ratings.select(col("user_id")).distinct()
-      .filter(col("user_id") % 50 === 0)
-    model.transform(cohort)
+      .filter(col("user_id") % ALS_COHORT_MOD === 0)
+    val recs = model.transform(cohort)
       .select(col("user_id"), col("item_id"), col("rk"),
         round(col("score"), 6).as("score"))
+
+    val perUser = recs.groupBy(col("user_id")).agg(
+      count(lit(1)).as("cnt"),
+      count_distinct(col("rk")).as("nrk"),
+      max(col("rk")).as("maxrk"))
+    val cover = perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum(col("cnt")).as("n_rows"),
+      min((col("cnt") === ALS_K && col("nrk") === ALS_K &&
+        col("maxrk") === ALS_K).cast("int")).as("complete_ok"))
+    // same digest construction tools/AlsDeterminism proved stable:
+    // md5 the 6-dp row text, sum the 7-hex-digit prefixes — an
+    // order-insensitive fold, safe at any parallelism
+    val dig = recs
+      .select(md5(concat_ws("_", col("user_id"), col("item_id"),
+        col("rk"), col("score"))).as("h"))
+      .agg(sum(conv(substring(col("h"), 1, 7), 16, 10).cast("long"))
+        .as("digest"))
+    val key = ratings.agg(count(lit(1)).as("n_ratings"))
+
+    val expected = ALS_DIGESTS.foldLeft(lit(null).cast("long")) {
+      case (acc, (nr, d)) => when(col("n_ratings") === nr, lit(d)).otherwise(acc)
+    }
+    cover.crossJoin(dig).crossJoin(key)
+      .select(col("n_users"), lit(ALS_K).as("k"), col("n_rows"),
+        col("complete_ok"),
+        when(expected.isNull, lit(-1))
+          .when(col("digest") === expected, lit(1))
+          .otherwise(lit(0)).as("digest_ok"))
   }
 
   /** Popularity top-[[K]] with dense ranks — shared by q27 and q96.

@@ -241,7 +241,26 @@ object EvalSeqSql {
          |FROM assigned
          |GROUP BY 1, 2, 3""".stripMargin,
 
-    "q29_rule_support" -> oracleQ29
+    "q29_rule_support" -> oracleQ29,
+
+    // q104 ALS contract row (q99 posture): cohort size, k and row
+    // count are exact facts the oracle recomputes from the ratings
+    // view; complete_ok / digest_ok are in-Spark verdicts pinned to 1
+    // — a cold-start drop, rank-gap or factorization drift hash-fails
+    // the row instead of hiding behind no_oracle. Constants
+    // interpolate from graft.operators.Evaluation so engine and
+    // oracle cannot desync.
+    "q104_als_topk" -> {
+      import graft.operators.Evaluation.{ALS_COHORT_MOD, ALS_K}
+      s"""WITH $ratingsSql,
+         |cohort AS (
+         |  SELECT DISTINCT user_id FROM ratings
+         |  WHERE user_id % $ALS_COHORT_MOD = 0)
+         |SELECT count(*) AS n_users, $ALS_K AS k,
+         |       count(*) * $ALS_K AS n_rows,
+         |       1 AS complete_ok, 1 AS digest_ok
+         |FROM cohort""".stripMargin
+    }
   )
 
   /** q29's full oracle — also embedded as a subquery by q36. */

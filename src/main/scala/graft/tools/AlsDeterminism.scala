@@ -37,7 +37,8 @@ object AlsDeterminism {
         col("rk"), col("score"))).as("h"))
       .agg(sum(conv(substring(col("h"), 1, 7), 16, 10).cast("long")).as("d"))
       .head().getLong(0)
-    println(s"[alsdet] rows=${out.count()} digest=$digest cpus=$cpus")
+    val nRatings = ratings.count()
+    println(s"[alsdet] rows=${out.count()} digest=$digest cpus=$cpus nRatings=$nRatings")
     // 4-dp digest too: if 6 dp flips but 4 dp holds, a coarser round
     // could still gate the query
     val digest4 = model.transform(cohort)

@@ -43,8 +43,26 @@ object Smoke {
           bad += 1
       }
     }
+    // q104 bakes per-corpus digest literals (Evaluation.ALS_DIGESTS);
+    // a testdata regeneration that changes rating VALUES silently
+    // invalidates them — catch that at round start, not at Verify time
+    try {
+      val r = graft.SparkEntry.queries("q104_als_topk")(spark, sfDir).head()
+      val ok = r.getInt(r.fieldIndex("digest_ok"))
+      if (ok == 1) println(s"[smoke] OK   q104_als_topk: digest_ok=1")
+      else {
+        println(s"[smoke] FAIL q104_als_topk: digest_ok=$ok — testdata " +
+          "values changed or no baked digest for this corpus; rerun " +
+          "tools/AlsDeterminism and re-bake Evaluation.ALS_DIGESTS")
+        bad += 1
+      }
+    } catch {
+      case e: Throwable =>
+        println(s"[smoke] FAIL q104_als_topk: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(300)}")
+        bad += 1
+    }
     spark.stop()
-    if (bad > 0) { println(s"[smoke] $bad of ${QUERIES.size} FAILED"); sys.exit(1) }
-    println(s"[smoke] all ${QUERIES.size} passed")
+    if (bad > 0) { println(s"[smoke] $bad of ${QUERIES.size + 1} FAILED"); sys.exit(1) }
+    println(s"[smoke] all ${QUERIES.size + 1} passed")
   }
 }
