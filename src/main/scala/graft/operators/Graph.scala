@@ -110,12 +110,46 @@ object Graph {
     * real co-occurrence graph — while oriented out-degrees are bounded
     * by O(√m), so wedge volume drops from hub-quadratic to
     * arboricity-bounded. Everything is keyed equi-joins; the closing
-    * probe joins on the (lo, hi) edge key. */
+    * probe joins on the (lo, hi) edge key.
+    *
+    * The close strategy is SIZED, not assumed (VERDICT r8 task #2 —
+    * the q32 `CandidateSource.Auto` discipline): one bounded scalar
+    * count of the (already session-cached) edge list picks broadcast
+    * vs shuffle close via [[resolveBroadcastClose]]. Plan-only — the
+    * output set is identical either side, so the oracle hash never
+    * moves with the choice. */
   private def q93(spark: SparkSession, dir: String): DataFrame =
-    // the part catalog is a dimension, so |E| ≤ |parts|² stays
-    // broadcast-scale no matter how large the fact table grows
-    triangleCounts(coPurchaseUndCached(spark, dir).select(col("a"), col("b")),
-      broadcastClose = true).toDF("part", "n_triangles")
+    triangleCountsAuto(coPurchaseUndCached(spark, dir).select(col("a"), col("b")))
+      .toDF("part", "n_triangles")
+
+  /** The measured broadcast↔shuffle close crossover for
+    * [[triangleCounts]], in edges (BASELINE §round-8,
+    * `tools/TriScaleProbe`): at sf0.1 (~1.6 M edges) the broadcast
+    * close is a clear win (the edge list is a dim-bounded catalog
+    * co-occurrence graph); at sf1's 12.0 M edges the two sides price
+    * inside each other's band (broadcast 37.2/66.9 s vs shuffle
+    * 113.0/57.6 s) — i.e. sf1 sits AT the crossover, so the gate
+    * flips there: a broadcast build × tasks of a ≥12 M-edge probe
+    * table no longer beats one keyed shuffle of the wedge stream. */
+  val TRI_BROADCAST_MAX_EDGES: Long = 12000000L
+
+  /** [[triangleCountsAuto]]'s pure decision rule, exposed so the
+    * boundary is unit-testable without building either plan: broadcast
+    * the closing edge list iff it is strictly below
+    * [[TRI_BROADCAST_MAX_EDGES]]. */
+  def resolveBroadcastClose(nEdges: Long): Boolean =
+    nEdges < TRI_BROADCAST_MAX_EDGES
+
+  /** [[triangleCounts]] with the close side SIZED instead of assumed:
+    * one bounded scalar count over the edge list (cache-idempotent —
+    * callers hand in the session-cached co-purchase view, and
+    * [[triangleCounts]] re-marks the same plan, so the count
+    * materializes work the triangle job needs anyway) picks the
+    * broadcast or shuffle close. */
+  def triangleCountsAuto(und0: DataFrame): DataFrame = {
+    val und = und0.cache()
+    triangleCounts(und, broadcastClose = resolveBroadcastClose(und.count()))
+  }
 
   /** Per-node triangle counts of an undirected edge list `(a, b)` with
     * `a < b` and no duplicates → `(node, n_triangles)`, nodes in ≥1

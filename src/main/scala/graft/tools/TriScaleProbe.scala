@@ -24,12 +24,20 @@ object TriScaleProbe {
     def f1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     val und = graft.operators.Graph.coPurchaseUndCached(spark, dir)
       .select(col("a"), col("b"))
-    println(s"[tri] edges=${und.count()}")
-    for (bc <- Seq(true, false); rep <- 1 to 2) {
+    val nEdges = und.count()
+    println(s"[tri] edges=$nEdges resolveBroadcastClose=" +
+      graft.operators.Graph.resolveBroadcastClose(nEdges))
+    // "auto" prices the registered q93 path (the r8 gate); the two
+    // fixed sides stay for crossover re-measurement
+    val sides = if (args.contains("--auto-only")) Seq("auto")
+      else Seq("auto", "true", "false")
+    for (side <- sides; rep <- 1 to 2) {
       val t0 = System.nanoTime()
-      graft.operators.Graph.triangleCounts(und, broadcastClose = bc)
-        .write.mode("overwrite").format("noop").save()
-      println(s"[tri] broadcastClose=$bc rep=$rep ${f1((System.nanoTime() - t0) / 1e9)}s")
+      (side match {
+        case "auto" => graft.operators.Graph.triangleCountsAuto(und)
+        case s => graft.operators.Graph.triangleCounts(und, broadcastClose = s.toBoolean)
+      }).write.mode("overwrite").format("noop").save()
+      println(s"[tri] close=$side rep=$rep ${f1((System.nanoTime() - t0) / 1e9)}s")
     }
     spark.stop()
   }

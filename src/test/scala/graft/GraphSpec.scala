@@ -63,6 +63,30 @@ class GraphSpec extends SparkSuite {
     assert(!got.contains(5L), "pendant node joins no triangle")
   }
 
+  test("triangle close auto-gate: boundary resolves both sides; closes agree") {
+    // pure rule, both sides of the measured crossover
+    assert(Graph.resolveBroadcastClose(Graph.TRI_BROADCAST_MAX_EDGES - 1),
+      "just under the crossover must broadcast the close")
+    assert(!Graph.resolveBroadcastClose(Graph.TRI_BROADCAST_MAX_EDGES),
+      "at the crossover the close must shuffle")
+    assert(!Graph.resolveBroadcastClose(Graph.TRI_BROADCAST_MAX_EDGES + 1))
+    assert(Graph.resolveBroadcastClose(1L))
+    // plan-only seam: identical output either side, and the auto form
+    // (which broadcasts here — 11 edges) matches both
+    val s = spark
+    import s.implicits._
+    val und = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+      (1, 6), (2, 6), (3, 6), (4, 6))
+      .map { case (a, b) => (a.toLong, b.toLong) }.toDF("a", "b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bc = asMap(Graph.triangleCounts(und, broadcastClose = true))
+    val sh = asMap(Graph.triangleCounts(und, broadcastClose = false))
+    val auto = asMap(Graph.triangleCountsAuto(und))
+    assert(bc == sh, s"close sides disagree: $bc vs $sh")
+    assert(auto == bc, s"auto disagrees: $auto vs $bc")
+  }
+
   test("label propagation: two cliques + a bridge resolve to two communities") {
     val s = spark
     import s.implicits._
