@@ -138,30 +138,31 @@ object Corpus {
     * precisely because document-level dedup (q18/q20) misses shared
     * boilerplate runs inside otherwise-distinct documents.
     *
-    * Scale shape: the q18 posture one level down — the fingerprint is
-    * the shuffle key, so identical chunks co-locate at any volume; the
-    * canonical pick is a fingerprint-keyed window over the (tiny)
-    * duplicated slice, and the per-doc distinct count is an explicit
-    * two-stage agg (distinct pairs → count), never a countDistinct
-    * Expand. */
+    * Scale shape (collapsed per VERDICT r8 task #3 — the old form
+    * shuffled the chunk stream three times and ran a canonical-pick
+    * window over ALL chunks): the q18 posture one level down. ONE
+    * keyed agg on the fingerprint — count + `min(struct(doc_id,
+    * chunk_id))`, whose lexicographic struct order IS the canonical
+    * rule, so the pick is a map-side-combining aggregate, no window,
+    * no sort — plus the per-doc distinct count as an explicit
+    * two-stage agg (distinct pairs → count, never a countDistinct
+    * Expand). The chunk stream is shuffled exactly twice: once on
+    * `chunk_fp`, once on the distinct (chunk_fp, doc_id) pair
+    * (Q108PlanSpec pins both the exchange count and the window's
+    * absence). */
   private def q108(spark: SparkSession, dir: String): DataFrame = {
     val ch = chunkDocs(Tables.documents(spark, dir))
       .select(col("chunk_fp"), col("doc_id"), col("chunk_id"))
     val dup = ch.groupBy(col("chunk_fp"))
-      .agg(count(lit(1)).as("n_copies"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(struct(col("doc_id"), col("chunk_id"))).as("canon"))
       .filter(col("n_copies") > 1)
     val nDocs = ch.select(col("chunk_fp"), col("doc_id")).distinct()
       .groupBy(col("chunk_fp")).agg(count(lit(1)).as("n_docs"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("chunk_fp"))
-      .orderBy(col("doc_id").asc, col("chunk_id").asc)
-    val canon = ch.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("chunk_fp"), col("doc_id").as("canon_doc"),
-        col("chunk_id").as("canon_chunk"))
-    dup.join(nDocs, Seq("chunk_fp")).join(canon, Seq("chunk_fp"))
+    dup.join(nDocs, Seq("chunk_fp"))
       .select(col("chunk_fp"), col("n_copies"), col("n_docs"),
-        col("canon_doc"), col("canon_chunk"))
+        col("canon.doc_id").as("canon_doc"),
+        col("canon.chunk_id").as("canon_chunk"))
   }
 
   /** Deterministic split assignment: the portable 28-bit md5 hash

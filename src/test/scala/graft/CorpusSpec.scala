@@ -171,4 +171,40 @@ class CorpusSpec extends SparkSuite {
     val counts = got.values.groupBy(identity).view.mapValues(_.size)
     assert(counts("kept") > 0 && counts.size >= 4, s"degenerate funnel: $counts")
   }
+
+  test("q108 plan: one keyed agg picks the canonical chunk — no window, two chunk shuffles") {
+    val df = graft.SparkEntry.queries("q108_chunk_dedup")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "canonical pick must be the min-struct aggregate, not a window over all chunks")
+    // the chunk stream crosses the wire exactly twice (chunk_fp agg +
+    // distinct (chunk_fp, doc_id) pairs); the only other shuffle
+    // exchange carries the already-distinct pairs into the n_docs agg
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 3, s"expected 3 shuffle exchanges, saw $shuffles in:\n$plan")
+
+    // parity with the superseded window formulation (same output set —
+    // the round-8 oracle hash must not move)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getInt(4))).toSet
+    assert(rows.nonEmpty, "no duplicated chunks at sf0.001 — fixture degenerate")
+    val ch = graft.operators.Corpus
+      .chunkDocs(graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .select(col("chunk_fp"), col("doc_id"), col("chunk_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_fp")).orderBy(col("doc_id").asc, col("chunk_id").asc)
+    val dup = ch.groupBy("chunk_fp").agg(count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+    val nDocs = ch.select("chunk_fp", "doc_id").distinct()
+      .groupBy("chunk_fp").agg(count(lit(1)).as("n_docs"))
+    val canon = ch.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("chunk_fp"), col("doc_id").as("canon_doc"),
+        col("chunk_id").as("canon_chunk"))
+    val old = dup.join(nDocs, Seq("chunk_fp")).join(canon, Seq("chunk_fp"))
+      .select(col("chunk_fp"), col("n_copies"), col("n_docs"),
+        col("canon_doc"), col("canon_chunk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    assert(rows == old, "collapsed q108 diverges from the window formulation")
+  }
 }
