@@ -10,6 +10,13 @@ object SimilaritySql {
   private val embCte =
     "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
 
+  // coarse-quantizer seed rows, interpolated from the Scala constant so
+  // a geometry change cannot desync engine and oracle (ADVICE r8)
+  private val ivfCentsCte =
+    s"""cents AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv FROM emb
+       |  WHERE vec_id IN (${graft.operators.Similarity.IVF_SEEDS.mkString(", ")}))""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q62_embed_quantize" ->
       """WITH e AS (
@@ -135,9 +142,7 @@ object SimilaritySql {
 
     "q42_ivf_ann" ->
       s"""WITH $embCte,
-         |cents AS (
-         |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv FROM emb
-         |  WHERE vec_id IN (3, 67, 131, 195, 259, 323, 387, 451)),
+         |$ivfCentsCte,
          |cells AS (
          |  SELECT vec_id, v, cell FROM (
          |    SELECT *, row_number() OVER (
@@ -167,9 +172,7 @@ object SimilaritySql {
 
     "q105_semantic_dedup" ->
       s"""WITH $embCte,
-         |cents AS (
-         |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv FROM emb
-         |  WHERE vec_id IN (3, 67, 131, 195, 259, 323, 387, 451)),
+         |$ivfCentsCte,
          |cells AS (
          |  SELECT vec_id, v, cell FROM (
          |    SELECT *, row_number() OVER (
@@ -188,7 +191,7 @@ object SimilaritySql {
          |  WHERE floor(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2]))
          |              / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
          |                 * sqrt(list_sum(list_transform(b.v, x -> x*x))))
-         |              * 1000000.0 + 0.5) / 1000000.0 >= 0.4
+         |              * 1000000.0 + 0.5) / 1000000.0 >= ${graft.operators.Similarity.SEMDEDUP_TAU}
          |  GROUP BY b.vec_id)
          |SELECT c.vec_id, c.cell,
          |       CAST(coalesce(d.n_better_dups, 0) AS BIGINT) AS n_better_dups,

@@ -192,7 +192,12 @@ object TextSql {
          |            < ${graft.operators.TextOps.LM_FLAG_THRESH} AS INTEGER) AS flagged
          |FROM agg""".stripMargin,
 
-    "q107_gopher_flags" ->
+    // every Gopher bound interpolates from the TextOps constants (the
+    // q106 LM_*_THRESH discipline) so a rule change cannot desync the
+    // oracle from the engine (ADVICE r8)
+    "q107_gopher_flags" -> {
+      import graft.operators.TextOps._
+      val stops = GOPHER_STOPS.map(s => s"'$s'").mkString(",")
       s"""WITH $toksCte,
          |stats AS (
          |  SELECT doc_id,
@@ -202,23 +207,25 @@ object TextSql {
          |                                    OR contains(t, '...'))) AS DOUBLE) AS n_sym,
          |         CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) AS n_alpha,
          |         len(list_distinct(list_filter(tk, t -> t IN
-         |           ('the','be','to','of','and','that','have','with')))) AS n_stop_distinct
+         |           ($stops)))) AS n_stop_distinct
          |  FROM toks WHERE len(tk) > 0),
          |f AS (
          |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-         |         CAST(n_words >= 50 AND n_words <= 100000 AS INTEGER) AS ok_wordcount,
-         |         CAST(${graft.functions.Rounding.sql4("sum_len / n_words")} >= 3.0
-         |          AND ${graft.functions.Rounding.sql4("sum_len / n_words")} <= 10.0
+         |         CAST(n_words >= $GOPHER_MIN_WORDS AND n_words <= $GOPHER_MAX_WORDS
+         |              AS INTEGER) AS ok_wordcount,
+         |         CAST(${graft.functions.Rounding.sql4("sum_len / n_words")} >= $GOPHER_MIN_WORDLEN
+         |          AND ${graft.functions.Rounding.sql4("sum_len / n_words")} <= $GOPHER_MAX_WORDLEN
          |              AS INTEGER) AS ok_wordlen,
-         |         CAST(${graft.functions.Rounding.sql4("n_sym / n_words")} <= 0.1
+         |         CAST(${graft.functions.Rounding.sql4("n_sym / n_words")} <= $GOPHER_MAX_SYMBOL_RATIO
          |              AS INTEGER) AS ok_symbols,
-         |         CAST(${graft.functions.Rounding.sql4("n_alpha / n_words")} >= 0.8
+         |         CAST(${graft.functions.Rounding.sql4("n_alpha / n_words")} >= $GOPHER_MIN_ALPHA_RATIO
          |              AS INTEGER) AS ok_alpha,
-         |         CAST(n_stop_distinct >= 2 AS INTEGER) AS ok_stop
+         |         CAST(n_stop_distinct >= $GOPHER_MIN_STOPS AS INTEGER) AS ok_stop
          |  FROM stats)
          |SELECT *, CAST(ok_wordcount = 1 AND ok_wordlen = 1 AND ok_symbols = 1
          |               AND ok_alpha = 1 AND ok_stop = 1 AS INTEGER) AS gopher_pass
-         |FROM f""".stripMargin,
+         |FROM f""".stripMargin
+    },
 
     "q106_perplexity_buckets" ->
       s"""WITH toks AS (

@@ -141,10 +141,16 @@ object ScaleProbe {
         // shingle COUNTS identical per copy while making the copies'
         // token/shingle/n-gram universes disjoint — no cross-copy
         // near-dup pairs, LM bigrams, or shared decontamination grams,
-        // so text work is K× the organic sf0.1 work by construction
+        // so text work is K× the organic sf0.1 work by construction.
+        // The marker leads with '¤' (absent from the ASCII synthetic
+        // corpus alphabet), so no organic token can equal another
+        // token + suffix — the r8 single-letter scheme relied on the
+        // corpus happening to lack such near-miss pairs (ADVICE r8);
+        // ScaleProbeSpec's disjointness assertion remains the guard
+        // that must re-run after any testdata regeneration.
         if (t == "documents" && c > 0)
           shifted.withColumn("text",
-            regexp_replace(col("text"), "(\\S+)", "$1" + ('a' + c - 1).toChar))
+            regexp_replace(col("text"), "(\\S+)", "$1" + "¤" + c))
         else shifted
       }.reduce(_ unionByName _)
       all.write.mode("overwrite").parquet(s"$out/$t.parquet")
