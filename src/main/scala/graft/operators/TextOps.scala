@@ -27,6 +27,7 @@ object TextOps {
     "q72_heavy_hitters" -> q72,
     "q94_lm_quality" -> q94,
     "q106_perplexity_buckets" -> q106,
+    "q106b_ccnet_calibrated" -> q106b,
     "q107_gopher_flags" -> q107
   )
 
@@ -401,5 +402,77 @@ object TextOps {
         sum(col("avg_logp").cast("decimal(20,4)")).as("s"))
       .select(col("lang"), col("bucket"), col("n_docs"),
         r4(col("s").cast("double") / col("n_docs")).as("mean_logp"))
+  }
+
+  /** CCNet tertile cut ranks (head = best third by avg_logp) and the
+    * q53b certification geometry: the sketch cut must land between the
+    * exact order statistics at target ± [[CCNET_RANK_TOL]] rank —
+    * hundreds of times looser than the sketch's 1/accuracy rank
+    * guarantee, sound for any score distribution. */
+  val CCNET_HEAD_Q = 0.6667
+  val CCNET_MID_Q = 0.3333
+  val CCNET_RANK_TOL = 0.02
+  val CCNET_SKETCH_ACC = 10000
+
+  /** The CALIBRATED twin of [[q106]] (VERDICT r8 next #4): q106 is
+    * honest about substituting fixed thresholds where CCNet derives
+    * per-language percentile cuts from scored samples (Wenzek et al.
+    * 2019 §4.3 — each language's perplexity distribution is cut into
+    * head/middle/tail thirds). Here the cuts come from the corpus
+    * itself, per language:
+    *
+    *  - the SCALE path is `approx_percentile` — a bounded mergeable
+    *    sketch per language, map-side combining, no global sort; its
+    *    cuts are certified by the q53b rank bracket (`head_cut_ok` /
+    *    `mid_cut_ok`, oracle-pinned to 1);
+    *  - the ORACLE-GATED facts are the exact-percentile cuts (r4) and
+    *    the bucket composition under them — DuckDB recomputes both
+    *    with `quantile_cont`, so the calibration itself is
+    *    hash-checked, not just shape-checked. The exact side is the
+    *    audit half of the contract (the q99/q53b posture); production
+    *    buckets by the certified sketch cuts.
+    *
+    * One-pass (q106) vs calibrated (this): fixed thresholds never
+    * re-rank the corpus and replay exactly at any scale; calibrated
+    * cuts track drift per language but cost a percentile pass —
+    * SCALE.md §CCNet records the trade. */
+  private def q106b(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // read twice (cuts, then composition) — one materialization
+    val scored = docs.select(col("doc_id"), col("lang"))
+      .join(lmQualityScores(docs).select(col("doc_id"), col("avg_logp")),
+        Seq("doc_id"))
+      .cache()
+    val cuts = scored.groupBy(col("lang")).agg(
+      r4(expr(s"percentile(avg_logp, $CCNET_HEAD_Q)")).as("head_cut"),
+      r4(expr(s"percentile(avg_logp, $CCNET_MID_Q)")).as("mid_cut"),
+      expr(s"approx_percentile(avg_logp, $CCNET_HEAD_Q, $CCNET_SKETCH_ACC)").as("a_head"),
+      expr(s"approx_percentile(avg_logp, $CCNET_MID_Q, $CCNET_SKETCH_ACC)").as("a_mid"),
+      expr(s"percentile(avg_logp, ${CCNET_HEAD_Q - CCNET_RANK_TOL})").as("lo_h"),
+      expr(s"percentile(avg_logp, ${CCNET_HEAD_Q + CCNET_RANK_TOL})").as("hi_h"),
+      expr(s"percentile(avg_logp, ${CCNET_MID_Q - CCNET_RANK_TOL})").as("lo_m"),
+      expr(s"percentile(avg_logp, ${CCNET_MID_Q + CCNET_RANK_TOL})").as("hi_m"))
+    def bracketOk(a: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+                  hi: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (a >= lo - lit(1e-9) && a <= hi + lit(1e-9)).cast("int")
+    val cutsV = cuts.select(col("lang"), col("head_cut"), col("mid_cut"),
+      bracketOk(col("a_head"), col("lo_h"), col("hi_h")).as("head_cut_ok"),
+      bracketOk(col("a_mid"), col("lo_m"), col("hi_m")).as("mid_cut_ok"))
+    scored.join(broadcast(cutsV), Seq("lang"))
+      .withColumn("bucket",
+        when(col("avg_logp") >= col("head_cut"), "head")
+          .when(col("avg_logp") >= col("mid_cut"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("avg_logp").cast("decimal(20,4)")).as("s"),
+        min(col("head_cut")).as("head_cut"),
+        min(col("mid_cut")).as("mid_cut"),
+        min(col("head_cut_ok")).as("head_cut_ok"),
+        min(col("mid_cut_ok")).as("mid_cut_ok"))
+      .select(col("lang"), col("bucket"), col("n_docs"),
+        r4(col("s").cast("double") / col("n_docs")).as("mean_logp"),
+        col("head_cut"), col("mid_cut"),
+        col("head_cut_ok"), col("mid_cut_ok"))
   }
 }

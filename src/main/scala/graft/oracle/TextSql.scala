@@ -257,6 +257,54 @@ object TextSql {
          |  FROM agg a JOIN documents d USING (doc_id))
          |SELECT lang, bucket, count(*) AS n_docs,
          |       ${graft.functions.Rounding.sql4("CAST(sum(al) AS DOUBLE) / count(*)")} AS mean_logp
+         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // q106b calibrated twin: the exact per-language tertile cuts and
+    // the composition under them are recomputed with quantile_cont;
+    // head_cut_ok / mid_cut_ok certify the engine's approx_percentile
+    // sketch inside the q53b rank bracket and pin to 1
+    "q106b_ccnet_calibrated" -> {
+      import graft.operators.TextOps.{CCNET_HEAD_Q, CCNET_MID_Q}
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${SqlFragments.tokensSql(SqlFragments.normTextSql("text"))} AS tk
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+         |  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+         |  WHERE len(tk) >= 2),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w1) AS v FROM bg),
+         |scored AS (
+         |  SELECT bg.doc_id,
+         |         CAST(${graft.functions.Rounding.sql6(
+                     "ln(CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))")}
+         |              AS DECIMAL(20,6)) AS lp
+         |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v),
+         |agg AS (
+         |  SELECT doc_id,
+         |         ${graft.functions.Rounding.sql4("CAST(sum(lp) AS DOUBLE) / count(*)")} AS avg_logp
+         |  FROM scored GROUP BY 1),
+         |sl AS (
+         |  SELECT d.lang, a.avg_logp, CAST(a.avg_logp AS DECIMAL(20,4)) AS al
+         |  FROM agg a JOIN documents d USING (doc_id)),
+         |cuts AS (
+         |  SELECT lang,
+         |         ${graft.functions.Rounding.sql4(s"quantile_cont(avg_logp, $CCNET_HEAD_Q)")} AS head_cut,
+         |         ${graft.functions.Rounding.sql4(s"quantile_cont(avg_logp, $CCNET_MID_Q)")} AS mid_cut
+         |  FROM sl GROUP BY 1),
+         |b AS (
+         |  SELECT s.lang,
+         |         CASE WHEN s.avg_logp >= c.head_cut THEN 'head'
+         |              WHEN s.avg_logp >= c.mid_cut THEN 'middle'
+         |              ELSE 'tail' END AS bucket,
+         |         s.al, c.head_cut, c.mid_cut
+         |  FROM sl s JOIN cuts c USING (lang))
+         |SELECT lang, bucket, count(*) AS n_docs,
+         |       ${graft.functions.Rounding.sql4("CAST(sum(al) AS DOUBLE) / count(*)")} AS mean_logp,
+         |       min(head_cut) AS head_cut, min(mid_cut) AS mid_cut,
+         |       1 AS head_cut_ok, 1 AS mid_cut_ok
          |FROM b GROUP BY 1, 2""".stripMargin
+    }
   )
 }

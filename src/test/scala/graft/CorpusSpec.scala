@@ -172,6 +172,32 @@ class CorpusSpec extends SparkSuite {
     assert(counts("kept") > 0 && counts.size >= 4, s"degenerate funnel: $counts")
   }
 
+  test("q106b calibrated cuts: sketch certified, tertile-ish composition per language") {
+    val rows = graft.SparkEntry.queries("q106b_ccnet_calibrated")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(r.fieldIndex("head_cut_ok")) == 1,
+        s"approx head cut outside the ±2% rank bracket for ${r.getString(0)}")
+      assert(r.getInt(r.fieldIndex("mid_cut_ok")) == 1,
+        s"approx mid cut outside the ±2% rank bracket for ${r.getString(0)}")
+      assert(r.getDouble(r.fieldIndex("head_cut")) >= r.getDouble(r.fieldIndex("mid_cut")),
+        "cut ordering inverted")
+    }
+    // per-language composition: buckets partition the scored docs into
+    // roughly thirds (4-dp score ties can shift mass across a cut)
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val byBucket = rs.map(r => r.getString(1) -> r.getLong(2)).toMap
+      val total = byBucket.values.sum
+      assert(byBucket.keySet == Set("head", "middle", "tail"),
+        s"$lang missing a bucket: ${byBucket.keySet}")
+      byBucket.foreach { case (b, n) =>
+        val frac = n.toDouble / total
+        assert(frac > 0.15 && frac < 0.55, s"$lang/$b fraction $frac not tertile-ish")
+      }
+    }
+  }
+
   test("q108 plan: one keyed agg picks the canonical chunk — no window, two chunk shuffles") {
     val df = graft.SparkEntry.queries("q108_chunk_dedup")(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
