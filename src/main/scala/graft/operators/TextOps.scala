@@ -315,10 +315,16 @@ object TextOps {
         r4(col("slp").cast("double") / col("n_bigrams")).as("avg_logp"))
   }
 
-  /** The published Gopher quality-rule bounds (Rae et al. 2021 §A1.1),
-    * word-level subset — the line-structure rules (bullet/ellipsis
-    * line fractions) need document line breaks this corpus does not
-    * model and are the documented omission. */
+  /** The published Gopher quality-rule bounds (Rae et al. 2021 §A1.1).
+    * The word-level rules apply to any corpus; the LINE-STRUCTURE
+    * rules (bullet/ellipsis line fractions) need document line breaks,
+    * which this synthetic corpus does not model — so they sit behind a
+    * CAPABILITY GUARD (VERDICT r8 next #5): one bounded scalar
+    * aggregate detects newlines in the observed corpus, the line
+    * columns are real fractions when present and typed NULLs
+    * ("rules not evaluable on this corpus") when not, and the oracle
+    * SQL mirrors the same data-derived guard so both engines flip
+    * together. */
   val GOPHER_MIN_WORDS = 50L
   val GOPHER_MAX_WORDS = 100000L
   val GOPHER_MIN_WORDLEN = 3.0
@@ -328,6 +334,12 @@ object TextOps {
   val GOPHER_STOPS: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
   val GOPHER_MIN_STOPS = 2L
+  /** Line-structure bounds (Rae et al. 2021 §A1.1: drop when >90% of
+    * lines start with a bullet or >30% end with an ellipsis). */
+  val GOPHER_MAX_BULLET_FRAC = 0.9
+  val GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+  val GOPHER_BULLET_PREFIXES: Seq[String] = Seq("-", "*", "•")
+  val GOPHER_ELLIPSIS_SUFFIXES: Seq[String] = Seq("...", "…")
 
   /** Per-doc Gopher quality flags: word-count bounds, mean-word-length
     * bounds, symbol-to-word ratio (# / ellipsis), alphabetic-word
@@ -338,9 +350,31 @@ object TextOps {
     * aggs that partial-aggregate map-side, no distinct Expand (the
     * stop-word distinct count rides the already-distinct token rows).
     * Ratios quantize to 4 dp BEFORE the threshold compare so the
-    * boundary verdicts replay exactly cross-engine. */
+    * boundary verdicts replay exactly cross-engine.
+    *
+    * The line-structure rules ride behind the capability guard: one
+    * bounded scalar aggregate (`max(contains(text, \n))` — the
+    * contract-query sizing pattern, not a hot-path collect) decides
+    * whether the corpus models lines at all; [[gopherFlags]] then
+    * emits real bullet/ellipsis fractions + verdicts or typed NULLs. */
   private def q107(spark: SparkSession, dir: String): DataFrame = {
-    val perTok = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val hasLines = docs
+      .agg(max(col("text").contains("\n").cast("int")).as("h"))
+      .head().getInt(0) == 1
+    gopherFlags(docs, hasLines)
+  }
+
+  /** Library surface of [[q107]]: per-doc Gopher flags over
+    * `(doc_id, text)`. `corpusHasLines` gates the line-structure
+    * rules — when false their columns are NULL (not evaluable) and
+    * the conjunction spans the word rules only; when true the
+    * bullet/ellipsis line fractions are computed over non-empty
+    * trimmed lines and join the conjunction. Exposed (rather than
+    * inlined in the query) so the lined branch is spec-testable on a
+    * synthetic fixture even while the driver corpus has no newlines. */
+  def gopherFlags(docs: DataFrame, corpusHasLines: Boolean): DataFrame = {
+    val perTok = docs
       .select(col("doc_id"), explode(VectorFns.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
@@ -357,7 +391,7 @@ object TextOps {
     val mlen = r4(col("sum_len") / nW)
     val symr = r4(col("n_sym") / nW)
     val alphar = r4(col("n_alpha") / nW)
-    stats.select(
+    val word = stats.select(
       col("doc_id"), col("n_words"),
       (col("n_words") >= GOPHER_MIN_WORDS &&
         col("n_words") <= GOPHER_MAX_WORDS).cast("int").as("ok_wordcount"),
@@ -366,10 +400,41 @@ object TextOps {
       (symr <= GOPHER_MAX_SYMBOL_RATIO).cast("int").as("ok_symbols"),
       (alphar >= GOPHER_MIN_ALPHA_RATIO).cast("int").as("ok_alpha"),
       (col("n_stop_distinct") >= GOPHER_MIN_STOPS).cast("int").as("ok_stop"))
-      .withColumn("gopher_pass",
-        (col("ok_wordcount") === 1 && col("ok_wordlen") === 1 &&
-          col("ok_symbols") === 1 && col("ok_alpha") === 1 &&
-          col("ok_stop") === 1).cast("int"))
+    val wordPass = col("ok_wordcount") === 1 && col("ok_wordlen") === 1 &&
+      col("ok_symbols") === 1 && col("ok_alpha") === 1 && col("ok_stop") === 1
+
+    if (!corpusHasLines)
+      // rules not evaluable on a corpus without line breaks: typed
+      // NULLs, and the conjunction spans the five word rules
+      word.select(col("*"),
+        lit(null).cast("double").as("bullet_frac"),
+        lit(null).cast("double").as("ellipsis_frac"),
+        lit(null).cast("int").as("ok_bullet"),
+        lit(null).cast("int").as("ok_ellipsis"),
+        wordPass.cast("int").as("gopher_pass"))
+    else {
+      val isBullet = GOPHER_BULLET_PREFIXES
+        .map(p => col("line").startsWith(p)).reduce(_ || _)
+      val isEllipsis = GOPHER_ELLIPSIS_SUFFIXES
+        .map(s => col("line").endsWith(s)).reduce(_ || _)
+      val ls = docs
+        .select(col("doc_id"), explode(split(col("text"), "\n")).as("raw"))
+        .select(col("doc_id"), trim(col("raw")).as("line"))
+        .filter(length(col("line")) > 0)
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).cast("double").as("n_lines"),
+          sum(isBullet.cast("long")).cast("double").as("n_bullet"),
+          sum(isEllipsis.cast("long")).cast("double").as("n_ellipsis"))
+      val bf = r4(col("n_bullet") / col("n_lines"))
+      val ef = r4(col("n_ellipsis") / col("n_lines"))
+      word.join(ls, Seq("doc_id"))
+        .select(word.columns.map(col) :+
+          bf.as("bullet_frac") :+ ef.as("ellipsis_frac") :+
+          (bf <= GOPHER_MAX_BULLET_FRAC).cast("int").as("ok_bullet") :+
+          (ef <= GOPHER_MAX_ELLIPSIS_FRAC).cast("int").as("ok_ellipsis") :+
+          (wordPass && bf <= GOPHER_MAX_BULLET_FRAC &&
+            ef <= GOPHER_MAX_ELLIPSIS_FRAC).cast("int").as("gopher_pass"): _*)
+    }
   }
 
   /** CCNet-style perplexity buckets: fixed avg-logp thresholds chosen

@@ -194,11 +194,31 @@ object TextSql {
 
     // every Gopher bound interpolates from the TextOps constants (the
     // q106 LM_*_THRESH discipline) so a rule change cannot desync the
-    // oracle from the engine (ADVICE r8)
+    // oracle from the engine (ADVICE r8). The line-structure columns
+    // mirror the engine's data-derived capability guard: real
+    // fractions + verdicts when the corpus contains newlines, typed
+    // NULLs when it does not — both engines flip on the same corpus
+    // fact, never on configuration.
     "q107_gopher_flags" -> {
       import graft.operators.TextOps._
       val stops = GOPHER_STOPS.map(s => s"'$s'").mkString(",")
+      val bullets = GOPHER_BULLET_PREFIXES
+        .map(p => s"starts_with(line, '$p')").mkString(" OR ")
+      val ellipses = GOPHER_ELLIPSIS_SUFFIXES
+        .map(s => s"ends_with(line, '$s')").mkString(" OR ")
       s"""WITH $toksCte,
+         |cap AS (
+         |  SELECT max(CASE WHEN contains(text, chr(10)) THEN 1 ELSE 0 END) AS has_lines
+         |  FROM documents),
+         |lines AS (
+         |  SELECT doc_id, trim(l) AS line
+         |  FROM documents, UNNEST(string_split(text, chr(10))) AS t(l)
+         |  WHERE len(trim(l)) > 0),
+         |ls AS (
+         |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS n_lines,
+         |         CAST(sum(CASE WHEN $bullets THEN 1 ELSE 0 END) AS DOUBLE) AS n_bullet,
+         |         CAST(sum(CASE WHEN $ellipses THEN 1 ELSE 0 END) AS DOUBLE) AS n_ellipsis
+         |  FROM lines GROUP BY 1),
          |stats AS (
          |  SELECT doc_id,
          |         len(tk) AS n_words,
@@ -210,20 +230,38 @@ object TextSql {
          |           ($stops)))) AS n_stop_distinct
          |  FROM toks WHERE len(tk) > 0),
          |f AS (
-         |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-         |         CAST(n_words >= $GOPHER_MIN_WORDS AND n_words <= $GOPHER_MAX_WORDS
+         |  SELECT s.doc_id, CAST(s.n_words AS BIGINT) AS n_words,
+         |         CAST(s.n_words >= $GOPHER_MIN_WORDS AND s.n_words <= $GOPHER_MAX_WORDS
          |              AS INTEGER) AS ok_wordcount,
-         |         CAST(${graft.functions.Rounding.sql4("sum_len / n_words")} >= $GOPHER_MIN_WORDLEN
-         |          AND ${graft.functions.Rounding.sql4("sum_len / n_words")} <= $GOPHER_MAX_WORDLEN
+         |         CAST(${graft.functions.Rounding.sql4("s.sum_len / s.n_words")} >= $GOPHER_MIN_WORDLEN
+         |          AND ${graft.functions.Rounding.sql4("s.sum_len / s.n_words")} <= $GOPHER_MAX_WORDLEN
          |              AS INTEGER) AS ok_wordlen,
-         |         CAST(${graft.functions.Rounding.sql4("n_sym / n_words")} <= $GOPHER_MAX_SYMBOL_RATIO
+         |         CAST(${graft.functions.Rounding.sql4("s.n_sym / s.n_words")} <= $GOPHER_MAX_SYMBOL_RATIO
          |              AS INTEGER) AS ok_symbols,
-         |         CAST(${graft.functions.Rounding.sql4("n_alpha / n_words")} >= $GOPHER_MIN_ALPHA_RATIO
+         |         CAST(${graft.functions.Rounding.sql4("s.n_alpha / s.n_words")} >= $GOPHER_MIN_ALPHA_RATIO
          |              AS INTEGER) AS ok_alpha,
-         |         CAST(n_stop_distinct >= $GOPHER_MIN_STOPS AS INTEGER) AS ok_stop
-         |  FROM stats)
-         |SELECT *, CAST(ok_wordcount = 1 AND ok_wordlen = 1 AND ok_symbols = 1
-         |               AND ok_alpha = 1 AND ok_stop = 1 AS INTEGER) AS gopher_pass
+         |         CAST(s.n_stop_distinct >= $GOPHER_MIN_STOPS AS INTEGER) AS ok_stop,
+         |         CASE WHEN c.has_lines = 1
+         |              THEN ${graft.functions.Rounding.sql4("ls.n_bullet / ls.n_lines")}
+         |              ELSE NULL END AS bullet_frac,
+         |         CASE WHEN c.has_lines = 1
+         |              THEN ${graft.functions.Rounding.sql4("ls.n_ellipsis / ls.n_lines")}
+         |              ELSE NULL END AS ellipsis_frac,
+         |         c.has_lines AS has_lines
+         |  FROM stats s JOIN ls USING (doc_id), cap c)
+         |SELECT doc_id, n_words, ok_wordcount, ok_wordlen, ok_symbols,
+         |       ok_alpha, ok_stop, bullet_frac, ellipsis_frac,
+         |       CASE WHEN has_lines = 1
+         |            THEN CAST(bullet_frac <= $GOPHER_MAX_BULLET_FRAC AS INTEGER)
+         |            ELSE NULL END AS ok_bullet,
+         |       CASE WHEN has_lines = 1
+         |            THEN CAST(ellipsis_frac <= $GOPHER_MAX_ELLIPSIS_FRAC AS INTEGER)
+         |            ELSE NULL END AS ok_ellipsis,
+         |       CAST(ok_wordcount = 1 AND ok_wordlen = 1 AND ok_symbols = 1
+         |            AND ok_alpha = 1 AND ok_stop = 1
+         |            AND (has_lines = 0 OR (bullet_frac <= $GOPHER_MAX_BULLET_FRAC
+         |                 AND ellipsis_frac <= $GOPHER_MAX_ELLIPSIS_FRAC))
+         |            AS INTEGER) AS gopher_pass
          |FROM f""".stripMargin
     },
 

@@ -172,6 +172,52 @@ class CorpusSpec extends SparkSuite {
     assert(counts("kept") > 0 && counts.size >= 4, s"degenerate funnel: $counts")
   }
 
+  test("q107 line rules: lined fixture computes fractions both sides of the bounds; unlined corpus yields typed NULLs") {
+    import graft.operators.TextOps
+    val s = spark
+    import s.implicits._
+    val lined = Seq(
+      // 3 of 4 non-empty lines bulleted (0.75 <= 0.9 -> ok), none ellipsis
+      (1L, "- alpha one\n- beta two\n\n- gamma three\nplain line here"),
+      // all lines bulleted (1.0 > 0.9 -> fail)
+      (2L, "* item one\n* item two\n• item three"),
+      // 2 of 3 lines end with an ellipsis (0.6667 > 0.3 -> fail)
+      (3L, "word one...\nand another line…\nplain tail")
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherFlags(lined, corpusHasLines = true)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, c: String) = got(id).getDouble(got(id).fieldIndex(c))
+    def v(id: Long, c: String) = got(id).getInt(got(id).fieldIndex(c))
+    assert(f(1L, "bullet_frac") == 0.75 && v(1L, "ok_bullet") == 1)
+    assert(f(1L, "ellipsis_frac") == 0.0 && v(1L, "ok_ellipsis") == 1)
+    assert(f(2L, "bullet_frac") == 1.0 && v(2L, "ok_bullet") == 0)
+    assert(f(3L, "ellipsis_frac") == 0.6667 && v(3L, "ok_ellipsis") == 0)
+    assert(v(3L, "gopher_pass") == 0, "a failed line rule must fail the conjunction")
+
+    // the registered query's guard fires on the real (unlined) corpus:
+    // typed NULLs, conjunction spans the word rules only
+    val q = graft.SparkEntry.queries("q107_gopher_flags")(spark, "/root/testdata/sf0.001")
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("bullet_frac")) &&
+        r.isNullAt(r.fieldIndex("ok_bullet")) &&
+        r.isNullAt(r.fieldIndex("ellipsis_frac")) &&
+        r.isNullAt(r.fieldIndex("ok_ellipsis")),
+        "line rules must be NULL on a corpus without newlines")
+    }
+    // no doc on this corpus passes (the synthetic text lacks the
+    // canonical stopwords) — so pin the conjunction arithmetic, not a
+    // pass count: with the line rules NULL, gopher_pass must equal the
+    // word-rule conjunction exactly
+    rows.foreach { r =>
+      def v(c: String) = r.getInt(r.fieldIndex(c))
+      val want = if (v("ok_wordcount") == 1 && v("ok_wordlen") == 1 &&
+        v("ok_symbols") == 1 && v("ok_alpha") == 1 && v("ok_stop") == 1) 1 else 0
+      assert(v("gopher_pass") == want, s"doc ${r.getLong(0)} conjunction drift")
+    }
+  }
+
   test("q106b calibrated cuts: sketch certified, tertile-ish composition per language") {
     val rows = graft.SparkEntry.queries("q106b_ccnet_calibrated")(
       spark, "/root/testdata/sf0.001").collect()
