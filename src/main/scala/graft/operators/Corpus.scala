@@ -26,6 +26,7 @@ object Corpus {
     "q70_source_mix" -> q70,
     "q81_decontaminate" -> q81,
     "q108_chunk_dedup" -> q108,
+    "q108b_chunk_keep" -> q108b,
     "q84_tfidf_topterms" -> q84,
     "q98_weighted_sample" -> q98,
     "q100_corpus_pipeline" -> q100
@@ -116,6 +117,17 @@ object Corpus {
     * feeds chunk-level exact dedup ([[Dedup]] q18 shape) downstream. */
   def chunkDocs(docs: DataFrame, chunkSize: Int = CHUNK_SIZE,
                 stride: Int = CHUNK_STRIDE): DataFrame =
+    chunkExplode(docs, chunkSize, stride)
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        substring(md5(array_join(col("chunk"), " ")), 1, 16).as("chunk_fp"))
+
+  /** Shared chunking core keeping the chunk token array:
+    * (doc_id, chunk_id, chunk). [[chunkDocs]] narrows it to the
+    * fingerprint form; [[chunkKeepRewrite]] needs the bodies to
+    * reconstitute documents. */
+  private def chunkExplode(docs: DataFrame, chunkSize: Int,
+                           stride: Int): DataFrame =
     docs
       .select(col("doc_id"), VectorFns.tokens(col("text")).as("tk"))
       .filter(size(col("tk")) > 0)
@@ -124,9 +136,6 @@ object Corpus {
           .cast("int"))).as("chunk_id"))
       .select(col("doc_id"), col("chunk_id"),
         slice(col("tk"), col("chunk_id") * stride + 1, lit(chunkSize)).as("chunk"))
-      .select(col("doc_id"), col("chunk_id"),
-        size(col("chunk")).as("n_chunk_tokens"),
-        substring(md5(array_join(col("chunk"), " ")), 1, 16).as("chunk_fp"))
 
   private def q65(spark: SparkSession, dir: String): DataFrame =
     chunkDocs(Tables.documents(spark, dir))
@@ -164,6 +173,71 @@ object Corpus {
         col("canon.doc_id").as("canon_doc"),
         col("canon.chunk_id").as("canon_chunk"))
   }
+
+  /** Chunk-level keep-set corpus rewrite — the operator a trainer
+    * actually runs after [[q108]] NAMES the duplicated chunks: keep
+    * each fingerprint's canonical occurrence (the globally smallest
+    * (doc_id, chunk_id) — so unique chunks keep themselves), drop
+    * every other copy, and reconstitute each document's token stream
+    * from its surviving chunks. This is the q92 canonical-keep
+    * posture (reference's doc-level dedup intent, e.g.
+    * recsys-spark's exact-match hygiene) pushed down to chunk
+    * granularity: shared boilerplate runs are excised from every
+    * document except the first that carried them.
+    *
+    * Reconstruction rule: with size=64 / stride=48, a NON-last chunk
+    * always holds ≥ stride+1 tokens and the last chunk ≤ stride, so
+    * every chunk's non-overlapping "own" window is uniformly
+    * `slice(chunk, 1, stride)` — no last-chunk special case — and
+    * concatenating surviving chunks' own-windows in chunk_id order
+    * reproduces the original token stream EXACTLY for any document
+    * that loses no chunks (pinned by CorpusSpec). Documents whose
+    * every chunk is a non-canonical duplicate survive as empty
+    * (n_kept = 0, text_fp = md5 of ""). Emits per doc: total/kept
+    * chunk counts, kept token count, and the 16-hex md5 fingerprint
+    * of the rebuilt text — narrow output, full-text pin.
+    *
+    * Scale shape: canonical pick is the same min-struct map-side-
+    * combining aggregate as q108 (one shuffle on chunk_fp), the
+    * keep-filter joins the chunk stream back on the SAME key (the
+    * fp exchange is reused), and the rebuild is one keyed agg on
+    * doc_id whose per-group state (sorted own-windows) is bounded by
+    * the document's own length — the same bound as having read the
+    * document. The per-doc chunk total needs no second pass over the
+    * exploded stream: it's a pure map over `documents`
+    * (⌊(n_tokens−1)/stride⌋+1). No window, no Expand, no driver
+    * collect. */
+  def chunkKeepRewrite(docs: DataFrame, chunkSize: Int = CHUNK_SIZE,
+                       stride: Int = CHUNK_STRIDE): DataFrame = {
+    val ch = chunkExplode(docs, chunkSize, stride)
+      .select(col("doc_id"), col("chunk_id"), col("chunk"),
+        substring(md5(array_join(col("chunk"), " ")), 1, 16).as("chunk_fp"))
+    val canon = ch.groupBy(col("chunk_fp"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("canon"))
+    val kept = ch.join(canon, Seq("chunk_fp"))
+      .filter(struct(col("doc_id"), col("chunk_id")) === col("canon"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("chunk"), 1, stride).as("own"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("own")))),
+          e => e.getField("own"))).as("toks"))
+    docs
+      .select(col("doc_id"), VectorFns.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"),
+        (floor((size(col("tk")) - 1) / stride) + 1).cast("long").as("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .withColumn("toks", coalesce(col("toks"), typedlit(Seq.empty[String])))
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        size(col("toks")).cast("long").as("n_tokens_kept"),
+        substring(md5(array_join(col("toks"), " ")), 1, 16).as("text_fp"))
+  }
+
+  private def q108b(spark: SparkSession, dir: String): DataFrame =
+    chunkKeepRewrite(Tables.documents(spark, dir))
 
   /** Deterministic split assignment: the portable 28-bit md5 hash
     * ([[Dedup.baseHash]]) of the id column mod 100 → 80/10/10

@@ -91,6 +91,40 @@ object CorpusSql {
          |       canon.canon_doc, canon.canon_chunk
          |FROM dup d JOIN nd USING (chunk_fp) JOIN canon USING (chunk_fp)""".stripMargin,
 
+    // keep = canonical occurrence per fingerprint (global min
+    // (doc_id, chunk_id) — unique chunks keep themselves); each
+    // surviving chunk contributes its first-48-token own-window
+    // (chunk[1:48]); rebuilt token stream = own-windows in chunk_id
+    // order; docs losing every chunk rebuild to '' (md5 of empty)
+    "q108b_chunk_keep" ->
+      s"""WITH $toksSql,
+         |ch AS (
+         |  SELECT doc_id, CAST(ci AS INTEGER) AS chunk_id,
+         |         tk[ci*48+1 : ci*48+64] AS chunk,
+         |         substr(md5(array_to_string(tk[ci*48+1 : ci*48+64], ' ')), 1, 16)
+         |           AS chunk_fp
+         |  FROM toks, UNNEST(generate_series(0, CAST((len(tk) - 1) // 48 AS BIGINT)))
+         |       AS g(ci)
+         |  WHERE len(tk) > 0),
+         |keep AS (
+         |  SELECT doc_id, chunk_id, chunk[1:48] AS own
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY chunk_fp
+         |          ORDER BY doc_id ASC, chunk_id ASC) AS rk FROM ch)
+         |  WHERE rk = 1),
+         |reb AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         flatten(list(own ORDER BY chunk_id ASC)) AS toks2
+         |  FROM keep GROUP BY 1),
+         |base AS (
+         |  SELECT doc_id, CAST((len(tk) - 1) // 48 + 1 AS BIGINT) AS n_chunks
+         |  FROM toks WHERE len(tk) > 0)
+         |SELECT b.doc_id, b.n_chunks,
+         |       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+         |       CAST(COALESCE(len(r.toks2), 0) AS BIGINT) AS n_tokens_kept,
+         |       substr(md5(array_to_string(COALESCE(r.toks2, []), ' ')), 1, 16)
+         |         AS text_fp
+         |FROM base b LEFT JOIN reb r USING (doc_id)""".stripMargin,
+
     "q66_hash_split" ->
       s"""SELECT CASE WHEN ${splitBucketSql("doc_id")} < 80 THEN 'train'
          |            WHEN ${splitBucketSql("doc_id")} < 90 THEN 'val'

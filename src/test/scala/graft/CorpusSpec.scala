@@ -279,4 +279,70 @@ class CorpusSpec extends SparkSuite {
         r.getLong(3), r.getInt(4))).toSet
     assert(rows == old, "collapsed q108 diverges from the window formulation")
   }
+
+  private def md5_16(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+
+  test("chunkKeepRewrite: clone docs collapse to empty, intact docs reconstruct exactly") {
+    val s = spark
+    import s.implicits._
+    val a = (1 to 100).map(i => s"a$i")
+    val b = (1 to 70).map(i => s"b$i")
+    // doc 4 shares doc 1's first chunk (a1..a64) then diverges
+    val d = a.take(64) ++ (1 to 36).map(i => s"c$i")
+    val docs = Seq(
+      (1L, a.mkString(" ")),
+      (2L, a.mkString(" ")), // exact clone of doc 1
+      (3L, b.mkString(" ")),
+      (4L, d.mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkKeepRewrite(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toMap
+    // doc 1: canonical everywhere — full reconstruction
+    assert(out(1L) == ((3L, 3L, 100L, md5_16(a.mkString(" ")))))
+    // doc 2: every chunk's canon lives in doc 1 — rebuilds to empty
+    assert(out(2L) == ((3L, 0L, 0L, md5_16(""))))
+    // doc 3: unique vocabulary — intact
+    assert(out(3L) == ((2L, 2L, 70L, md5_16(b.mkString(" ")))))
+    // doc 4: chunk 0 (a1..a64) is doc 1's; chunks 1 (a49..a64 c1..c36)
+    // and 2 (c33..c36) are unique → rebuilt = tokens 49..100
+    assert(out(4L) == ((3L, 2L, 52L, md5_16(d.drop(48).mkString(" ")))))
+  }
+
+  test("chunkKeepRewrite: intra-doc repetition collapses overlapping identical chunks") {
+    val s = spark
+    import s.implicits._
+    // 112 identical tokens: chunk 0 and chunk 1 share a fingerprint,
+    // so the repetition run squeezes 112 → 48 + 16 surviving tokens
+    val docs = Seq((1L, Seq.fill(112)("x").mkString(" "))).toDF("doc_id", "text")
+    val out = Corpus.chunkKeepRewrite(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq == Seq((3L, 2L, 64L,
+      md5_16(Seq.fill(64)("x").mkString(" ")))))
+  }
+
+  test("q108b corpus invariant: docs that lose no chunks reconstruct their token stream") {
+    val df = graft.SparkEntry.queries("q108b_chunk_keep")(spark, "/root/testdata/sf0.001")
+    val expected = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        substring(md5(array_join(
+          graft.functions.VectorFns.tokens(col("text")), " ")), 1, 16)
+          .as("orig_fp"))
+    val joined = df.join(expected, Seq("doc_id")).cache()
+    try {
+      val intactBad = joined
+        .filter(col("n_kept") === col("n_chunks") &&
+          col("text_fp") =!= col("orig_fp")).count()
+      assert(intactBad == 0, "an intact doc failed byte-exact reconstruction")
+      val intact = joined.filter(col("n_kept") === col("n_chunks")).count()
+      val trimmed = joined.filter(col("n_kept") < col("n_chunks")).count()
+      assert(intact > 0, "fixture degenerate: no intact docs")
+      assert(trimmed > 0, "fixture degenerate: no doc lost a chunk at sf0.001")
+      // no window in the plan — canonical pick stays the min-struct agg
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), "q108b must not window the chunk stream")
+    } finally joined.unpersist()
+  }
 }
