@@ -80,7 +80,21 @@ object ScaleProbe {
   val TEXT_QUERIES: Seq[String] = Seq(
     "q19_minhash_bands", "q20_neardup_pairs", "q50_dedup_clusters",
     "q95_incremental_dedup", "q99_pq_ann", "q81_decontaminate",
-    "q100_corpus_pipeline")
+    "q100_corpus_pipeline",
+    // round-9: the quality/chunk family joins the probe (documents-
+    // based, so the per-copy text mutation gives them disjoint
+    // universes by construction). q105_semantic_dedup is EXCLUDED BY
+    // DESIGN: it reads `embeddings`, which `build` clones bit-
+    // identically per copy — every vector would gain K−1 exact
+    // duplicates at cosine 1.0, inflating SemDeDup's within-cell n²
+    // as a clone-corpus artifact exactly the way un-mutated text
+    // inflated the near-dup family in r8. An embedding analogue of
+    // the text mutation (per-copy sign masks) preserves within-copy
+    // geometry but not the copy-0-seeded cell occupancy the
+    // linearity claim needs, so q105's scale story stays the shape
+    // argument (cell = partition key, codebook grows with corpus).
+    "q106_perplexity_buckets", "q106b_ccnet_calibrated",
+    "q107_gopher_flags", "q108_chunk_dedup", "q108b_chunk_keep")
 
   val PROBE_QUERIES: Seq[String] = Seq(
     "q01_pricing_summary", "q16_user_knn_topk", "q17_item_knn_topk",
