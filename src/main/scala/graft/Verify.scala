@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional 3rd+ args: query-name filter for fast local iteration
+    // (the driver always passes exactly 2 — full dump).
+    val only = args.drop(2).toSet
     // same default as Bench: results are parallelism-independent by
     // the float discipline, but sf0.01 wall-clock is ~3× better at 32
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -23,7 +26,8 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      if (only.nonEmpty && !only.contains(name)) ()
+      else try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

