@@ -29,7 +29,8 @@ object Corpus {
     "q108b_chunk_keep" -> q108b,
     "q84_tfidf_topterms" -> q84,
     "q98_weighted_sample" -> q98,
-    "q100_corpus_pipeline" -> q100
+    "q100_corpus_pipeline" -> q100,
+    "q110_dsir_weights" -> q110
   )
 
   /** Lucene-standard BM25 parameters. */
@@ -529,6 +530,81 @@ object Corpus {
           .when(col("f_cont") === 1, "contaminated")
           .otherwise("kept").as("verdict"))
   }
+
+  /** DSIR hashed-feature dimension (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): unigram+bigram
+    * features hashed into this many buckets. Tiny by design — the two
+    * bucket LMs are B-row dims that broadcast at any corpus scale. */
+  val DSIR_BUCKETS = 512
+
+  /** Target ("high-quality") sources for the DSIR target LM — the
+    * same sources [[mixWeight]] keeps at 100%, so the two source-
+    * curation knobs agree about what "good" means. */
+  val DSIR_TARGET_SOURCES = Seq("src0", "src1", "src2", "src3")
+
+  /** q110 — DSIR importance weights over the documents corpus.
+    *
+    * The published estimator: hash every unigram and word-bigram of a
+    * doc into `B` buckets, fit add-one-smoothed bucket unigram LMs on
+    * a TARGET corpus (docs from [[DSIR_TARGET_SOURCES]]) and on the
+    * RAW corpus (all docs), and score each doc by the mean log
+    * likelihood ratio of its hashed grams:
+    * `avg_llr = (1/n) Σ_g log(p_tgt(b(g)) / p_raw(b(g)))`.
+    * `selected = avg_llr > 0` — the doc reads as more target-like
+    * than raw (the importance-resampling acceptance direction);
+    * weights, not a sampled subset, are emitted so any downstream
+    * sampler can draw against them.
+    *
+    * Float discipline (the q94 pattern): each bucket's log-ratio is
+    * r6-rounded into DECIMAL(20,6) BEFORE the per-doc sum, so the
+    * cross-engine exposure is one libm `log` call per BUCKET (≤ B
+    * values corpus-wide), never a float accumulation per doc. The
+    * log argument is built from exact integer products in double —
+    * exact below 2^53; at 100-TB gram counts compute it as a
+    * difference of two pre-rounded logs instead.
+    *
+    * Shape: tokenize+explode → one keyed (doc,bucket) count agg; the
+    * two LM dims are ≤ B-row aggs of that stream (broadcast back);
+    * totals ride a 1-row crossJoin broadcast like q94's V. Wide work
+    * is exactly two hash aggs on the exploded grams — map-side
+    * partial, no distinct Expand, no window. Zero-token docs drop
+    * out (no grams), matching the q24/q94 contract. */
+  def dsirWeights(docs: DataFrame,
+                  targetSources: Seq[String] = DSIR_TARGET_SOURCES,
+                  buckets: Int = DSIR_BUCKETS): DataFrame = {
+    val b = lit(buckets)
+    val grams = docs
+      .select(col("doc_id"), col("source"),
+        VectorFns.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("source"),
+        explode(concat(col("tk"), VectorFns.shingles(col("tk"), 2))).as("g"))
+      .select(col("doc_id"), col("source"),
+        (Dedup.baseHash(col("g")) % b).as("b"))
+    val perDocBucket = grams
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("n"))
+    val raw = grams.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
+    val tgt = grams.filter(col("source").isInCollection(targetSources))
+      .groupBy(col("b")).agg(count(lit(1)).as("c_t"))
+    val dim = raw.join(broadcast(tgt), Seq("b"), "left")
+      .select(col("b"), col("c_r"), coalesce(col("c_t"), lit(0L)).as("c_t"))
+    val totals = dim.agg(sum(col("c_r")).as("n_r"), sum(col("c_t")).as("n_t"))
+    val lam = dim.crossJoin(broadcast(totals))
+      .select(col("b"),
+        r6(log(((col("c_t") + 1) * (col("n_r") + b)).cast("double") /
+          ((col("c_r") + 1) * (col("n_t") + b)).cast("double")))
+          .cast("decimal(20,6)").as("lam"))
+    perDocBucket.join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_grams"),
+        sum(col("n") * col("lam")).as("sum_llr"))
+      .select(col("doc_id"), col("n_grams"),
+        r4(col("sum_llr").cast("double") / col("n_grams")).as("avg_llr"))
+      .withColumn("selected", (col("avg_llr") > 0.0).cast("int"))
+  }
+
+  private def q110(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(Tables.documents(spark, dir))
 
   private def q98(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Rounding.r6

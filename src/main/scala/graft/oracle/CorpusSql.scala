@@ -231,6 +231,40 @@ object CorpusSql {
 
     // A-ES weighted sample: same deterministic md5 draw and the same
     // single IEEE key sequence as the Spark side
+    "q110_dsir_weights" -> {
+      val B = graft.operators.Corpus.DSIR_BUCKETS
+      val TGT = graft.operators.Corpus.DSIR_TARGET_SOURCES
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH toks2 AS (
+         |  SELECT doc_id, source, ${tokensSql("lower(trim(text))")} AS tk
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, source, ${baseHashSql("g")} % $B AS b
+         |  FROM toks2, UNNEST(list_concat(tk, ${shinglesSql("tk", 2)})) AS u(g)),
+         |pdb AS (SELECT doc_id, b, count(*) AS n FROM grams GROUP BY 1, 2),
+         |raw AS (SELECT b, count(*) AS c_r FROM grams GROUP BY 1),
+         |tgt AS (SELECT b, count(*) AS c_t FROM grams
+         |        WHERE source IN ($TGT) GROUP BY 1),
+         |dim AS (
+         |  SELECT raw.b, c_r, COALESCE(c_t, 0) AS c_t
+         |  FROM raw LEFT JOIN tgt USING (b)),
+         |tot AS (
+         |  SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+         |         CAST(sum(c_t) AS BIGINT) AS n_t FROM dim),
+         |lam AS (
+         |  SELECT b,
+         |         CAST(${sql6(s"ln(CAST((c_t + 1) * (n_r + $B) AS DOUBLE) / CAST((c_r + 1) * (n_t + $B) AS DOUBLE))")}
+         |              AS DECIMAL(20,6)) AS lam
+         |  FROM dim, tot),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+         |         ${sql4("CAST(sum(n * lam) AS DOUBLE) / CAST(sum(n) AS BIGINT)")} AS avg_llr
+         |  FROM pdb JOIN lam USING (b) GROUP BY 1)
+         |SELECT doc_id, n_grams, avg_llr,
+         |       CAST(avg_llr > 0 AS INTEGER) AS selected
+         |FROM agg""".stripMargin
+    },
+
     "q98_weighted_sample" ->
       s"""WITH keyed AS (
          |  SELECT o_orderkey, o_totalprice,

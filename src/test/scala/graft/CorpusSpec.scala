@@ -345,4 +345,49 @@ class CorpusSpec extends SparkSuite {
       assert(!plan.contains("Window"), "q108b must not window the chunk stream")
     } finally joined.unpersist()
   }
+
+  test("dsirWeights: target-like docs score positive, raw-only docs negative; gram counts exact") {
+    val s = spark
+    import s.implicits._
+    // target sources speak 'gold', the raw tail speaks 'junk'; the
+    // bucket LMs must pull the two vocabularies apart. B=32 keeps the
+    // fixture's four distinct grams in distinct buckets (checked) while
+    // keeping add-one smoothing small next to the gram counts — the
+    // production B=512 would drown a 7-doc corpus in smoothing mass.
+    val docs = Seq(
+      (1L, "gold gold gold gold", "src0"),
+      (2L, "gold gold gold gold", "src1"),
+      (3L, "gold gold gold gold", "src2"),
+      (4L, "gold gold gold gold", "src3"),
+      (7L, "junk junk junk junk", "src9"),
+      (8L, "junk junk junk junk", "src8"),
+      (5L, "gold gold gold gold", "src9"), // target-like text, raw source
+      (6L, "", "src9")                     // zero tokens: drops out
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.dsirWeights(docs, buckets = 32).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 7L, 8L),
+      "zero-token doc must drop")
+    // 4 unigrams + 3 bigrams
+    assert(out.values.forall(_._1 == 7L))
+    Seq(1L, 2L, 3L, 4L, 5L).foreach { id =>
+      assert(out(id)._2 > 0 && out(id)._3 == 1,
+        s"doc $id is target-like, got ${out(id)}")
+    }
+    Seq(7L, 8L).foreach { id =>
+      assert(out(id)._2 < 0 && out(id)._3 == 0,
+        s"doc $id is raw-only, got ${out(id)}")
+    }
+    // identical text ⇒ identical weight regardless of the doc's own source
+    assert(out(1L)._2 == out(5L)._2)
+  }
+
+  test("q110 plan: every dim rides a broadcast — no sort-merge join anywhere") {
+    val df = Corpus.queries("q110_dsir_weights")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"q110 dims (B-row LMs, 1-row totals) must broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
