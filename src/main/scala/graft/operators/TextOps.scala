@@ -28,8 +28,44 @@ object TextOps {
     "q94_lm_quality" -> q94,
     "q106_perplexity_buckets" -> q106,
     "q106b_ccnet_calibrated" -> q106b,
-    "q107_gopher_flags" -> q107
+    "q107_gopher_flags" -> q107,
+    "q111_blocklist" -> q111
   )
+
+  /** Blocklist for the C4-style badwords filter (Raffel et al. 2020
+    * drop any page containing a term from a fixed blocklist). Terms
+    * chosen against the synthetic vocabulary: 'dup' is rare-but-
+    * present (a small fraction of docs flags, like a real corpus),
+    * 'leak'/'spill' are absent (the no-hit path stays exercised). */
+  val BLOCK_TERMS = Seq("dup", "leak", "spill")
+
+  /** q111 — multi-term blocklist filter over tokenized documents:
+    * per doc, total blocked-token occurrences, distinct blocked terms
+    * (sorted, comma-joined so the hash gate sees a scalar), and the
+    * C4 keep/drop verdict (keep ⇔ zero hits).
+    *
+    * Shape: the blocklist is a LITERAL array inside the generated
+    * code (a real 100 k-term list would broadcast and feed the same
+    * HOFs), so the whole query is one narrow codegen'd map over the
+    * scan — no shuffle, no UDF, embarrassingly parallel at 100 TB. */
+  private def q111(spark: SparkSession, dir: String): DataFrame = {
+    val block = array(BLOCK_TERMS.map(lit): _*)
+    val tk = VectorFns.tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), tk.as("tk"))
+      .select(
+        col("doc_id"), col("source"),
+        size(filter(col("tk"), t => t.isInCollection(BLOCK_TERMS)))
+          .cast("long").as("n_hits"),
+        array_join(sort_array(array_intersect(col("tk"), block)), ",")
+          .as("blocked_terms"))
+      .withColumn("n_blocked",
+        when(col("blocked_terms") === "", 0L)
+          .otherwise(size(split(col("blocked_terms"), ",")).cast("long")))
+      .withColumn("keep", (col("n_hits") === 0L).cast("int"))
+      .select(col("doc_id"), col("source"), col("n_hits"),
+        col("n_blocked"), col("blocked_terms"), col("keep"))
+  }
 
   /** Gopher-rule repetition threshold: a doc whose single most common
     * word 2-gram covers > 18% of its 2-grams is flagged repetitive

@@ -9,6 +9,30 @@ object TextSql {
     s"toks AS (SELECT doc_id, lang, ${tokensSql("lower(trim(text))")} AS tk FROM documents)"
 
   val oracle: Map[String, String] = Map(
+
+    "q111_blocklist" -> {
+      val terms = graft.operators.TextOps.BLOCK_TERMS
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH toks2 AS (
+         |  SELECT doc_id, source, ${tokensSql("lower(trim(text))")} AS tk
+         |  FROM documents),
+         |hits AS (
+         |  SELECT doc_id, t, count(*) AS c
+         |  FROM toks2, UNNEST(tk) AS u(t)
+         |  WHERE t IN ($terms)
+         |  GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_hits,
+         |         CAST(count(*) AS BIGINT) AS n_blocked,
+         |         string_agg(t, ',' ORDER BY t) AS blocked_terms
+         |  FROM hits GROUP BY 1)
+         |SELECT d.doc_id, d.source,
+         |       COALESCE(a.n_hits, 0) AS n_hits,
+         |       COALESCE(a.n_blocked, 0) AS n_blocked,
+         |       COALESCE(a.blocked_terms, '') AS blocked_terms,
+         |       CAST(COALESCE(a.n_hits, 0) = 0 AS INTEGER) AS keep
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+    },
     // exact two-pass heavy hitters: the sketch pass only prunes, so the
     // oracle is the plain full GROUP BY with the same ceil(φ·n) floor
     // (φ = TextOps.HH_PHI = 0.02)

@@ -383,6 +383,29 @@ class CorpusSpec extends SparkSuite {
     assert(out(1L)._2 == out(5L)._2)
   }
 
+  test("q111 blocklist: hit counts, distinct-term csv, and the C4 keep verdict; map-only plan") {
+    val df = graft.operators.TextOps.queries("q111_blocklist")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"q111 must not shuffle:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (hits, blocked, csv, keep) =
+        (r.getLong(2), r.getLong(3), r.getString(4), r.getInt(5))
+      assert((keep == 1) == (hits == 0L))
+      assert((blocked == 0L) == (csv == ""))
+      assert(blocked <= hits, "distinct terms cannot exceed occurrences")
+      if (csv.nonEmpty) {
+        val terms = csv.split(",").toSeq
+        assert(terms == terms.sorted && terms.distinct == terms)
+        assert(terms.forall(graft.operators.TextOps.BLOCK_TERMS.contains))
+      }
+    }
+    // 'dup' is present in the corpus: the filter must actually fire
+    assert(rows.exists(_.getInt(5) == 0), "expected at least one dropped doc")
+  }
+
   test("q110 plan: every dim rides a broadcast — no sort-merge join anywhere") {
     val df = Corpus.queries("q110_dsir_weights")(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
