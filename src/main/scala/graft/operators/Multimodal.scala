@@ -27,7 +27,8 @@ case class MediaFeature(doc_id: Long, n_bytes: Long, feature: Array[Double])
 object Multimodal {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q43_mm_metadata" -> q43
+    "q43_mm_metadata" -> q43,
+    "q112_mm_features" -> q112
   )
 
   /** Documents-as-media: utf-8 payload bytes standing in for
@@ -77,6 +78,47 @@ object Multimodal {
     var j = 0
     while (j < k) { out(j) = if (counts(j) == 0) 0.0 else out(j) / counts(j); j += 1 }
     out
+  }
+
+  /** q112 — the [[decodeBatch]] partition-batched decode surface under
+    * the DuckDB hash gate. The stub's features (4 chunk means of byte
+    * values) are SQL-recoverable for ASCII payloads — `ord()` per char
+    * equals the UTF-8 byte — so unlike q104's pinned-digest posture
+    * this gets a REAL value-level oracle: the decode semantics, the
+    * chunk-boundary arithmetic (`i*4/len` integer floor), and the
+    * integer-sum/count mean are all replayed by DuckDB. The query
+    * filters to single-byte-per-char payloads (`octet_length ==
+    * char_length`, the exact condition under which the oracle's
+    * char-walk equals the stub's byte-walk) — vacuous on today's
+    * all-ASCII corpus, and a structural guard if a regeneration adds
+    * multibyte text: both engines exclude those rows IDENTICALLY, so
+    * the gate stays green instead of silently comparing bytes to
+    * code points.
+    *
+    * Float discipline: chunk sums are integer-exact in both engines
+    * (double accumulation of ints < 2^53); the mean is one double
+    * division; r4 on emit. Shape: per-row map inside mapPartitions —
+    * the one deliberate non-codegen stage in the library, priced as
+    * the decode batch surface it stands in for. */
+  private def q112(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = Tables.documents(spark, dir)
+      .filter(octet_length(col("text")) === char_length(col("text")) &&
+        octet_length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          MediaFeature(id, payload.length.toLong, decodeStub(payload))
+        }
+      }
+      .toDF("doc_id", "n_bytes", "feature")
+    feats.select(
+      col("doc_id"), col("n_bytes"),
+      r4(element_at(col("feature"), 1)).as("f0"),
+      r4(element_at(col("feature"), 2)).as("f1"),
+      r4(element_at(col("feature"), 3)).as("f2"),
+      r4(element_at(col("feature"), 4)).as("f3"))
   }
 
   /** The mapInPandas-shaped decode surface: one partition = one batch,

@@ -1,6 +1,7 @@
 package graft.oracle
 
 import SqlFragments.tokensSql
+import graft.functions.Rounding.sql4
 
 /** DuckDB oracle SQL for [[graft.operators.TextOps]]. */
 object TextSql {
@@ -9,6 +10,30 @@ object TextSql {
     s"toks AS (SELECT doc_id, lang, ${tokensSql("lower(trim(text))")} AS tk FROM documents)"
 
   val oracle: Map[String, String] = Map(
+
+    // q112: the decode stub's chunk means are SQL-recoverable for
+    // single-byte-per-char payloads (ord(char) == utf-8 byte); the
+    // WHERE mirrors the engine's octet==char guard exactly. Chunk
+    // index is the stub's integer floor i*4/len (0-based i).
+    "q112_mm_features" -> {
+      def f(c: Int) =
+        sql4(s"COALESCE(max(CASE WHEN c = $c THEN mv END), 0.0)")
+      s"""WITH a AS (
+         |  SELECT doc_id, text AS s, strlen(text) AS n
+         |  FROM documents
+         |  WHERE length(text) = strlen(text) AND strlen(text) > 0),
+         |bytes AS (
+         |  SELECT doc_id, n,
+         |         CAST(((i - 1) * 4) // n AS INT) AS c,
+         |         ord(substr(s, CAST(i AS INT), 1)) AS v
+         |  FROM a, UNNEST(generate_series(1, CAST(n AS INT))) AS t(i)),
+         |chunks AS (
+         |  SELECT doc_id, n, c, CAST(sum(v) AS DOUBLE) / count(*) AS mv
+         |  FROM bytes GROUP BY 1, 2, 3)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+         |       ${f(0)} AS f0, ${f(1)} AS f1, ${f(2)} AS f2, ${f(3)} AS f3
+         |FROM chunks GROUP BY 1, 2""".stripMargin
+    },
 
     "q111_blocklist" -> {
       val terms = graft.operators.TextOps.BLOCK_TERMS

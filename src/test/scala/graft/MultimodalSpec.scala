@@ -24,4 +24,24 @@ class MultimodalSpec extends SparkSuite {
     // features are byte means — bounded by the byte range
     assert(rows.forall(_.feature.forall(f => f >= 0.0 && f <= 255.0)))
   }
+
+  test("q112 features equal a driver-side decodeStub replay of the same corpus") {
+    import org.apache.spark.sql.functions.col
+    val out = Multimodal.queries("q112_mm_features")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val texts = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == texts.count { case (_, t) =>
+      t.getBytes("UTF-8").length == t.length && t.nonEmpty })
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    out.foreach { case (id, (nBytes, feats)) =>
+      val payload = texts(id).getBytes("UTF-8")
+      assert(nBytes == payload.length.toLong)
+      assert(feats == Multimodal.decodeStub(payload).toSeq.map(r4),
+        s"doc $id feature mismatch")
+    }
+  }
 }
