@@ -94,7 +94,15 @@ object ScaleProbe {
     // linearity claim needs, so q105's scale story stays the shape
     // argument (cell = partition key, codebook grows with corpus).
     "q106_perplexity_buckets", "q106b_ccnet_calibrated",
-    "q107_gopher_flags", "q108_chunk_dedup", "q108b_chunk_keep")
+    "q107_gopher_flags", "q108_chunk_dedup", "q108b_chunk_keep",
+    // round-9 additions: PII scrub + multimodal decode are per-row
+    // maps; blocklist is a map over the token HOFs; DSIR is explode +
+    // two keyed aggs against fixed-B broadcast dims. All documents-
+    // based, so the per-copy text mutation applies. (q111's 'dup'
+    // hit-rate drops on mutated copies — irrelevant to the scan cost
+    // the probe prices.)
+    "q109_pii_scrub", "q110_dsir_weights", "q111_blocklist",
+    "q112_mm_features")
 
   val PROBE_QUERIES: Seq[String] = Seq(
     "q01_pricing_summary", "q16_user_knn_topk", "q17_item_knn_topk",
