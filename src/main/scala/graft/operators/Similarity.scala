@@ -30,8 +30,13 @@ object Similarity {
     "q49_neardup_banded" -> q49,
     "q62_embed_quantize" -> q62,
     "q99_pq_ann" -> q99,
-    "q105_semantic_dedup" -> q105
+    "q105_semantic_dedup" -> q105,
+    "q113_cluster_balance" -> q113
   )
+
+  /** Salt for the q113 per-cell draw order — decorrelated from every
+    * other hash-gated draw in the suite by the version prefix. */
+  val CBALANCE_SALT = "graft_cbal_v1:"
 
   val NUM_SIGN_BANDS = 4
 
@@ -264,6 +269,55 @@ object Similarity {
     pairs.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("cell"), col("n_id"), r4(col("cos")).as("cosine"), col("rk"))
+  }
+
+  private def q113(spark: SparkSession, dir: String): DataFrame =
+    clusterBalance(emb(spark, dir), IVF_SEEDS)
+
+  /** Cluster-balanced corpus resampling (the D4 diversification step,
+    * Tirumala et al. 2023: after SemDeDup prunes within-cluster
+    * duplicates, re-balance the cluster occupancy so over-represented
+    * regions of embedding space don't dominate the training mix).
+    * Every vector is coarse-assigned to its nearest codebook cell
+    * (the q42/q105 posture), each cell's population is capped at the
+    * uniform quota `ceil(N / k)`, and the survivors are picked by a
+    * salted-hash draw order with vec_id tie-break — deterministic,
+    * retry-stable, DuckDB-replayable (never `rand()`; the q66/q67
+    * discipline). Emits one row per vector:
+    * `(vec_id, cell, cell_n, cell_rank, kept)` — under-quota cells
+    * keep everything, over-quota cells keep exactly the quota.
+    *
+    * Scale shape: assignment is the broadcast-codebook keyed argmin;
+    * the draw-order window partitions BY CELL, so window state is
+    * cell occupancy O(N/k), never the corpus (the codebook grows with
+    * the corpus, same as q105); the corpus total rides a 1-row
+    * broadcast. No stage sees more than the exploded vec×k assignment
+    * stream. */
+  def clusterBalance(e: DataFrame, seedIds: Seq[Long]): DataFrame = {
+    val k = seedIds.size
+    val cents = e.filter(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cell").asc)
+    val cells = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+        r6(sqDistArr(col("v"), col("cv"))).as("d2"))
+      .withColumn("crk", row_number().over(wAsg)).filter(col("crk") === 1)
+      .select(col("vec_id"), col("cell"))
+    val tot = cells.agg(count(lit(1)).as("n_total"))
+    val cellN = cells.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+    val draw = Dedup.baseHash(
+      concat(lit(CBALANCE_SALT), col("vec_id").cast("string")))
+    val wDraw = Window.partitionBy(col("cell"))
+      .orderBy(col("draw").asc, col("vec_id").asc)
+    cells.withColumn("draw", draw)
+      .withColumn("cell_rank", row_number().over(wDraw))
+      .join(broadcast(cellN), Seq("cell"))
+      .crossJoin(broadcast(tot))
+      .select(col("vec_id"), col("cell"), col("cell_n"), col("cell_rank"),
+        (col("cell_rank") <=
+          ceil(col("n_total").cast("double") / lit(k.toDouble)).cast("long"))
+          .cast("int").as("kept"))
   }
 
   /** Semantic-dedup cosine threshold. On this synthetic near-random

@@ -170,6 +170,38 @@ object SimilaritySql {
          |      FROM pairs)
          |WHERE rk <= 5""".stripMargin,
 
+    "q113_cluster_balance" -> {
+      val k = graft.operators.Similarity.IVF_SEEDS.size
+      val salt = graft.operators.Similarity.CBALANCE_SALT
+      s"""WITH $embCte,
+         |$ivfCentsCte,
+         |cells AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rk
+         |    FROM (
+         |      SELECT e.vec_id, e.v, c.cell,
+         |             floor(list_sum(list_transform(list_zip(e.v, c.cv),
+         |                     z -> (z[1]-z[2])*(z[1]-z[2])))
+         |                   * 1000000.0 + 0.5) / 1000000.0 AS d2
+         |      FROM emb e CROSS JOIN cents c))
+         |  WHERE rk = 1),
+         |tot AS (SELECT count(*) AS n_total FROM cells),
+         |cn AS (SELECT cell, CAST(count(*) AS BIGINT) AS cell_n
+         |       FROM cells GROUP BY 1),
+         |r AS (
+         |  SELECT vec_id, cell, row_number() OVER (
+         |           PARTITION BY cell ORDER BY draw ASC, vec_id ASC) AS rk
+         |  FROM (SELECT vec_id, cell,
+         |          ${SqlFragments.baseHashSql(s"'$salt' || CAST(vec_id AS VARCHAR)")} AS draw
+         |        FROM cells))
+         |SELECT r.vec_id, r.cell, cn.cell_n,
+         |       CAST(r.rk AS INTEGER) AS cell_rank,
+         |       CAST(r.rk <= CAST(ceil(t.n_total / CAST($k AS DOUBLE)) AS BIGINT)
+         |            AS INTEGER) AS kept
+         |FROM r JOIN cn USING (cell), tot t""".stripMargin
+    },
+
     "q105_semantic_dedup" ->
       s"""WITH $embCte,
          |$ivfCentsCte,

@@ -102,7 +102,14 @@ object ScaleProbe {
     // hit-rate drops on mutated copies — irrelevant to the scan cost
     // the probe prices.)
     "q109_pii_scrub", "q110_dsir_weights", "q111_blocklist",
-    "q112_mm_features")
+    "q112_mm_features",
+    // q113 reads the bit-identically-cloned embeddings but — unlike
+    // q105 — has NO pairwise stage, so cloning creates no artifact:
+    // assignment is vec×k map work and the draw window's state is
+    // cell occupancy, both linear in the clone count. (The production
+    // caveat that the codebook should grow with the corpus is the
+    // same one q105/q42 document.)
+    "q113_cluster_balance")
 
   val PROBE_QUERIES: Seq[String] = Seq(
     "q01_pricing_summary", "q16_user_knn_topk", "q17_item_knn_topk",

@@ -88,4 +88,47 @@ class SemanticDedupSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet == Set(3L, 4L))
     assert(out.filter(col("kept") === 1).count() == 2)
   }
+
+  test("clusterBalance: over-quota cells cap at ceil(N/k), under-quota cells keep all") {
+    val sp = spark
+    import sp.implicits._
+    // 10 vectors near the origin pole (cell 0), 2 near the far pole
+    // (cell 1): N=12, k=2 → quota ceil(12/2)=6
+    val e = (Seq(
+      0L -> Array(0.0, 0.0), 1L -> Array(10.0, 10.0),
+      11L -> Array(9.8, 10.1)) ++
+      (2L to 10L).map(i => i -> Array(i * 0.01, -i * 0.01))
+    ).toDF("vec_id", "v")
+    val out = Similarity.clusterBalance(e, Seq(0L, 1L)).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+      .toMap
+    assert(out.size == 12)
+    val cell0 = out.filter(_._2._1 == 0).values
+    val cell1 = out.filter(_._2._1 == 1).values
+    assert(cell0.size == 10 && cell1.size == 2, s"assignment: $out")
+    assert(cell0.forall(_._2 == 10L) && cell1.forall(_._2 == 2L))
+    assert(cell0.count(_._4 == 1) == 6, "over-quota cell keeps exactly the quota")
+    assert(cell1.count(_._4 == 1) == 2, "under-quota cell keeps everything")
+    // survivors are exactly the cell_rank prefix (the salted-hash draw)
+    assert(out.values.forall { case (_, _, rk, kept) => (kept == 1) == (rk <= 6) })
+    // deterministic: a second run draws the identical sample
+    val again = Similarity.clusterBalance(e, Seq(0L, 1L)).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(again == out.map { case (id, (_, _, _, kept)) => id -> kept })
+  }
+
+  test("q113 plan: the draw window partitions by cell and the codebook broadcasts") {
+    val df = Similarity.queries("q113_cluster_balance")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+    // physical Window prints `Window [fns], [partitionExprs], [order]`;
+    // an unpartitioned window (empty second group) would serialize the
+    // corpus through one task. Both q113 windows must key on a column.
+    // (The plan's one Exchange SinglePartition is the 1-row scalar
+    // count(*) total — a bounded map-side-partial reduce, fine.)
+    val unpartitioned = "Window \\[[^\\]]*\\], \\[\\]".r
+    assert(unpartitioned.findFirstIn(plan).isEmpty,
+      s"q113 has an unpartitioned window:\n$plan")
+    assert(plan.contains("Window "), "expected window operators in the plan")
+  }
 }
