@@ -30,7 +30,8 @@ object Corpus {
     "q84_tfidf_topterms" -> q84,
     "q98_weighted_sample" -> q98,
     "q100_corpus_pipeline" -> q100,
-    "q110_dsir_weights" -> q110
+    "q110_dsir_weights" -> q110,
+    "q114_bpe_train" -> q114
   )
 
   /** Lucene-standard BM25 parameters. */
@@ -530,6 +531,69 @@ object Corpus {
           .when(col("f_cont") === 1, "contaminated")
           .otherwise("kept").as("verdict"))
   }
+
+  /** Number of unrolled BPE merge rounds for q114 (the q76/q97
+    * unrolled-iteration posture — each round is hash-exact against
+    * the oracle's unrolled CTE twin). */
+  val BPE_ROUNDS = 3
+
+  /** q114 — corpus-scale BPE tokenizer training (Sennrich et al.
+    * 2016), the counting side that single-node tokenizer trainers
+    * (SentencePiece, HF tokenizers) cannot run at 100 TB: the merge
+    * table is learned from a WEIGHTED WORD VOCABULARY, so after the
+    * one corpus tokenize+count pass every round's work is
+    * O(|vocab|), never O(corpus). Each round (a) counts adjacent
+    * symbol pairs weighted by word frequency, (b) picks the most
+    * frequent pair (ties broken lexicographically — engine-stable),
+    * (c) merges that pair in every word's segmentation. Segmentations
+    * live as `_`-separated symbol strings ('_h_e_l_l_o_'), so the
+    * merge is a plain left-to-right non-overlapping `replace` of
+    * `_a_b_` with `_ab_` — identical semantics in Spark and DuckDB,
+    * and consecutive overlapping pairs ('l l l') merge leftmost-first
+    * exactly as published BPE does. Emits one row per round:
+    * `(round, pair, pf, corpus_symbols)` — the learned merge, its
+    * weighted frequency, and the corpus token-in-symbol count after
+    * applying it (the BPE compression curve).
+    *
+    * Scale shape: the vocab is a keyed agg of the exploded token
+    * stream (the q24 posture); each round's pair count is a keyed agg
+    * over the vocab; the winning pair is a 1-row TakeOrdered that
+    * broadcasts back. Nothing past the first pass touches corpus-
+    * sized data, and the per-round argmax is the only global reduce. */
+  def bpeTrain(docs: DataFrame, rounds: Int = BPE_ROUNDS): DataFrame = {
+    def nsym(seg: Column): Column =
+      size(filter(split(seg, "_"), s => length(s) > 0))
+    def pairCounts(v: DataFrame): DataFrame = v
+      .select(col("freq"),
+        filter(split(col("seg"), "_"), s => length(s) > 0).as("sy"))
+      .filter(size(col("sy")) >= 2)
+      .select(col("freq"),
+        explode(sequence(lit(1), size(col("sy")) - 1)).as("i"), col("sy"))
+      .select(concat(element_at(col("sy"), col("i")), lit(" "),
+        element_at(col("sy"), col("i") + 1)).as("pair"), col("freq"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("pf"))
+    var v = docs
+      .select(explode(VectorFns.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"),
+        concat(regexp_replace(col("w"), "(.)", "_$1"), lit("_")).as("seg"))
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      val best = pairCounts(v).orderBy(col("pf").desc, col("pair").asc).limit(1)
+      v = v.crossJoin(broadcast(best.select(col("pair"))))
+        .select(col("w"), col("freq"),
+          expr("replace(seg, concat('_', replace(pair, ' ', '_'), '_'), " +
+            "concat('_', replace(pair, ' ', ''), '_'))").as("seg"))
+      val sym = v.agg(sum(col("freq") * nsym(col("seg"))).as("corpus_symbols"))
+      val row = best.select(lit(r).as("round"), col("pair"), col("pf"))
+        .crossJoin(broadcast(sym))
+      out = if (out == null) row else out.unionByName(row)
+    }
+    out
+  }
+
+  private def q114(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(Tables.documents(spark, dir))
 
   /** DSIR hashed-feature dimension (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): unigram+bigram

@@ -231,6 +231,42 @@ object CorpusSql {
 
     // A-ES weighted sample: same deterministic md5 draw and the same
     // single IEEE key sequence as the Spark side
+    // q114: unrolled BPE merge rounds (the q76/q97 posture). Each
+    // round mirrors the Spark side exactly: weighted adjacent-pair
+    // count over the vocab, lexicographic-tie argmax, left-to-right
+    // non-overlapping replace of '_a_b_' with '_ab_'.
+    "q114_bpe_train" -> {
+      def sy(seg: String) =
+        s"list_filter(string_split($seg, '_'), s -> len(s) > 0)"
+      def roundCtes(r: Int) =
+        s"""p$r AS (
+           |  SELECT pair, CAST(sum(freq) AS BIGINT) AS pf FROM (
+           |    SELECT freq, sy[i] || ' ' || sy[i+1] AS pair
+           |    FROM (SELECT freq, ${sy("seg")} AS sy FROM v${r - 1}),
+           |         UNNEST(generate_series(1, len(sy) - 1)) AS t(i))
+           |  GROUP BY 1),
+           |b$r AS (SELECT pair, pf FROM p$r ORDER BY pf DESC, pair ASC LIMIT 1),
+           |v$r AS (
+           |  SELECT w, freq,
+           |         replace(seg, '_' || replace(b$r.pair, ' ', '_') || '_',
+           |                      '_' || replace(b$r.pair, ' ', '') || '_') AS seg
+           |  FROM v${r - 1}, b$r),
+           |s$r AS (SELECT CAST(sum(freq * len(${sy("seg")})) AS BIGINT)
+           |          AS corpus_symbols FROM v$r)""".stripMargin
+      val rounds = (1 to graft.operators.Corpus.BPE_ROUNDS)
+      s"""WITH v0 AS (
+         |  SELECT w, freq,
+         |         regexp_replace(w, '(.)', '_\\1', 'g') || '_' AS seg
+         |  FROM (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+         |          SELECT unnest(${tokensSql("lower(trim(text))")}) AS w
+         |          FROM documents)
+         |        GROUP BY 1)),
+         |${rounds.map(roundCtes).mkString(",\n")}
+         |${rounds.map(r =>
+           s"SELECT $r AS round, b$r.pair, b$r.pf, s$r.corpus_symbols FROM b$r, s$r")
+           .mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
     "q110_dsir_weights" -> {
       val B = graft.operators.Corpus.DSIR_BUCKETS
       val TGT = graft.operators.Corpus.DSIR_TARGET_SOURCES

@@ -103,6 +103,10 @@ object ScaleProbe {
     // the probe prices.)
     "q109_pii_scrub", "q110_dsir_weights", "q111_blocklist",
     "q112_mm_features",
+    // q114's post-tokenize rounds are O(|vocab|); the text mutation
+    // grows the vocab linearly with the copy count, which is exactly
+    // the growth a 10× real corpus's long-tail vocabulary shows.
+    "q114_bpe_train",
     // q113 reads the bit-identically-cloned embeddings but — unlike
     // q105 — has NO pairwise stage, so cloning creates no artifact:
     // assignment is vec×k map work and the draw window's state is

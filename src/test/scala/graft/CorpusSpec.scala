@@ -383,6 +383,34 @@ class CorpusSpec extends SparkSuite {
     assert(out(1L)._2 == out(5L)._2)
   }
 
+  test("bpeTrain: merge order, leftmost-nonoverlapping merges, and the compression curve, hand-computed") {
+    val s = spark
+    import s.implicits._
+    // vocab: 'aaa' ×2, 'bb' ×1.
+    // r1: (a,a) weight 4 wins; '_a_a_a_' merges LEFTMOST-ONLY → '_aa_a_'
+    //     (published BPE), symbols = 2·2 + 2·1 = 6
+    // r2: (aa,a) weight 2 wins → '_aaa_', symbols = 1·2 + 2·1 = 4
+    // r3: (b,b) weight 1 is the only pair left → '_bb_', symbols = 3
+    val docs = Seq((1L, "aaa bb aaa"), (2L, "aaa")).toDF("doc_id", "text")
+    // freq(aaa)=3, freq(bb)=1 → weights: r1 (a,a)=6, r2 (aa,a)=3, r3 (b,b)=1
+    val out = Corpus.bpeTrain(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1, "a a", 6L, 3L * 2 + 1L * 2),
+      (2, "aa a", 3L, 3L * 1 + 1L * 2),
+      (3, "b b", 1L, 3L * 1 + 1L * 1)), s"got ${out.toSeq}")
+  }
+
+  test("bpeTrain: frequency ties break lexicographically — engine-stable argmax") {
+    val s = spark
+    import s.implicits._
+    // (a,b) and (b,a) both weight 2 → 'a b' wins by pair ASC
+    val docs = Seq((1L, "ab ab ba ba")).toDF("doc_id", "text")
+    val first = Corpus.bpeTrain(docs, rounds = 1).collect()(0)
+    assert(first.getString(1) == "a b" && first.getLong(2) == 2L)
+  }
+
   test("q111 blocklist: hit counts, distinct-term csv, and the C4 keep verdict; map-only plan") {
     val df = graft.operators.TextOps.queries("q111_blocklist")(
       spark, "/root/testdata/sf0.001")
