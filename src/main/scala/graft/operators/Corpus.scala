@@ -31,7 +31,8 @@ object Corpus {
     "q98_weighted_sample" -> q98,
     "q100_corpus_pipeline" -> q100,
     "q110_dsir_weights" -> q110,
-    "q114_bpe_train" -> q114
+    "q114_bpe_train" -> q114,
+    "q115_bpe_encode" -> q115
   )
 
   /** Lucene-standard BM25 parameters. */
@@ -560,9 +561,22 @@ object Corpus {
     * over the vocab; the winning pair is a 1-row TakeOrdered that
     * broadcasts back. Nothing past the first pass touches corpus-
     * sized data, and the per-round argmax is the only global reduce. */
-  def bpeTrain(docs: DataFrame, rounds: Int = BPE_ROUNDS): DataFrame = {
-    def nsym(seg: Column): Column =
-      size(filter(split(seg, "_"), s => length(s) > 0))
+  def bpeTrain(docs: DataFrame, rounds: Int = BPE_ROUNDS): DataFrame =
+    bpeLoop(docs, rounds)._2
+
+  /** The trained tokenizer applied back to its vocabulary: one row per
+    * word, `(w, freq, n_symbols, seg)` after all merge rounds. */
+  def bpeSegment(docs: DataFrame, rounds: Int = BPE_ROUNDS): DataFrame = {
+    val v = bpeLoop(docs, rounds)._1
+    v.select(col("w"), col("freq"), bpeNsym(col("seg")).as("n_symbols"),
+      col("seg"))
+  }
+
+  private def bpeNsym(seg: Column): Column =
+    size(filter(split(seg, "_"), s => length(s) > 0))
+
+  private def bpeLoop(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    def nsym(seg: Column): Column = bpeNsym(seg)
     def pairCounts(v: DataFrame): DataFrame = v
       .select(col("freq"),
         filter(split(col("seg"), "_"), s => length(s) > 0).as("sy"))
@@ -589,11 +603,39 @@ object Corpus {
         .crossJoin(broadcast(sym))
       out = if (out == null) row else out.unionByName(row)
     }
-    out
+    (v, out)
   }
 
   private def q114(spark: SparkSession, dir: String): DataFrame =
     bpeTrain(Tables.documents(spark, dir))
+
+  /** q115 — the trained tokenizer's ENCODE side: per-document token
+    * budget under the q114 merge table. The segmented vocabulary
+    * (|vocab| rows, each word's post-merge symbol count) joins back
+    * onto the exploded token stream and reduces per doc to
+    * `(doc_id, n_words, n_symbols, symbols_per_word)` — the fertility
+    * readout a training pipeline prices its token budget with, and
+    * the number that decides whether a tokenizer needs retraining for
+    * a new corpus mix.
+    *
+    * Scale shape: the vocab dim is |vocab| rows and BROADCASTS (the
+    * q24/q25 stopword-profile posture); the corpus side is one
+    * explode + one keyed agg on doc_id — map-side partial, no
+    * distinct, no window. Zero-token docs drop out (q24/q94
+    * contract). */
+  private def q115(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val seg = bpeSegment(docs).select(col("w"), col("n_symbols"))
+    docs.select(col("doc_id"),
+        explode(VectorFns.tokens(col("text"))).as("w"))
+      .join(broadcast(seg), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_symbols")).as("n_symbols"))
+      .select(col("doc_id"), col("n_words"), col("n_symbols"),
+        r4(col("n_symbols").cast("double") / col("n_words"))
+          .as("symbols_per_word"))
+  }
 
   /** DSIR hashed-feature dimension (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): unigram+bigram

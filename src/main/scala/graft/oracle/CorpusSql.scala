@@ -20,6 +20,36 @@ object CorpusSql {
   private def splitBucketSql(e: String): String =
     s"${baseHashSql(s"CAST($e AS VARCHAR)")} % 100"
 
+  /** BPE fragments shared by the q114/q115 oracles — twins of
+    * [[graft.operators.Corpus.bpeTrain]]'s loop. */
+  private def bpeSy(seg: String): String =
+    s"list_filter(string_split($seg, '_'), s -> len(s) > 0)"
+
+  private val bpeV0Cte: String =
+    s"""v0 AS (
+       |  SELECT w, freq,
+       |         regexp_replace(w, '(.)', '_\\1', 'g') || '_' AS seg
+       |  FROM (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |          SELECT unnest(${tokensSql("lower(trim(text))")}) AS w
+       |          FROM documents)
+       |        GROUP BY 1))""".stripMargin
+
+  private def bpeRoundCtes(r: Int): String =
+    s"""p$r AS (
+       |  SELECT pair, CAST(sum(freq) AS BIGINT) AS pf FROM (
+       |    SELECT freq, sy[i] || ' ' || sy[i+1] AS pair
+       |    FROM (SELECT freq, ${bpeSy("seg")} AS sy FROM v${r - 1}),
+       |         UNNEST(generate_series(1, len(sy) - 1)) AS t(i))
+       |  GROUP BY 1),
+       |b$r AS (SELECT pair, pf FROM p$r ORDER BY pf DESC, pair ASC LIMIT 1),
+       |v$r AS (
+       |  SELECT w, freq,
+       |         replace(seg, '_' || replace(b$r.pair, ' ', '_') || '_',
+       |                      '_' || replace(b$r.pair, ' ', '') || '_') AS seg
+       |  FROM v${r - 1}, b$r),
+       |s$r AS (SELECT CAST(sum(freq * len(${bpeSy("seg")})) AS BIGINT)
+       |          AS corpus_symbols FROM v$r)""".stripMargin
+
   val oracle: Map[String, String] = Map(
 
     "q64_bm25" ->
@@ -236,35 +266,32 @@ object CorpusSql {
     // count over the vocab, lexicographic-tie argmax, left-to-right
     // non-overlapping replace of '_a_b_' with '_ab_'.
     "q114_bpe_train" -> {
-      def sy(seg: String) =
-        s"list_filter(string_split($seg, '_'), s -> len(s) > 0)"
-      def roundCtes(r: Int) =
-        s"""p$r AS (
-           |  SELECT pair, CAST(sum(freq) AS BIGINT) AS pf FROM (
-           |    SELECT freq, sy[i] || ' ' || sy[i+1] AS pair
-           |    FROM (SELECT freq, ${sy("seg")} AS sy FROM v${r - 1}),
-           |         UNNEST(generate_series(1, len(sy) - 1)) AS t(i))
-           |  GROUP BY 1),
-           |b$r AS (SELECT pair, pf FROM p$r ORDER BY pf DESC, pair ASC LIMIT 1),
-           |v$r AS (
-           |  SELECT w, freq,
-           |         replace(seg, '_' || replace(b$r.pair, ' ', '_') || '_',
-           |                      '_' || replace(b$r.pair, ' ', '') || '_') AS seg
-           |  FROM v${r - 1}, b$r),
-           |s$r AS (SELECT CAST(sum(freq * len(${sy("seg")})) AS BIGINT)
-           |          AS corpus_symbols FROM v$r)""".stripMargin
-      val rounds = (1 to graft.operators.Corpus.BPE_ROUNDS)
-      s"""WITH v0 AS (
-         |  SELECT w, freq,
-         |         regexp_replace(w, '(.)', '_\\1', 'g') || '_' AS seg
-         |  FROM (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
-         |          SELECT unnest(${tokensSql("lower(trim(text))")}) AS w
-         |          FROM documents)
-         |        GROUP BY 1)),
-         |${rounds.map(roundCtes).mkString(",\n")}
+      val rounds = 1 to graft.operators.Corpus.BPE_ROUNDS
+      s"""WITH $bpeV0Cte,
+         |${rounds.map(bpeRoundCtes).mkString(",\n")}
          |${rounds.map(r =>
            s"SELECT $r AS round, b$r.pair, b$r.pf, s$r.corpus_symbols FROM b$r, s$r")
            .mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // q115: the trained tokenizer's encode side — the unrolled merge
+    // chain's final vocabulary joins back onto the token stream.
+    "q115_bpe_encode" -> {
+      val last = graft.operators.Corpus.BPE_ROUNDS
+      s"""WITH $bpeV0Cte,
+         |${(1 to last).map(bpeRoundCtes).mkString(",\n")},
+         |segn AS (
+         |  SELECT w, len(${bpeSy("seg")}) AS n_symbols FROM v$last),
+         |tok AS (
+         |  SELECT doc_id, unnest(${tokensSql("lower(trim(text))")}) AS w
+         |  FROM documents)
+         |SELECT t.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(s.n_symbols) AS BIGINT) AS n_symbols,
+         |       ${sql4("CAST(sum(s.n_symbols) AS DOUBLE) / count(*)")}
+         |         AS symbols_per_word
+         |FROM tok t JOIN segn s USING (w)
+         |GROUP BY 1""".stripMargin
     },
 
     "q110_dsir_weights" -> {

@@ -106,7 +106,7 @@ object ScaleProbe {
     // q114's post-tokenize rounds are O(|vocab|); the text mutation
     // grows the vocab linearly with the copy count, which is exactly
     // the growth a 10× real corpus's long-tail vocabulary shows.
-    "q114_bpe_train",
+    "q114_bpe_train", "q115_bpe_encode",
     // q113 reads the bit-identically-cloned embeddings but — unlike
     // q105 — has NO pairwise stage, so cloning creates no artifact:
     // assignment is vec×k map work and the draw window's state is

@@ -402,6 +402,29 @@ class CorpusSpec extends SparkSuite {
       (3, "b b", 1L, 3L * 1 + 1L * 1)), s"got ${out.toSeq}")
   }
 
+  test("bpeSegment: the trained merges collapse the fixture vocab to single symbols") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "aaa bb aaa"), (2L, "aaa")).toDF("doc_id", "text")
+    val seg = Corpus.bpeSegment(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2), r.getString(3)))
+      .toMap
+    // r1 merges (a,a) → '_aa_a_', r2 (aa,a) → '_aaa_', r3 (b,b) → '_bb_'
+    assert(seg == Map("aaa" -> (3L, 1, "_aaa_"), "bb" -> (1L, 1, "_bb_")))
+  }
+
+  test("q115 plan: the segmented vocab broadcasts onto the token stream") {
+    val df = Corpus.queries("q115_bpe_encode")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab dim must broadcast:\n$plan")
+    val out = df.collect()
+    assert(out.length == 500)
+    // fertility is bounded by character count: 1 ≤ symbols/word ≤ longest word
+    assert(out.forall { r =>
+      val spw = r.getDouble(3); spw >= 1.0 && spw <= 16.0 })
+  }
+
   test("bpeTrain: frequency ties break lexicographically — engine-stable argmax") {
     val s = spark
     import s.implicits._
