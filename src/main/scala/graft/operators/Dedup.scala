@@ -30,7 +30,8 @@ object Dedup {
     "q50_dedup_clusters" -> q50,
     "q85_fuzzy_pairs" -> q85,
     "q92_dedup_keep" -> q92,
-    "q95_incremental_dedup" -> q95
+    "q95_incremental_dedup" -> q95,
+    "q117_dup_spans" -> q117
   )
 
   val CLUSTER_JACCARD = 0.5
@@ -352,4 +353,73 @@ object Dedup {
   /** q85: distance-1 name pairs in the part dimension. */
   private def q85(spark: SparkSession, dir: String): DataFrame =
     fuzzyPairs(Tables.part(spark, dir), "p_name")
+
+  /** Span width (in tokens) for duplicated-substring detection. */
+  val SPAN_N = 8
+
+  /** Duplicated-span detection — the word-level analogue of
+    * ExactSubstr dedup (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better": drop any substring occurring ≥2
+    * times in the corpus). A token position starts a duplicated span
+    * when its `n`-gram occurs ≥2 times corpus-wide (in ANOTHER doc or
+    * again in the same one — ExactSubstr counts both); overlapping or
+    * adjacent flagged windows merge into maximal runs via a
+    * gaps-and-islands pass. Per doc: span count, tokens covered by
+    * duplicated runs, and the covered fraction — the quantity a
+    * trainer thresholds to scrub memorization-prone boilerplate.
+    *
+    * Scale shape (the suffix-array step of the paper replaced by the
+    * Spark-native keyed agg): grams ride ONE hash agg keyed on the
+    * gram's md5 (shuffle width = 32-hex key, never the gram text);
+    * the join back to positions is keyed on the same md5; the islands
+    * window partitions BY DOC over only the flagged positions — the
+    * duplicated slice, tiny relative to the corpus, so the sort is
+    * bounded by dup volume, not corpus volume (the q108 lesson,
+    * applied from the start). All arithmetic is integer; the one
+    * division is guarded and r4-rounded.
+    *
+    * Engine parity: both engines md5 the identical space-joined gram
+    * string; islands use integer lag/sum windows ordered by the
+    * (unique within doc) position, so there is no tie ambiguity. */
+  def dupSpans(docs: DataFrame, n: Int = SPAN_N): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      VectorFns.tokens(normText(col("text"))).as("tk"))
+    val perDoc = toks.select(col("doc_id"),
+      size(col("tk")).cast("long").as("n_tokens"))
+    val grams = toks
+      .select(col("doc_id"), posexplode(VectorFns.shingles(col("tk"), n)))
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("g"))
+    val dup = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    val flagged = grams.join(dup.select(col("g")), Seq("g"))
+      .select(col("doc_id"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = flagged
+      // new island when the gap to the previous flagged start exceeds
+      // n (null lag on the first row also lands in otherwise → 1)
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= n, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    val spans = islands.groupBy(col("doc_id"), col("island"))
+      .agg((max(col("pos")) - min(col("pos")) + n).cast("long").as("covered"))
+    val perDocSpans = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("covered")).as("dup_tokens"))
+    perDoc.join(perDocSpans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") > 0,
+          r4(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens")))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  /** q117: ExactSubstr-style duplicated 8-gram spans over `documents`. */
+  private def q117(spark: SparkSession, dir: String): DataFrame =
+    dupSpans(Tables.documents(spark, dir))
 }

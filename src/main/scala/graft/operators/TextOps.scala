@@ -29,7 +29,8 @@ object TextOps {
     "q106_perplexity_buckets" -> q106,
     "q106b_ccnet_calibrated" -> q106b,
     "q107_gopher_flags" -> q107,
-    "q111_blocklist" -> q111
+    "q111_blocklist" -> q111,
+    "q116_quality_classifier" -> q116
   )
 
   /** Blocklist for the C4-style badwords filter (Raffel et al. 2020
@@ -576,4 +577,79 @@ object TextOps {
         col("head_cut"), col("mid_cut"),
         col("head_cut_ok"), col("mid_cut_ok"))
   }
+
+  /** Hash-bucket count for the q116 nearest-centroid classifier. */
+  val QC_BUCKETS = 128
+
+  /** q116 — quality classification by nearest centroid (Rocchio 1971;
+    * the geometric sibling of the GPT-3/LLaMA "quality classifier"
+    * filtering step, where a linear model scores every page against a
+    * trusted reference corpus). Where q110's DSIR is probabilistic
+    * (bucket-LM log-likelihood ratio), this is geometric: each doc is
+    * a hashed bag-of-words vector, L2-normalized; the positive class
+    * centroid is the mean of target-source doc vectors, the negative
+    * the mean of the rest; score(d) = x̂_d · (c⁺ − c⁻), predicted
+    * positive when > 0. One trained-model-free pass that a real
+    * pipeline would swap for fitted LR weights — the dataflow (hashed
+    * features, broadcast weight vector, per-doc dot) is identical.
+    *
+    * Float discipline (q94/q110 pattern): ‖x_d‖² is an exact integer
+    * sum; sqrt and the n/‖x‖ divide are single correctly-rounded IEEE
+    * ops; each normalized component is r6-rounded into DECIMAL(20,6)
+    * BEFORE any cross-row sum, so centroid sums are exact and
+    * order-free. The score numerator is Σ_b tf_b·w_b with tf bigint ×
+    * w DECIMAL(20,6) — exact, shuffle-order-free; the only trailing
+    * float ops are one divide + r4 per doc.
+    *
+    * Scale shape: ONE keyed (doc, bucket) agg over exploded tokens
+    * (map-side partial); centroids/weights are ≤2·B-row broadcast
+    * dims; scoring is a broadcast join + keyed agg back to doc grain.
+    * Zero-token docs have no vector and drop out (q24/q94/q110
+    * contract). */
+  def centroidClassifier(docs: DataFrame,
+                         targets: Seq[String] = graft.operators.Corpus.DSIR_TARGET_SOURCES,
+                         buckets: Int = QC_BUCKETS): DataFrame = {
+    import graft.functions.Rounding.r6
+    val b = lit(buckets)
+    val tf = docs
+      .select(col("doc_id"), col("source"),
+        explode(VectorFns.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("source"),
+        (graft.operators.Dedup.baseHash(col("tok")) % b).as("b"))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("n"))
+    val norms = tf.groupBy(col("doc_id"))
+      .agg(sum(col("n") * col("n")).as("sq"))
+      .select(col("doc_id"), sqrt(col("sq").cast("double")).as("nrm"))
+    val tfn = tf.join(norms, Seq("doc_id"))
+      .select(col("doc_id"), col("source").isInCollection(targets).as("t"),
+        col("b"), col("n"),
+        r6(col("n").cast("double") / col("nrm"))
+          .cast("decimal(20,6)").as("tfn"))
+    val classSizes = tfn.select(col("doc_id"), col("t")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("m"))
+    val cent = tfn.groupBy(col("t"), col("b"))
+      .agg(sum(col("tfn")).as("s"))
+      .join(broadcast(classSizes), Seq("t"))
+      .select(col("t"), col("b"),
+        r6(col("s").cast("double") / col("m"))
+          .cast("decimal(20,6)").as("c"))
+    val zero = lit(0).cast("decimal(20,6)")
+    val w = cent.groupBy(col("b"))
+      .agg((coalesce(sum(when(col("t"), col("c"))), zero) -
+        coalesce(sum(when(!col("t"), col("c"))), zero)).as("w"))
+    val num = tf.join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n") * col("w")).as("num"),
+        max(col("source").isInCollection(targets).cast("int")).as("is_target"))
+    num.join(norms, Seq("doc_id"))
+      .select(col("doc_id"),
+        r4(col("num").cast("double") / col("nrm")).as("qc_score"),
+        col("is_target"))
+      .withColumn("predicted", (col("qc_score") > 0.0).cast("int"))
+  }
+
+  /** q116: centroid quality classifier over `documents`. */
+  private def q116(spark: SparkSession, dir: String): DataFrame =
+    centroidClassifier(Tables.documents(spark, dir))
 }

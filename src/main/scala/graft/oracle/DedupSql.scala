@@ -1,6 +1,7 @@
 package graft.oracle
 
 import SqlFragments._
+import graft.functions.Rounding
 
 /** DuckDB oracle SQL for [[graft.operators.Dedup]]. */
 object DedupSql {
@@ -128,7 +129,48 @@ object DedupSql {
         |    ON a.sig = b.sig AND a.name < b.name)
         |SELECT name_a, name_b,
         |       CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
-        |FROM cand WHERE levenshtein(name_a, name_b) <= 1""".stripMargin
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 1""".stripMargin,
+
+    // ExactSubstr-style duplicated 8-gram spans: positions whose gram
+    // occurs >= 2 corpus-wide, merged into maximal runs (gap > N
+    // breaks), covered = max-min+N per run; 0-rows docs keep zeros
+    "q117_dup_spans" -> {
+      val n = graft.operators.Dedup.SPAN_N
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${tokensSql(normTextSql("text"))} AS tk
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |         md5(array_to_string(tk[i:i+${n - 1}], ' ')) AS g
+         |  FROM toks, UNNEST(generate_series(1, len(tk) - ${n - 1})) AS u(i)),
+         |dup AS (SELECT g FROM grams GROUP BY 1 HAVING count(*) >= 2),
+         |flagged AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+         |brks AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos - lag(pos) OVER w <= $n THEN 0 ELSE 1 END AS brk
+         |  FROM flagged WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |islands AS (
+         |  SELECT doc_id, pos,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |                        ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM brks),
+         |spans AS (
+         |  SELECT doc_id, island,
+         |         CAST(max(pos) - min(pos) + $n AS BIGINT) AS covered
+         |  FROM islands GROUP BY 1, 2),
+         |per_doc_spans AS (
+         |  SELECT doc_id, count(*) AS n_dup_spans,
+         |         CAST(sum(covered) AS BIGINT) AS dup_tokens
+         |  FROM spans GROUP BY 1),
+         |per_doc AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks)
+         |SELECT d.doc_id, d.n_tokens,
+         |       COALESCE(s.n_dup_spans, 0) AS n_dup_spans,
+         |       COALESCE(s.dup_tokens, 0) AS dup_tokens,
+         |       CASE WHEN d.n_tokens > 0
+         |            THEN ${Rounding.sql4("CAST(COALESCE(s.dup_tokens, 0) AS DOUBLE) / d.n_tokens")}
+         |            ELSE 0.0 END AS dup_frac
+         |FROM per_doc d LEFT JOIN per_doc_spans s USING (doc_id)""".stripMargin
+    }
   )
 
   /** q20's full oracle — also embedded as a subquery by q50. */

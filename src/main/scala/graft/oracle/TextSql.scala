@@ -392,6 +392,52 @@ object TextSql {
          |       min(head_cut) AS head_cut, min(mid_cut) AS mid_cut,
          |       1 AS head_cut_ok, 1 AS mid_cut_ok
          |FROM b GROUP BY 1, 2""".stripMargin
+    },
+
+    // Rocchio nearest-centroid classifier: hashed tf vectors,
+    // L2-normalized components r6-rounded into DECIMAL before any
+    // cross-row sum (order-free), score = tf · (c_pos − c_neg) / ‖x‖
+    "q116_quality_classifier" -> {
+      val B = graft.operators.TextOps.QC_BUCKETS
+      val TGT = graft.operators.Corpus.DSIR_TARGET_SOURCES
+        .map(s => s"'$s'").mkString(", ")
+      import graft.functions.Rounding.{sql4 => s4, sql6 => s6}
+      s"""WITH toks2 AS (
+         |  SELECT doc_id, source, ${tokensSql("lower(trim(text))")} AS tk
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, source,
+         |         ${SqlFragments.baseHashSql("tok")} % $B AS b,
+         |         count(*) AS n
+         |  FROM toks2, UNNEST(tk) AS u(tok) GROUP BY 1, 2, 3),
+         |nrm AS (
+         |  SELECT doc_id, sqrt(CAST(sum(n * n) AS DOUBLE)) AS nrm
+         |  FROM tf GROUP BY 1),
+         |tfn AS (
+         |  SELECT tf.doc_id, (source IN ($TGT)) AS t, b, n,
+         |         CAST(${s6("CAST(n AS DOUBLE) / nrm")} AS DECIMAL(20,6)) AS tfn
+         |  FROM tf JOIN nrm USING (doc_id)),
+         |m AS (
+         |  SELECT t, count(*) AS m
+         |  FROM (SELECT DISTINCT doc_id, t FROM tfn) GROUP BY 1),
+         |cent AS (
+         |  SELECT t, b,
+         |         CAST(${s6("CAST(sum(tfn) AS DOUBLE) / any_value(mm.m)")} AS DECIMAL(20,6)) AS c
+         |  FROM tfn JOIN m mm USING (t) GROUP BY 1, 2),
+         |w AS (
+         |  SELECT b,
+         |         COALESCE(sum(CASE WHEN t THEN c END), CAST(0 AS DECIMAL(20,6)))
+         |         - COALESCE(sum(CASE WHEN NOT t THEN c END), CAST(0 AS DECIMAL(20,6))) AS w
+         |  FROM cent GROUP BY 1),
+         |num AS (
+         |  SELECT doc_id, sum(n * w) AS num,
+         |         max(CAST(source IN ($TGT) AS INT)) AS is_target
+         |  FROM tf JOIN w USING (b) GROUP BY 1)
+         |SELECT num.doc_id,
+         |       ${s4("CAST(num AS DOUBLE) / nrm")} AS qc_score,
+         |       is_target,
+         |       CAST((${s4("CAST(num AS DOUBLE) / nrm")}) > 0 AS INT) AS predicted
+         |FROM num JOIN nrm USING (doc_id)""".stripMargin
     }
   )
 }

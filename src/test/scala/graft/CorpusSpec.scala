@@ -383,6 +383,38 @@ class CorpusSpec extends SparkSuite {
     assert(out(1L)._2 == out(5L)._2)
   }
 
+  test("centroidClassifier: separated vocabularies classify by geometry, not by label") {
+    val s = spark
+    import s.implicits._
+    // positives speak fruit, negatives speak rock; doc 5 is fruity
+    // text under a NON-target label — the negative centroid absorbs
+    // 1/4 fruit mass but geometry still pulls it positive (the whole
+    // point of classifier-based quality filtering: score the TEXT)
+    val docs = Seq(
+      (1L, "apple apple banana", "tgt"),
+      (2L, "banana apple apple", "tgt"),
+      (3L, "rock stone rock", "other"),
+      (4L, "stone rock stone", "other"),
+      (5L, "apple banana apple", "probe"),
+      (6L, "rock stone stone", "probe")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.operators.TextOps
+      .centroidClassifier(docs, targets = Seq("tgt"), buckets = 64)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2), r.getInt(3))))
+      .toMap // doc_id -> (qc_score, is_target, predicted)
+    assert(out(1L)._1 > 0 && out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(2L)._1 > 0 && out(2L)._2 == 1 && out(2L)._3 == 1)
+    assert(out(3L)._1 < 0 && out(3L)._2 == 0 && out(3L)._3 == 0)
+    assert(out(4L)._1 < 0 && out(4L)._2 == 0 && out(4L)._3 == 0)
+    assert(out(5L)._1 > 0 && out(5L)._2 == 0 && out(5L)._3 == 1,
+      s"fruity probe must classify positive: ${out(5L)}")
+    assert(out(6L)._1 < 0 && out(6L)._2 == 0 && out(6L)._3 == 0)
+    // identical-direction vectors tie exactly: docs 1 and 2 are the
+    // same bag of words, so scores are bit-equal
+    assert(out(1L)._1 == out(2L)._1)
+  }
+
   test("bpeTrain: merge order, leftmost-nonoverlapping merges, and the compression curve, hand-computed") {
     val s = spark
     import s.implicits._

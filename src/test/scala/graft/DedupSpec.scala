@@ -120,4 +120,45 @@ class DedupSpec extends SparkSuite {
       }.toMap
     assert(inc == want, s"got ${inc.size} want ${want.size}")
   }
+
+  test("dupSpans: cross-doc span, within-doc adjacent merge, gap split, short-doc zeros") {
+    val s = spark
+    import s.implicits._
+    val run = (1 to 8).map(i => s"w$i").mkString(" ") // the shared 8 tokens
+    val docs = Seq(
+      (1L, run + " u1 u2"),         // flagged pos 0 → 1 span, 8 covered / 10
+      (2L, "x1 " + run + " y1 y2"), // flagged pos 1 → 1 span, 8 covered / 11
+      (3L, run + " " + run),        // pos 0 & 8 ADJACENT (gap == n) → merge: 16/16
+      (4L, "a1 b1 c1 d1 e1 f1 g1 h1 i1 j1"), // unique grams: zero spans
+      (5L, "short doc")             // < 8 tokens: no grams, zeros
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((10L, 1L, 8L, 0.8)))
+    assert(out(2L) == ((11L, 1L, 8L, 0.7273)))
+    assert(out(3L) == ((16L, 1L, 16L, 1.0)), "adjacent windows merge into one maximal run")
+    assert(out(4L) == ((10L, 0L, 0L, 0.0)))
+    assert(out(5L) == ((2L, 0L, 0L, 0.0)))
+  }
+
+  test("dupSpans: a hole of one token splits two islands") {
+    val s = spark
+    import s.implicits._
+    val runA = (1 to 8).map(i => s"a$i").mkString(" ")
+    val runB = (1 to 8).map(i => s"b$i").mkString(" ")
+    // doc 3 repeats runA, a one-token hole, then runB (also repeated):
+    // flagged starts 0 and 9 → gap 9 > n → two islands of 8 each
+    val docs = Seq(
+      (1L, runA), (2L, runB),
+      (3L, runA + " hole " + runB)
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(3L) == ((17L, 2L, 16L, 0.9412)), s"got ${out(3L)}")
+    // the 8-token docs themselves: their single gram is duplicated
+    assert(out(1L) == ((8L, 1L, 8L, 1.0)))
+    assert(out(2L) == ((8L, 1L, 8L, 1.0)))
+  }
 }
