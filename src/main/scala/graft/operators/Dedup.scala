@@ -31,7 +31,8 @@ object Dedup {
     "q85_fuzzy_pairs" -> q85,
     "q92_dedup_keep" -> q92,
     "q95_incremental_dedup" -> q95,
-    "q117_dup_spans" -> q117
+    "q117_dup_spans" -> q117,
+    "q117b_span_scrub" -> q117b
   )
 
   val CLUSTER_JACCARD = 0.5
@@ -422,4 +423,81 @@ object Dedup {
   /** q117: ExactSubstr-style duplicated 8-gram spans over `documents`. */
   private def q117(spark: SparkSession, dir: String): DataFrame =
     dupSpans(Tables.documents(spark, dir))
+
+  /** Occurrence-key base for the q117b canonical pick: doc_id·2²⁰ +
+    * pos must be unique and order-preserving, so docs are capped at
+    * 2²⁰ tokens (1M — far above any pretraining doc; assert-free
+    * because the key is only compared within one gram's occurrence
+    * group, where doc_id dominates anyway). */
+  val SCRUB_POS_BASE = 1048576L
+
+  /** q117b — the ExactSubstr SCRUB (the rewrite [[dupSpans]] only
+    * measures): every duplicated `n`-gram run is kept at exactly one
+    * occurrence — the minimum (doc_id, pos) — and excised everywhere
+    * else, leaving the rest of each document intact (Lee et al. 2021
+    * §ExactSubstr: "keep one occurrence"). Token-level rule making
+    * overlaps deterministic: a position covered by a CANONICAL
+    * duplicated-gram occurrence is protected; a position covered only
+    * by non-canonical duplicated occurrences is dropped; untouched
+    * positions survive. Emits per doc the original/dropped/kept token
+    * counts and a 16-hex md5 of the rebuilt token stream — narrow
+    * output, full-text pin (the q108b posture).
+    *
+    * Scale shape: the gram agg and join-back are q117's (md5-keyed);
+    * covered-position expansion multiplies only the FLAGGED
+    * occurrences by n (bounded by dup volume, not corpus volume); the
+    * rebuild is confined to AFFECTED docs via a left_semi gate —
+    * untouched documents ride a pure map to their fingerprint, so
+    * rewrite cost is proportional to the duplicated slice. Per-group
+    * rebuild state is bounded by the document's own length. */
+  def spanScrub(docs: DataFrame, n: Int = SPAN_N): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      VectorFns.tokens(normText(col("text"))).as("tk"))
+    val grams = toks
+      .select(col("doc_id"), posexplode(VectorFns.shingles(col("tk"), n)))
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("g"))
+    val occKey = col("doc_id") * SCRUB_POS_BASE + col("pos")
+    val dup = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"), min(occKey).as("canon_key"))
+      .filter(col("cnt") >= 2)
+    // flagged occurrences → their n covered positions, marked by
+    // whether the covering occurrence is the gram's canonical one
+    val covered = grams.join(dup.select(col("g"), col("canon_key")), Seq("g"))
+      .select(col("doc_id"),
+        (occKey === col("canon_key")).as("is_canon"),
+        explode(sequence(col("pos"), col("pos") + n - 1)).as("tp"))
+    val drops = covered.groupBy(col("doc_id"), col("tp"))
+      .agg(max(col("is_canon")).as("keep_cov"))
+      .filter(!col("keep_cov"))
+      .select(col("doc_id"), col("tp"))
+    val affected = drops.select(col("doc_id")).distinct()
+    val rebuilt = toks.join(affected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(col("tk"))).as("x")
+      .join(drops.as("d"),
+        col("x.doc_id") === col("d.doc_id") && col("x.pos") === col("d.tp"),
+        "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        transform(array_sort(collect_list(struct(col("pos"), col("col")))),
+          e => e.getField("col")).as("kept"))
+    val scrubbed = toks.join(affected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        substring(md5(array_join(
+          coalesce(col("kept"), typedlit(Seq.empty[String])), " ")), 1, 16)
+          .as("text_fp"))
+    val untouched = toks.join(affected, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        size(col("tk")).cast("long").as("n_kept"),
+        substring(md5(array_join(col("tk"), " ")), 1, 16).as("text_fp"))
+    scrubbed.unionByName(untouched)
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        (col("n_tokens") - col("n_kept")).as("n_dropped"), col("text_fp"))
+  }
+
+  /** q117b: ExactSubstr scrub rewrite over `documents`. */
+  private def q117b(spark: SparkSession, dir: String): DataFrame =
+    spanScrub(Tables.documents(spark, dir))
 }

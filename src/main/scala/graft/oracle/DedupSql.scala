@@ -170,6 +170,61 @@ object DedupSql {
          |            THEN ${Rounding.sql4("CAST(COALESCE(s.dup_tokens, 0) AS DOUBLE) / d.n_tokens")}
          |            ELSE 0.0 END AS dup_frac
          |FROM per_doc d LEFT JOIN per_doc_spans s USING (doc_id)""".stripMargin
+    },
+
+    // ExactSubstr scrub: canonical (min doc*2^20+pos) occurrence of
+    // each duplicated gram protects its positions; positions covered
+    // only by non-canonical occurrences drop; affected docs rebuild
+    // in position order, untouched docs fingerprint as-is
+    "q117b_span_scrub" -> {
+      val n = graft.operators.Dedup.SPAN_N
+      val base = graft.operators.Dedup.SCRUB_POS_BASE
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${tokensSql(normTextSql("text"))} AS tk
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |         md5(array_to_string(tk[i:i+${n - 1}], ' ')) AS g
+         |  FROM toks, UNNEST(generate_series(1, len(tk) - ${n - 1})) AS u(i)),
+         |dup AS (
+         |  SELECT g, min(doc_id * $base + pos) AS canon_key
+         |  FROM grams GROUP BY 1 HAVING count(*) >= 2),
+         |covered AS (
+         |  SELECT gr.doc_id,
+         |         (gr.doc_id * $base + gr.pos = d.canon_key) AS is_canon,
+         |         tp
+         |  FROM grams gr JOIN dup d USING (g),
+         |       UNNEST(generate_series(gr.pos, gr.pos + ${n - 1})) AS t(tp)),
+         |drops AS (
+         |  SELECT doc_id, tp FROM covered
+         |  GROUP BY 1, 2 HAVING max(CAST(is_canon AS INT)) = 0),
+         |affected AS (SELECT DISTINCT doc_id FROM drops),
+         |toksp AS (
+         |  SELECT t.doc_id, i - 1 AS pos, tk[i] AS tok
+         |  FROM toks t JOIN affected USING (doc_id),
+         |       UNNEST(generate_series(1, len(tk))) AS u(i)),
+         |kept AS (
+         |  SELECT x.doc_id, x.pos, x.tok FROM toksp x
+         |  WHERE NOT EXISTS (SELECT 1 FROM drops d
+         |                    WHERE d.doc_id = x.doc_id AND d.tp = x.pos)),
+         |rebuilt AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         substr(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 16) AS text_fp
+         |  FROM kept GROUP BY 1),
+         |scrubbed AS (
+         |  SELECT t.doc_id, len(tk) AS n_tokens, COALESCE(r.n_kept, 0) AS n_kept,
+         |         COALESCE(r.text_fp, substr(md5(''), 1, 16)) AS text_fp
+         |  FROM toks t JOIN affected USING (doc_id)
+         |  LEFT JOIN rebuilt r USING (doc_id)),
+         |untouched AS (
+         |  SELECT doc_id, len(tk) AS n_tokens, len(tk) AS n_kept,
+         |         substr(md5(array_to_string(tk, ' ')), 1, 16) AS text_fp
+         |  FROM toks
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM affected))
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(n_kept AS BIGINT) AS n_kept,
+         |       CAST(n_tokens - n_kept AS BIGINT) AS n_dropped, text_fp
+         |FROM (SELECT * FROM scrubbed UNION ALL SELECT * FROM untouched)""".stripMargin
     }
   )
 

@@ -161,4 +161,33 @@ class DedupSpec extends SparkSuite {
     assert(out(1L) == ((8L, 1L, 8L, 1.0)))
     assert(out(2L) == ((8L, 1L, 8L, 1.0)))
   }
+
+  test("spanScrub keeps exactly one occurrence of each duplicated run") {
+    val s = spark
+    import s.implicits._
+    def fp16(text: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+    val runA = (1 to 8).map(i => s"a$i").mkString(" ")
+    val runB = (1 to 8).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, runA + " u1 u2"),      // canonical owner of runA: untouched
+      (2L, "x1 " + runA + " y1"), // loses the run → "x1 y1"
+      (3L, runA + " " + runA),    // both occurrences non-canonical → empty
+      (4L, runB + " z " + runB),  // within-doc: first copy canonical → runB + " z"
+      (5L, "plain unrelated text here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanScrub(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((10L, 10L, 0L, fp16(runA + " u1 u2"))),
+      "canonical owner keeps its text verbatim")
+    assert(out(2L) == ((10L, 2L, 8L, fp16("x1 y1"))), s"got ${out(2L)}")
+    assert(out(3L) == ((16L, 0L, 16L, fp16(""))),
+      "doc whose every token is a non-canonical duplicate scrubs to empty")
+    assert(out(4L) == ((17L, 9L, 8L, fp16(runB + " z"))),
+      "within-doc repeat keeps the first copy and the hole token")
+    assert(out(5L) == ((4L, 4L, 0L, fp16("plain unrelated text here"))))
+  }
 }
