@@ -27,7 +27,9 @@ object Analytics {
     "q89_gap_fill" -> q89,
     "q90_scd2" -> q90,
     "q101_pit_join" -> q101,
-    "q103_ab_test" -> q103
+    "q103_ab_test" -> q103,
+    "q118_ewma" -> q118,
+    "q119_shard_plan" -> q119
   )
 
   /** Semi-structured extraction: the `events.props` column is a JSON
@@ -433,5 +435,97 @@ object Analytics {
     m.select(col("n0"), col("k0"), col("n1"), col("k1"),
       r6(p0).as("rate0"), r6(p1).as("rate1"), r6(z).as("z"),
       (abs(z) > AB_Z_CRIT).cast("int").as("significant"))
+  }
+
+  /** EWMA decay per observation step and the truncation depth: β=0.8
+    * over the last 7 observations carries ≥99.8% of the infinite-tail
+    * mass, so the fixed-lag form is the standard practical EWMA.
+    * Weights are EXACT decimal strings (BigDecimal pow) so both
+    * engines parse the identical double literal. */
+  val EWMA_BETA = BigDecimal("0.8")
+  val EWMA_LAGS = 7
+  val EWMA_WEIGHTS: Seq[String] =
+    (0 until EWMA_LAGS).map(j => EWMA_BETA.pow(j).toString)
+
+  /** q118 — observation-indexed EWMA over per-user daily value sums:
+    * smoothed_t = Σ_j β^j·x_{t−j} / Σ_j β^j over the last
+    * [[EWMA_LAGS]] OBSERVED days (gaps skip, tick-data convention),
+    * the anomaly-baseline / trend smoother of the time-series family
+    * (q74 trailing mean, q83 z-score, q89 resample are the siblings).
+    *
+    * Float discipline: the recursion is unrolled into FIXED lag
+    * columns summed in declared j order — the q64 contrib pattern —
+    * so the IEEE sequence is engine-identical; a running-window sum
+    * would accumulate in the engine's own frame-walk order. Missing
+    * lags (series head) drop both the term and its weight via the
+    * same null guard, so the normalizer matches the observed prefix.
+    *
+    * Scale shape: one keyed (user, day) agg (map-side partial), then
+    * ONE window partitioned by user — no global sort, no self-join;
+    * state per group is [[EWMA_LAGS]] lag values. */
+  private def q118(spark: SparkSession, dir: String): DataFrame =
+    ewma(Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum(col("value").cast("decimal(30,8)")), 4)
+        .cast("double").as("day_value")))
+
+  /** Library surface of [[q118]] over a `(user_id, day, day_value)`
+    * daily grid (see the q118 scaladoc for semantics + discipline). */
+  def ewma(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val lagged = daily.select(
+      (col("user_id") +: col("day") +: col("day_value") +:
+        (0 until EWMA_LAGS).map(j =>
+          lag(col("day_value"), j).over(w).as(s"x_$j"))): _*)
+    // fixed-order weighted sum over PRESENT lags; head rows normalize
+    // by the weight mass of the lags they actually have
+    val num = (0 until EWMA_LAGS).map(j =>
+      when(col(s"x_$j").isNotNull,
+        col(s"x_$j") * lit(EWMA_WEIGHTS(j).toDouble)).otherwise(lit(0.0)))
+      .reduce(_ + _)
+    val den = (0 until EWMA_LAGS).map(j =>
+      when(col(s"x_$j").isNotNull, lit(EWMA_WEIGHTS(j).toDouble))
+        .otherwise(lit(0.0)))
+      .reduce(_ + _)
+    lagged.select(col("user_id"), col("day"), col("day_value"),
+      r4(num / den).as("ewma"))
+  }
+
+  /** Target token mass per planned output shard (q119). */
+  val SHARD_TOKENS = 500L
+
+  /** q119 — balanced output-shard planning: within each source,
+    * documents are laid out in deterministic md5-hash order, the
+    * running token mass is accumulated, and a document opens shard
+    * ⌊prev_cum/target⌋ — the writer-side step that turns a cleaned
+    * corpus into ~equal-token training shards WITHOUT a global sort
+    * (the cumsum window partitions by source; sources plan in
+    * parallel). Hash order, not doc_id order, so shard composition is
+    * stable under re-partitioning and insert order (the q66 split
+    * discipline applied to layout). Emits the per-shard manifest:
+    * doc count, token mass, and the id range a reader would mount.
+    *
+    * All-integer arithmetic — engine-exact. Scale: the window sort is
+    * per-source (bounded); the manifest agg is keyed on
+    * (source, shard). A skew-heavy source simply yields more shards;
+    * no shard exceeds target + one doc's tokens (pinned in spec). */
+  private def q119(spark: SparkSession, dir: String): DataFrame =
+    shardPlan(Tables.documents(spark, dir))
+
+  def shardPlan(docs: DataFrame, target: Long = SHARD_TOKENS): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(graft.functions.VectorFns.tokens(col("text"))).cast("long").as("n_tok"),
+      graft.operators.Dedup.baseHash(concat(col("doc_id").cast("string"),
+        lit("_shard"))).as("hkey"))
+    val w = Window.partitionBy(col("source")).orderBy(col("hkey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("shard_id", expr(s"(cum - n_tok) DIV $target"))
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("shard_tokens"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
   }
 }

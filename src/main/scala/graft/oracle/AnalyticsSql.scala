@@ -246,6 +246,55 @@ object AnalyticsSql {
          |       ${graft.functions.Rounding.sql6(z)} AS z,
          |       CAST(abs($z) > $AB_Z_CRIT AS INTEGER) AS significant
          |FROM m""".stripMargin
+    },
+
+    // observation-indexed EWMA: fixed lag columns summed in declared
+    // j order (identical IEEE sequence both engines); missing lags
+    // drop term AND weight
+    "q118_ewma" -> {
+      val ws = graft.operators.Analytics.EWMA_WEIGHTS
+      val lagCols = ws.indices.map(j =>
+        s"lag(day_value, $j) OVER (PARTITION BY user_id ORDER BY day) AS x_$j")
+        .mkString(",\n        |         ")
+      val num = ws.indices.map(j =>
+        s"CASE WHEN x_$j IS NOT NULL THEN x_$j * ${ws(j)} ELSE 0.0 END")
+        .mkString(" + ")
+      val den = ws.indices.map(j =>
+        s"CASE WHEN x_$j IS NOT NULL THEN ${ws(j)} ELSE 0.0 END")
+        .mkString(" + ")
+      s"""WITH daily AS (
+         |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         |         CAST(round(sum(CAST(value AS DECIMAL(30,8))), 4) AS DOUBLE)
+         |           AS day_value
+         |  FROM events GROUP BY 1, 2),
+         |lagged AS (
+         |  SELECT user_id, day, day_value,
+         |         $lagCols
+         |  FROM daily)
+         |SELECT user_id, day, day_value,
+         |       ${graft.functions.Rounding.sql4(s"($num) / ($den)")} AS ewma
+         |FROM lagged""".stripMargin
+    },
+
+    // balanced shard planning: per-source md5-hash layout order,
+    // integer running token mass, shard = prev_cum // target
+    "q119_shard_plan" -> {
+      val t = graft.operators.Analytics.SHARD_TOKENS
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(${SqlFragments.tokensSql("lower(trim(text))")}) AS BIGINT) AS n_tok,
+         |         ${SqlFragments.baseHashSql("doc_id::VARCHAR || '_shard'")} AS hkey
+         |  FROM documents),
+         |cums AS (
+         |  SELECT doc_id, source, n_tok,
+         |         CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY hkey, doc_id
+         |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM toks)
+         |SELECT source, CAST((cum - n_tok) // $t AS BIGINT) AS shard_id,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM cums GROUP BY 1, 2""".stripMargin
     }
   )
 

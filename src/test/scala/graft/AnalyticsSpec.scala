@@ -275,4 +275,51 @@ class AnalyticsSpec extends SparkSuite {
     // exactly one arm has a rate; the empty arm's rate is null
     assert(out.isNullAt(4) ^ out.isNullAt(5), s"empty arm rate must be null: $out")
   }
+
+  test("ewma: hand-computed 3-step series; head rows normalize by observed weight mass") {
+    val s = spark
+    import s.implicits._
+    val daily = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 20.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 30.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), 7.0)
+    ).toDF("user_id", "day", "day_value")
+    val out = Analytics.ewma(daily).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString.take(10)) -> r.getDouble(3))
+      .toMap
+    assert(out((1L, "2024-01-01")) == 10.0)
+    // (20 + 10*0.8) / 1.8
+    assert(out((1L, "2024-01-02")) == 15.5556)
+    // (30 + 20*0.8 + 10*0.64) / 2.44
+    assert(out((1L, "2024-01-03")) == 21.4754)
+    assert(out((2L, "2024-01-05")) == 7.0, "singleton series is its own smoother")
+  }
+
+  test("shardPlan: shards tile the corpus, bounded overflow, repartition-stable") {
+    val s = spark
+    import s.implicits._
+    // token counts 1..20 across two sources
+    val docs = (1L to 40L).map { i =>
+      val n = (i % 20 + 1).toInt
+      (i, s"src${i % 2}", (1 to n).map(k => s"t$k").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val target = 25L
+    val out = Analytics.shardPlan(docs, target).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totalToks = (1L to 40L).map(i => i % 20 + 1).sum
+    assert(out.map(_._3).sum == 40L, "every doc lands in exactly one shard")
+    assert(out.map(_._4).sum == totalToks, "token mass is conserved")
+    // a shard overflows its target by at most one document's tokens
+    assert(out.forall(_._4 <= target + 20), s"overflow bound violated: ${out.mkString(",")}")
+    // shard ids are contiguous from 0 within each source
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val ids = rows.map(_._2).sorted.toSeq
+      assert(ids == (0L until ids.length.toLong), s"$src ids not contiguous: $ids")
+    }
+    // layout is physical-order independent
+    val again = Analytics.shardPlan(docs.repartition(7), target).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.sortBy(x => (x._1, x._2)).toSeq == again.sortBy(x => (x._1, x._2)).toSeq)
+  }
 }
