@@ -495,21 +495,36 @@ object Analytics {
   /** Target token mass per planned output shard (q119). */
   val SHARD_TOKENS = 500L
 
+  /** Bucket width for the q119 two-level prefix sum: hkey is
+    * [[graft.operators.Dedup.baseHash]]'s 7-hex value in
+    * [0, 16⁷), so DIV 2¹⁶ yields 4096 order-preserving buckets —
+    * sorting by (bucket, hkey) IS sorting by hkey. */
+  val SHARD_BUCKET_DIV = 65536L
+
   /** q119 — balanced output-shard planning: within each source,
     * documents are laid out in deterministic md5-hash order, the
     * running token mass is accumulated, and a document opens shard
     * ⌊prev_cum/target⌋ — the writer-side step that turns a cleaned
-    * corpus into ~equal-token training shards WITHOUT a global sort
-    * (the cumsum window partitions by source; sources plan in
-    * parallel). Hash order, not doc_id order, so shard composition is
-    * stable under re-partitioning and insert order (the q66 split
-    * discipline applied to layout). Emits the per-shard manifest:
-    * doc count, token mass, and the id range a reader would mount.
+    * corpus into ~equal-token training shards WITHOUT a global sort.
+    * Hash order, not doc_id order, so shard composition is stable
+    * under re-partitioning and insert order (the q66 split discipline
+    * applied to layout). Emits the per-shard manifest: doc count,
+    * token mass, and the id range a reader would mount.
     *
-    * All-integer arithmetic — engine-exact. Scale: the window sort is
-    * per-source (bounded); the manifest agg is keyed on
-    * (source, shard). A skew-heavy source simply yields more shards;
-    * no shard exceeds target + one doc's tokens (pinned in spec). */
+    * All-integer arithmetic — engine-exact. Scale: a corpus can be
+    * ONE source, so a cumsum window partitioned by source alone would
+    * serialize 100 TB through a single window partition. The running
+    * total is therefore a classic two-level distributed prefix sum:
+    * (1) within-bucket cumsum, window keyed on
+    * (source, hkey DIV 2¹⁶) — max partition = source/4096; (2) bucket
+    * token totals (map-side partial agg) → exclusive running offsets
+    * via a window over ≤4096 TINY rows per source, broadcast back;
+    * (3) cum = bucket offset + within-bucket cum. Because the bucket
+    * is a prefix of hkey, the composed order equals the single-window
+    * order and the output is bit-identical (spec-pinned against the
+    * naive form). The manifest agg is keyed on (source, shard); a
+    * skew-heavy source simply yields more shards; no shard exceeds
+    * target + one doc's tokens (pinned in spec). */
   private def q119(spark: SparkSession, dir: String): DataFrame =
     shardPlan(Tables.documents(spark, dir))
 
@@ -519,10 +534,20 @@ object Analytics {
       size(graft.functions.VectorFns.tokens(col("text"))).cast("long").as("n_tok"),
       graft.operators.Dedup.baseHash(concat(col("doc_id").cast("string"),
         lit("_shard"))).as("hkey"))
-    val w = Window.partitionBy(col("source")).orderBy(col("hkey"), col("doc_id"))
+      .withColumn("bkt", expr(s"hkey DIV $SHARD_BUCKET_DIV"))
+    val wb = Window.partitionBy(col("source"), col("bkt"))
+      .orderBy(col("hkey"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wo = Window.partitionBy(col("source")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy(col("source"), col("bkt"))
+      .agg(sum(col("n_tok")).as("btok"))
+      .select(col("source"), col("bkt"),
+        coalesce(sum(col("btok")).over(wo), lit(0L)).as("boff"))
     toks
-      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bcum", sum(col("n_tok")).over(wb))
+      .join(broadcast(offsets), Seq("source", "bkt"))
+      .withColumn("cum", col("boff") + col("bcum"))
       .withColumn("shard_id", expr(s"(cum - n_tok) DIV $target"))
       .groupBy(col("source"), col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("shard_tokens"),

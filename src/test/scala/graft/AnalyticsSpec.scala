@@ -322,4 +322,33 @@ class AnalyticsSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.sortBy(x => (x._1, x._2)).toSeq == again.sortBy(x => (x._1, x._2)).toSeq)
   }
+
+  test("shardPlan: two-level prefix sum equals the naive single-window plan") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // single source — the case where the naive per-source window
+    // serializes everything and the bucket decomposition must still
+    // reproduce its exact running order
+    val docs = (1L to 300L).map { i =>
+      (i, "only", (1 to (i % 13 + 1).toInt).map(k => s"w$k").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(graft.functions.VectorFns.tokens(col("text"))).cast("long").as("n_tok"),
+      graft.operators.Dedup.baseHash(concat(col("doc_id").cast("string"),
+        lit("_shard"))).as("hkey"))
+    val w = Window.partitionBy(col("source")).orderBy(col("hkey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = toks
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("shard_id", expr(s"(cum - n_tok) DIV 25"))
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("shard_tokens"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val twoLevel = Analytics.shardPlan(docs, 25L)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(naive.toSeq == twoLevel.toSeq)
+  }
 }
