@@ -28,7 +28,9 @@ object Multimodal {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_mm_metadata" -> q43,
-    "q112_mm_features" -> q112
+    "q112_mm_features" -> q112,
+    "q120_mm_frames" -> q120,
+    "q121_mm_resize" -> q121
   )
 
   /** Documents-as-media: utf-8 payload bytes standing in for
@@ -120,6 +122,93 @@ object Multimodal {
       r4(element_at(col("feature"), 3)).as("f2"),
       r4(element_at(col("feature"), 4)).as("f3"))
   }
+
+  /** Frame geometry for [[q120]]: fixed-size frames, every
+    * [[FRAME_STRIDE]]-th one sampled (the seekable-container stride
+    * read of a video pipeline). */
+  val FRAME_BYTES = 16
+  val FRAME_STRIDE = 4
+
+  /** q120 — frame sampling over the binary payload: the payload is
+    * modeled as a sequence of fixed [[FRAME_BYTES]]-byte frames and
+    * every [[FRAME_STRIDE]]-th frame is sampled — the "decode every
+    * k-th frame" step of a video feature pipeline, expressed as pure
+    * codegen'd expressions (a container-aware reader swaps the fixed
+    * geometry for codec offsets; the stride plan is identical). Emits
+    * per sampled frame its index, byte offset, and payload md5.
+    *
+    * Like q112, rows are guarded to single-byte-per-char payloads so
+    * the DuckDB oracle's char-walk equals the byte-walk — structural,
+    * not load-bearing, on the ASCII corpus. Scale shape: explode of
+    * n/64 sampled frames per doc, zero shuffles — scan-bound map
+    * work; at 100 TB the parquet scan never deserializes payloads for
+    * metadata-only readers (column pruning), and frame extraction is
+    * substring arithmetic inside whole-stage codegen. */
+  private def q120(spark: SparkSession, dir: String): DataFrame = {
+    val n = octet_length(col("text"))
+    Tables.documents(spark, dir)
+      .filter(n === char_length(col("text")) && n >= FRAME_BYTES)
+      .select(col("doc_id"), col("text"), n.cast("long").as("n_bytes"))
+      .withColumn("n_frames", expr(s"n_bytes DIV $FRAME_BYTES"))
+      .select(col("doc_id"), col("text"), col("n_bytes"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(FRAME_STRIDE.toLong)))
+          .as("frame_idx"))
+      .withColumn("frame_off", col("frame_idx") * FRAME_BYTES)
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"), col("frame_idx"),
+        col("frame_off"),
+        md5(expr(s"substring(text, CAST(frame_off AS INT) + 1, $FRAME_BYTES)"))
+          .as("frame_md5"))
+  }
+
+  /** Byte stride for [[q121]]'s resize. */
+  val RESIZE_STRIDE = 3
+
+  /** Resized-media row produced by [[resizeStub]]. */
+  case class ResizedMedia(doc_id: Long, n_bytes: Long, resized: Array[Byte])
+
+  /** STUB resize — stands in for a real image/audio downsample (keep
+    * every [[RESIZE_STRIDE]]-th byte; a real deployment replaces ONLY
+    * this function with a codec call, same bytes-in/bytes-out
+    * signature). Deterministic and O(n). */
+  def resizeStub(payload: Array[Byte], stride: Int = RESIZE_STRIDE): Array[Byte] = {
+    val out = new Array[Byte]((payload.length + stride - 1) / stride)
+    var i = 0
+    var j = 0
+    while (i < payload.length) { out(j) = payload(i); j += 1; i += stride }
+    out
+  }
+
+  /** The resize batch surface: partition-batched like [[decodeBatch]],
+    * returning the RESIZED binary payload in a typed Dataset — the
+    * operator a thumbnailing / audio-downsample stage slots into. */
+  def resizeBatch(spark: SparkSession, dir: String): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(octet_length(col("text")) === char_length(col("text")) &&
+        octet_length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          ResizedMedia(id, payload.length.toLong, resizeStub(payload))
+        }
+      }
+  }
+
+  /** q121 — the [[resizeBatch]] surface under a value-level oracle:
+    * for single-byte-per-char payloads the strided byte take equals a
+    * strided char take, so DuckDB reconstructs the resized payload
+    * with a positional string_agg and must reproduce the md5 EXACTLY
+    * — decode semantics, stride arithmetic, and output length all
+    * hash-gated (the q112 posture applied to the write side of the
+    * pipeline). Shape: per-row map inside mapPartitions; zero
+    * shuffles. */
+  private def q121(spark: SparkSession, dir: String): DataFrame =
+    resizeBatch(spark, dir)
+      .toDF("doc_id", "n_bytes", "resized")
+      .select(col("doc_id"), col("n_bytes"),
+        octet_length(col("resized")).cast("long").as("n_out"),
+        md5(col("resized")).as("resized_md5"))
 
   /** The mapInPandas-shaped decode surface: one partition = one batch,
     * decoder invoked per row inside the batch loop (a vectorized

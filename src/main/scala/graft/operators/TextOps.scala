@@ -30,7 +30,9 @@ object TextOps {
     "q106b_ccnet_calibrated" -> q106b,
     "q107_gopher_flags" -> q107,
     "q111_blocklist" -> q111,
-    "q116_quality_classifier" -> q116
+    "q116_quality_classifier" -> q116,
+    "q122_ngram_diversity" -> q122,
+    "q123_zipf_fit" -> q123
   )
 
   /** Blocklist for the C4-style badwords filter (Raffel et al. 2020
@@ -652,4 +654,112 @@ object TextOps {
   /** q116: centroid quality classifier over `documents`. */
   private def q116(spark: SparkSession, dir: String): DataFrame =
     centroidClassifier(Tables.documents(spark, dir))
+
+  /** n-gram orders measured by [[q122]]. */
+  val DIVERSITY_ORDERS: Seq[Int] = Seq(1, 2, 3)
+
+  /** q122 — distinct-n n-gram diversity per source (Li et al. 2016's
+    * distinct-1/2 generation metric applied corpus-side): for each
+    * n-gram order, distinct grams / total grams — the lexical-
+    * diversity readout a data curator reads next to q61's repetition
+    * stats (low diversity = templated/boilerplate source; the D4
+    * paper selects against it).
+    *
+    * Shape: grams ride ONE hash agg keyed on (source, n, md5(gram)) —
+    * shuffle width is the 32-hex key, never gram text (the q117
+    * discipline); the second agg to source grain is tiny. Counting
+    * distinct via group-then-count keeps parity exact even under md5
+    * collision, because both engines collapse the identical key. All
+    * arithmetic integer except the final r4 ratio. */
+  private def q122(spark: SparkSession, dir: String): DataFrame =
+    ngramDiversity(Tables.documents(spark, dir))
+
+  /** Library surface of [[q122]] over a `(source, text)` frame. */
+  def ngramDiversity(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("source"),
+        VectorFns.tokens(Dedup.normText(col("text"))).as("tk"))
+    DIVERSITY_ORDERS.map { n =>
+      toks.select(col("source"), lit(n).as("n"),
+        explode(VectorFns.shingles(col("tk"), n)).as("g"))
+    }.reduce(_ unionByName _)
+      .select(col("source"), col("n"), md5(col("g")).as("h"))
+      .groupBy(col("source"), col("n"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("distinct_ngrams"),
+        sum(col("c")).as("total_ngrams"))
+      .select(col("source"), col("n"), col("distinct_ngrams"),
+        col("total_ngrams"),
+        r4(col("distinct_ngrams").cast("double") /
+          col("total_ngrams").cast("double")).as("diversity"))
+  }
+
+  /** Head size fitted by [[q123]] (the plateau tail of a rank/frequency
+    * curve is not Zipfian; standard practice fits the head). */
+  val ZIPF_HEAD = 1000
+
+  /** q123 — Zipf power-law fit per source: least-squares slope and
+    * intercept of ln(freq) on ln(rank) over the [[ZIPF_HEAD]] most
+    * frequent terms — the corpus-health statistic that flags synthetic
+    * or scraped-boilerplate sources (natural text slopes ≈ −1;
+    * Zipf 1949, Piantadosi 2014 review).
+    *
+    * Float discipline (the q94 pattern): each term contributes
+    * x=r6(ln rank), y=r6(ln freq) through one IEEE sequence, and the
+    * x·y / x² products are themselves r6-quantized into DECIMAL(20,6)
+    * BEFORE the per-source sums, so every aggregate is exact and
+    * shuffle-order-free; the closed-form slope/intercept are a handful
+    * of trailing IEEE ops on exact sums, r6-rounded on emit.
+    *
+    * Scale shape: term counts are a keyed (source, tok) agg with
+    * map-side partials; the rank window sorts VOCABULARY rows per
+    * source (bounded by vocab, not corpus — millions of rows at
+    * 100 TB, one executor's work apiece); ties broken by token text so
+    * the rank — and therefore the fit — replays identically. */
+  private def q123(spark: SparkSession, dir: String): DataFrame =
+    zipfFit(Tables.documents(spark, dir))
+
+  /** Library surface of [[q123]] over a `(source, text)` frame. */
+  def zipfFit(docs: DataFrame, headTerms: Int = ZIPF_HEAD): DataFrame = {
+    import graft.functions.Rounding.r6
+    val counts = docs
+      .select(explode(VectorFns.tokens(Dedup.normText(col("text")))).as("tok"),
+        col("source"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+    val head = counts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= headTerms)
+      .select(col("source"),
+        r6(log(col("rank").cast("double"))).cast("decimal(20,6)").as("x"),
+        r6(log(col("cnt").cast("double"))).cast("decimal(20,6)").as("y"))
+      // decimal×decimal would need precision 41 (> the 38 cap, where
+      // engine behaviors diverge) — multiply as doubles instead: the
+      // casts are exact and the product is ONE IEEE op, then r6
+      .select(col("source"), col("x"), col("y"),
+        r6(col("x").cast("double") * col("y").cast("double"))
+          .cast("decimal(20,6)").as("xy"),
+        r6(col("x").cast("double") * col("x").cast("double"))
+          .cast("decimal(20,6)").as("xx"))
+    // exact sums → double is EXACT here (each sum × 10⁶ is an integer
+    // ≤ ~5e10 < 2⁵³), so the closed form below is one engine-identical
+    // IEEE sequence; the unrounded slope feeds the intercept in both
+    // engines before either is r6-rounded on emit
+    head.groupBy(col("source"))
+      .agg(count(lit(1)).cast("double").as("m"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("xy")).cast("double").as("sxy"),
+        sum(col("xx")).cast("double").as("sxx"))
+      .withColumn("slope_raw",
+        (col("m") * col("sxy") - col("sx") * col("sy")) /
+          (col("m") * col("sxx") - col("sx") * col("sx")))
+      .select(col("source"), col("m").cast("long").as("n_terms"),
+        r6(col("slope_raw")).as("slope"),
+        r6((col("sy") - col("slope_raw") * col("sx")) / col("m"))
+          .as("intercept"))
+  }
 }

@@ -35,6 +35,119 @@ object TextSql {
          |FROM chunks GROUP BY 1, 2""".stripMargin
     },
 
+    // q122: distinct-n diversity — grams collapse on (source, n, md5)
+    // in both engines, so parity survives even an md5 collision
+    "q122_ngram_diversity" -> {
+      val norm = SqlFragments.normTextSql("text")
+      val orders = graft.operators.TextOps.DIVERSITY_ORDERS
+      val arms = orders.map { n =>
+        s"""SELECT source, $n AS n, md5(g) AS h
+           |  FROM toks, UNNEST(${SqlFragments.shinglesSql("tk", n)}) AS u(g)"""
+          .stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH toks AS (
+         |  SELECT source, ${tokensSql(norm)} AS tk FROM documents),
+         |grams AS (
+         |$arms),
+         |per AS (
+         |  SELECT source, n, h, count(*) AS c FROM grams GROUP BY 1, 2, 3)
+         |SELECT source, n,
+         |       CAST(count(*) AS BIGINT) AS distinct_ngrams,
+         |       CAST(sum(c) AS BIGINT) AS total_ngrams,
+         |       ${sql4("CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)")}
+         |         AS diversity
+         |FROM per GROUP BY 1, 2""".stripMargin
+    },
+
+    // q123: Zipf fit — r6-quantized ln/product terms into exact sums,
+    // then the identical closed-form IEEE sequence (unrounded slope
+    // feeds the intercept before either is rounded)
+    "q123_zipf_fit" -> {
+      val norm = SqlFragments.normTextSql("text")
+      val headN = graft.operators.TextOps.ZIPF_HEAD
+      def q6(e: String) =
+        s"CAST(${graft.functions.Rounding.sql6(e)} AS DECIMAL(20,6))"
+      s"""WITH counts AS (
+         |  SELECT source, t AS tok, count(*) AS cnt
+         |  FROM (SELECT source, ${tokensSql(norm)} AS tk FROM documents),
+         |       UNNEST(tk) AS u(t)
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT source, cnt, row_number() OVER (
+         |    PARTITION BY source ORDER BY cnt DESC, tok ASC) AS rank
+         |  FROM counts),
+         |terms AS (
+         |  SELECT source,
+         |         ${q6("ln(CAST(rank AS DOUBLE))")} AS x,
+         |         ${q6("ln(CAST(cnt AS DOUBLE))")} AS y
+         |  FROM ranked WHERE rank <= $headN),
+         |terms2 AS (
+         |  SELECT source, x, y,
+         |         ${q6("CAST(x AS DOUBLE) * CAST(y AS DOUBLE)")} AS xy,
+         |         ${q6("CAST(x AS DOUBLE) * CAST(x AS DOUBLE)")} AS xx
+         |  FROM terms),
+         |sums AS (
+         |  SELECT source,
+         |         CAST(count(*) AS DOUBLE) AS m,
+         |         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         |         CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(xx) AS DOUBLE) AS sxx
+         |  FROM terms2 GROUP BY 1),
+         |fit AS (
+         |  SELECT source, m, sx, sy,
+         |         (m * sxy - sx * sy) / (m * sxx - sx * sx) AS slope_raw
+         |  FROM sums)
+         |SELECT source, CAST(m AS BIGINT) AS n_terms,
+         |       ${graft.functions.Rounding.sql6("slope_raw")} AS slope,
+         |       ${graft.functions.Rounding.sql6("(sy - slope_raw * sx) / m")}
+         |         AS intercept
+         |FROM fit""".stripMargin
+    },
+
+    // q120: frame sampling — octet==char guard makes the char-walk a
+    // byte-walk; frame geometry interpolated from the engine constants
+    "q120_mm_frames" -> {
+      val fb = graft.operators.Multimodal.FRAME_BYTES
+      val fs = graft.operators.Multimodal.FRAME_STRIDE
+      s"""WITH a AS (
+         |  SELECT doc_id, text AS s,
+         |         CAST(strlen(text) AS BIGINT) AS n_bytes
+         |  FROM documents
+         |  WHERE length(text) = strlen(text) AND strlen(text) >= $fb),
+         |f AS (
+         |  SELECT doc_id, n_bytes, n_bytes // $fb AS n_frames FROM a),
+         |idx AS (
+         |  SELECT doc_id, n_bytes, n_frames, CAST(i AS BIGINT) AS frame_idx
+         |  FROM f, UNNEST(generate_series(0, CAST(n_frames - 1 AS INT), $fs))
+         |    AS t(i))
+         |SELECT idx.doc_id, idx.n_bytes, idx.n_frames, idx.frame_idx,
+         |       idx.frame_idx * $fb AS frame_off,
+         |       md5(substr(a.s, CAST(idx.frame_idx * $fb + 1 AS INT), $fb))
+         |         AS frame_md5
+         |FROM idx JOIN a ON a.doc_id = idx.doc_id""".stripMargin
+    },
+
+    // q121: strided resize — DuckDB rebuilds the resized payload with
+    // a positional string_agg and must reproduce the md5 exactly
+    "q121_mm_resize" -> {
+      val st = graft.operators.Multimodal.RESIZE_STRIDE
+      s"""WITH a AS (
+         |  SELECT doc_id, text AS s,
+         |         CAST(strlen(text) AS BIGINT) AS n_bytes
+         |  FROM documents
+         |  WHERE length(text) = strlen(text) AND strlen(text) > 0),
+         |r AS (
+         |  SELECT doc_id, n_bytes,
+         |         string_agg(substr(s, CAST(i AS INT), 1), '' ORDER BY i)
+         |           AS rz
+         |  FROM a, UNNEST(generate_series(1, CAST(n_bytes AS INT), $st))
+         |    AS t(i)
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, n_bytes,
+         |       CAST(strlen(rz) AS BIGINT) AS n_out,
+         |       md5(rz) AS resized_md5
+         |FROM r""".stripMargin
+    },
+
     "q111_blocklist" -> {
       val terms = graft.operators.TextOps.BLOCK_TERMS
         .map(t => s"'$t'").mkString(", ")

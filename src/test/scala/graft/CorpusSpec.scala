@@ -496,4 +496,42 @@ class CorpusSpec extends SparkSuite {
       s"q110 dims (B-row LMs, 1-row totals) must broadcast:\n$plan")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("ngramDiversity: hand-computed distinct-n over a two-doc source") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(("a", "x y x y"), ("a", "x y")).toDF("source", "text")
+    val out = graft.operators.TextOps.ngramDiversity(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // unigrams: 6 total, {x, y} distinct → 2/6
+    assert(out(("a", 1)) == ((2L, 6L, 0.3333)))
+    // bigrams: "x y","y x","x y" + "x y" → 4 total, 2 distinct
+    assert(out(("a", 2)) == ((2L, 4L, 0.5)))
+    // trigrams: only doc 1 qualifies → "x y x","y x y" → 2 total, 2 distinct
+    assert(out(("a", 3)) == ((2L, 2L, 1.0)))
+  }
+
+  test("zipfFit: an exact power-law corpus recovers its slope; ranks tie-break by token") {
+    val s = spark
+    import s.implicits._
+    // counts 144, 36, 16, 9 for tokens a..d: freq = 144 * rank^-2
+    // → ln(freq) = ln(144) - 2 ln(rank): slope -2, intercept ln(144)
+    val text = Seq.fill(144)("a") ++ Seq.fill(36)("b") ++
+      Seq.fill(16)("c") ++ Seq.fill(9)("d")
+    val docs = Seq(("p", text.mkString(" "))).toDF("source", "text")
+    val row = graft.operators.TextOps.zipfFit(docs).collect().head
+    assert(row.getString(0) == "p" && row.getLong(1) == 4L)
+    // r6 quantization of ln terms perturbs the fit at ~1e-6
+    assert(math.abs(row.getDouble(2) - -2.0) < 1e-4, s"slope ${row.getDouble(2)}")
+    assert(math.abs(row.getDouble(3) - math.log(144.0)) < 1e-4,
+      s"intercept ${row.getDouble(3)}")
+    // ranks replay under ties: two tokens with equal counts order by text
+    val tied = Seq(("t", "m n m n")).toDF("source", "text")
+    val r2 = graft.operators.TextOps.zipfFit(tied).collect().head
+    assert(r2.getLong(1) == 2L)
+    // both ln(freq) equal → slope is pure r6-quantization residue
+    assert(math.abs(r2.getDouble(2)) <= 2e-6, s"tied slope ${r2.getDouble(2)}")
+  }
 }

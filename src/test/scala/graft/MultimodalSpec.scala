@@ -25,6 +25,62 @@ class MultimodalSpec extends SparkSuite {
     assert(rows.forall(_.feature.forall(f => f >= 0.0 && f <= 255.0)))
   }
 
+  test("resizeStub keeps every stride-th byte, first byte always") {
+    assert(Multimodal.resizeStub(Array[Byte](1, 2, 3, 4, 5, 6, 7), 3).toSeq ==
+      Seq[Byte](1, 4, 7))
+    assert(Multimodal.resizeStub(Array[Byte](9), 3).toSeq == Seq[Byte](9))
+    assert(Multimodal.resizeStub(Array[Byte](1, 2, 3), 1).toSeq ==
+      Seq[Byte](1, 2, 3))
+  }
+
+  test("q120 frame sampling: stride geometry and per-frame md5 vs a driver replay") {
+    val out = Multimodal.queries("q120_mm_frames")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getString(5)))
+      .toMap
+    val texts = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fb = Multimodal.FRAME_BYTES
+    val fs = Multimodal.FRAME_STRIDE
+    val expected = texts.toSeq.flatMap { case (id, t) =>
+      val bytes = t.getBytes("UTF-8")
+      if (bytes.length != t.length || bytes.length < fb) Seq.empty
+      else {
+        val nFrames = bytes.length / fb
+        (0L until nFrames.toLong by fs.toLong).map { fi =>
+          val frame = bytes.slice((fi * fb).toInt, (fi * fb).toInt + fb)
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(frame).map("%02x".format(_)).mkString
+          (id, fi) -> (bytes.length.toLong, nFrames.toLong, fi * fb, md)
+        }
+      }
+    }.toMap
+    assert(out == expected)
+  }
+
+  test("q121 resize: output md5 equals a driver-side resizeStub replay") {
+    val out = Multimodal.queries("q121_mm_resize")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    val texts = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val eligible = texts.filter { case (_, t) =>
+      t.getBytes("UTF-8").length == t.length && t.nonEmpty }
+    assert(out.size == eligible.size)
+    eligible.foreach { case (id, t) =>
+      val rz = Multimodal.resizeStub(t.getBytes("UTF-8"))
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(rz).map("%02x".format(_)).mkString
+      assert(out(id) == (t.length.toLong, rz.length.toLong, md), s"doc $id")
+    }
+  }
+
   test("q112 features equal a driver-side decodeStub replay of the same corpus") {
     import org.apache.spark.sql.functions.col
     val out = Multimodal.queries("q112_mm_features")(spark, "/root/testdata/sf0.001")
