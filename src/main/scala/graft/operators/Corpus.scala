@@ -32,7 +32,8 @@ object Corpus {
     "q100_corpus_pipeline" -> q100,
     "q110_dsir_weights" -> q110,
     "q114_bpe_train" -> q114,
-    "q115_bpe_encode" -> q115
+    "q115_bpe_encode" -> q115,
+    "q124_split_contamination" -> q124
   )
 
   /** Lucene-standard BM25 parameters. */
@@ -392,6 +393,46 @@ object Corpus {
 
   private def q81(spark: SparkSession, dir: String): DataFrame =
     decontaminate(Tables.documents(spark, dir))
+
+  /** q124 — split hygiene: flag every TRAIN-split document sharing a
+    * [[DECON_NGRAM]]-gram with the TEST split of the SAME corpus —
+    * the self-audit a trainer runs after [[splitAssign]] and before
+    * training, because a random document split does NOT imply an
+    * n-gram-disjoint split (boilerplate and near-dups straddle
+    * splits; q81's posture pointed at one's own holdout instead of an
+    * external benchmark). Emits per leaking train doc its gram count,
+    * shared-gram count and fraction.
+    *
+    * Scale shape vs q81: the contaminating side there is a SMALL
+    * benchmark slice (broadcast); here it is corpus/10, so the probe
+    * is a SHUFFLE equi-join keyed on the gram's md5 — shuffle width
+    * is the 32-hex key, never gram text, and both sides arrive
+    * pre-deduped ((doc, h) / (h) distinct). No broadcast assumption
+    * anywhere. Engine parity: both engines join on md5(g), so even a
+    * hash collision produces the identical verdict. */
+  def splitContamination(docs: DataFrame, n: Int = DECON_NGRAM): DataFrame = {
+    val grams = docs
+      .withColumn("split", splitAssign(col("doc_id")))
+      .filter(col("split") =!= "val")
+      .select(col("doc_id"), col("split"),
+        explode(VectorFns.shingles(VectorFns.tokens(
+          Dedup.normText(col("text"))), n)).as("g"))
+      .select(col("doc_id"), col("split"), md5(col("g")).as("h"))
+      .distinct()
+    val testGrams = grams.filter(col("split") === "test")
+      .select(col("h")).distinct()
+    val train = grams.filter(col("split") === "train")
+      .select(col("doc_id"), col("h"))
+    val shared = train.join(testGrams, "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(shared, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        r4(col("n_shared").cast("double") / col("n_grams")).as("shared_frac"))
+  }
+
+  private def q124(spark: SparkSession, dir: String): DataFrame =
+    splitContamination(Tables.documents(spark, dir))
 
   /** Top terms per document for q84. */
   val TFIDF_TOP = 3

@@ -234,6 +234,33 @@ object CorpusSql {
          |       ${sql4("CAST(n_shared AS DOUBLE) / n_grams")} AS shared_frac
          |FROM tot JOIN shared USING (doc_id)""".stripMargin,
 
+    // q124: split hygiene — both engines join on md5(g), so even a
+    // hash collision produces the identical verdict; split buckets
+    // mirror Corpus.splitAssign (train <80, test >=90)
+    "q124_split_contamination" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         ${baseHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS bkt,
+         |         ${tokensSql(normTextSql("text"))} AS tk
+         |  FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, bkt, md5(g) AS h
+         |  FROM toks, UNNEST(${shinglesSql("tk", 5)}) AS t(g)
+         |  WHERE bkt < 80 OR bkt >= 90),
+         |test_g AS (
+         |  SELECT DISTINCT h FROM grams WHERE bkt >= 90),
+         |train AS (
+         |  SELECT doc_id, h FROM grams WHERE bkt < 80),
+         |shared AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM train JOIN test_g USING (h) GROUP BY 1),
+         |tot AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+         |  FROM train GROUP BY 1)
+         |SELECT doc_id, n_grams, n_shared,
+         |       ${sql4("CAST(n_shared AS DOUBLE) / n_grams")} AS shared_frac
+         |FROM tot JOIN shared USING (doc_id)""".stripMargin,
+
     // tf/dl · ln(N/df) over exact integers — same IEEE sequence as the
     // Spark side, so the rank needs no rounding guard
     "q84_tfidf_topterms" ->

@@ -323,6 +323,16 @@ class AnalyticsSpec extends SparkSuite {
     assert(out.sortBy(x => (x._1, x._2)).toSeq == again.sortBy(x => (x._1, x._2)).toSeq)
   }
 
+  test("q119 plan shape: two windows (bucketed cumsum + tiny offsets), offsets broadcast back") {
+    val df = graft.SparkEntry.queries("q119_shard_plan")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    val nWindows = "Window \\[".r.findAllIn(plan).size
+    assert(nWindows == 2, s"expected the two-level decomposition's 2 windows, got $nWindows:\n$plan")
+    assert(plan.contains("bkt"), s"cumsum window must partition by the hkey-prefix bucket:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets (<=4096 rows/source) must broadcast:\n$plan")
+  }
+
   test("shardPlan: two-level prefix sum equals the naive single-window plan") {
     val s = spark
     import s.implicits._

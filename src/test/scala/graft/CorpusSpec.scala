@@ -497,6 +497,35 @@ class CorpusSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("splitContamination: equals a driver-side brute force over sf0.001") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(id: Long) = java.lang.Long.parseLong(md5hex(id.toString).take(7), 16) % 100
+    def gramSet(t: String): Set[String] = {
+      val toks = t.trim.toLowerCase.replaceAll("\\s+", " ")
+        .split("\\s+").filter(_.nonEmpty)
+      if (toks.length < 5) Set.empty
+      else toks.sliding(5).map(w => md5hex(w.mkString(" "))).toSet
+    }
+    val train = docs.filter { case (id, _) => bucket(id) < 80 }
+      .map { case (id, t) => id -> gramSet(t) }.filter(_._2.nonEmpty)
+    val testG = docs.filter { case (id, _) => bucket(id) >= 90 }
+      .flatMap { case (_, t) => gramSet(t) }.toSet
+    val expected = train.map { case (id, g) =>
+      id -> (g.size.toLong, g.count(testG.contains).toLong) }
+      .filter(_._2._2 > 0).toMap
+    val out = graft.operators.Corpus
+      .splitContamination(graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == expected)
+    assert(out.nonEmpty, "the synthetic corpus straddles splits; an empty report is a bug")
+  }
+
   test("ngramDiversity: hand-computed distinct-n over a two-doc source") {
     val s = spark
     import s.implicits._
