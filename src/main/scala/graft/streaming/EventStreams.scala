@@ -15,6 +15,17 @@ case class UserSession(user_id: Long, start_ts: java.sql.Timestamp,
 /** Mutable per-user session accumulator held in the state store. */
 case class SessionState(startMs: Long, lastMs: Long, n: Long, types: Seq[String])
 
+/** One closed per-user day of the EWMA input stream. */
+case class DailyValue(user_id: Long, day: java.sql.Timestamp, day_value: Double)
+
+/** A smoothed point emitted by [[EventStreams.ewmaStream]]. */
+case class EwmaPoint(user_id: Long, day: java.sql.Timestamp,
+                     day_value: Double, ewma: Double)
+
+/** Per-user EWMA state: the last ≤[[graft.operators.Analytics.EWMA_LAGS]]
+  * observed (dayMs, value) pairs, ascending by day. */
+case class EwmaState(lags: Seq[(Long, Double)])
+
 /**
  * Structured Streaming surface (SURVEY.md §2.12 — the reference has NO
  * streaming path; its batch tumbling-window basket/period logic ports
@@ -254,6 +265,65 @@ object EventStreams {
     }
     events
       .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Streaming twin of the q118 batch EWMA
+    * ([[graft.operators.Analytics.ewma]]): each arriving CLOSED
+    * per-user day (in production: the append output of a watermarked
+    * 1-day window agg, or a foreachBatch off the ingest) advances the
+    * user's smoother and emits one [[EwmaPoint]]. The weighted sum
+    * runs in the batch twin's declared j order (newest lag first), so
+    * the IEEE sequence — and therefore the r4-rounded value — is
+    * IDENTICAL to q118 on the same rows (parity spec-asserted).
+    *
+    * Contract: days per user arrive in event-time order across
+    * micro-batches (the upstream watermark's append guarantee);
+    * within a micro-batch rows are sorted before replay, and a day at
+    * or before the newest observed one is DROPPED — replays and
+    * watermark-violating stragglers must not double-advance the
+    * smoother. State is ≤[[graft.operators.Analytics.EWMA_LAGS]]
+    * (dayMs, value) pairs per user — bytes, not history; an
+    * event-time timeout evicts users idle past `idleTimeout`, so
+    * state tracks ACTIVE users (an evicted user's series restarts at
+    * the head, exactly like a new user — the smoother forgets, which
+    * is what an anomaly baseline wants after a long gap). */
+  def ewmaStream(daily: Dataset[DailyValue],
+                 watermark: String = "1 day",
+                 idleTimeoutMs: Long = 30L * 24 * 3600 * 1000): Dataset[EwmaPoint] = {
+    import daily.sparkSession.implicits._
+    val weights = graft.operators.Analytics.EWMA_WEIGHTS.map(_.toDouble)
+    val maxLags = graft.operators.Analytics.EWMA_LAGS
+
+    def fn(uid: Long, rows: Iterator[DailyValue],
+           state: GroupState[EwmaState]): Iterator[EwmaPoint] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var lags = state.getOption.map(_.lags).getOrElse(Seq.empty)
+        val out = rows.toSeq.sortBy(_.day.getTime).flatMap { r =>
+          val ms = r.day.getTime
+          if (lags.nonEmpty && ms <= lags.last._1) None
+          else {
+            lags = (lags :+ (ms -> r.day_value)).takeRight(maxLags)
+            // newest-first = the batch twin's j order
+            var num = 0.0
+            var den = 0.0
+            lags.reverse.zipWithIndex.foreach { case ((_, v), j) =>
+              num += v * weights(j); den += weights(j)
+            }
+            val ewma = math.floor(num / den * 1e4 + 0.5) / 1e4
+            Some(EwmaPoint(uid, r.day, r.day_value, ewma))
+          }
+        }
+        state.update(EwmaState(lags))
+        state.setTimeoutTimestamp(lags.last._1 + idleTimeoutMs)
+        out.iterator
+      }
+    }
+    daily
+      .withWatermark("day", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)

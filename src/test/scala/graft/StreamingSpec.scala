@@ -359,4 +359,44 @@ class StreamingSpec extends SparkSuite {
         s"stream windows [$sMin, $sMax] drifted from batch event days [$bMin, $bMax]")
     } finally q.stop()
   }
+
+  test("ewmaStream: incremental smoother equals the q118 batch EWMA; replays dropped") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import graft.streaming.DailyValue
+
+    def d(s: String) = ts(s + " 00:00:00")
+    val rows = Seq(
+      DailyValue(1L, d("2024-05-01"), 10.0),
+      DailyValue(1L, d("2024-05-02"), 20.0),
+      DailyValue(1L, d("2024-05-03"), 30.0),
+      DailyValue(2L, d("2024-05-05"), 7.0))
+
+    val mem = MemoryStream[DailyValue]
+    val q = EventStreams.ewmaStream(mem.toDS())
+      .writeStream.format("memory").queryName("ewma_pts")
+      .outputMode("append").start()
+    try {
+      // split across micro-batches; user 2's day-5 row rides the
+      // SECOND batch so it cannot watermark-expire user 1's day 3
+      mem.addData(rows(0), rows(1))
+      q.processAllAvailable()
+      mem.addData(rows(2), rows(3))
+      q.processAllAvailable()
+      // a replayed day and a stale straggler: dropped (engine
+      // watermark or the smoother's own monotonic-day guard)
+      mem.addData(rows(2), DailyValue(1L, d("2024-05-01"), 999.0))
+      q.processAllAvailable()
+
+      val stream = sp.sql("SELECT user_id, day, ewma FROM ewma_pts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getDouble(2)).toMap
+      val batch = graft.operators.Analytics.ewma(
+        rows.toDF().withColumnRenamed("day_value", "day_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getDouble(3)).toMap
+      assert(stream.size == 4, s"replays must not emit: $stream")
+      assert(stream == batch, s"stream $stream != batch $batch")
+    } finally q.stop()
+  }
 }
