@@ -33,7 +33,8 @@ object Corpus {
     "q110_dsir_weights" -> q110,
     "q114_bpe_train" -> q114,
     "q115_bpe_encode" -> q115,
-    "q124_split_contamination" -> q124
+    "q124_split_contamination" -> q124,
+    "q125_training_manifest" -> q125
   )
 
   /** Lucene-standard BM25 parameters. */
@@ -433,6 +434,46 @@ object Corpus {
 
   private def q124(spark: SparkSession, dir: String): DataFrame =
     splitContamination(Tables.documents(spark, dir))
+
+  /** q125 — the end-to-end TRAINING MANIFEST: the write-side capstone
+    * that chains the pipeline a trainer actually ships —
+    * (1) exact-dedup keep (canonical = min doc_id per normalized-text
+    * md5, the q18/q92 posture), (2) Gopher quality keep
+    * ([[TextOps.gopherFlags]] conjunction, line rules under the same
+    * data-derived capability guard as q107), (3) the q66 train split,
+    * (4) [[graft.operators.Analytics.shardPlan]]'s balanced
+    * token-mass shards over the survivors. Output is the per-shard
+    * manifest a training job mounts. q100 is the read-side twin
+    * (verdicts about the corpus); this one emits the artifact.
+    *
+    * Scale shape: every stage is a shape already priced at sf1 —
+    * md5-keyed agg + semi-join (0.10–0.2×), per-doc flag map, hash
+    * bucket filter, two-level prefix sum (0.14×). The quality keep is
+    * computed on the DEDUPED set (flags are per-doc constants, so the
+    * cohort doesn't change any verdict — but the tokenize pass runs
+    * on survivors only, which is the cheaper order). */
+  def trainingManifest(docs: DataFrame, corpusHasLines: Boolean,
+                       target: Long = graft.operators.Analytics.SHARD_TOKENS): DataFrame = {
+    val keyed = docs.withColumn("h", md5(Dedup.normText(col("text"))))
+    val canon = keyed.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+    val deduped = keyed.join(canon, Seq("h", "doc_id"), "left_semi")
+    val pass = graft.operators.TextOps
+      .gopherFlags(deduped, corpusHasLines)
+      .filter(col("gopher_pass") === 1).select(col("doc_id"))
+    val train = deduped
+      .filter(splitAssign(col("doc_id")) === "train")
+      .join(pass, Seq("doc_id"), "left_semi")
+    graft.operators.Analytics.shardPlan(
+      train.select(col("doc_id"), col("source"), col("text")), target)
+  }
+
+  private def q125(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val hasLines = docs
+      .agg(max(col("text").contains("\n").cast("int")).as("h"))
+      .head().getInt(0) == 1
+    trainingManifest(docs, hasLines)
+  }
 
   /** Top terms per document for q84. */
   val TFIDF_TOP = 3

@@ -261,6 +261,79 @@ object CorpusSql {
          |       ${sql4("CAST(n_shared AS DOUBLE) / n_grams")} AS shared_frac
          |FROM tot JOIN shared USING (doc_id)""".stripMargin,
 
+    // q125: dedup keep → Gopher word/line keep (same derived guard as
+    // q107) → train split → the q119 shard windows over survivors
+    "q125_training_manifest" -> {
+      import graft.operators.TextOps._
+      val t = graft.operators.Analytics.SHARD_TOKENS
+      val stops = GOPHER_STOPS.map(s => s"'$s'").mkString(",")
+      val bullets = GOPHER_BULLET_PREFIXES
+        .map(p => s"starts_with(line, '$p')").mkString(" OR ")
+      val ellipses = GOPHER_ELLIPSIS_SUFFIXES
+        .map(s => s"ends_with(line, '$s')").mkString(" OR ")
+      s"""WITH cap AS (
+         |  SELECT max(CASE WHEN contains(text, chr(10)) THEN 1 ELSE 0 END)
+         |    AS has_lines FROM documents),
+         |keyed AS (
+         |  SELECT doc_id, source, text, md5(${normTextSql("text")}) AS h
+         |  FROM documents),
+         |canon AS (SELECT h, min(doc_id) AS doc_id FROM keyed GROUP BY 1),
+         |dedup AS (
+         |  SELECT k.doc_id, k.source, k.text
+         |  FROM keyed k JOIN canon c ON c.h = k.h AND c.doc_id = k.doc_id),
+         |toks AS (
+         |  SELECT doc_id, ${tokensSql("lower(trim(text))")} AS tk FROM dedup),
+         |lines AS (
+         |  SELECT doc_id, trim(l) AS line
+         |  FROM dedup, UNNEST(string_split(text, chr(10))) AS u(l)
+         |  WHERE len(trim(l)) > 0),
+         |ls AS (
+         |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS n_lines,
+         |         CAST(sum(CASE WHEN $bullets THEN 1 ELSE 0 END) AS DOUBLE) AS n_bullet,
+         |         CAST(sum(CASE WHEN $ellipses THEN 1 ELSE 0 END) AS DOUBLE) AS n_ellipsis
+         |  FROM lines GROUP BY 1),
+         |stats AS (
+         |  SELECT doc_id,
+         |         len(tk) AS n_words,
+         |         CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE) AS sum_len,
+         |         CAST(len(list_filter(tk, x -> contains(x, '#')
+         |                                    OR contains(x, '...'))) AS DOUBLE) AS n_sym,
+         |         CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) AS n_alpha,
+         |         len(list_distinct(list_filter(tk, x -> x IN ($stops)))) AS n_stop_distinct
+         |  FROM toks WHERE len(tk) > 0),
+         |pass AS (
+         |  SELECT s.doc_id
+         |  FROM stats s JOIN ls USING (doc_id), cap c
+         |  WHERE s.n_words >= $GOPHER_MIN_WORDS AND s.n_words <= $GOPHER_MAX_WORDS
+         |    AND ${sql4("s.sum_len / s.n_words")} >= $GOPHER_MIN_WORDLEN
+         |    AND ${sql4("s.sum_len / s.n_words")} <= $GOPHER_MAX_WORDLEN
+         |    AND ${sql4("s.n_sym / s.n_words")} <= $GOPHER_MAX_SYMBOL_RATIO
+         |    AND ${sql4("s.n_alpha / s.n_words")} >= $GOPHER_MIN_ALPHA_RATIO
+         |    AND s.n_stop_distinct >= $GOPHER_MIN_STOPS
+         |    AND (c.has_lines = 0 OR
+         |         (${sql4("ls.n_bullet / ls.n_lines")} <= $GOPHER_MAX_BULLET_FRAC
+         |          AND ${sql4("ls.n_ellipsis / ls.n_lines")} <= $GOPHER_MAX_ELLIPSIS_FRAC))),
+         |train AS (
+         |  SELECT d.doc_id, d.source, d.text
+         |  FROM dedup d JOIN pass p USING (doc_id)
+         |  WHERE ${baseHashSql("CAST(d.doc_id AS VARCHAR)")} % 100 < 80),
+         |shard_toks AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(${tokensSql("lower(trim(text))")}) AS BIGINT) AS n_tok,
+         |         ${baseHashSql("doc_id::VARCHAR || '_shard'")} AS hkey
+         |  FROM train),
+         |cums AS (
+         |  SELECT doc_id, source, n_tok,
+         |         CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY hkey, doc_id
+         |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM shard_toks)
+         |SELECT source, CAST((cum - n_tok) // $t AS BIGINT) AS shard_id,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM cums GROUP BY 1, 2""".stripMargin
+    },
+
     // tf/dl · ln(N/df) over exact integers — same IEEE sequence as the
     // Spark side, so the rank needs no rounding guard
     "q84_tfidf_topterms" ->

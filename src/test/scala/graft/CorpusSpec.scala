@@ -526,6 +526,47 @@ class CorpusSpec extends SparkSuite {
     assert(out.nonEmpty, "the synthetic corpus straddles splits; an empty report is a bug")
   }
 
+  test("trainingManifest: dedup, quality and split gates compose into the driver-replayed shard plan") {
+    val s = spark
+    import s.implicits._
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h7(x: String) = java.lang.Long.parseLong(md5hex(x).take(7), 16)
+    // a "good" doc passes every Gopher word rule by construction:
+    // 60 words, two stopwords, all-alpha 3-4 char words, no '#'/'...'
+    def good(uniq: String) = ("the and " +
+      (0 until 57).map(i => s"w${('a' + i % 26).toChar}${('a' + i / 26).toChar}x")
+        .mkString(" ") + s" $uniq")
+    val docs = (
+      Seq((1L, "s", good("zqa")), (2L, "s", good("zqa")),   // exact dups → keep 1
+          (3L, "s", "foo bar baz"))                         // fails wordcount
+        ++ (4L to 40L).map(i => (i, "s", good(s"uq$i")))
+      ).toDF("doc_id", "source", "text")
+    val out = graft.operators.Corpus.trainingManifest(docs, corpusHasLines = false)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // driver replay: survivors = canonical ∧ quality ∧ train bucket
+    val survivors = (Seq(1L) ++ (4L to 40L))
+      .filter(id => h7(id.toString) % 100 < 80)
+      .map(id => id -> 60L)
+    val target = graft.operators.Analytics.SHARD_TOKENS
+    var cum = 0L
+    val expected = survivors
+      .sortBy { case (id, _) => (h7(id + "_shard"), id) }
+      .map { case (id, n) =>
+        val shard = cum / target; cum += n; (id, n, shard)
+      }
+      .groupBy(_._3)
+      .map { case (shard, rows) =>
+        ("s", shard) -> (rows.size.toLong, rows.map(_._2).sum,
+          rows.map(_._1).min, rows.map(_._1).max)
+      }
+    assert(out == expected)
+    assert(out.nonEmpty && survivors.size < 38,
+      "the split gate must actually drop someone for the test to bite")
+  }
+
   test("ngramDiversity: hand-computed distinct-n over a two-doc source") {
     val s = spark
     import s.implicits._
