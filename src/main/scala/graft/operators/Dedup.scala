@@ -32,7 +32,8 @@ object Dedup {
     "q92_dedup_keep" -> q92,
     "q95_incremental_dedup" -> q95,
     "q117_dup_spans" -> q117,
-    "q117b_span_scrub" -> q117b
+    "q117b_span_scrub" -> q117b,
+    "q126_dedup_impact" -> q126
   )
 
   val CLUSTER_JACCARD = 0.5
@@ -167,6 +168,42 @@ object Dedup {
         concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
           x => x.cast("string"))).as("member_csv"))
       .filter(col("n_docs") > 1) // singleton "clusters" are just unique docs
+  }
+
+  /** q126 — the dedup IMPACT report: what running the q50/q92
+    * near-dedup actually buys, by cluster size — the table a dedup
+    * paper (or a capacity review) prints before anyone agrees to pay
+    * for the pass. Per cluster size: how many clusters, how many
+    * documents a canonical-keep removes (size − 1 each), and the
+    * token mass those removals free. Rides the SAME session-cached
+    * verified pairs as q20/q50/q92 (near-zero marginal cost after
+    * any of them ran) and the same convergent components, so the
+    * numbers are exactly q92's keep-set, aggregated.
+    *
+    * Scale shape: labels exist only for near-dup edge ENDPOINTS (the
+    * tiny slice); the token join touches that slice, not the corpus;
+    * the final agg is size-bucketed — a handful of rows. */
+  private def q126(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = neardupPairsCached(spark, dir)
+      .filter(col("jaccard") >= CLUSTER_JACCARD)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(VectorFns.tokens(col("text"))).cast("long").as("n_tok"))
+    connectedComponents(nodes, pairs)
+      .join(toks, Seq("doc_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("sz"),
+        sum(when(col("doc_id") =!= col("label"), col("n_tok"))
+          .otherwise(lit(0L))).as("rm_tok"))
+      .filter(col("sz") > 1)
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz") - 1).as("docs_removed"),
+        sum(col("rm_tok")).as("tokens_removed"))
   }
 
   /** Source-id split point for q95: sources ≥ this are the "new

@@ -39,6 +39,37 @@ object DedupSql {
          |FROM labels GROUP BY 1
          |HAVING count(*) > 1""".stripMargin,
 
+    // q126: q50's label CTE joined to per-doc token counts, rolled up
+    // by cluster size — the canonical-keep savings table
+    "q126_dedup_impact" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT * FROM (
+         |${oracleQ20}
+         |  ) WHERE jaccard >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         |labels AS (SELECT a AS doc_id, min(b) AS label FROM reach GROUP BY 1),
+         |tk AS (
+         |  SELECT doc_id,
+         |         CAST(len(${tokensSql("lower(trim(text))")}) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |cl AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS sz,
+         |         CAST(sum(CASE WHEN l.doc_id <> label THEN n_tok ELSE 0 END)
+         |           AS BIGINT) AS rm_tok
+         |  FROM labels l JOIN tk USING (doc_id)
+         |  GROUP BY 1 HAVING count(*) > 1)
+         |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |       CAST(sum(sz - 1) AS BIGINT) AS docs_removed,
+         |       CAST(sum(rm_tok) AS BIGINT) AS tokens_removed
+         |FROM cl GROUP BY 1""".stripMargin,
+
     // q50's label CTE left-joined back onto the corpus: kept iff the
     // doc IS its cluster canonical (unclustered docs are their own)
     "q92_dedup_keep" ->

@@ -190,4 +190,29 @@ class DedupSpec extends SparkSuite {
       "within-doc repeat keeps the first copy and the hole token")
     assert(out(5L) == ((4L, 4L, 0L, fp16("plain unrelated text here"))))
   }
+
+  test("q126 impact report is exactly q50's clusters aggregated with real token masses") {
+    import org.apache.spark.sql.functions.{col, size => asize}
+    val dir = "/root/testdata/sf0.001"
+    val clusters = graft.SparkEntry.queries("q50_dedup_clusters")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2).split(",").map(_.toLong)))
+    val toks = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        asize(graft.functions.VectorFns.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = clusters
+      .groupBy(_._2)
+      .map { case (sz, cs) =>
+        sz -> (cs.size.toLong, cs.map(_._2 - 1).sum,
+          cs.map { case (canon, _, members) =>
+            members.filter(_ != canon).map(toks).sum }.sum)
+      }
+    val out = graft.SparkEntry.queries("q126_dedup_impact")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == expected)
+    assert(out.nonEmpty, "sf0.001 has near-dup clusters; an empty report is a bug")
+  }
 }
