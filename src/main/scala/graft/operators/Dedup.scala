@@ -97,6 +97,48 @@ object Dedup {
         col("band.band_hash").as("band_hash"))
   }
 
+  /** Per-doc DISTINCT shingle set as an ARRAY column — the map-only
+    * twin of [[shingleSet]]'s long form (one row per doc instead of
+    * one per shingle; docs shorter than 3 tokens drop out in both).
+    * The row-local form is what a STREAM can compute without any
+    * aggregation state. */
+  def docShingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(VectorFns.shingles(
+        VectorFns.tokens(normText(col("text"))), 3)).as("sh_set"))
+      .filter(size(col("sh_set")) > 0)
+      .withColumn("n_sh", size(col("sh_set")).cast("long"))
+
+  /** Map-only band signatures: [[minhashBands]]'s numbers computed
+    * per ROW with array HOFs (transform + array_min over the doc's own
+    * shingle set) instead of an explode + groupBy-min — bit-identical
+    * output (spec-pinned), zero exchanges, and therefore legal inside
+    * a streaming map stage where an aggregation would need state.
+    * This is the ingest-side shape: signatures are a property of the
+    * document alone, so they never required a shuffle — the batch
+    * groupBy form exists because the long (doc, shingle) stream also
+    * feeds the exact-Jaccard verify. */
+  def mapOnlyBands(docs: DataFrame): DataFrame =
+    docShingleSets(docs)
+      .select(col("doc_id"), explode(bandStructs(col("sh_set"))).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"),
+        col("band.band_hash").as("band_hash"))
+
+  /** The row-local signature core of [[mapOnlyBands]]: an ARRAY of
+    * (band_id, band_hash) structs over a `sh_set` array column —
+    * composable into any map stage (the streaming gate inlines it so
+    * the whole signature ride stays one linear flow on the stream). */
+  def bandStructs(shSet: Column): Column = {
+    val sigs = (0 until NUM_PERMS).map { i =>
+      array_min(transform(shSet,
+        s => (baseHash(s) * lit(2L * i + 1) + lit(7919L * i + 13)) % P31))
+    }
+    array((0 until NUM_BANDS).map { b =>
+      val slice = (0 until NUM_PERMS / NUM_BANDS).map(r => sigs(b * 4 + r))
+      struct(lit(b).as("band_id"), md5(concat_ws("_", slice: _*)).as("band_hash"))
+    }: _*)
+  }
+
   /** Session-cached verified pair table — q20 and q50 both consume it
     * (q50's clusters are a threshold filter + components over the SAME
     * pairs), and CacheManager plan-dedup gives them ONE run of the

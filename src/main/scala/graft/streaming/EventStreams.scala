@@ -270,6 +270,64 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming near-dup INGEST GATE — the q95 incremental dedup as a
+    * `readStream` stage: each arriving document is checked against the
+    * STANDING corpus and every verified near-duplicate pair
+    * (jaccard ≥ [[graft.operators.Dedup.CLUSTER_JACCARD]]) is emitted
+    * so the ingest pipeline can quarantine before write. The stream
+    * side is STATELESS until the final replay guard: per-row shingle
+    * set + [[graft.operators.Dedup.mapOnlyBands]] signatures (array
+    * HOFs, no aggregation), two stream-STATIC equi-joins against the
+    * standing band index and shingle sets (broadcast-able dims the
+    * driver refreshes on corpus compaction), and the exact-Jaccard
+    * verify as row-local array_intersect arithmetic — the q95 numbers
+    * precisely (parity spec'd). `dropDuplicatesWithinWatermark` on the
+    * pair key absorbs band-collision fan-out and crash-replay
+    * redelivery; its state is watermark-bounded.
+    *
+    * At 100 TB the standing index is the big side and it is STATIC —
+    * the stream never shuffles it; each micro-batch pays bands×docs
+    * probe work, exactly the "ingest cost scales with the batch,
+    * never the corpus" posture of the batch twin. */
+  def neardupGateStream(docs: DataFrame, standing: DataFrame,
+                        watermark: String): DataFrame = {
+    import graft.operators.Dedup
+    import graft.functions.Rounding.r4
+    val standingBands = Dedup.mapOnlyBands(standing)
+      .select(col("doc_id").as("existing_doc_id"),
+        col("band_id"), col("band_hash"))
+    val standingSets = Dedup.docShingleSets(standing)
+      .select(col("doc_id").as("existing_doc_id"),
+        col("sh_set").as("sh_old"), col("n_sh").as("n_b"))
+    // ONE linear flow on the stream (two derivations of the same
+    // stream joined together would be a stream-stream self-join):
+    // shingle set, signatures and bands all ride the same rows
+    val stream = docs
+      .select(col("doc_id"), col("ts"),
+        array_distinct(graft.functions.VectorFns.shingles(
+          graft.functions.VectorFns.tokens(Dedup.normText(col("text"))), 3))
+          .as("sh_set"))
+      .filter(size(col("sh_set")) > 0)
+      .withColumn("n_sh", size(col("sh_set")).cast("long"))
+      .select(col("doc_id"), col("ts"), col("sh_set"), col("n_sh"),
+        explode(Dedup.bandStructs(col("sh_set"))).as("band"))
+      .select(col("doc_id"), col("ts"), col("sh_set"), col("n_sh"),
+        col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
+    stream
+      .join(standingBands, Seq("band_id", "band_hash"))
+      .join(standingSets, Seq("existing_doc_id"))
+      .select(col("doc_id"), col("existing_doc_id"), col("ts"),
+        size(array_intersect(col("sh_set"), col("sh_old"))).cast("long")
+          .as("n_inter"),
+        col("n_sh").as("n_a"), col("n_b"))
+      .select(col("doc_id"), col("existing_doc_id"), col("ts"),
+        r4(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= Dedup.CLUSTER_JACCARD)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("doc_id", "existing_doc_id")
+  }
+
   /** Streaming twin of the q118 batch EWMA
     * ([[graft.operators.Analytics.ewma]]): each arriving CLOSED
     * per-user day (in production: the append output of a watermarked

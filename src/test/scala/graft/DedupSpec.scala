@@ -191,6 +191,24 @@ class DedupSpec extends SparkSuite {
     assert(out(5L) == ((4L, 4L, 0L, fp16("plain unrelated text here"))))
   }
 
+  test("mapOnlyBands: row-local HOF signatures equal the groupBy-min band pipeline") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    // the batch long-form pipeline, built from the same public pieces
+    val longForm = Dedup.minhashBands(
+      docs.select(col("doc_id"),
+        explode(graft.functions.VectorFns.shingles(
+          graft.functions.VectorFns.tokens(Dedup.normText(col("text"))), 3)).as("s"))
+        .distinct())
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val mapOnly = Dedup.mapOnlyBands(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(mapOnly == longForm)
+    assert(mapOnly.nonEmpty)
+  }
+
   test("q126 impact report is exactly q50's clusters aggregated with real token masses") {
     import org.apache.spark.sql.functions.{col, size => asize}
     val dir = "/root/testdata/sf0.001"

@@ -360,6 +360,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("neardupGateStream: ingest gate flags standing near-dups, replays emit once") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    val standing = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "completely different standing content here")
+    ).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStreams.neardupGateStream(stream, standing, watermark = "1 hour")
+      .writeStream.format("memory").queryName("gate")
+      .outputMode("append").start()
+    try {
+      // n1 duplicates standing doc 100 verbatim; n2 shares nothing
+      mem.addData((1L, ts("2024-05-01 10:00:00"), "alpha beta gamma delta epsilon zeta"),
+        (2L, ts("2024-05-01 10:00:01"), "unrelated ingest text with novel words"))
+      q.processAllAvailable()
+      // crash-replay: the same n1 row redelivered in a later batch
+      mem.addData((1L, ts("2024-05-01 10:00:00"), "alpha beta gamma delta epsilon zeta"))
+      q.processAllAvailable()
+      val rows = sp.sql("SELECT doc_id, existing_doc_id, jaccard FROM gate").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((1L, 100L, 1.0)),
+        s"exactly one verified pair, emitted once: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("ewmaStream: incremental smoother equals the q118 batch EWMA; replays dropped") {
     val sp = spark
     import sp.implicits._
