@@ -95,6 +95,20 @@ object Tables {
       .csv(path)
       .withColumn("ts", timestamp_seconds(col("ts")))
 
+  /** JSON-lines documents ingest — the interchange format corpus
+    * drops usually arrive in before parquet conversion. The schema is
+    * EXPLICIT (never inferSchema on a 100-TB drop: inference is a
+    * full extra pass and a silent-drift hazard); extra keys in the
+    * JSON are ignored, missing ones read as NULL, and `_corrupt_record`
+    * capture is left to PERMISSIVE mode's default column so one bad
+    * line never kills the ingest. Emits the same five columns as the
+    * parquet [[documents]] table, so every documents-family operator
+    * runs unchanged on a JSONL drop. */
+  def documentsJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("doc_id LONG, source STRING, lang STRING, text STRING, n_chars INT")
+      .json(path)
+
   /** S2: headered CSV item-features ingest with schema inference
     * (reference Main.scala:53-59); columns beyond `id` are the feature
     * flags, ready for array assembly. */

@@ -193,4 +193,40 @@ class StorageSpec extends SparkSuite {
     assert(rows(2).getDouble(rows(2).fieldIndex("score")) == 9.5)
     assert(merged.count() == 4)
   }
+
+  test("ORC sink/source round-trips documents with pushdown and pruning intact") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    val dir = tmpWarehouse("graft_orc") + "/documents.orc"
+    val docs = graft.sources.Tables.documents(s, "/root/testdata/sf0.001")
+    docs.write.mode("overwrite").orc(dir)
+    val back = s.read.orc(dir)
+    assert(back.count() == docs.count())
+    assert(back.schema == docs.schema, "ORC round-trip must preserve the schema")
+    // filters reach the ORC scan and the projection prunes columns
+    val q = back.filter(col("doc_id") === 42L).select("doc_id", "source")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,42)]"),
+      s"pushdown missing from ORC scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      s"column pruning missing from ORC scan:\n$plan")
+    assert(q.count() == 1)
+  }
+
+  test("documentsJsonl: explicit-schema JSONL ingest matches the parquet table") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    val dir = tmpWarehouse("graft_jsonl") + "/docs.jsonl"
+    val docs = graft.sources.Tables.documents(s, "/root/testdata/sf0.001")
+    // write a JSONL drop: same columns plus an EXTRA key readers must ignore
+    docs.withColumn("extra_key", col("doc_id") * 2)
+      .write.mode("overwrite").json(dir)
+    val back = graft.sources.Tables.documentsJsonl(s, dir)
+    assert(back.columns.toSeq ==
+      Seq("doc_id", "source", "lang", "text", "n_chars"))
+    val a = docs.orderBy("doc_id").collect().map(_.toSeq)
+    val b = back.select(docs.columns.map(col): _*).orderBy("doc_id")
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "JSONL round-trip must match the parquet table")
+  }
 }
