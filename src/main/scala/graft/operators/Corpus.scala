@@ -453,12 +453,13 @@ object Corpus {
     * cohort doesn't change any verdict — but the tokenize pass runs
     * on survivors only, which is the cheaper order). */
   def trainingManifest(docs: DataFrame, corpusHasLines: Boolean,
-                       target: Long = graft.operators.Analytics.SHARD_TOKENS): DataFrame = {
+                       target: Long = graft.operators.Analytics.SHARD_TOKENS,
+                       minStops: Long = graft.operators.TextOps.GOPHER_MIN_STOPS): DataFrame = {
     val keyed = docs.withColumn("h", md5(Dedup.normText(col("text"))))
     val canon = keyed.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
     val deduped = keyed.join(canon, Seq("h", "doc_id"), "left_semi")
     val pass = graft.operators.TextOps
-      .gopherFlags(deduped, corpusHasLines)
+      .gopherFlags(deduped, corpusHasLines, minStops)
       .filter(col("gopher_pass") === 1).select(col("doc_id"))
     val train = deduped
       .filter(splitAssign(col("doc_id")) === "train")
@@ -467,12 +468,21 @@ object Corpus {
       train.select(col("doc_id"), col("source"), col("text")), target)
   }
 
+  /** Corpus-calibrated stop-word gate for the REGISTERED q125: the
+    * synthetic driver corpus averages 0.76 distinct canonical stop
+    * words per doc, so the paper default (2) passes ZERO documents and
+    * the oracle gate compared two empty manifests — verifying nothing
+    * (VERDICT r9 "What's wrong" #3). At 1, 251 of 500 sf0.01 docs
+    * survive and the full dedup→quality→split→shard composition is
+    * exercised end-to-end by the hash gate. Library default stays 2. */
+  val Q125_MIN_STOPS = 1L
+
   private def q125(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val hasLines = docs
       .agg(max(col("text").contains("\n").cast("int")).as("h"))
       .head().getInt(0) == 1
-    trainingManifest(docs, hasLines)
+    trainingManifest(docs, hasLines, minStops = Q125_MIN_STOPS)
   }
 
   /** Top terms per document for q84. */

@@ -411,8 +411,16 @@ object TextOps {
     * bullet/ellipsis line fractions are computed over non-empty
     * trimmed lines and join the conjunction. Exposed (rather than
     * inlined in the query) so the lined branch is spec-testable on a
-    * synthetic fixture even while the driver corpus has no newlines. */
-  def gopherFlags(docs: DataFrame, corpusHasLines: Boolean): DataFrame = {
+    * synthetic fixture even while the driver corpus has no newlines.
+    *
+    * `minStops` is tunable (default = the paper's 2) because the
+    * stop-word rule is the one gate whose natural-English prior does
+    * not transfer to every corpus — a code or tabular corpus has
+    * legitimate documents with one canonical stop word. Same posture
+    * as the q106b calibrated CCNet cuts: thresholds are per-corpus
+    * configuration, not constants of nature. */
+  def gopherFlags(docs: DataFrame, corpusHasLines: Boolean,
+                  minStops: Long = GOPHER_MIN_STOPS): DataFrame = {
     val perTok = docs
       .select(col("doc_id"), explode(VectorFns.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
@@ -438,7 +446,7 @@ object TextOps {
         .cast("int").as("ok_wordlen"),
       (symr <= GOPHER_MAX_SYMBOL_RATIO).cast("int").as("ok_symbols"),
       (alphar >= GOPHER_MIN_ALPHA_RATIO).cast("int").as("ok_alpha"),
-      (col("n_stop_distinct") >= GOPHER_MIN_STOPS).cast("int").as("ok_stop"))
+      (col("n_stop_distinct") >= minStops).cast("int").as("ok_stop"))
     val wordPass = col("ok_wordcount") === 1 && col("ok_wordlen") === 1 &&
       col("ok_symbols") === 1 && col("ok_alpha") === 1 && col("ok_stop") === 1
 
@@ -754,6 +762,10 @@ object TextOps {
         sum(col("y")).cast("double").as("sy"),
         sum(col("xy")).cast("double").as("sxy"),
         sum(col("xx")).cast("double").as("sxx"))
+      // a 1-term source makes the slope denominator 0/0, where the
+      // engines disagree (Spark Divide→NULL, DuckDB IEEE→NaN); a line
+      // through one point is meaningless anyway, so drop the source
+      .filter(col("m") > 1)
       .withColumn("slope_raw",
         (col("m") * col("sxy") - col("sx") * col("sy")) /
           (col("m") * col("sxx") - col("sx") * col("sx")))

@@ -262,7 +262,9 @@ object CorpusSql {
          |FROM tot JOIN shared USING (doc_id)""".stripMargin,
 
     // q125: dedup keep → Gopher word/line keep (same derived guard as
-    // q107) → train split → the q119 shard windows over survivors
+    // q107, stop-word gate at the corpus-calibrated Q125_MIN_STOPS so
+    // the manifest is NON-EMPTY at gate scale) → train split → the
+    // q119 shard windows over survivors
     "q125_training_manifest" -> {
       import graft.operators.TextOps._
       val t = graft.operators.Analytics.SHARD_TOKENS
@@ -309,7 +311,7 @@ object CorpusSql {
          |    AND ${sql4("s.sum_len / s.n_words")} <= $GOPHER_MAX_WORDLEN
          |    AND ${sql4("s.n_sym / s.n_words")} <= $GOPHER_MAX_SYMBOL_RATIO
          |    AND ${sql4("s.n_alpha / s.n_words")} >= $GOPHER_MIN_ALPHA_RATIO
-         |    AND s.n_stop_distinct >= $GOPHER_MIN_STOPS
+         |    AND s.n_stop_distinct >= ${graft.operators.Corpus.Q125_MIN_STOPS}
          |    AND (c.has_lines = 0 OR
          |         (${sql4("ls.n_bullet / ls.n_lines")} <= $GOPHER_MAX_BULLET_FRAC
          |          AND ${sql4("ls.n_ellipsis / ls.n_lines")} <= $GOPHER_MAX_ELLIPSIS_FRAC))),

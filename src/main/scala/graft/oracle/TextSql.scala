@@ -95,7 +95,7 @@ object TextSql {
          |fit AS (
          |  SELECT source, m, sx, sy,
          |         (m * sxy - sx * sy) / (m * sxx - sx * sx) AS slope_raw
-         |  FROM sums)
+         |  FROM sums WHERE m > 1)
          |SELECT source, CAST(m AS BIGINT) AS n_terms,
          |       ${graft.functions.Rounding.sql6("slope_raw")} AS slope,
          |       ${graft.functions.Rounding.sql6("(sy - slope_raw * sx) / m")}

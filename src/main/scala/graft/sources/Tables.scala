@@ -99,14 +99,21 @@ object Tables {
     * drops usually arrive in before parquet conversion. The schema is
     * EXPLICIT (never inferSchema on a 100-TB drop: inference is a
     * full extra pass and a silent-drift hazard); extra keys in the
-    * JSON are ignored, missing ones read as NULL, and `_corrupt_record`
-    * capture is left to PERMISSIVE mode's default column so one bad
-    * line never kills the ingest. Emits the same five columns as the
-    * parquet [[documents]] table, so every documents-family operator
-    * runs unchanged on a JSONL drop. */
+    * JSON are ignored and missing ones read as NULL. Corrupt lines are
+    * dropped BY THE PARSER (DROPMALFORMED): the default PERMISSIVE
+    * mode without a declared `_corrupt_record` column would surface
+    * each bad line as a silent all-NULL row flowing into downstream
+    * operators, and declaring the column instead trips Spark's
+    * raw-file restriction on queries that reference only it. One bad
+    * line never kills the read; a drop-rate AUDIT, when wanted, is a
+    * separate PERMISSIVE read with the corrupt column cached first
+    * (the Spark-documented pattern), not this hot ingest path. Emits
+    * the same five columns as the parquet [[documents]] table, so
+    * every documents-family operator runs unchanged on a JSONL drop. */
   def documentsJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read
       .schema("doc_id LONG, source STRING, lang STRING, text STRING, n_chars INT")
+      .option("mode", "DROPMALFORMED")
       .json(path)
 
   /** S2: headered CSV item-features ingest with schema inference

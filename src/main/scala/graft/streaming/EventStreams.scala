@@ -259,7 +259,11 @@ object EventStreams {
           }
         }.get // evs is non-empty in the data branch
         state.update(last)
-        state.setTimeoutTimestamp(last.lastMs + gapMs)
+        // clamp: a backfill of >gap-stale events would otherwise set a
+        // timeout at-or-below the current watermark, which Spark
+        // rejects with IllegalArgumentException and kills the query
+        state.setTimeoutTimestamp(
+          math.max(last.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
         closed.result().iterator
       }
     }
@@ -376,7 +380,10 @@ object EventStreams {
           }
         }
         state.update(EwmaState(lags))
-        state.setTimeoutTimestamp(lags.last._1 + idleTimeoutMs)
+        // same clamp as sessionize: >idle-stale backfill must not set a
+        // timeout at-or-below the watermark (query-killing IAE)
+        state.setTimeoutTimestamp(math.max(lags.last._1 + idleTimeoutMs,
+          state.getCurrentWatermarkMs() + 1))
         out.iterator
       }
     }

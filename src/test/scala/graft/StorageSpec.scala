@@ -228,5 +228,18 @@ class StorageSpec extends SparkSuite {
     val b = back.select(docs.columns.map(col): _*).orderBy("doc_id")
       .collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq, "JSONL round-trip must match the parquet table")
+
+    // corrupt lines are CAPTURED (via the declared _corrupt_record
+    // column) and dropped at ingest — never surfaced as silent
+    // all-NULL rows. One bad file must not kill the read either.
+    val bad = new java.io.File(dir, "part-corrupt.json")
+    java.nio.file.Files.writeString(bad.toPath,
+      "this is not json {{{\n{\"doc_id\": 999999, \"source\": \"s\", " +
+        "\"lang\": \"en\", \"text\": \"ok line\", \"n_chars\": 7}\n")
+    val withBad = graft.sources.Tables.documentsJsonl(s, dir)
+    assert(withBad.count() == docs.count() + 1,
+      "the well-formed line in the bad file survives; the corrupt one is dropped")
+    assert(withBad.filter(col("text").isNull).count() == 0,
+      "no all-NULL ghost rows from corrupt lines")
   }
 }

@@ -428,4 +428,88 @@ class StreamingSpec extends SparkSuite {
       assert(stream == batch, s"stream $stream != batch $batch")
     } finally q.stop()
   }
+
+  // The clamp scenario: Spark filters LATE rows with the watermark
+  // from the start of the PREVIOUS micro-batch, but validates
+  // setTimeoutTimestamp against the CURRENT batch's eviction
+  // watermark. A stale backfill row landing in the batch right after
+  // a watermark jump therefore reaches the state function while its
+  // natural timeout sits below the eviction watermark — unclamped,
+  // the query dies with IllegalArgumentException. No-data micro-
+  // batches (which re-sync the two watermarks between addData calls)
+  // are disabled so the one-batch lag is deterministic under
+  // processAllAvailable.
+  private def withoutNoDataBatches[A](body: => A): A = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, old)
+  }
+
+  test("sessionize survives a stale backfill (timeout clamped to the watermark)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import graft.streaming.UserEvent
+
+    withoutNoDataBatches {
+      val mem = MemoryStream[UserEvent]
+      val q = EventStreams.sessionize(mem.toDS(), gapMs = 60000L, watermark = "10 seconds")
+        .writeStream.format("memory").queryName("sessions_backfill")
+        .outputMode("append").start()
+      try {
+        // batch 1 drives the watermark to 10:59:50
+        mem.addData(UserEvent(2L, ts("2024-05-01 11:00:00"), "view"))
+        q.processAllAvailable()
+        // batch 2: >gap-stale backfill — late filter still at 0, so it
+        // reaches the state fn; natural timeout 10:01:00 « 10:59:50
+        mem.addData(UserEvent(1L, ts("2024-05-01 10:00:00"), "click"))
+        q.processAllAvailable()
+        // later data batches advance the watermark past the clamped
+        // timer → the backfilled session closes normally
+        mem.addData(UserEvent(2L, ts("2024-05-01 11:05:00"), "view"))
+        q.processAllAvailable()
+        mem.addData(UserEvent(2L, ts("2024-05-01 11:10:00"), "view"))
+        q.processAllAvailable()
+
+        assert(q.exception.isEmpty, s"query died: ${q.exception}")
+        val users = sp.sql("SELECT user_id FROM sessions_backfill").collect()
+          .map(_.getLong(0)).toSet
+        assert(users.contains(1L), "the backfilled session must still close")
+      } finally q.stop()
+    }
+  }
+
+  test("ewmaStream survives a stale backfill (timeout clamped to the watermark)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import graft.streaming.DailyValue
+
+    def d(s: String) = ts(s + " 00:00:00")
+    withoutNoDataBatches {
+      val mem = MemoryStream[DailyValue]
+      // tight idle timeout so the backfilled user's natural timeout
+      // sits far below the already-advanced watermark
+      val q = EventStreams.ewmaStream(mem.toDS(), idleTimeoutMs = 60000L)
+        .writeStream.format("memory").queryName("ewma_backfill")
+        .outputMode("append").start()
+      try {
+        mem.addData(DailyValue(2L, d("2024-09-01"), 5.0))
+        q.processAllAvailable()
+        // 4-month-stale backfill: admitted by the lagging late filter,
+        // unclamped timeout would be 2024-05-01 + 60 s « watermark
+        mem.addData(DailyValue(1L, d("2024-05-01"), 10.0))
+        q.processAllAvailable()
+        mem.addData(DailyValue(2L, d("2024-09-03"), 6.0))
+        q.processAllAvailable()
+
+        assert(q.exception.isEmpty, s"query died: ${q.exception}")
+        val got = sp.sql("SELECT user_id, ewma FROM ewma_backfill WHERE user_id = 1")
+          .collect()
+        assert(got.length == 1 && got(0).getDouble(1) == 10.0,
+          "the backfilled point must still smooth and emit")
+      } finally q.stop()
+    }
+  }
 }
