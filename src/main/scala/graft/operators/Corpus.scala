@@ -23,6 +23,7 @@ object Corpus {
     "q66_hash_split" -> q66,
     "q67_hash_sample" -> q67,
     "q69_seq_pack" -> q69,
+    "q69b_seq_pack_bpe" -> q69b,
     "q70_source_mix" -> q70,
     "q81_decontaminate" -> q81,
     "q108_chunk_dedup" -> q108,
@@ -327,6 +328,39 @@ object Corpus {
 
   private def q69(spark: SparkSession, dir: String): DataFrame =
     packSequences(Tables.documents(spark, dir))
+
+  /** q69b — sequence packing over the REAL token measure (VERDICT r9
+    * next #7): the q69 pack windows re-run with per-doc lengths from
+    * the trained BPE tokenizer's encode (q115's symbol counts)
+    * instead of whitespace tokens, so the shard/token-budget story is
+    * end-to-end with the measure a trainer actually packs by.
+    * Zero-token docs drop (the q115 contract — they contribute no
+    * symbols to any sequence). Shape: q115's broadcast vocab join +
+    * one keyed agg, then q69's sharded window sums — every stage
+    * already priced at sf1 (0.10–0.14×). */
+  def packSequencesBpe(docs: DataFrame, seqLen: Int = SEQ_LEN,
+                       shards: Int = PACK_SHARDS): DataFrame = {
+    val seg = bpeSegment(docs).select(col("w"), col("n_symbols"))
+    val lens = docs
+      .select(col("lang"), col("doc_id"),
+        explode(VectorFns.tokens(col("text"))).as("w"))
+      .join(broadcast(seg), Seq("w"))
+      .groupBy(col("lang"), col("doc_id"))
+      .agg(sum(col("n_symbols")).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    lens
+      .withColumn("shard",
+        (Dedup.baseHash(col("doc_id").cast("string")) % shards).cast("int"))
+      .withColumn("stream_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("stream_offset") / seqLen).cast("int"))
+      .select(col("lang"), col("doc_id"), col("shard"), col("n_tokens"),
+        col("stream_offset"), col("seq_id"))
+  }
+
+  private def q69b(spark: SparkSession, dir: String): DataFrame =
+    packSequencesBpe(Tables.documents(spark, dir))
 
   /** Per-source mixing weights (percent kept): the corpus-mixing knob
     * an LLM pipeline turns to over/under-sample sources. */

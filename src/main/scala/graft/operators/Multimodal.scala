@@ -135,28 +135,32 @@ object Multimodal {
     * k-th frame" step of a video feature pipeline, expressed as pure
     * codegen'd expressions (a container-aware reader swaps the fixed
     * geometry for codec offsets; the stride plan is identical). Emits
-    * per sampled frame its index, byte offset, and payload md5.
+    * per sampled frame its index, byte offset, and a frame digest.
     *
-    * Like q112, rows are guarded to single-byte-per-char payloads so
-    * the DuckDB oracle's char-walk equals the byte-walk — structural,
-    * not load-bearing, on the ASCII corpus. Scale shape: explode of
-    * n/64 sampled frames per doc, zero shuffles — scan-bound map
-    * work; at 100 TB the parquet scan never deserializes payloads for
-    * metadata-only readers (column pruning), and frame extraction is
-    * substring arithmetic inside whole-stage codegen. */
+    * The walk is over BYTES (UTF-8 payload), not chars: frames slice
+    * the binary, and the digest is md5 of the frame's LOWERCASE HEX
+    * encoding — the one byte-level value representation both engines
+    * can hash (this DuckDB build has no md5(BLOB)). Multibyte corpora
+    * are fully in scope; the r9 octet==char guard is gone (VERDICT r9
+    * next #5). Scale shape: explode of n/64 sampled frames per doc,
+    * zero shuffles — scan-bound map work; at 100 TB the parquet scan
+    * never deserializes payloads for metadata-only readers (column
+    * pruning), and frame extraction is substring arithmetic inside
+    * whole-stage codegen. */
   private def q120(spark: SparkSession, dir: String): DataFrame = {
-    val n = octet_length(col("text"))
     Tables.documents(spark, dir)
-      .filter(n === char_length(col("text")) && n >= FRAME_BYTES)
-      .select(col("doc_id"), col("text"), n.cast("long").as("n_bytes"))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .filter(col("n_bytes") >= FRAME_BYTES)
       .withColumn("n_frames", expr(s"n_bytes DIV $FRAME_BYTES"))
-      .select(col("doc_id"), col("text"), col("n_bytes"), col("n_frames"),
+      .select(col("doc_id"), col("payload"), col("n_bytes"), col("n_frames"),
         explode(sequence(lit(0L), col("n_frames") - 1, lit(FRAME_STRIDE.toLong)))
           .as("frame_idx"))
       .withColumn("frame_off", col("frame_idx") * FRAME_BYTES)
       .select(col("doc_id"), col("n_bytes"), col("n_frames"), col("frame_idx"),
         col("frame_off"),
-        md5(expr(s"substring(text, CAST(frame_off AS INT) + 1, $FRAME_BYTES)"))
+        md5(lower(hex(
+          expr(s"substring(payload, CAST(frame_off AS INT) + 1, $FRAME_BYTES)"))))
           .as("frame_md5"))
   }
 
@@ -184,8 +188,7 @@ object Multimodal {
   def resizeBatch(spark: SparkSession, dir: String): Dataset[ResizedMedia] = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .filter(octet_length(col("text")) === char_length(col("text")) &&
-        octet_length(col("text")) > 0)
+      .filter(octet_length(col("text")) > 0)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
@@ -196,19 +199,21 @@ object Multimodal {
   }
 
   /** q121 — the [[resizeBatch]] surface under a value-level oracle:
-    * for single-byte-per-char payloads the strided byte take equals a
-    * strided char take, so DuckDB reconstructs the resized payload
-    * with a positional string_agg and must reproduce the md5 EXACTLY
-    * — decode semantics, stride arithmetic, and output length all
-    * hash-gated (the q112 posture applied to the write side of the
-    * pipeline). Shape: per-row map inside mapPartitions; zero
-    * shuffles. */
+    * DuckDB reconstructs the strided BYTE take positionally (walking
+    * the payload's hex encoding two chars per byte) and must
+    * reproduce md5(lower(hex(resized))) EXACTLY — decode semantics,
+    * stride arithmetic, and output length all hash-gated (the q112
+    * posture applied to the write side of the pipeline). The hex-
+    * space digest is the byte-level contract both engines can hash
+    * (no md5(BLOB) in this DuckDB build); multibyte corpora are fully
+    * in scope — the r9 octet==char guard is gone (VERDICT r9 next
+    * #5). Shape: per-row map inside mapPartitions; zero shuffles. */
   private def q121(spark: SparkSession, dir: String): DataFrame =
     resizeBatch(spark, dir)
       .toDF("doc_id", "n_bytes", "resized")
       .select(col("doc_id"), col("n_bytes"),
         octet_length(col("resized")).cast("long").as("n_out"),
-        md5(col("resized")).as("resized_md5"))
+        md5(lower(hex(col("resized")))).as("resized_md5"))
 
   /** The mapInPandas-shaped decode surface: one partition = one batch,
     * decoder invoked per row inside the batch loop (a vectorized

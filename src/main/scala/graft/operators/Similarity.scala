@@ -50,9 +50,28 @@ object Similarity {
   val SIGN_BITS = 4
   val NEARDUP_THRESHOLD = 0.4
   val IVF_TOP_K = 5
-  /** Fixed IVF codebook: the same 8 seed vectors the Lloyd stage uses
-    * (Sequential.KMEANS_SEEDS) — present at every scale factor. */
+  /** IVF base seeds: the same 8 seed vectors the Lloyd stage uses
+    * (Sequential.KMEANS_SEEDS) — present at every scale factor, the
+    * non-empty floor of the codebook at tiny SF. */
   val IVF_SEEDS: Seq[Long] = Sequential.KMEANS_SEEDS
+
+  /** The codebook GROWS with the corpus (the documented q42/q105/q113
+    * scale posture, now true in code): besides the 8 base seeds, every
+    * vector whose salted hash falls in 1/[[IVF_SEED_MOD]] of hash
+    * space seeds a cell. Expected occupancy ≈ IVF_SEED_MOD vectors
+    * per cell at ANY corpus size, so the within-cell n² stages
+    * (SemDeDup pairs, IVF probe scans, balance windows) stay O(corpus
+    * × MOD), never O(corpus²/k). Deterministic and DuckDB-replayable
+    * — the q66/q67 hash-gate discipline applied to codebook growth. */
+  val IVF_SEED_MOD = 64L
+  val IVF_SEED_SALT = "graft_ivfseed_v1:"
+
+  /** Shared codebook builder: base seeds ∪ hash-rate-picked extras. */
+  private def centsOf(e: DataFrame, baseSeeds: Seq[Long]): DataFrame =
+    e.filter(col("vec_id").isin(baseSeeds: _*) ||
+        Dedup.baseHash(concat(lit(IVF_SEED_SALT), col("vec_id").cast("string")))
+          % IVF_SEED_MOD === 0)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -226,12 +245,14 @@ object Similarity {
   }
 
   /** IVF-style ANN — the bucketed scale path next to q22's exact
-    * broadcast baseline: a fixed 8-vector codebook coarse-quantizes
-    * the corpus into cells (one broadcast + keyed argmin, the same
-    * assign shape as Sequential.kmeansAssign); each query searches
-    * ONLY its own cell (probe=1). At 100 TB the cell assignment is the
-    * partition key, so a query touches 1/k of the corpus instead of
-    * broadcasting against all of it. */
+    * broadcast baseline: a corpus-growing codebook ([[centsOf]]: 8
+    * base seeds ∪ 1/[[IVF_SEED_MOD]] hash-picked extras)
+    * coarse-quantizes the corpus into cells (one broadcast + keyed
+    * argmin, the same assign shape as Sequential.kmeansAssign); each
+    * query searches ONLY its own cell (probe=1). At 100 TB the cell
+    * assignment is the partition key and occupancy stays
+    * ≈IVF_SEED_MOD, so a query's probe scan is O(MOD) regardless of
+    * corpus size. */
   private def q42(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(emb(spark, dir), col("vec_id") % 25 === 0, IVF_SEEDS,
       probes = 1, k = IVF_TOP_K)
@@ -247,8 +268,7 @@ object Similarity {
     * assignment stays the partition key at any corpus size. */
   def ivfTopK(e: DataFrame, queryPred: Column, seedIds: Seq[Long],
               probes: Int, k: Int): DataFrame = {
-    val cents = e.filter(col("vec_id").isin(seedIds: _*))
-      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
+    val cents = centsOf(e, seedIds)
     val wAsg = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2").asc, col("cell").asc)
     val ranked = e.crossJoin(broadcast(cents))
@@ -294,9 +314,10 @@ object Similarity {
     * broadcast. No stage sees more than the exploded vec×k assignment
     * stream. */
   def clusterBalance(e: DataFrame, seedIds: Seq[Long]): DataFrame = {
-    val k = seedIds.size
-    val cents = e.filter(col("vec_id").isin(seedIds: _*))
-      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
+    val cents = centsOf(e, seedIds)
+    // quota denominator = the ACTUAL cell count (the codebook grows
+    // with the corpus), computed in-plan as a 1-row broadcast
+    val nCells = cents.agg(count(lit(1)).as("n_cells"))
     val wAsg = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2").asc, col("cell").asc)
     val cells = e.crossJoin(broadcast(cents))
@@ -314,9 +335,11 @@ object Similarity {
       .withColumn("cell_rank", row_number().over(wDraw))
       .join(broadcast(cellN), Seq("cell"))
       .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(nCells))
       .select(col("vec_id"), col("cell"), col("cell_n"), col("cell_rank"),
         (col("cell_rank") <=
-          ceil(col("n_total").cast("double") / lit(k.toDouble)).cast("long"))
+          ceil(col("n_total").cast("double") /
+            col("n_cells").cast("double")).cast("long"))
           .cast("int").as("kept"))
   }
 
@@ -347,8 +370,7 @@ object Similarity {
     * occupancy stays O(corpus/k); the all-pairs semantic dedup the
     * paper replaces never happens. */
   def semanticDedup(e: DataFrame, seedIds: Seq[Long], tau: Double): DataFrame = {
-    val cents = e.filter(col("vec_id").isin(seedIds: _*))
-      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
+    val cents = centsOf(e, seedIds)
     val wAsg = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2").asc, col("cell").asc)
     val cells = e.crossJoin(broadcast(cents))
@@ -519,8 +541,8 @@ object Similarity {
     * set retains of PQ's ranking. */
   def ivfPqTopK(e: DataFrame, seedIds: Seq[Long], probes: Int,
                 queryPred: Column, k: Int): DataFrame = {
-    val cents = e.filter(col("vec_id").isin(seedIds: _*))
-      .select(col("vec_id").cast("int").as("ivf_cell"), col("v").as("cv"))
+    val cents = centsOf(e, seedIds)
+      .select(col("cell").as("ivf_cell"), col("cv"))
     val wAsg = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2").asc, col("ivf_cell").asc)
     val ranked = e.crossJoin(broadcast(cents))

@@ -193,6 +193,39 @@ object CorpusSql {
          |       CAST(floor(stream_offset / 256.0) AS INTEGER) AS seq_id
          |FROM offs""".stripMargin,
 
+    // q69b: the q69 pack windows over the q115 BPE symbol counts —
+    // the unrolled merge chain's vocabulary prices each doc's length
+    "q69b_seq_pack_bpe" -> {
+      val last = graft.operators.Corpus.BPE_ROUNDS
+      s"""WITH $bpeV0Cte,
+         |${(1 to last).map(bpeRoundCtes).mkString(",\n")},
+         |segn AS (
+         |  SELECT w, CAST(len(${bpeSy("seg")}) AS BIGINT) AS n_symbols
+         |  FROM v$last),
+         |tok AS (
+         |  SELECT lang, doc_id, unnest(${tokensSql("lower(trim(text))")}) AS w
+         |  FROM documents),
+         |lens AS (
+         |  SELECT t.lang, t.doc_id,
+         |         CAST(sum(s.n_symbols) AS BIGINT) AS n_tokens
+         |  FROM tok t JOIN segn s USING (w) GROUP BY 1, 2),
+         |base AS (
+         |  SELECT lang, doc_id, n_tokens,
+         |         CAST(${baseHashSql("CAST(doc_id AS VARCHAR)")} % 8 AS INTEGER)
+         |           AS shard
+         |  FROM lens),
+         |offs AS (
+         |  SELECT lang, doc_id, shard, n_tokens,
+         |         CAST(COALESCE(sum(n_tokens) OVER (
+         |           PARTITION BY lang, shard ORDER BY doc_id ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS stream_offset
+         |  FROM base)
+         |SELECT lang, doc_id, shard, n_tokens, stream_offset,
+         |       CAST(floor(stream_offset / 256.0) AS INTEGER) AS seq_id
+         |FROM offs""".stripMargin
+    },
+
     "q70_source_mix" ->
       s"""WITH flags AS (
          |  SELECT source,

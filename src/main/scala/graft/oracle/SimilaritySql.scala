@@ -10,12 +10,20 @@ object SimilaritySql {
   private val embCte =
     "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
 
-  // coarse-quantizer seed rows, interpolated from the Scala constant so
-  // a geometry change cannot desync engine and oracle (ADVICE r8)
-  private val ivfCentsCte =
+  // coarse-quantizer seed rows, interpolated from the Scala constants
+  // so a geometry change cannot desync engine and oracle (ADVICE r8).
+  // The codebook GROWS with the corpus: base seeds ∪ every vector
+  // whose salted hash falls in 1/IVF_SEED_MOD of hash space (mirrors
+  // Similarity.centsOf exactly).
+  private val ivfCentsCte = {
+    val s = graft.operators.Similarity
     s"""cents AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv FROM emb
-       |  WHERE vec_id IN (${graft.operators.Similarity.IVF_SEEDS.mkString(", ")}))""".stripMargin
+       |  WHERE vec_id IN (${s.IVF_SEEDS.mkString(", ")})
+       |     OR ${SqlFragments.baseHashSql(
+              s"'${s.IVF_SEED_SALT}' || CAST(vec_id AS VARCHAR)")}
+       |        % ${s.IVF_SEED_MOD} = 0)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q62_embed_quantize" ->
@@ -171,7 +179,6 @@ object SimilaritySql {
          |WHERE rk <= 5""".stripMargin,
 
     "q113_cluster_balance" -> {
-      val k = graft.operators.Similarity.IVF_SEEDS.size
       val salt = graft.operators.Similarity.CBALANCE_SALT
       s"""WITH $embCte,
          |$ivfCentsCte,
@@ -194,12 +201,14 @@ object SimilaritySql {
          |           PARTITION BY cell ORDER BY draw ASC, vec_id ASC) AS rk
          |  FROM (SELECT vec_id, cell,
          |          ${SqlFragments.baseHashSql(s"'$salt' || CAST(vec_id AS VARCHAR)")} AS draw
-         |        FROM cells))
+         |        FROM cells)),
+         |nc AS (SELECT count(*) AS n_cells FROM cents)
          |SELECT r.vec_id, r.cell, cn.cell_n,
          |       CAST(r.rk AS INTEGER) AS cell_rank,
-         |       CAST(r.rk <= CAST(ceil(t.n_total / CAST($k AS DOUBLE)) AS BIGINT)
+         |       CAST(r.rk <= CAST(ceil(t.n_total / CAST(nc.n_cells AS DOUBLE))
+         |                         AS BIGINT)
          |            AS INTEGER) AS kept
-         |FROM r JOIN cn USING (cell), tot t""".stripMargin
+         |FROM r JOIN cn USING (cell), tot t, nc""".stripMargin
     },
 
     "q105_semantic_dedup" ->

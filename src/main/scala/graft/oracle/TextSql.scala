@@ -103,16 +103,18 @@ object TextSql {
          |FROM fit""".stripMargin
     },
 
-    // q120: frame sampling — octet==char guard makes the char-walk a
-    // byte-walk; frame geometry interpolated from the engine constants
+    // q120: frame sampling — true BYTE walk on both engines: DuckDB
+    // slices the payload's lowercase hex encoding (2 chars per byte)
+    // and hashes the hex, exactly what the Spark side's
+    // md5(lower(hex(substring(binary)))) computes. Multibyte in scope.
     "q120_mm_frames" -> {
       val fb = graft.operators.Multimodal.FRAME_BYTES
       val fs = graft.operators.Multimodal.FRAME_STRIDE
       s"""WITH a AS (
-         |  SELECT doc_id, text AS s,
-         |         CAST(strlen(text) AS BIGINT) AS n_bytes
+         |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
          |  FROM documents
-         |  WHERE length(text) = strlen(text) AND strlen(text) >= $fb),
+         |  WHERE octet_length(encode(text)) >= $fb),
          |f AS (
          |  SELECT doc_id, n_bytes, n_bytes // $fb AS n_frames FROM a),
          |idx AS (
@@ -121,30 +123,33 @@ object TextSql {
          |    AS t(i))
          |SELECT idx.doc_id, idx.n_bytes, idx.n_frames, idx.frame_idx,
          |       idx.frame_idx * $fb AS frame_off,
-         |       md5(substr(a.s, CAST(idx.frame_idx * $fb + 1 AS INT), $fb))
+         |       md5(substr(a.hx, CAST(idx.frame_idx * ${2 * fb} + 1 AS INT),
+         |                  ${2 * fb}))
          |         AS frame_md5
          |FROM idx JOIN a ON a.doc_id = idx.doc_id""".stripMargin
     },
 
-    // q121: strided resize — DuckDB rebuilds the resized payload with
-    // a positional string_agg and must reproduce the md5 exactly
+    // q121: strided resize — DuckDB rebuilds the resized payload's
+    // hex encoding with a positional string_agg over every stride-th
+    // BYTE (hex pair) and must reproduce md5(lower(hex(resized)))
+    // exactly. Multibyte in scope.
     "q121_mm_resize" -> {
       val st = graft.operators.Multimodal.RESIZE_STRIDE
       s"""WITH a AS (
-         |  SELECT doc_id, text AS s,
-         |         CAST(strlen(text) AS BIGINT) AS n_bytes
+         |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
          |  FROM documents
-         |  WHERE length(text) = strlen(text) AND strlen(text) > 0),
+         |  WHERE octet_length(encode(text)) > 0),
          |r AS (
          |  SELECT doc_id, n_bytes,
-         |         string_agg(substr(s, CAST(i AS INT), 1), '' ORDER BY i)
-         |           AS rz
-         |  FROM a, UNNEST(generate_series(1, CAST(n_bytes AS INT), $st))
+         |         string_agg(substr(hx, CAST(i AS INT), 2), '' ORDER BY i)
+         |           AS rzhex
+         |  FROM a, UNNEST(generate_series(1, CAST(2 * n_bytes AS INT), ${2 * st}))
          |    AS t(i)
          |  GROUP BY 1, 2)
          |SELECT doc_id, n_bytes,
-         |       CAST(strlen(rz) AS BIGINT) AS n_out,
-         |       md5(rz) AS resized_md5
+         |       CAST(strlen(rzhex) // 2 AS BIGINT) AS n_out,
+         |       md5(rzhex) AS resized_md5
          |FROM r""".stripMargin
     },
 

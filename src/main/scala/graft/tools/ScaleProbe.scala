@@ -31,6 +31,13 @@ import org.apache.spark.sql.functions._
  * preserve. (documents.n_chars is stale w.r.t. the suffixed text; no
  * probe query reads it.)
  *
+ * Round-10: embeddings get the same treatment — each copy is
+ * re-embedded through a per-copy deterministic signed coordinate
+ * permutation (an orthogonal transform: within-copy geometry, norms
+ * and distances are preserved exactly; cross-copy vectors decorrelate
+ * like organic data), so the embedding family (q105/q113) measures
+ * K× organic work instead of K-way duplicate stacks.
+ *
  * `run` emits one JSON line and writes scale_probe.json (the
  * bench_results.json conventions).
  */
@@ -83,16 +90,14 @@ object ScaleProbe {
     "q100_corpus_pipeline",
     // round-9: the quality/chunk family joins the probe (documents-
     // based, so the per-copy text mutation gives them disjoint
-    // universes by construction). q105_semantic_dedup is EXCLUDED BY
-    // DESIGN: it reads `embeddings`, which `build` clones bit-
-    // identically per copy — every vector would gain K−1 exact
-    // duplicates at cosine 1.0, inflating SemDeDup's within-cell n²
-    // as a clone-corpus artifact exactly the way un-mutated text
-    // inflated the near-dup family in r8. An embedding analogue of
-    // the text mutation (per-copy sign masks) preserves within-copy
-    // geometry but not the copy-0-seeded cell occupancy the
-    // linearity claim needs, so q105's scale story stays the shape
-    // argument (cell = partition key, codebook grows with corpus).
+    // universes by construction).
+    // round-10: q105_semantic_dedup's exclusion is LIFTED — `build`
+    // now re-embeds each copy through a per-copy signed coordinate
+    // permutation (no cosine-1.0 clones), and the IVF codebook grows
+    // with the corpus in code (Similarity.centsOf: base seeds ∪
+    // 1/64-hash-rate extras), so within-cell occupancy — and with it
+    // SemDeDup's within-cell n² — stays O(SEED_MOD) at any K.
+    "q105_semantic_dedup",
     "q106_perplexity_buckets", "q106b_ccnet_calibrated",
     "q107_gopher_flags", "q108_chunk_dedup", "q108b_chunk_keep",
     // round-9 additions: PII scrub + multimodal decode are per-row
@@ -184,7 +189,33 @@ object ScaleProbe {
         if (t == "documents" && c > 0)
           shifted.withColumn("text",
             regexp_replace(col("text"), "(\\S+)", "$1" + "¤" + c))
-        else shifted
+        // per-copy embedding mutation (VERDICT r9 next #4): a seeded
+        // deterministic coordinate rotation + sign mask. Within a copy
+        // every vector gets the SAME orthogonal transform, so all
+        // within-copy inner products, norms and distances are
+        // bit-preserved (sign flips and permutations are exact in
+        // IEEE) — each copy is the original geometry, re-embedded in a
+        // different basis. Across copies the transforms differ, so no
+        // vector has a cosine-1.0 clone and cell/bucket occupancy
+        // reflects K× organic data instead of K-way duplicate stacks —
+        // the embedding analogue of the ¤ text mutation.
+        else if (t == "embeddings" && c > 0) {
+          val dim = 64
+          def h(s: String): Int = {
+            val d = java.security.MessageDigest.getInstance("MD5")
+              .digest(s.getBytes("UTF-8"))
+            ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+          }
+          val rot = h(s"rot:$c") % dim
+          val elems = (0 until dim).map { i =>
+            val sign = if ((h(s"sign:$c:$i") & 1) == 0) 1.0f else -1.0f
+            col("embedding").getItem((i + rot) % dim) * lit(sign)
+          }
+          // cast back to the source column type: array() infers
+          // containsNull=false, which would drift the parquet schema
+          shifted.withColumn("embedding",
+            array(elems: _*).cast(types("embedding")))
+        } else shifted
       }.reduce(_ unionByName _)
       all.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[scale] $t: ${all.count()} rows (${copies}x)")

@@ -47,14 +47,12 @@ class MultimodalSpec extends SparkSuite {
     val fs = Multimodal.FRAME_STRIDE
     val expected = texts.toSeq.flatMap { case (id, t) =>
       val bytes = t.getBytes("UTF-8")
-      if (bytes.length != t.length || bytes.length < fb) Seq.empty
+      if (bytes.length < fb) Seq.empty
       else {
         val nFrames = bytes.length / fb
         (0L until nFrames.toLong by fs.toLong).map { fi =>
           val frame = bytes.slice((fi * fb).toInt, (fi * fb).toInt + fb)
-          val md = java.security.MessageDigest.getInstance("MD5")
-            .digest(frame).map("%02x".format(_)).mkString
-          (id, fi) -> (bytes.length.toLong, nFrames.toLong, fi * fb, md)
+          (id, fi) -> (bytes.length.toLong, nFrames.toLong, fi * fb, hexMd5(frame))
         }
       }
     }.toMap
@@ -70,14 +68,64 @@ class MultimodalSpec extends SparkSuite {
       .select(org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    val eligible = texts.filter { case (_, t) =>
-      t.getBytes("UTF-8").length == t.length && t.nonEmpty }
+    val eligible = texts.filter { case (_, t) => t.nonEmpty }
     assert(out.size == eligible.size)
     eligible.foreach { case (id, t) =>
-      val rz = Multimodal.resizeStub(t.getBytes("UTF-8"))
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(rz).map("%02x".format(_)).mkString
-      assert(out(id) == (t.length.toLong, rz.length.toLong, md), s"doc $id")
+      val bytes = t.getBytes("UTF-8")
+      val rz = Multimodal.resizeStub(bytes)
+      assert(out(id) == (bytes.length.toLong, rz.length.toLong, hexMd5(rz)),
+        s"doc $id")
+    }
+  }
+
+  // md5 of the LOWERCASE HEX encoding — the byte-level digest contract
+  // both engines can hash (this DuckDB build has no md5(BLOB))
+  private def hexMd5(bytes: Array[Byte]): String = {
+    val hx = bytes.map("%02x".format(_)).mkString
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(hx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  test("q120/q121 handle MULTIBYTE payloads: the byte-walk diverges from a char-walk and matches a driver replay") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mm_mb").toString
+    // '¤' is 2 UTF-8 bytes: byte length ≠ char length by construction,
+    // and frames straddle multibyte boundaries
+    val texts = Map(
+      1L -> ("abc¤def¤ghi¤jkl¤mno¤pqr¤stu¤vwx" * 2),
+      2L -> "¤¤¤¤¤¤¤¤¤¤¤¤¤¤¤¤",
+      3L -> "plain ascii only, thirty-two ch")
+    texts.toSeq.map { case (id, t) => (id, "s", "xx", t, t.length) }
+      .toDF("doc_id", "source", "lang", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // byte length must differ from char length for the fixture to bite
+    assert(texts(1L).getBytes("UTF-8").length != texts(1L).length)
+
+    val fb = Multimodal.FRAME_BYTES
+    val fs = Multimodal.FRAME_STRIDE
+    val frames = Multimodal.queries("q120_mm_frames")(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getString(5))).toMap
+    val expFrames = texts.toSeq.flatMap { case (id, t) =>
+      val bytes = t.getBytes("UTF-8")
+      if (bytes.length < fb) Seq.empty
+      else (0L until (bytes.length / fb).toLong by fs.toLong).map { fi =>
+        val frame = bytes.slice((fi * fb).toInt, (fi * fb).toInt + fb)
+        (id, fi) -> (bytes.length.toLong, (bytes.length / fb).toLong,
+          fi * fb, hexMd5(frame))
+      }
+    }.toMap
+    assert(frames == expFrames)
+
+    val rz = Multimodal.queries("q121_mm_resize")(s, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    texts.foreach { case (id, t) =>
+      val bytes = t.getBytes("UTF-8")
+      val out = Multimodal.resizeStub(bytes)
+      assert(rz(id) == (bytes.length.toLong, out.length.toLong, hexMd5(out)),
+        s"doc $id")
     }
   }
 

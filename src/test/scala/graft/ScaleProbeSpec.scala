@@ -72,6 +72,45 @@ class ScaleProbeSpec extends SparkSuite {
     rep.unpersist()
   }
 
+  test("embedding copies preserve within-copy geometry exactly and have no cross-copy clones") {
+    val rep = spark.read.parquet(s"$out/embeddings.parquet")
+      .select((col("vec_id") / lit(ScaleProbe.STRIDE)).cast("long").as("copy"),
+        (col("vec_id") % lit(ScaleProbe.STRIDE)).as("base_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Double](2))
+      .toMap
+    val baseIds = rep.keys.filter(_._1 == 0L).map(_._2).toSeq.sorted.take(20)
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    for (c <- 0L until 3L) {
+      // norms are bit-preserved per vector (signed permutation is an
+      // exact orthogonal transform; only summation ORDER differs, so
+      // compare at ulp-scale tolerance)
+      baseIds.foreach { id =>
+        val n0 = dot(rep((0L, id)), rep((0L, id)))
+        val nc = dot(rep((c, id)), rep((c, id)))
+        assert(math.abs(n0 - nc) < 1e-9 * math.max(1.0, n0), s"norm drift c=$c id=$id")
+      }
+      // within-copy pairwise dots match copy 0 (geometry preserved)
+      val (i, j) = (baseIds(0), baseIds(1))
+      val d0 = dot(rep((0L, i)), rep((0L, j)))
+      val dc = dot(rep((c, i)), rep((c, j)))
+      assert(math.abs(d0 - dc) < 1e-9 * math.max(1.0, math.abs(d0)),
+        s"within-copy dot drift c=$c")
+    }
+    // no cosine-1.0 cross-copy clones: a vector and its re-embedded
+    // copies must decorrelate (|cos| well below the SemDeDup tau)
+    baseIds.foreach { id =>
+      for (c <- 1L until 3L) {
+        val (a, b) = (rep((0L, id)), rep((c, id)))
+        val cos = dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+        assert(math.abs(cos) < graft.operators.Similarity.SEMDEDUP_TAU,
+          s"copy $c of vec $id still correlates with the original: cos=$cos")
+      }
+    }
+  }
+
   test("cohort fractions survive replication (STRIDE divides every cohort modulus)") {
     for (m <- Seq(25, 40, 50, 200)) {
       assert(ScaleProbe.STRIDE % m == 0, s"STRIDE not a multiple of $m")

@@ -117,6 +117,34 @@ class SemanticDedupSpec extends SparkSuite {
     assert(again == out.map { case (id, (_, _, _, kept)) => id -> kept })
   }
 
+  test("the codebook grows with the corpus: hash-rate extras join the base seeds") {
+    import org.apache.spark.sql.functions.col
+    // Scala-side replica of the centsOf seed rule (the CorpusSpec h7
+    // pattern): first 7 md5 hex digits, mod IVF_SEED_MOD
+    def h7(x: String) = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(7), 16)
+    def isExtra(id: Long) =
+      h7(Similarity.IVF_SEED_SALT + id) % Similarity.IVF_SEED_MOD == 0
+    // the small-id fixtures above assume NO extra seed sneaks in —
+    // fail loudly here (not silently there) if the salt ever changes
+    assert((0L to 40L).forall(!isExtra(_)), "fixture ids must not hash-pick")
+
+    val ids = graft.sources.Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val expected = ids.filter(id =>
+      Similarity.IVF_SEEDS.contains(id) || isExtra(id)).toSet
+    assert(expected.size > Similarity.IVF_SEEDS.size,
+      "the sf0.001 corpus must contribute at least one extra seed")
+    val cells = Similarity.queries("q105_semantic_dedup")(
+      spark, "/root/testdata/sf0.001")
+      .select(col("cell")).distinct().collect().map(_.getInt(0).toLong).toSet
+    // every expected seed is a non-empty cell (its own vector at least)
+    assert(cells == expected,
+      s"cells $cells != seed set $expected")
+  }
+
   test("q113 plan: the draw window partitions by cell and the codebook broadcasts") {
     val df = Similarity.queries("q113_cluster_balance")(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
