@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.CorpusStreams
+
+/** Stream/batch parity for the manifest-on-ingest pipeline (VERDICT
+  * r9 next #6): the foreachBatch ingest must reproduce
+  * [[graft.operators.Corpus.trainingManifest]]'s decisions exactly,
+  * continue shard offsets across micro-batches, and stay replay-safe.
+  * All runs use the corpus-calibrated q125 stop-word gate so the
+  * funnel actually passes documents at test scale. */
+class CorpusStreamsSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def minStops = graft.operators.Corpus.Q125_MIN_STOPS
+  private def target = graft.operators.Analytics.SHARD_TOKENS
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("graft_manifest_stream").toString
+
+  test("single-batch ingest from empty state reproduces the batch manifest bit-for-bit") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val out = freshDir()
+    CorpusStreams.ingestManifestBatch(docs, 0L, out,
+      corpusHasLines = false, target = target, minStops = minStops)
+    val streamed = CorpusStreams.shardManifest(spark, out).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val batch = graft.operators.Corpus
+      .trainingManifest(docs, corpusHasLines = false, target = target,
+        minStops = minStops)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(streamed.nonEmpty, "empty manifest proves nothing")
+    assert(streamed == batch)
+  }
+
+  test("multi-batch ingest: keep decisions match batch; offsets continue; shard bound holds") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val out = freshDir()
+    // arrival order: two halves by doc_id parity — NOT hash order, so
+    // cross-batch shard composition legitimately differs from batch
+    // mode while decisions and totals must not
+    CorpusStreams.ingestManifestBatch(docs.filter(col("doc_id") % 2 === 0),
+      0L, out, corpusHasLines = false, target = target, minStops = minStops)
+    CorpusStreams.ingestManifestBatch(docs.filter(col("doc_id") % 2 === 1),
+      1L, out, corpusHasLines = false, target = target, minStops = minStops)
+
+    val rows = spark.read.parquet(s"$out/manifest")
+      .select("doc_id", "source", "n_tok", "shard_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // 1. kept docs = the batch twin's survivors (decisions are
+    //    order-independent)
+    val batchDocs = {
+      import graft.operators.{Corpus, Dedup, TextOps}
+      val keyed = docs.withColumn("h", Dedup.normText(col("text")))
+      val canon = keyed.groupBy(md5(col("h")).as("hh"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val dd = docs.join(canon, Seq("doc_id"), "left_semi")
+      val pass = TextOps.gopherFlags(dd, corpusHasLines = false, minStops)
+        .filter(col("gopher_pass") === 1).select("doc_id")
+      dd.filter(Corpus.splitAssign(col("doc_id")) === "train")
+        .join(pass, Seq("doc_id"), "left_semi")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(rows.map(_._1).toSet == batchDocs, "kept-doc sets diverged")
+    // 2. per-source token totals equal the batch twin's
+    val streamTotals = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val batchTotals = graft.operators.Corpus
+      .trainingManifest(docs, corpusHasLines = false, target = target,
+        minStops = minStops)
+      .groupBy("source").agg(sum("shard_tokens").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamTotals == batchTotals, "per-source token mass diverged")
+    // 3. q119 invariant: no shard exceeds target + one doc's tokens,
+    //    and shard ids are a contiguous prefix per source
+    rows.groupBy(r => (r._2, r._4)).foreach { case ((s, sid), rs) =>
+      val tok = rs.map(_._3).sum
+      val maxDoc = rs.map(_._3).max
+      assert(tok <= target + maxDoc, s"shard ($s,$sid) over target: $tok")
+    }
+    rows.groupBy(_._2).foreach { case (s, rs) =>
+      val ids = rs.map(_._4).distinct.sorted.toSeq
+      assert(ids == (0L until ids.size.toLong).toSeq,
+        s"source $s shard ids not contiguous: $ids")
+    }
+  }
+
+  test("a replayed micro-batch neither duplicates manifest rows nor double-advances state") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val out = freshDir()
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    CorpusStreams.ingestManifestBatch(half, 0L, out,
+      corpusHasLines = false, target = target, minStops = minStops)
+    val before = spark.read.parquet(s"$out/manifest").count()
+    val offBefore = spark.read.parquet(s"$out/state_offsets").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // crash-replay of the SAME batch id
+    CorpusStreams.ingestManifestBatch(half, 0L, out,
+      corpusHasLines = false, target = target, minStops = minStops)
+    assert(spark.read.parquet(s"$out/manifest").count() == before)
+    val offAfter = spark.read.parquet(s"$out/state_offsets").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(offAfter == offBefore, "offsets double-advanced on replay")
+  }
+}
