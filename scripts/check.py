@@ -60,7 +60,9 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{SF}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written dir (e.g. a ScaleProbe replica)
+            p = f"{p}/*.parquet"
+        if os.path.exists(p) or "*" in p:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     n_ok = n_bad = 0
