@@ -84,18 +84,14 @@ object Multimodal {
 
   /** q112 — the [[decodeBatch]] partition-batched decode surface under
     * the DuckDB hash gate. The stub's features (4 chunk means of byte
-    * values) are SQL-recoverable for ASCII payloads — `ord()` per char
-    * equals the UTF-8 byte — so unlike q104's pinned-digest posture
-    * this gets a REAL value-level oracle: the decode semantics, the
-    * chunk-boundary arithmetic (`i*4/len` integer floor), and the
-    * integer-sum/count mean are all replayed by DuckDB. The query
-    * filters to single-byte-per-char payloads (`octet_length ==
-    * char_length`, the exact condition under which the oracle's
-    * char-walk equals the stub's byte-walk) — vacuous on today's
-    * all-ASCII corpus, and a structural guard if a regeneration adds
-    * multibyte text: both engines exclude those rows IDENTICALLY, so
-    * the gate stays green instead of silently comparing bytes to
-    * code points.
+    * values) get a REAL value-level oracle: DuckDB walks the
+    * payload's lowercase hex encoding two chars per byte and parses
+    * each pair (`CAST('0x'||pair AS INT)`), so the decode semantics,
+    * the chunk-boundary arithmetic (`i*4/len` integer floor), and the
+    * integer-sum/count mean are all replayed BYTE-level — multibyte
+    * payloads fully in scope (the r9 octet==char guard joined
+    * q120/q121's in the r10 lift; hash-verified on a ¤-mutated
+    * multibyte replica).
     *
     * Float discipline: chunk sums are integer-exact in both engines
     * (double accumulation of ints < 2^53); the mean is one double
@@ -105,8 +101,7 @@ object Multimodal {
   private def q112(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val feats = Tables.documents(spark, dir)
-      .filter(octet_length(col("text")) === char_length(col("text")) &&
-        octet_length(col("text")) > 0)
+      .filter(octet_length(col("text")) > 0)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>

@@ -11,21 +11,24 @@ object TextSql {
 
   val oracle: Map[String, String] = Map(
 
-    // q112: the decode stub's chunk means are SQL-recoverable for
-    // single-byte-per-char payloads (ord(char) == utf-8 byte); the
-    // WHERE mirrors the engine's octet==char guard exactly. Chunk
-    // index is the stub's integer floor i*4/len (0-based i).
+    // q112: the decode stub's chunk means replayed at BYTE level —
+    // DuckDB walks the payload's lowercase hex (2 chars per byte) and
+    // parses each pair to its value, so multibyte payloads are in
+    // scope. Chunk index is the stub's integer floor i*4/len
+    // (0-based i over BYTES).
     "q112_mm_features" -> {
       def f(c: Int) =
         sql4(s"COALESCE(max(CASE WHEN c = $c THEN mv END), 0.0)")
       s"""WITH a AS (
-         |  SELECT doc_id, text AS s, strlen(text) AS n
+         |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+         |         CAST(octet_length(encode(text)) AS BIGINT) AS n
          |  FROM documents
-         |  WHERE length(text) = strlen(text) AND strlen(text) > 0),
+         |  WHERE octet_length(encode(text)) > 0),
          |bytes AS (
          |  SELECT doc_id, n,
          |         CAST(((i - 1) * 4) // n AS INT) AS c,
-         |         ord(substr(s, CAST(i AS INT), 1)) AS v
+         |         CAST('0x' || substr(hx, CAST(2 * i - 1 AS INT), 2) AS INT)
+         |           AS v
          |  FROM a, UNNEST(generate_series(1, CAST(n AS INT))) AS t(i)),
          |chunks AS (
          |  SELECT doc_id, n, c, CAST(sum(v) AS DOUBLE) / count(*) AS mv

@@ -127,6 +127,17 @@ class MultimodalSpec extends SparkSuite {
       assert(rz(id) == (bytes.length.toLong, out.length.toLong, hexMd5(out)),
         s"doc $id")
     }
+
+    // q112 decode features walk the same bytes
+    def r4d(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val feats = Multimodal.queries("q112_mm_features")(s, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    texts.foreach { case (id, t) =>
+      val bytes = t.getBytes("UTF-8")
+      assert(feats(id) == ((bytes.length.toLong,
+        Multimodal.decodeStub(bytes).toSeq.map(r4d))), s"doc $id")
+    }
   }
 
   test("q112 features equal a driver-side decodeStub replay of the same corpus") {
@@ -138,8 +149,7 @@ class MultimodalSpec extends SparkSuite {
     val texts = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(out.size == texts.count { case (_, t) =>
-      t.getBytes("UTF-8").length == t.length && t.nonEmpty })
+    assert(out.size == texts.count { case (_, t) => t.nonEmpty })
     def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
     out.foreach { case (id, (nBytes, feats)) =>
       val payload = texts(id).getBytes("UTF-8")
