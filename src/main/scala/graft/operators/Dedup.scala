@@ -40,6 +40,48 @@ object Dedup {
 
   val NUM_PERMS = 16
   val NUM_BANDS = 4 // 4 rows per band
+
+  /** MinHash-LSH parameter planning (Leskovec–Rajaraman–Ullman, MMDS
+    * §3.4.3): for a signature budget of `nPerm` hashes and a target
+    * Jaccard threshold τ, pick `(bands, rows)` with bands·rows ≤ nPerm
+    * minimizing weighted false-positive + false-negative probability
+    * mass under the S-curve P(candidate | s) = 1 − (1 − s^rows)^bands
+    * — ∫₀^τ P (false-positive area) and ∫_τ^1 (1 − P) (false-negative
+    * area), trapezoid-integrated at 1e-3 resolution. This is the
+    * sizing dial an operator turns when retuning the dedup family for
+    * a new corpus or threshold: more perms buy a steeper curve; a
+    * higher `fnWeight` biases toward recall (dedup pipelines usually
+    * verify candidates exactly, so false positives only cost compute
+    * while false negatives cost corpus quality — weight accordingly).
+    * Pure arithmetic, deterministic; the shipped 16/4 geometry stays
+    * the hash-compat default for the registered queries. */
+  def lshPlan(threshold: Double, nPerm: Int = NUM_PERMS,
+              fpWeight: Double = 1.0, fnWeight: Double = 1.0): (Int, Int) = {
+    require(threshold > 0 && threshold < 1 && nPerm >= 1)
+    def pCand(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    def err(b: Int, r: Int): Double = {
+      val n = 1000
+      var fp = 0.0
+      var fn = 0.0
+      var i = 0
+      while (i < n) {
+        val s0 = i.toDouble / n
+        val s1 = (i + 1).toDouble / n
+        val mid = (pCand(s0, b, r) + pCand(s1, b, r)) / 2 * (s1 - s0)
+        if (s1 <= threshold) fp += mid
+        else if (s0 >= threshold) fn += (s1 - s0) - mid
+        else { // straddling cell: split at τ
+          fp += pCand((s0 + threshold) / 2, b, r) * (threshold - s0)
+          fn += (1 - pCand((threshold + s1) / 2, b, r)) * (s1 - threshold)
+        }
+        i += 1
+      }
+      fpWeight * fp + fnWeight * fn
+    }
+    val plans = for (r <- 1 to nPerm; b <- 1 to nPerm / r) yield (b, r)
+    plans.minBy { case (b, r) => (err(b, r), -b * r, r) }
+  }
   val P31 = 2147483647L // 2^31 - 1
 
   /** Whitespace-collapsed lowercase normal form shared by all dedup ops. */

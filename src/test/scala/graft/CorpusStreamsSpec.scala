@@ -87,6 +87,39 @@ class CorpusStreamsSpec extends SparkSuite {
     }
   }
 
+  test("manifestStream end-to-end: the writeStream wiring ingests micro-batches and matches the batch manifest") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val out = freshDir()
+    val ckpt = freshDir()
+    val mem = MemoryStream[(Long, String, String)]
+    val q = CorpusStreams.manifestStream(
+      mem.toDF().toDF("doc_id", "source", "text"), out, ckpt,
+      corpusHasLines = false, target = target, minStops = minStops)
+    try {
+      // whole corpus in ONE micro-batch → bit-identical to batch mode
+      mem.addData(docs.toSeq: _*)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+    } finally q.stop()
+    val streamed = CorpusStreams.shardManifest(spark, out).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val batch = graft.operators.Corpus
+      .trainingManifest(graft.sources.Tables.documents(spark, sf),
+        corpusHasLines = false, target = target, minStops = minStops)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("a replayed micro-batch neither duplicates manifest rows nor double-advances state") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val out = freshDir()

@@ -233,4 +233,38 @@ class DedupSpec extends SparkSuite {
     assert(out == expected)
     assert(out.nonEmpty, "sf0.001 has near-dup clusters; an empty report is a bug")
   }
+
+  test("lshPlan: globally optimal over the budget, threshold-monotone, recall-biasable") {
+    import graft.operators.Dedup
+    // brute-force the same objective independently and require the
+    // planner's error to be minimal over every (b, r) with b·r ≤ n
+    def pCand(s: Double, b: Int, r: Int) =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    def errOf(tau: Double, b: Int, r: Int, wFp: Double, wFn: Double) = {
+      val n = 4000 // finer grid than the planner's — catches bias
+      (0 until n).map { i =>
+        val s = (i + 0.5) / n
+        val p = pCand(s, b, r)
+        (if (s < tau) wFp * p else wFn * (1 - p)) / n
+      }.sum
+    }
+    for (tau <- Seq(0.3, 0.5, 0.8); n <- Seq(16, 64, 128)) {
+      val (b, r) = Dedup.lshPlan(tau, n)
+      assert(b * r <= n, s"budget exceeded: $b x $r > $n")
+      val mine = errOf(tau, b, r, 1, 1)
+      for (rr <- 1 to n; bb <- 1 to n / rr)
+        assert(mine <= errOf(tau, bb, rr, 1, 1) + 1e-3,
+          s"tau=$tau n=$n: ($b,$r) beaten by ($bb,$rr)")
+    }
+    // steeper threshold → more rows per band (curve shifts right)
+    val lowTau = Dedup.lshPlan(0.2, 128)._2
+    val highTau = Dedup.lshPlan(0.8, 128)._2
+    assert(lowTau < highTau, s"rows must grow with tau: $lowTau !< $highTau")
+    // recall bias: weighting false negatives harder never loses recall
+    // at the threshold itself
+    val (b1, r1) = Dedup.lshPlan(0.5, 64)
+    val (b2, r2) = Dedup.lshPlan(0.5, 64, fpWeight = 1.0, fnWeight = 10.0)
+    assert(pCand(0.5, b2, r2) >= pCand(0.5, b1, r1) - 1e-12,
+      "fn-weighted plan must not lose candidate probability at tau")
+  }
 }
