@@ -32,6 +32,7 @@ object Corpus {
     "q98_weighted_sample" -> q98,
     "q100_corpus_pipeline" -> q100,
     "q110_dsir_weights" -> q110,
+    "q110b_dsir_resample" -> q110b,
     "q114_bpe_train" -> q114,
     "q115_bpe_encode" -> q115,
     "q124_split_contamination" -> q124,
@@ -801,9 +802,13 @@ object Corpus {
     * is exactly two hash aggs on the exploded grams — map-side
     * partial, no distinct Expand, no window. Zero-token docs drop
     * out (no grams), matching the q24/q94 contract. */
-  def dsirWeights(docs: DataFrame,
-                  targetSources: Seq[String] = DSIR_TARGET_SOURCES,
-                  buckets: Int = DSIR_BUCKETS): DataFrame = {
+  /** Shared DSIR core: per-doc hashed-gram counts against the two
+    * bucket LMs, reduced to the UNROUNDED log importance weight
+    * `sum_llr` (exact DECIMAL — shuffle-order-free) — [[dsirWeights]]
+    * reads it out as a per-gram average, [[dsirResample]] draws by
+    * it. */
+  private def dsirLlr(docs: DataFrame, targetSources: Seq[String],
+                      buckets: Int): DataFrame = {
     val b = lit(buckets)
     val grams = docs
       .select(col("doc_id"), col("source"),
@@ -830,13 +835,49 @@ object Corpus {
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_grams"),
         sum(col("n") * col("lam")).as("sum_llr"))
+  }
+
+  def dsirWeights(docs: DataFrame,
+                  targetSources: Seq[String] = DSIR_TARGET_SOURCES,
+                  buckets: Int = DSIR_BUCKETS): DataFrame =
+    dsirLlr(docs, targetSources, buckets)
       .select(col("doc_id"), col("n_grams"),
         r4(col("sum_llr").cast("double") / col("n_grams")).as("avg_llr"))
       .withColumn("selected", (col("avg_llr") > 0.0).cast("int"))
-  }
 
   private def q110(spark: SparkSession, dir: String): DataFrame =
     dsirWeights(Tables.documents(spark, dir))
+
+  /** Resample size for [[dsirResample]]. */
+  val DSIR_SAMPLE_K = 100
+
+  /** q110b — DSIR's SECOND step (Xie et al. 2023 §3: importance
+    * RESAMPLING, not just scoring): draw `k` documents without
+    * replacement with probability ∝ exp(sum_llr) via Gumbel-top-k —
+    * key = sum_llr − ln(−ln u), u the deterministic md5 draw (the q98
+    * A-ES discipline in LOG space, so astronomically small/large
+    * importance weights never overflow a double). Re-runs, retried
+    * tasks and the DuckDB oracle draw the IDENTICAL sample.
+    *
+    * Scale shape: everything up to the key is q110's broadcast-dim
+    * plan; the draw itself is `orderBy().limit(k)` = TakeOrdered —
+    * per-partition top-k, no global sort. */
+  def dsirResample(docs: DataFrame,
+                   targetSources: Seq[String] = DSIR_TARGET_SOURCES,
+                   buckets: Int = DSIR_BUCKETS,
+                   k: Int = DSIR_SAMPLE_K): DataFrame = {
+    val u = (Dedup.baseHash(concat(col("doc_id").cast("string"),
+      lit("_dsir"))) + lit(0.5)) / lit((1L << 28).toDouble)
+    dsirLlr(docs, targetSources, buckets)
+      .select(col("doc_id"), col("n_grams"),
+        (col("sum_llr").cast("double") - log(-log(u))).as("gkey_raw"))
+      .orderBy(col("gkey_raw").desc, col("doc_id").asc).limit(k)
+      .select(col("doc_id"), col("n_grams"),
+        graft.functions.Rounding.r6(col("gkey_raw")).as("gkey"))
+  }
+
+  private def q110b(spark: SparkSession, dir: String): DataFrame =
+    dsirResample(Tables.documents(spark, dir))
 
   private def q98(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Rounding.r6

@@ -463,6 +463,49 @@ object CorpusSql {
          |FROM agg""".stripMargin
     },
 
+    // q110b: DSIR importance resampling — the q110 log-weight chain
+    // plus the deterministic Gumbel-top-k draw (key = sum_llr −
+    // ln(−ln u), the q98 md5 discipline in log space)
+    "q110b_dsir_resample" -> {
+      val B = graft.operators.Corpus.DSIR_BUCKETS
+      val K = graft.operators.Corpus.DSIR_SAMPLE_K
+      val TGT = graft.operators.Corpus.DSIR_TARGET_SOURCES
+        .map(s => s"'$s'").mkString(", ")
+      val u = s"(${baseHashSql("CAST(doc_id AS VARCHAR) || '_dsir'")} + 0.5)" +
+        " / 268435456.0"
+      s"""WITH toks2 AS (
+         |  SELECT doc_id, source, ${tokensSql("lower(trim(text))")} AS tk
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, source, ${baseHashSql("g")} % $B AS b
+         |  FROM toks2, UNNEST(list_concat(tk, ${shinglesSql("tk", 2)})) AS u(g)),
+         |pdb AS (SELECT doc_id, b, count(*) AS n FROM grams GROUP BY 1, 2),
+         |raw AS (SELECT b, count(*) AS c_r FROM grams GROUP BY 1),
+         |tgt AS (SELECT b, count(*) AS c_t FROM grams
+         |        WHERE source IN ($TGT) GROUP BY 1),
+         |dim AS (
+         |  SELECT raw.b, c_r, COALESCE(c_t, 0) AS c_t
+         |  FROM raw LEFT JOIN tgt USING (b)),
+         |tot AS (
+         |  SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+         |         CAST(sum(c_t) AS BIGINT) AS n_t FROM dim),
+         |lam AS (
+         |  SELECT b,
+         |         CAST(${sql6(s"ln(CAST((c_t + 1) * (n_r + $B) AS DOUBLE) / CAST((c_r + 1) * (n_t + $B) AS DOUBLE))")}
+         |              AS DECIMAL(20,6)) AS lam
+         |  FROM dim, tot),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+         |         sum(n * lam) AS sum_llr
+         |  FROM pdb JOIN lam USING (b) GROUP BY 1),
+         |keyed AS (
+         |  SELECT doc_id, n_grams,
+         |         CAST(sum_llr AS DOUBLE) - ln(-ln($u)) AS gkey_raw
+         |  FROM agg)
+         |SELECT doc_id, n_grams, ${sql6("gkey_raw")} AS gkey
+         |FROM keyed ORDER BY gkey_raw DESC, doc_id ASC LIMIT $K""".stripMargin
+    },
+
     "q98_weighted_sample" ->
       s"""WITH keyed AS (
          |  SELECT o_orderkey, o_totalprice,
