@@ -856,6 +856,46 @@ object Recommender {
     * from exact integer ten-thousandths sums (order-independent).
     * θ < 1e-6 disables sampling: the output IS the exact cosine.
     * Returns (i, j, sim) with i < j, sim unrounded (seams round r6). */
+  /** The measured exact↔DIMSUM crossover for item-item sims, in
+    * pair-dot rows Σ_u n_u² — the exact self-join's shuffle volume
+    * (BASELINE §round-10, `scale_probe_r10_knn_*.json`): at sf0.1's
+    * 26.9 M pair-dots the exact kernel and the sampled estimator
+    * price inside each other's band; at sf1's 269 M the exact kernel
+    * pays ~10× while DIMSUM's sampling cap holds its growth to ~3×.
+    * The gate flips between the two measured points, at the volume
+    * where the exact join's Σ n² term starts to dominate the fixed
+    * scan+moment work both sides share. */
+  val DIMSUM_MIN_PAIRDOTS: Long = 100000000L
+
+  /** [[itemSimsAuto]]'s pure decision rule, exposed so the boundary
+    * is unit-testable without building either plan: sample iff the
+    * exact pair stage would emit at least
+    * [[DIMSUM_MIN_PAIRDOTS]] pair-dot rows. */
+  def resolveDimsum(pairDots: Long): Boolean =
+    pairDots >= DIMSUM_MIN_PAIRDOTS
+
+  /** Item-item sims with the pair stage SIZED instead of assumed (the
+    * q93 `triangleCountsAuto` posture applied to the R5 kernel): one
+    * bounded scalar agg prices the exact self-join's shuffle
+    * (Σ_u n_u² — computable from per-user counts WITHOUT building the
+    * join), then the gate picks the exact kernel below the measured
+    * crossover and the DIMSUM estimator above it. The registered q17
+    * (exact) and q17b (DIMSUM) stay fixed for hash-compat; Auto is
+    * the library default for new callers, like Content's
+    * CandidateSource.Auto. Returns mirrored 6-dp `(i, j, sim)` —
+    * the `simsSource` contract. */
+  def itemSimsAuto(ratings0: DataFrame,
+                   threshold: Double = 0.3): DataFrame = {
+    val ratings = ratings0.cache()
+    val pairDots = ratings.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).cast("long")).collect()(0).getLong(0)
+    if (resolveDimsum(pairDots))
+      mirrorSims(itemSimsDimsum(ratings, threshold))
+        .select(col("i"), col("j"), r6(col("sim")).as("sim"))
+    else itemSims(ratings)
+  }
+
   def itemSimsDimsum(ratings: DataFrame, threshold: Double): DataFrame = {
     val sgQ: Double =
       if (threshold < 1e-6) Double.PositiveInfinity

@@ -264,4 +264,28 @@ class RecommenderSpec extends SparkSuite {
     val recs = Recommender.userKnnTopK(tiny, 2, 4)
     assert(recs.join(rated, Seq("user_id", "item_id")).count() == 0)
   }
+
+  test("itemSimsAuto: boundary rule both sides; below the crossover it IS the exact kernel") {
+    assert(!Recommender.resolveDimsum(Recommender.DIMSUM_MIN_PAIRDOTS - 1),
+      "just under the crossover must run the exact kernel")
+    assert(Recommender.resolveDimsum(Recommender.DIMSUM_MIN_PAIRDOTS),
+      "at the crossover the estimator takes over")
+    assert(Recommender.resolveDimsum(Recommender.DIMSUM_MIN_PAIRDOTS + 1))
+    assert(!Recommender.resolveDimsum(1L))
+    // a small corpus sits far below the crossover: Auto must return
+    // the exact mirrored sims bit-for-bit
+    val s = spark
+    import s.implicits._
+    val r = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 3.0), (1L, 12L, 1.0),
+      (2L, 10L, 4.0), (2L, 11L, 2.0),
+      (3L, 11L, 5.0), (3L, 12L, 4.0)
+    ).toDF("user_id", "item_id", "rating")
+    val auto = Recommender.itemSimsAuto(r).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    val exact = Recommender.itemSims(r).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(auto == exact, "below the crossover Auto must equal the exact kernel")
+    assert(auto.nonEmpty)
+  }
 }
