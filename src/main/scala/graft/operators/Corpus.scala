@@ -36,6 +36,7 @@ object Corpus {
     "q114_bpe_train" -> q114,
     "q115_bpe_encode" -> q115,
     "q124_split_contamination" -> q124,
+    "q124b_split_repair" -> q124b,
     "q125_training_manifest" -> q125
   )
 
@@ -469,6 +470,33 @@ object Corpus {
 
   private def q124(spark: SparkSession, dir: String): DataFrame =
     splitContamination(Tables.documents(spark, dir))
+
+  /** q124b — the FIX to q124's report: split REPAIR. Every document
+    * keeps its q66 hash split except train docs whose shared-5-gram
+    * fraction against the test split exceeds [[CONTAM_FRAC]] — those
+    * move to a `quarantine` split (never silently to test: that would
+    * leak the other direction). The emitted assignment is what a
+    * pipeline actually mounts after the audit — report (q124) and
+    * repair (q124b) compose into the full split-hygiene loop.
+    *
+    * Scale shape: q124's shuffle equi-join on gram md5 (both sides
+    * pre-deduped, no broadcast assumption — the contaminating side is
+    * corpus/10) plus one left join of the flagged SET (far smaller
+    * than the corpus) back onto the doc dim. */
+  def splitRepair(docs: DataFrame, n: Int = DECON_NGRAM,
+                  maxSharedFrac: Double = CONTAM_FRAC): DataFrame = {
+    val flagged = splitContamination(docs, n)
+      .filter(col("shared_frac") > maxSharedFrac)
+      .select(col("doc_id"), lit(1).as("contaminated"))
+    docs.select(col("doc_id"), splitAssign(col("doc_id")).as("split"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("split") === "train" && col("contaminated") === 1,
+          lit("quarantine")).otherwise(col("split")).as("split"))
+  }
+
+  private def q124b(spark: SparkSession, dir: String): DataFrame =
+    splitRepair(Tables.documents(spark, dir))
 
   /** q125 — the end-to-end TRAINING MANIFEST: the write-side capstone
     * that chains the pipeline a trainer actually ships —

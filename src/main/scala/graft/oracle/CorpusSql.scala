@@ -294,6 +294,45 @@ object CorpusSql {
          |       ${sql4("CAST(n_shared AS DOUBLE) / n_grams")} AS shared_frac
          |FROM tot JOIN shared USING (doc_id)""".stripMargin,
 
+    // q124b: the repair to q124's report — train docs over the
+    // contamination threshold move to 'quarantine'
+    "q124b_split_repair" -> {
+      val frac = graft.operators.Corpus.CONTAM_FRAC
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         ${baseHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS bkt,
+         |         ${tokensSql(normTextSql("text"))} AS tk
+         |  FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, bkt, md5(g) AS h
+         |  FROM toks, UNNEST(${shinglesSql("tk", 5)}) AS t(g)
+         |  WHERE bkt < 80 OR bkt >= 90),
+         |test_g AS (
+         |  SELECT DISTINCT h FROM grams WHERE bkt >= 90),
+         |train AS (
+         |  SELECT doc_id, h FROM grams WHERE bkt < 80),
+         |shared AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM train JOIN test_g USING (h) GROUP BY 1),
+         |tot AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+         |  FROM train GROUP BY 1),
+         |flagged AS (
+         |  SELECT doc_id FROM tot JOIN shared USING (doc_id)
+         |  WHERE ${sql4("CAST(n_shared AS DOUBLE) / n_grams")} > $frac),
+         |base AS (
+         |  SELECT doc_id,
+         |         CASE WHEN ${baseHashSql("CAST(doc_id AS VARCHAR)")} % 100 < 80
+         |              THEN 'train'
+         |              WHEN ${baseHashSql("CAST(doc_id AS VARCHAR)")} % 100 < 90
+         |              THEN 'val' ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT b.doc_id,
+         |       CASE WHEN b.split = 'train' AND f.doc_id IS NOT NULL
+         |            THEN 'quarantine' ELSE b.split END AS split
+         |FROM base b LEFT JOIN flagged f ON f.doc_id = b.doc_id""".stripMargin
+    },
+
     // q125: dedup keep → Gopher word/line keep (same derived guard as
     // q107, stop-word gate at the corpus-calibrated Q125_MIN_STOPS so
     // the manifest is NON-EMPTY at gate scale) → train split → the

@@ -565,6 +565,33 @@ class CorpusSpec extends SparkSuite {
     assert(out.nonEmpty, "the synthetic corpus straddles splits; an empty report is a bug")
   }
 
+  test("splitRepair: quarantines exactly the over-threshold train docs, touches nothing else") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val report = graft.operators.Corpus
+      .splitContamination(graft.sources.Tables.documents(spark, sf))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val overs = report.filter(_._2 > graft.operators.Corpus.CONTAM_FRAC).keySet
+    def h7(x: String) = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(7), 16)
+    def base(id: Long) = h7(id.toString) % 100 match {
+      case b if b < 80 => "train"; case b if b < 90 => "val"; case _ => "test"
+    }
+    val out = graft.operators.Corpus
+      .splitRepair(graft.sources.Tables.documents(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, split) =>
+      val want = if (overs(id)) "quarantine" else base(id)
+      assert(split == want, s"doc $id: got $split want $want")
+    }
+    assert(out.values.count(_ == "quarantine") == overs.size)
+    // the fixture must exercise the repair (sf0.001 has near-dup
+    // leakage across splits by construction)
+    assert(overs.nonEmpty, "no doc over threshold — the repair path never ran")
+  }
+
   test("trainingManifest: dedup, quality and split gates compose into the driver-replayed shard plan") {
     val s = spark
     import s.implicits._
