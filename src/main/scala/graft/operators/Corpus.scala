@@ -37,7 +37,9 @@ object Corpus {
     "q115_bpe_encode" -> q115,
     "q124_split_contamination" -> q124,
     "q124b_split_repair" -> q124b,
-    "q125_training_manifest" -> q125
+    "q125_training_manifest" -> q125,
+    "q127_hybrid_rrf" -> q127,
+    "q128_mix_schedule" -> q128
   )
 
   /** Lucene-standard BM25 parameters. */
@@ -917,4 +919,127 @@ object Corpus {
       .orderBy(col("wkey").desc, col("o_orderkey").asc).limit(WSAMPLE_K)
       .select(col("o_orderkey"), col("o_totalprice"), r6(col("wkey")).as("wkey"))
   }
+
+  /** RRF rank constant (Cormack, Clarke & Buettcher 2009 use k = 60;
+    * the value every production hybrid-search stack defaults to). */
+  val RRF_K = 60
+
+  /** Fused list length (q127). */
+  val RRF_TOP = 20
+
+  /** Hybrid retrieval via reciprocal-rank fusion: the lexical BM25
+    * ranking ([[bm25]], q64) fused with a dense cosine ranking whose
+    * query vector is the BM25 top-1 document's embedding —
+    * pseudo-relevance feedback, the standard two-retriever hybrid
+    * shape (sparse retriever proposes, dense retriever re-expands,
+    * RRF merges WITHOUT score calibration: rrf(d) = Σ_r 1/(k +
+    * rank_r(d)) over the rankings that contain d). The dense list
+    * contains the query document itself at rank 1 (cos 1.0) by
+    * construction — it is relevant by definition, so it stays.
+    *
+    * Engine-exactness: fusion uses RANKS only — the two 1/(k+rank)
+    * terms are single IEEE divisions of small integers summed in
+    * declared order, so the fused score replays bit-for-bit in
+    * DuckDB. Cosine ranks break ties on (r6(cos) desc, doc_id asc)
+    * exactly like q22; lexical ranks on (r4(bm25) desc, doc_id asc)
+    * over the q64 top list.
+    *
+    * Scale shape: corpus-wide work is exactly two already-audited
+    * stages — the BM25 single tokenize agg and ONE broadcast map over
+    * embeddings feeding orderBy().limit() = TakeOrdered (never a
+    * global sort). Everything downstream (the two 50-row ranking
+    * windows, the fusion full-outer join) runs on ≤2·topDocs rows;
+    * the dense query vector is a 1-row broadcast. */
+  def hybridRrf(docs: DataFrame, embs: DataFrame,
+                terms: Seq[String] = QUERY_TERMS,
+                topDocs: Int = TOP_DOCS, k: Int = RRF_K,
+                fusedTop: Int = RRF_TOP): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wLex = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+    val lex = bm25(docs, terms, topDocs)
+      .withColumn("rk_lex", row_number().over(wLex))
+    val qv = embs
+      .join(broadcast(lex.filter(col("rk_lex") === 1)
+        .select(col("doc_id").as("q_doc"))),
+        col("vec_id") === col("q_doc"))
+      .select(col("v").as("qv"))
+    val wDense = Window.orderBy(col("cos").desc, col("doc_id").asc)
+    val dense = embs.crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        r6(VectorFns.cosineArr(col("qv"), col("v"))).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+      .limit(topDocs)
+      .withColumn("rk_dense", row_number().over(wDense))
+    lex.select(col("doc_id"), col("rk_lex"))
+      .join(dense.select(col("doc_id"), col("rk_dense")),
+        Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(k) + col("rk_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k) + col("rk_dense")), lit(0.0)))
+      .orderBy(r6(col("rrf")).desc, col("doc_id").asc)
+      .limit(fusedTop)
+      .select(col("doc_id"),
+        coalesce(col("rk_lex"), lit(0)).as("rk_lex"),
+        coalesce(col("rk_dense"), lit(0)).as("rk_dense"),
+        r6(col("rrf")).as("rrf"))
+  }
+
+  private def q127(spark: SparkSession, dir: String): DataFrame =
+    hybridRrf(Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+
+  /** Schedule-head length (q128). */
+  val SCHED_TAKE = 200
+
+  /** q128 — deterministic interleaved mixture schedule: the ORDER in
+    * which a trainer consumes the mixed corpus. Each source lays its
+    * documents out in salted-hash order (the q66/q119 discipline) and
+    * is consumed at a rate ∝ its [[mixWeight]] via virtual-time
+    * stride scheduling: doc #r of source s is due at vtime = r ·
+    * stride_s with stride = 100 DIV weight — a weight-100 source
+    * lands every tick, weight-50 every 2nd, weight-20 every 5th. The
+    * global training order is (vtime, source, doc_id). All-integer
+    * arithmetic (the mixWeight contract divides 100) — engine-exact.
+    * Emits the schedule head a smoke-reader would mount.
+    *
+    * Scale shape: per-source rank is the q119 TWO-LEVEL distributed
+    * prefix construction — within-bucket row_number (max partition =
+    * source/4096) plus ≤4096 broadcast bucket-count offsets per
+    * source, bit-identical to the naive single-window rank because
+    * the bucket is an hkey prefix (spec-pinned). vtime itself is then
+    * a pure map column — a full-corpus writer would RANGE-PARTITION
+    * on it, never sort; the head readout here is orderBy().limit() =
+    * TakeOrdered. */
+  def mixSchedule(docs: DataFrame, take: Int = SCHED_TAKE): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.select(col("doc_id"), col("source"),
+        Dedup.baseHash(concat(col("doc_id").cast("string"), lit("_sched")))
+          .as("hkey"))
+      .withColumn("bkt", expr(s"hkey DIV ${Analytics.SHARD_BUCKET_DIV}"))
+    val wb = Window.partitionBy(col("source"), col("bkt"))
+      .orderBy(col("hkey"), col("doc_id"))
+    val wo = Window.partitionBy(col("source")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("source"), col("bkt"))
+      .agg(count(lit(1)).as("bn"))
+      .select(col("source"), col("bkt"),
+        coalesce(sum(col("bn")).over(wo), lit(0L)).as("boff"))
+    val head = keyed
+      .withColumn("brk", row_number().over(wb).cast("long"))
+      .join(broadcast(offsets), Seq("source", "bkt"))
+      .withColumn("src_rank", col("boff") + col("brk"))
+      .withColumn("w", mixWeight(col("source")).cast("long"))
+      .withColumn("vtime", col("src_rank") * expr("100 DIV w"))
+      .orderBy(col("vtime").asc, col("source").asc, col("doc_id").asc)
+      .limit(take)
+    head
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("vtime").asc, col("source").asc, col("doc_id").asc)))
+      .select(col("pos"), col("vtime"), col("source"), col("doc_id"),
+        col("src_rank"))
+  }
+
+  private def q128(spark: SparkSession, dir: String): DataFrame =
+    mixSchedule(Tables.documents(spark, dir))
 }

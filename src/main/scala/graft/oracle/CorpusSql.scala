@@ -50,38 +50,45 @@ object CorpusSql {
        |s$r AS (SELECT CAST(sum(freq * len(${bpeSy("seg")})) AS BIGINT)
        |          AS corpus_symbols FROM v$r)""".stripMargin
 
+  /** The q64 BM25 scoring chain (shared verbatim by the q127 hybrid
+    * fusion oracle so the lexical leg cannot drift from q64). */
+  private val bm25Cte =
+    s"""$toksSql,
+       |dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM toks),
+       |corpus AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS bigN, avg(dl) AS avgdl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM toks, UNNEST(tk) AS u(tok)
+       |  WHERE tok IN ('spark', 'join', 'window')
+       |  GROUP BY 1, 2),
+       |df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |contrib AS (
+       |  SELECT t.doc_id, t.tok,
+       |         ln(1.0 + (c.bigN - f.df + 0.5) / (f.df + 0.5))
+       |           * (t.tf * (1.2 + 1.0))
+       |           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)) AS c
+       |  FROM tf t
+       |  JOIN df f USING (tok)
+       |  JOIN dl d USING (doc_id)
+       |  CROSS JOIN corpus c),
+       |scored AS (
+       |  SELECT doc_id,
+       |         COALESCE(max(CASE WHEN tok = 'spark' THEN c END), 0.0)
+       |         + COALESCE(max(CASE WHEN tok = 'join' THEN c END), 0.0)
+       |         + COALESCE(max(CASE WHEN tok = 'window' THEN c END), 0.0) AS score
+       |  FROM contrib GROUP BY 1),
+       |bm25top AS (
+       |  SELECT doc_id, floor(score * 10000.0 + 0.5) / 10000.0 AS bm25
+       |  FROM scored
+       |  ORDER BY floor(score * 1000000.0 + 0.5) / 1000000.0 DESC, doc_id ASC
+       |  LIMIT 50)""".stripMargin
+
   val oracle: Map[String, String] = Map(
 
     "q64_bm25" ->
-      s"""WITH $toksSql,
-         |dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM toks),
-         |corpus AS (
-         |  SELECT CAST(count(*) AS DOUBLE) AS bigN, avg(dl) AS avgdl FROM dl),
-         |tf AS (
-         |  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
-         |  FROM toks, UNNEST(tk) AS u(tok)
-         |  WHERE tok IN ('spark', 'join', 'window')
-         |  GROUP BY 1, 2),
-         |df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-         |contrib AS (
-         |  SELECT t.doc_id, t.tok,
-         |         ln(1.0 + (c.bigN - f.df + 0.5) / (f.df + 0.5))
-         |           * (t.tf * (1.2 + 1.0))
-         |           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)) AS c
-         |  FROM tf t
-         |  JOIN df f USING (tok)
-         |  JOIN dl d USING (doc_id)
-         |  CROSS JOIN corpus c),
-         |scored AS (
-         |  SELECT doc_id,
-         |         COALESCE(max(CASE WHEN tok = 'spark' THEN c END), 0.0)
-         |         + COALESCE(max(CASE WHEN tok = 'join' THEN c END), 0.0)
-         |         + COALESCE(max(CASE WHEN tok = 'window' THEN c END), 0.0) AS score
-         |  FROM contrib GROUP BY 1)
-         |SELECT doc_id, floor(score * 10000.0 + 0.5) / 10000.0 AS bm25
-         |FROM scored
-         |ORDER BY floor(score * 1000000.0 + 0.5) / 1000000.0 DESC, doc_id ASC
-         |LIMIT 50""".stripMargin,
+      s"""WITH $bm25Cte
+         |SELECT doc_id, bm25 FROM bm25top""".stripMargin,
 
     // chunk i = tk[i*48+1 : i*48+64] (DuckDB list slices are 1-based,
     // end-inclusive and clip at the list end — same clipping as Spark
@@ -224,6 +231,76 @@ object CorpusSql {
          |SELECT lang, doc_id, shard, n_tokens, stream_offset,
          |       CAST(floor(stream_offset / 256.0) AS INTEGER) AS seq_id
          |FROM offs""".stripMargin
+    },
+
+    // lexical leg = the q64 chain verbatim (bm25Cte); dense leg =
+    // cosine to the BM25 top-1 doc's embedding (q22's list arithmetic
+    // verbatim); fusion = rank-only RRF, two IEEE divisions summed in
+    // declared order — engine-identical by construction
+    "q127_hybrid_rrf" -> {
+      val c = graft.operators.Corpus
+      s"""WITH $bm25Cte,
+         |lex AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |           ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS rk_lex
+         |  FROM bm25top),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |qv AS (SELECT v AS qv FROM emb JOIN lex ON vec_id = lex.doc_id
+         |       WHERE rk_lex = 1),
+         |cosd AS (
+         |  SELECT vec_id AS doc_id,
+         |         ${sql6("""list_sum(list_transform(list_zip(qv, v), z -> z[1]*z[2]))
+         |               / (sqrt(list_sum(list_transform(qv, x -> x*x)))
+         |                  * sqrt(list_sum(list_transform(v, x -> x*x))))""")} AS cos
+         |  FROM emb, qv),
+         |dtop AS (
+         |  SELECT doc_id, cos FROM cosd
+         |  ORDER BY cos DESC, doc_id ASC LIMIT ${c.TOP_DOCS}),
+         |dense AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |           ORDER BY cos DESC, doc_id ASC) AS INTEGER) AS rk_dense
+         |  FROM dtop),
+         |fused AS (
+         |  SELECT doc_id, rk_lex, rk_dense,
+         |         COALESCE(1.0 / (${c.RRF_K} + rk_lex), 0.0)
+         |           + COALESCE(1.0 / (${c.RRF_K} + rk_dense), 0.0) AS rrf
+         |  FROM lex FULL OUTER JOIN dense USING (doc_id))
+         |SELECT doc_id, CAST(COALESCE(rk_lex, 0) AS INTEGER) AS rk_lex,
+         |       CAST(COALESCE(rk_dense, 0) AS INTEGER) AS rk_dense,
+         |       ${sql6("rrf")} AS rrf
+         |FROM fused
+         |ORDER BY ${sql6("rrf")} DESC, doc_id ASC
+         |LIMIT ${c.RRF_TOP}""".stripMargin
+    },
+
+    // naive single-window form — equal to the Spark side's two-level
+    // prefix rank because the bucket is an hkey prefix (spec-pinned
+    // on the Spark side); 100 // w is exact: every mixWeight divides
+    // 100, so vtime is all-integer in both engines
+    "q128_mix_schedule" -> {
+      val c = graft.operators.Corpus
+      s"""WITH keyed AS (
+         |  SELECT doc_id, source,
+         |         ${baseHashSql("CAST(doc_id AS VARCHAR) || '_sched'")} AS hkey,
+         |         CASE WHEN source IN ('src0','src1','src2','src3') THEN 100
+         |              WHEN source IN ('src4','src5','src6','src7') THEN 50
+         |              ELSE 20 END AS w
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, source, w,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |           ORDER BY hkey, doc_id) AS BIGINT) AS src_rank
+         |  FROM keyed),
+         |head AS (
+         |  SELECT doc_id, source, src_rank,
+         |         CAST(src_rank * (100 // w) AS BIGINT) AS vtime
+         |  FROM ranked
+         |  ORDER BY vtime ASC, source ASC, doc_id ASC
+         |  LIMIT ${c.SCHED_TAKE})
+         |SELECT CAST(row_number() OVER (
+         |         ORDER BY vtime ASC, source ASC, doc_id ASC) AS INTEGER) AS pos,
+         |       vtime, source, doc_id, src_rank
+         |FROM head""".stripMargin
     },
 
     "q70_source_mix" ->

@@ -703,4 +703,77 @@ class CorpusSpec extends SparkSuite {
       spark, "/root/testdata/sf0.001")
     assert(manifest.count() > 0, "q125 must produce a non-empty manifest")
   }
+
+  test("hybridRrf: fusion is rank-exact, dense leg anchors on the BM25 top-1") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val embs = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val fused = Corpus.hybridRrf(docs, embs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(fused.length == Corpus.RRF_TOP, "fixture degenerate: short fused list")
+    // every fused doc came from at least one ranking, ranks bounded
+    assert(fused.forall { case (_, l, d, _) => l > 0 || d > 0 })
+    assert(fused.forall { case (_, l, d, _) =>
+      l <= Corpus.TOP_DOCS && d <= Corpus.TOP_DOCS })
+    // rrf replays exactly from the emitted ranks (rank-only fusion)
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    fused.foreach { case (id, l, d, rrf) =>
+      val want = r6d((if (l > 0) 1.0 / (Corpus.RRF_K + l) else 0.0) +
+        (if (d > 0) 1.0 / (Corpus.RRF_K + d) else 0.0))
+      assert(rrf == want, s"doc $id: rrf $rrf != $want from ranks ($l, $d)")
+    }
+    // pseudo-relevance feedback: the BM25 top-1 doc IS the dense
+    // query, so it holds dense rank 1 (cos 1.0 with itself) and tops
+    // the fused list (the only doc that can hold two rank-1 legs)
+    val anchor = fused.find { case (_, l, _, _) => l == 1 }.get
+    assert(anchor._3 == 1, "BM25 top-1 must be dense rank 1 (self-cosine)")
+    assert(fused.head._1 == anchor._1, "anchor doc must lead the fused list")
+    // fused order is (rrf desc, doc_id asc)
+    val key = fused.map { case (id, _, _, rrf) => (-rrf, id) }
+    assert(key.sameElements(key.sorted), "fused list out of RRF order")
+  }
+
+  test("mixSchedule: two-level prefix rank is bit-identical to the naive window; strides follow the weights") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val got = Corpus.mixSchedule(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.length == Corpus.SCHED_TAKE)
+    // naive form: ONE window per source, no bucket decomposition —
+    // must match row-for-row because the bucket is an hkey prefix
+    val naive = docs.select(col("doc_id"), col("source"),
+        graft.operators.Dedup.baseHash(
+          concat(col("doc_id").cast("string"), lit("_sched"))).as("hkey"))
+      .withColumn("src_rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("hkey"), col("doc_id")))
+        .cast("long"))
+      .withColumn("w", Corpus.mixWeight(col("source")).cast("long"))
+      .withColumn("vtime", col("src_rank") * expr("100 DIV w"))
+      .orderBy(col("vtime").asc, col("source").asc, col("doc_id").asc)
+      .limit(Corpus.SCHED_TAKE)
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("vtime").asc, col("source").asc, col("doc_id").asc)))
+      .select(col("pos"), col("vtime"), col("source"), col("doc_id"),
+        col("src_rank"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.sameElements(naive), "two-level rank diverged from the naive window")
+    // vtime = src_rank * (100 / w): per-source spacing IS the stride
+    got.groupBy(_._3).foreach { case (src, rows) =>
+      val stride = rows.head._2 / rows.head._5
+      assert(rows.forall(r => r._2 == r._5 * stride), s"$src off-stride")
+    }
+    // weight-100 sources are consumed 5x as fast as weight-20 ones:
+    // within any schedule head, each w=100 source has strictly more
+    // docs than any w=20 source (strides 1 vs 5)
+    val bySrc = got.groupBy(_._3).map { case (k, v) => k -> v.length }
+    val fast = (0 to 3).map(i => bySrc.getOrElse(s"src$i", 0))
+    val slow = (8 to 19).map(i => bySrc.getOrElse(s"src$i", 0))
+    assert(fast.min > slow.max,
+      s"interleave broken: w=100 counts $fast vs w=20 counts $slow")
+  }
 }
