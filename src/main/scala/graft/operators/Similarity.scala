@@ -31,7 +31,8 @@ object Similarity {
     "q62_embed_quantize" -> q62,
     "q99_pq_ann" -> q99,
     "q105_semantic_dedup" -> q105,
-    "q113_cluster_balance" -> q113
+    "q113_cluster_balance" -> q113,
+    "q129_knn_label_probe" -> q129
   )
 
   /** Salt for the q113 per-cell draw order — decorrelated from every
@@ -576,4 +577,53 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"),
         r4(col("ad2")).as("approx_d2"), col("rk"))
   }
+
+  /** Query-cohort modulus and neighbor count for the label probe. */
+  val LPROBE_MOD = 10
+  val LPROBE_K = 10
+
+  /** q129 — embedding-space kNN label probe: the standard
+    * encoder-quality readout an embedding pipeline runs before
+    * trusting vectors for retrieval/dedup — leave-one-out k-nearest
+    * classification of a held-out query cohort against the labeled
+    * corpus, reported as per-label accuracy. Majority vote over the
+    * k exact-cosine neighbors, ties broken toward the smallest label
+    * (deterministic); prediction and vote counts are all-integer once
+    * ranks exist, and ranks use the q22 discipline (r6(cos) desc,
+    * n_id asc) — engine-exact end to end.
+    *
+    * Scale shape: the cohort is small by construction (a probe, not a
+    * workload), so it rides a broadcast against ONE corpus scan —
+    * q22's audited shape; the vote and the accuracy rollup are keyed
+    * aggs on cohort-sized data. At corpus scale the neighbor source
+    * swaps to the IVF (q42) / PQ (q99) ranked-list contract behind
+    * the same vote. */
+  def knnLabelProbe(e: DataFrame, queryPred: Column,
+                    k: Int = LPROBE_K): DataFrame = {
+    val q = e.filter(queryPred).select(col("vec_id").as("q_id"),
+      col("v").as("qv"), col("label").as("true_label"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("true_label"), col("vec_id").as("n_id"),
+        col("label").as("n_label"), r6(cosineArr(col("qv"), col("v"))).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    val votes = pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col("q_id"), col("true_label"), col("n_label"))
+      .agg(count(lit(1)).as("nv"))
+    val wv = Window.partitionBy(col("q_id"))
+      .orderBy(col("nv").desc, col("n_label").asc)
+    votes.withColumn("vr", row_number().over(wv)).filter(col("vr") === 1)
+      .groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("n_label") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("true_label"), col("n_queries"), col("n_correct"),
+        r4(col("n_correct").cast("double") / col("n_queries")).as("acc"))
+  }
+
+  private def q129(spark: SparkSession, dir: String): DataFrame =
+    knnLabelProbe(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label")),
+      col("vec_id") % LPROBE_MOD === 0)
 }

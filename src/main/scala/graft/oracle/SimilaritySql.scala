@@ -64,6 +64,43 @@ object SimilaritySql {
          |      FROM pairs)
          |WHERE rk <= 10""".stripMargin,
 
+    // vote and accuracy are all-integer once ranks exist; ranks use
+    // the q22 discipline (r6(cos) desc, n_id asc) — engine-exact
+    "q129_knn_label_probe" -> {
+      val s = graft.operators.Similarity
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+         |            FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv, label AS true_label
+         |      FROM emb WHERE vec_id % ${s.LPROBE_MOD} = 0),
+         |pairs AS (
+         |  SELECT q.q_id, q.true_label, e.vec_id AS n_id, e.label AS n_label,
+         |         floor(list_sum(list_transform(list_zip(q.qv, e.v), z -> z[1]*z[2]))
+         |               / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
+         |                  * sqrt(list_sum(list_transform(e.v, x -> x*x))))
+         |               * 1000000.0 + 0.5) / 1000000.0 AS cos
+         |  FROM emb e JOIN q ON e.vec_id <> q.q_id),
+         |votes AS (
+         |  SELECT q_id, true_label, n_label, count(*) AS nv
+         |  FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+         |        FROM pairs)
+         |  WHERE rk <= ${s.LPROBE_K}
+         |  GROUP BY 1, 2, 3),
+         |pred AS (
+         |  SELECT q_id, true_label, n_label AS pred_label
+         |  FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY q_id ORDER BY nv DESC, n_label ASC) AS vr
+         |        FROM votes)
+         |  WHERE vr = 1)
+         |SELECT true_label, CAST(count(*) AS BIGINT) AS n_queries,
+         |       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_correct,
+         |       floor(CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+         |                  AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS acc
+         |FROM pred
+         |GROUP BY 1""".stripMargin
+    },
+
     "q23_kernel_matrix" ->
       s"""WITH $embCte,
          |a AS (SELECT vec_id AS a_id, v AS va FROM emb WHERE vec_id % 50 = 0),

@@ -121,6 +121,47 @@ class AnnRecallSpec extends SparkSuite {
     assert(p1.groupBy("q_id").count().agg(max("count")).head.getLong(0) <= 10)
     exact.unpersist()
   }
+
+  test("knnLabelProbe replays a driver-side brute force exactly") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    val got = Similarity.knnLabelProbe(e, col("vec_id") % Similarity.LPROBE_MOD === 0)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.nonEmpty, "fixture degenerate: empty probe readout")
+    // brute force with the operator's exact arithmetic: left-to-right
+    // dot/norm folds, r6 rank rounding, (cos desc, id asc) neighbor
+    // order, (votes desc, label asc) prediction tie-break
+    val all = e.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val want = all.filter(_._1 % Similarity.LPROBE_MOD == 0)
+      .map { case (qid, qv, tl) =>
+        val top = all.filter(_._1 != qid)
+          .map { case (nid, nv, nl) =>
+            (r6d(dot(qv, nv) / (math.sqrt(dot(qv, qv)) * math.sqrt(dot(nv, nv)))),
+              nid, nl) }
+          .sortBy { case (c, nid, _) => (-c, nid) }
+          .take(Similarity.LPROBE_K)
+        val pred = top.groupBy(_._3).map { case (l, v) => (l, v.length) }
+          .toSeq.sortBy { case (l, n) => (-n, l) }.head._1
+        (tl, pred)
+      }
+    val wantRows = want.groupBy(_._1).map { case (tl, preds) =>
+      val n = preds.length.toLong
+      val ok = preds.count(p => p._2 == p._1).toLong
+      (tl, n, ok, math.floor(ok.toDouble / n * 1e4 + 0.5) / 1e4)
+    }.toArray.sortBy(_._1)
+    assert(got.sameElements(wantRows),
+      s"probe diverged:\n got ${got.mkString(",")}\nwant ${wantRows.mkString(",")}")
+  }
 }
 
 object AnnRecallSpec {
@@ -135,4 +176,5 @@ object AnnRecallSpec {
           % IVF_SEED_MOD === 0)
       .count().toInt
   }
+
 }
