@@ -578,8 +578,14 @@ object Similarity {
         r4(col("ad2")).as("approx_d2"), col("rk"))
   }
 
-  /** Query-cohort modulus and neighbor count for the label probe. */
+  /** Query-cohort modulus, id cap and neighbor count for the label
+    * probe. The cap makes the cohort a FIXED eval set (every 10th of
+    * the first 500 ids) rather than a corpus fraction: accuracy
+    * readouts stay comparable across corpus snapshots, and the
+    * probe's cost stays one broadcast × one corpus scan at ANY corpus
+    * size instead of growing quadratically with it. */
   val LPROBE_MOD = 10
+  val LPROBE_ID_CAP = 500
   val LPROBE_K = 10
 
   /** q129 — embedding-space kNN label probe: the standard
@@ -625,5 +631,5 @@ object Similarity {
     knnLabelProbe(Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
           col("label")),
-      col("vec_id") % LPROBE_MOD === 0)
+      col("vec_id") % LPROBE_MOD === 0 && col("vec_id") < LPROBE_ID_CAP)
 }

@@ -71,7 +71,8 @@ object SimilaritySql {
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
          |            FROM embeddings),
          |q AS (SELECT vec_id AS q_id, v AS qv, label AS true_label
-         |      FROM emb WHERE vec_id % ${s.LPROBE_MOD} = 0),
+         |      FROM emb WHERE vec_id % ${s.LPROBE_MOD} = 0
+         |        AND vec_id < ${s.LPROBE_ID_CAP}),
          |pairs AS (
          |  SELECT q.q_id, q.true_label, e.vec_id AS n_id, e.label AS n_label,
          |         floor(list_sum(list_transform(list_zip(q.qv, e.v), z -> z[1]*z[2]))

@@ -128,7 +128,9 @@ class AnnRecallSpec extends SparkSuite {
     val e = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
         col("label"))
-    val got = Similarity.knnLabelProbe(e, col("vec_id") % Similarity.LPROBE_MOD === 0)
+    val got = Similarity.knnLabelProbe(e,
+      col("vec_id") % Similarity.LPROBE_MOD === 0 &&
+        col("vec_id") < Similarity.LPROBE_ID_CAP)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .sortBy(_._1)
     assert(got.nonEmpty, "fixture degenerate: empty probe readout")
@@ -142,7 +144,8 @@ class AnnRecallSpec extends SparkSuite {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }; s
     }
-    val want = all.filter(_._1 % Similarity.LPROBE_MOD == 0)
+    val want = all.filter(v => v._1 % Similarity.LPROBE_MOD == 0 &&
+        v._1 < Similarity.LPROBE_ID_CAP)
       .map { case (qid, qv, tl) =>
         val top = all.filter(_._1 != qid)
           .map { case (nid, nv, nl) =>
