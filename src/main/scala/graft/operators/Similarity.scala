@@ -32,7 +32,8 @@ object Similarity {
     "q99_pq_ann" -> q99,
     "q105_semantic_dedup" -> q105,
     "q113_cluster_balance" -> q113,
-    "q129_knn_label_probe" -> q129
+    "q129_knn_label_probe" -> q129,
+    "q130_label_separation" -> q130
   )
 
   /** Salt for the q113 per-cell draw order — decorrelated from every
@@ -632,4 +633,60 @@ object Similarity {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
           col("label")),
       col("vec_id") % LPROBE_MOD === 0 && col("vec_id") < LPROBE_ID_CAP)
+
+  /** q130 — embedding-space separation report: the geometric twin of
+    * the q129 vote — per label, how tightly its vectors hug their own
+    * centroid vs how close the nearest OTHER centroid sits. The
+    * class-separability readout (Fisher/Davies–Bouldin shaped) that
+    * decides whether a space is trustworthy for label-conditioned
+    * sampling or classifier training.
+    *
+    * Exactness: the centroid is carried as the per-(label, dim) SUM
+    * of r6-quantized coordinates in DECIMAL — order-independent at
+    * any parallelism (the q116 centroid posture) — and cosine is
+    * scale-invariant, so the sum vector stands in for the mean and NO
+    * division ever touches the centroid. Per-vector cosines are
+    * r6-quantized and averaged via a DECIMAL sum / count (the q106
+    * mean pattern). Everything else is integer or a fixed two-term
+    * IEEE expression.
+    *
+    * Scale shape: one posexplode pass → keyed (label, dim) agg that
+    * partial-aggregates map-side (|labels|·|dims| rows out); the
+    * centroid table is tiny and broadcasts back for ONE more corpus
+    * scan (the intra pass); the inter-centroid ranking is
+    * |labels|² rows. Nothing corpus-sized ever sorts or self-joins. */
+  def labelSeparation(e: DataFrame): DataFrame = {
+    val dims = e.select(col("label"), posexplode(col("v")))
+      .select(col("label"), col("pos").as("dim"),
+        r6(col("col")).cast("decimal(38,6)").as("xq"))
+    val cvec = dims.groupBy(col("label"), col("dim"))
+      .agg(sum(col("xq")).as("sx"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("sx").cast("double").as("c")))),
+        s => s.getField("c")).as("sv"))
+    val nvec = e.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    val imean = e.join(broadcast(cvec), Seq("label"))
+      .select(col("label"), r6(cosineArr(col("v"), col("sv"))).as("icos"))
+      .groupBy(col("label"))
+      .agg(sum(col("icos").cast("decimal(20,6)")).as("s"), count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("ccos").desc, col("nn_label").asc)
+    val nn = cvec.join(
+        broadcast(cvec.select(col("label").as("nn_label"), col("sv").as("sv_b"))),
+        col("label") =!= col("nn_label"))
+      .select(col("label"), col("nn_label"),
+        r6(cosineArr(col("sv"), col("sv_b"))).as("ccos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+    imean.join(nvec, Seq("label")).join(nn, Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        r4(col("s").cast("double") / col("n")).as("intra_cos"),
+        col("nn_label"), r4(col("ccos")).as("nn_cos"),
+        (r4(col("s").cast("double") / col("n")) - r4(col("ccos"))).as("margin"))
+  }
+
+  private def q130(spark: SparkSession, dir: String): DataFrame =
+    labelSeparation(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label")))
 }

@@ -102,6 +102,55 @@ object SimilaritySql {
          |GROUP BY 1""".stripMargin
     },
 
+    // centroid = DECIMAL sum of r6-quantized coordinates (order-free);
+    // cosine is scale-invariant so the sum vector stands in for the
+    // mean — no decimal division anywhere; intra mean = DECIMAL sum of
+    // r6 cosines / count (the q106 pattern)
+    "q130_label_separation" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |            FROM embeddings),
+        |dims AS (
+        |  SELECT label, i - 1 AS dim,
+        |         CAST(floor(v[i] * 1000000.0 + 0.5) / 1000000.0
+        |              AS DECIMAL(38,6)) AS xq
+        |  FROM emb, UNNEST(generate_series(1, len(v))) AS t(i)),
+        |cvec AS (
+        |  SELECT label, list(CAST(sx AS DOUBLE) ORDER BY dim) AS sv
+        |  FROM (SELECT label, dim, SUM(xq) AS sx FROM dims GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |nvec AS (SELECT label, count(*) AS n_vecs FROM emb GROUP BY 1),
+        |imean AS (
+        |  SELECT label, SUM(CAST(icos AS DECIMAL(20,6))) AS s, count(*) AS n
+        |  FROM (
+        |    SELECT e.label,
+        |           floor(list_sum(list_transform(list_zip(e.v, c.sv), z -> z[1]*z[2]))
+        |                 / (sqrt(list_sum(list_transform(e.v, x -> x*x)))
+        |                    * sqrt(list_sum(list_transform(c.sv, x -> x*x))))
+        |                 * 1000000.0 + 0.5) / 1000000.0 AS icos
+        |    FROM emb e JOIN cvec c USING (label))
+        |  GROUP BY 1),
+        |nn AS (
+        |  SELECT label, nn_label, ccos
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY label ORDER BY ccos DESC, nn_label ASC) AS rk
+        |        FROM (
+        |          SELECT a.label, b.label AS nn_label,
+        |                 floor(list_sum(list_transform(list_zip(a.sv, b.sv), z -> z[1]*z[2]))
+        |                       / (sqrt(list_sum(list_transform(a.sv, x -> x*x)))
+        |                          * sqrt(list_sum(list_transform(b.sv, x -> x*x))))
+        |                       * 1000000.0 + 0.5) / 1000000.0 AS ccos
+        |          FROM cvec a JOIN cvec b ON a.label <> b.label))
+        |  WHERE rk = 1)
+        |SELECT label, n_vecs, intra_cos, nn_label, nn_cos,
+        |       intra_cos - nn_cos AS margin
+        |FROM (
+        |  SELECT i.label, nv.n_vecs,
+        |         floor(CAST(i.s AS DOUBLE) / i.n * 10000.0 + 0.5) / 10000.0
+        |           AS intra_cos,
+        |         nn.nn_label,
+        |         floor(nn.ccos * 10000.0 + 0.5) / 10000.0 AS nn_cos
+        |  FROM imean i JOIN nvec nv USING (label) JOIN nn USING (label))""".stripMargin,
+
     "q23_kernel_matrix" ->
       s"""WITH $embCte,
          |a AS (SELECT vec_id AS a_id, v AS va FROM emb WHERE vec_id % 50 = 0),

@@ -165,6 +165,48 @@ class AnnRecallSpec extends SparkSuite {
     assert(got.sameElements(wantRows),
       s"probe diverged:\n got ${got.mkString(",")}\nwant ${wantRows.mkString(",")}")
   }
+
+  test("labelSeparation replays a driver-side brute force exactly") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    val got = Similarity.labelSeparation(e).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(got.length == 10, s"expected 10 label rows, got ${got.length}")
+    val all = e.collect().map(r =>
+      (r.getSeq[Double](1).toArray, r.getInt(2)))
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def r4d(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]) =
+      r6d(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    // centroid sum vectors with the operator's exact arithmetic:
+    // r6-quantized coordinates summed as BigDecimal, cast to double
+    val byLabel = all.groupBy(_._2)
+    val sv = byLabel.map { case (l, vs) =>
+      val d = vs.head._1.length
+      l -> Array.tabulate(d) { i =>
+        vs.map(v => BigDecimal(r6d(v._1(i)))).sum.toDouble
+      }
+    }
+    val want = byLabel.toSeq.sortBy(_._1).map { case (l, vs) =>
+      val intra = r4d(vs.map(v => BigDecimal(cos(v._1, sv(l)))).sum.toDouble
+        / vs.length)
+      val (nnCos, nnL) = sv.filter(_._1 != l)
+        .map { case (o, ov) => (cos(sv(l), ov), o) }
+        .toSeq.sortBy { case (c, o) => (-c, o) }.head
+      (l, vs.length.toLong, intra, nnL, r4d(nnCos), intra - r4d(nnCos))
+    }.toArray
+    assert(got.sameElements(want),
+      s"separation diverged:\n got ${got.mkString(",")}\nwant ${want.mkString(",")}")
+  }
 }
 
 object AnnRecallSpec {
