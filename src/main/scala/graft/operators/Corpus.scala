@@ -39,7 +39,8 @@ object Corpus {
     "q124b_split_repair" -> q124b,
     "q125_training_manifest" -> q125,
     "q127_hybrid_rrf" -> q127,
-    "q128_mix_schedule" -> q128
+    "q128_mix_schedule" -> q128,
+    "q131_source_datasheet" -> q131
   )
 
   /** Lucene-standard BM25 parameters. */
@@ -1042,4 +1043,71 @@ object Corpus {
 
   private def q128(spark: SparkSession, dir: String): DataFrame =
     mixSchedule(Tables.documents(spark, dir))
+
+  /** q131 — per-source datasheet: the data card a dataset release
+    * publishes, one row per source — volume (docs, tokens), language
+    * mix (count + entropy), exact-duplicate rate (the q18 canonical
+    * rule), Gopher pass rate (q107's flags under the same capability
+    * guard), and mean bigram-LM quality (q94's score). The read-side
+    * per-SOURCE companion to q100's per-doc verdicts and q126's
+    * dedup savings: the table a data team reads before touching the
+    * q70 mixing weights.
+    *
+    * Exactness: every fraction is integer/integer → one IEEE division
+    * → r4; entropy terms and LM means ride the r6/r4-quantize →
+    * DECIMAL-sum pattern so shuffle order never shows. Docs too short
+    * for a stage (no tokens / <2 bigrams) are counted as failing the
+    * Gopher gate and excluded from the LM mean — both via left joins,
+    * mirrored in the oracle.
+    *
+    * Scale shape: all four stage inputs are already-audited keyed
+    * aggs (q18's md5 group, q107's per-doc flags, q94's LM chain);
+    * the rollup is ONE groupBy(source) with map-side partials, and
+    * the language-entropy dim is |sources|×|langs| rows. */
+  def sourceDatasheet(docs: DataFrame, hasLines: Boolean): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"), col("lang"),
+      size(VectorFns.tokens(col("text"))).cast("long").as("n_tok"),
+      md5(Dedup.normText(col("text"))).as("fp"))
+    val canon = base.groupBy(col("fp")).agg(min(col("doc_id")).as("canon_doc"))
+    val perDoc = base.join(canon, Seq("fp"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tok"),
+        (col("doc_id") =!= col("canon_doc")).cast("long").as("is_dup"))
+      .join(TextOps.gopherFlags(docs, hasLines)
+        .select(col("doc_id"), col("gopher_pass")), Seq("doc_id"), "left")
+      .join(TextOps.lmQualityScores(docs)
+        .select(col("doc_id"), col("avg_logp")), Seq("doc_id"), "left")
+    val langMix = perDoc.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("nl"))
+    val entropy = langMix
+      .join(langMix.groupBy(col("source")).agg(sum(col("nl")).as("ns")),
+        Seq("source"))
+      .select(col("source"),
+        r6((-(col("nl").cast("double") / col("ns")))
+          * log(col("nl").cast("double") / col("ns")))
+          .cast("decimal(20,6)").as("term"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"), sum(col("term")).as("ent"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("is_dup")).as("n_dups"),
+        sum(coalesce(col("gopher_pass").cast("long"), lit(0L))).as("n_pass"),
+        sum(col("avg_logp").cast("decimal(20,4)")).as("slp"),
+        count(col("avg_logp")).as("n_lm"))
+      .join(entropy, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        r4(col("ent").cast("double")).as("lang_entropy"),
+        r4(col("n_dups").cast("double") / col("n_docs")).as("dup_frac"),
+        r4(col("n_pass").cast("double") / col("n_docs")).as("gopher_pass_frac"),
+        when(col("n_lm") > 0, r4(col("slp").cast("double") / col("n_lm")))
+          .as("mean_logp"))
+  }
+
+  private def q131(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val hasLines = docs
+      .agg(max(col("text").contains("\n").cast("int")).as("h"))
+      .head().getInt(0) == 1
+    sourceDatasheet(docs, hasLines)
+  }
 }

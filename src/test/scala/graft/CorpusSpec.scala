@@ -776,4 +776,47 @@ class CorpusSpec extends SparkSuite {
     assert(fast.min > slow.max,
       s"interleave broken: w=100 counts $fast vs w=20 counts $slow")
   }
+
+  test("sourceDatasheet composes its standalone stages exactly") {
+    val dir = "/root/testdata/sf0.001"
+    def r4d(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val sheet = graft.SparkEntry.queries("q131_source_datasheet")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(sheet.size == 20, s"expected 20 sources, got ${sheet.size}")
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val srcOf = docs.map(d => d._1 -> d._2).toMap
+    // dup_frac reconciles with q18's canonical groups
+    val dupDocs = graft.SparkEntry.queries("q18_exact_dedup")(spark, dir)
+      .collect().flatMap { r =>
+        val canon = r.getLong(1)
+        r.getString(3).split(",").map(_.toLong).filter(_ != canon)
+      }.toSet
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val want = r4d(ds.count(d => dupDocs(d._1)).toDouble / ds.length)
+      assert(sheet(src)._5 == want, s"$src dup_frac ${sheet(src)._5} != $want")
+    }
+    // gopher_pass_frac reconciles with q107's per-doc flags (docs the
+    // flag query drops — zero tokens — count as failing)
+    val gp = graft.SparkEntry.queries("q107_gopher_flags")(spark, dir)
+      .select(col("doc_id"), col("gopher_pass")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val want = r4d(ds.map(d => gp.getOrElse(d._1, 0)).sum.toDouble / ds.length)
+      assert(sheet(src)._6 == want, s"$src gopher frac ${sheet(src)._6} != $want")
+    }
+    // language mix: n_langs and the quantized-entropy replay
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val mix = ds.groupBy(_._3).map(_._2.length)
+      assert(sheet(src)._3 == mix.size.toLong, s"$src n_langs")
+      val n = ds.length.toDouble
+      val want = r4d(mix.map { nl =>
+        BigDecimal(r6d(-(nl / n) * math.log(nl / n))) }.sum.toDouble)
+      assert(sheet(src)._4 == want, s"$src entropy ${sheet(src)._4} != $want")
+    }
+  }
 }
