@@ -777,6 +777,18 @@ class CorpusSpec extends SparkSuite {
       s"interleave broken: w=100 counts $fast vs w=20 counts $slow")
   }
 
+  test("q128 plan shape: bucketed rank window + broadcast offsets, head via TakeOrdered") {
+    val df = graft.SparkEntry.queries("q128_mix_schedule")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bkt"),
+      s"rank window must partition by the hkey-prefix bucket:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket-count offsets (<=4096 rows/source) must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the schedule head must be TakeOrdered, never a global sort:\n$plan")
+  }
+
   test("sourceDatasheet composes its standalone stages exactly") {
     val dir = "/root/testdata/sf0.001"
     def r4d(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
