@@ -39,6 +39,7 @@ object Corpus {
     "q124b_split_repair" -> q124b,
     "q125_training_manifest" -> q125,
     "q127_hybrid_rrf" -> q127,
+    "q127b_hybrid_rrf_ivf" -> q127b,
     "q128_mix_schedule" -> q128,
     "q131_source_datasheet" -> q131
   )
@@ -987,6 +988,47 @@ object Corpus {
 
   private def q127(spark: SparkSession, dir: String): DataFrame =
     hybridRrf(Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+
+  /** q127b — [[hybridRrf]] with the dense leg on the IVF scale path:
+    * the documented "swap the ranked-list source when the corpus
+    * outgrows one broadcast map" made concrete and oracle-gated. The
+    * dense ranking comes from [[Similarity.ivfTopK]] (probe-1: the
+    * query's own cell — candidate work O(cell occupancy ≈ SEED_MOD)
+    * regardless of corpus size) behind the SAME rank-only fusion; the
+    * query doc itself is excluded there (ivfTopK's self-filter), so
+    * the dense leg ranks true neighbors only. The one driver touch is
+    * a 1-row head() fetching the BM25 top-1 id (the q125 capability
+    * posture) — bounded by construction. */
+  def hybridRrfIvf(docs: DataFrame, embs: DataFrame,
+                   terms: Seq[String] = QUERY_TERMS,
+                   topDocs: Int = TOP_DOCS, k: Int = RRF_K,
+                   fusedTop: Int = RRF_TOP): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wLex = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+    val lex = bm25(docs, terms, topDocs)
+      .withColumn("rk_lex", row_number().over(wLex))
+    val qDoc = lex.filter(col("rk_lex") === 1).select(col("doc_id"))
+      .take(1).headOption.map(_.getLong(0)).getOrElse(-1L)
+    val dense = Similarity.ivfTopK(embs, col("vec_id") === qDoc,
+        Similarity.IVF_SEEDS, probes = 1, k = topDocs)
+      .select(col("n_id").as("doc_id"), col("rk").as("rk_dense"))
+    lex.select(col("doc_id"), col("rk_lex"))
+      .join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(k) + col("rk_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k) + col("rk_dense")), lit(0.0)))
+      .orderBy(r6(col("rrf")).desc, col("doc_id").asc)
+      .limit(fusedTop)
+      .select(col("doc_id"),
+        coalesce(col("rk_lex"), lit(0)).as("rk_lex"),
+        coalesce(col("rk_dense"), lit(0)).as("rk_dense"),
+        r6(col("rrf")).as("rrf"))
+  }
+
+  private def q127b(spark: SparkSession, dir: String): DataFrame =
+    hybridRrfIvf(Tables.documents(spark, dir),
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
 

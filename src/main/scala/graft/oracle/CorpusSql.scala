@@ -273,6 +273,59 @@ object CorpusSql {
          |LIMIT ${c.RRF_TOP}""".stripMargin
     },
 
+    // q127's fusion with the dense leg on the IVF path: lexical CTE
+    // chain shared with q64/q127, cell assignment + probe shared with
+    // the q42 oracle (cents interpolated from the Scala constants)
+    "q127b_hybrid_rrf_ivf" -> {
+      val c = graft.operators.Corpus
+      s"""WITH $bm25Cte,
+         |lex AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |           ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS rk_lex
+         |  FROM bm25top),
+         |${SimilaritySql.embCte},
+         |${SimilaritySql.ivfCentsCte},
+         |cells AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rk
+         |    FROM (
+         |      SELECT e.vec_id, e.v, c.cell,
+         |             floor(list_sum(list_transform(list_zip(e.v, c.cv),
+         |                     z -> (z[1]-z[2])*(z[1]-z[2])))
+         |                   * 1000000.0 + 0.5) / 1000000.0 AS d2
+         |      FROM emb e CROSS JOIN cents c))
+         |  WHERE rk = 1),
+         |qc AS (
+         |  SELECT cells.cell, cells.vec_id AS q_id, cells.v AS qv
+         |  FROM cells JOIN lex ON cells.vec_id = lex.doc_id
+         |  WHERE lex.rk_lex = 1),
+         |pairs AS (
+         |  SELECT c.vec_id AS doc_id,
+         |         floor(list_sum(list_transform(list_zip(qc.qv, c.v), z -> z[1]*z[2]))
+         |               / (sqrt(list_sum(list_transform(qc.qv, x -> x*x)))
+         |                  * sqrt(list_sum(list_transform(c.v, x -> x*x))))
+         |               * 1000000.0 + 0.5) / 1000000.0 AS cos
+         |  FROM cells c JOIN qc ON c.cell = qc.cell AND c.vec_id <> qc.q_id),
+         |dense AS (
+         |  SELECT doc_id, CAST(rk AS INTEGER) AS rk_dense
+         |  FROM (SELECT *, row_number() OVER (
+         |          ORDER BY cos DESC, doc_id ASC) AS rk
+         |        FROM pairs)
+         |  WHERE rk <= ${c.TOP_DOCS}),
+         |fused AS (
+         |  SELECT doc_id, rk_lex, rk_dense,
+         |         COALESCE(1.0 / (${c.RRF_K} + rk_lex), 0.0)
+         |           + COALESCE(1.0 / (${c.RRF_K} + rk_dense), 0.0) AS rrf
+         |  FROM lex FULL OUTER JOIN dense USING (doc_id))
+         |SELECT doc_id, CAST(COALESCE(rk_lex, 0) AS INTEGER) AS rk_lex,
+         |       CAST(COALESCE(rk_dense, 0) AS INTEGER) AS rk_dense,
+         |       ${sql6("rrf")} AS rrf
+         |FROM fused
+         |ORDER BY ${sql6("rrf")} DESC, doc_id ASC
+         |LIMIT ${c.RRF_TOP}""".stripMargin
+    },
+
     // naive single-window form — equal to the Spark side's two-level
     // prefix rank because the bucket is an hkey prefix (spec-pinned
     // on the Spark side); 100 // w is exact: every mixWeight divides

@@ -7,7 +7,7 @@ package graft.oracle
  */
 object SimilaritySql {
 
-  private val embCte =
+  private[oracle] val embCte =
     "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
 
   // coarse-quantizer seed rows, interpolated from the Scala constants
@@ -15,7 +15,7 @@ object SimilaritySql {
   // The codebook GROWS with the corpus: base seeds ∪ every vector
   // whose salted hash falls in 1/IVF_SEED_MOD of hash space (mirrors
   // Similarity.centsOf exactly).
-  private val ivfCentsCte = {
+  private[oracle] val ivfCentsCte = {
     val s = graft.operators.Similarity
     s"""cents AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv FROM emb

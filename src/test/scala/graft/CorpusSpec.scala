@@ -777,6 +777,50 @@ class CorpusSpec extends SparkSuite {
       s"interleave broken: w=100 counts $fast vs w=20 counts $slow")
   }
 
+  test("hybridRrfIvf: same lexical leg as q127, rank-exact fusion, cell-bounded dense leg") {
+    val dir = "/root/testdata/sf0.001"
+    def fetch(name: String) =
+      graft.SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val exact = fetch("q127_hybrid_rrf")
+    val ivf = fetch("q127b_hybrid_rrf_ivf")
+    assert(ivf.nonEmpty)
+    // the lexical leg is shared verbatim: any doc appearing with a
+    // lex rank in both fused lists carries the SAME rank
+    val lexA = exact.filter(_._2 > 0).map(r => r._1 -> r._2).toMap
+    val lexB = ivf.filter(_._2 > 0).map(r => r._1 -> r._2).toMap
+    val shared = lexA.keySet intersect lexB.keySet
+    assert(shared.nonEmpty && shared.forall(d => lexA(d) == lexB(d)),
+      "lexical ranks diverged between the exact and IVF fusions")
+    // rank-only fusion replays exactly from the emitted ranks
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    ivf.foreach { case (id, l, d, rrf) =>
+      val want = r6d((if (l > 0) 1.0 / (Corpus.RRF_K + l) else 0.0) +
+        (if (d > 0) 1.0 / (Corpus.RRF_K + d) else 0.0))
+      assert(rrf == want, s"doc $id: rrf $rrf != $want from ranks ($l, $d)")
+    }
+    // the IVF dense leg excludes the query doc (ivfTopK self-filter):
+    // the anchor doc (lex rank 1) carries NO dense rank here, unlike
+    // q127 where self-cosine puts it at dense rank 1
+    val anchor = ivf.find(_._2 == 1)
+    anchor.foreach(a => assert(a._3 == 0,
+      s"anchor doc ${a._1} must have no dense rank under ivfTopK, got ${a._3}"))
+    // dense leg is sound: every dense-ranked doc is a true cell-mate —
+    // i.e. it also appears in a direct ivfTopK run for the same query
+    val qDoc = exact.find(_._2 == 1).get._1
+    val embs = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val direct = graft.operators.Similarity.ivfTopK(embs,
+        col("vec_id") === qDoc, graft.operators.Similarity.IVF_SEEDS,
+        probes = 1, k = Corpus.TOP_DOCS)
+      .select(col("n_id"), col("rk")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ivf.filter(_._3 > 0).foreach { case (id, _, d, _) =>
+      assert(direct.get(id).contains(d),
+        s"dense rank of $id ($d) does not match a direct ivfTopK run")
+    }
+  }
+
   test("q128 plan shape: bucketed rank window + broadcast offsets, head via TakeOrdered") {
     val df = graft.SparkEntry.queries("q128_mix_schedule")(
       spark, "/root/testdata/sf0.001")
