@@ -874,5 +874,22 @@ class CorpusSpec extends SparkSuite {
         BigDecimal(r6d(-(nl / n) * math.log(nl / n))) }.sum.toDouble)
       assert(sheet(src)._4 == want, s"$src entropy ${sheet(src)._4} != $want")
     }
+    // mean_logp reconciles with q94's per-doc scores (decimal-sum/count)
+    val lm = graft.SparkEntry.queries("q94_lm_quality")(spark, dir)
+      .select(col("doc_id"), col("avg_logp")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val meanCol = graft.SparkEntry.queries("q131_source_datasheet")(spark, dir)
+      .select(col("source"), col("mean_logp")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val scores = ds.flatMap(d => lm.get(d._1))
+      // mirror the operator's decimal(20,4) cast: HALF_UP at 4 dp
+      val want = if (scores.isEmpty) None
+        else Some(r4d(scores
+          .map(BigDecimal(_).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble / scores.length))
+      assert(meanCol(src) == want, s"$src mean_logp ${meanCol(src)} != $want")
+    }
   }
 }
