@@ -143,4 +143,113 @@ object CorpusStreams {
       .groupBy(col("source"), col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("shard_tokens"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+
+  /** Streaming datasheet-on-ingest — the q131
+    * [[graft.operators.Corpus.sourceDatasheet]] maintained as LIVE
+    * per-source counters: every card column except the LM mean is a
+    * mergeable sum, so the state is ONE counter row per
+    * (source, lang) — bytes — plus the same standing seen-hash set the
+    * manifest/q95 gates already carry. `mean_logp` is deliberately
+    * absent: q94's bigram LM is a corpus-wide model, and an honest
+    * incremental card reports only what per-batch work can maintain
+    * (the batch q131 stays the full card).
+    *
+    * Dup semantics are ARRIVAL-ordered (first occurrence wins —
+    * within a batch the min doc_id, across batches the earlier
+    * batch), the same honest ingest semantics as the manifest
+    * stream's shard composition; single-batch ingest from empty state
+    * matches the batch card bit-for-bit on every shared column
+    * (parity-spec'd). Replay-safe via the same marker-last
+    * discipline. */
+  def datasheetStream(docs: DataFrame, outDir: String, checkpointDir: String,
+                      corpusHasLines: Boolean)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, id: Long) =>
+        ingestDatasheetBatch(b, id, outDir, corpusHasLines))
+      .start()
+
+  /** One micro-batch of [[datasheetStream]] — exposed for the parity
+    * spec and batch backfills. */
+  def ingestDatasheetBatch(batch: DataFrame, batchId: Long, outDir: String,
+                           corpusHasLines: Boolean): Unit = {
+    import graft.operators.{Dedup, TextOps}
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    val marker = s"$outDir/_sheet_batches/batch_id=$batchId"
+    if (exists(marker)) return
+
+    val hashesPath = s"$outDir/sheet_hashes"
+    val countersPath = s"$outDir/sheet_counters"
+
+    val keyed = batch.select(col("doc_id"), col("source"), col("lang"),
+      size(graft.functions.VectorFns.tokens(col("text"))).cast("long")
+        .as("n_tok"),
+      md5(Dedup.normText(col("text"))).as("h"))
+    val canon = keyed.groupBy(col("h")).agg(min(col("doc_id")).as("canon_doc"))
+    val standing =
+      if (exists(hashesPath))
+        spark.read.parquet(hashesPath).withColumn("seen", lit(1))
+      else keyed.select(col("h")).limit(0).withColumn("seen", lit(1))
+    val perDoc = keyed
+      .join(canon, Seq("h"))
+      .join(standing, Seq("h"), "left")
+      .withColumn("is_dup",
+        (col("doc_id") =!= col("canon_doc") || col("seen").isNotNull)
+          .cast("long"))
+      .join(TextOps.gopherFlags(batch, corpusHasLines)
+        .select(col("doc_id"), col("gopher_pass")), Seq("doc_id"), "left")
+      .withColumn("pass", coalesce(col("gopher_pass").cast("long"), lit(0L)))
+    val delta = perDoc.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("is_dup")).as("n_dups"), sum(col("pass")).as("n_pass"))
+    val merged =
+      (if (exists(countersPath)) spark.read.parquet(countersPath).union(delta)
+       else delta)
+        .groupBy(col("source"), col("lang"))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_dups")).as("n_dups"), sum(col("n_pass")).as("n_pass"))
+        .cache()
+    merged.count() // materialize BEFORE overwriting the path it read from
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/sheet_counters_next")
+    merged.unpersist()
+    // atomic-enough swap: counters_next is complete before the rename
+    val cur = new org.apache.hadoop.fs.Path(countersPath)
+    if (fs.exists(cur)) fs.delete(cur, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$outDir/sheet_counters_next"), cur)
+    keyed.select(col("h")).distinct()
+      .write.mode("append").parquet(hashesPath)
+    spark.range(1).select(lit(batchId).as("batch_id"))
+      .write.mode("overwrite").parquet(marker)
+  }
+
+  /** The per-source card over the live counters — q131's columns
+    * except `mean_logp`, computed with the SAME quantized-entropy
+    * arithmetic so single-batch ingest is bit-identical to the batch
+    * card's shared columns. */
+  def datasheet(spark: SparkSession, outDir: String): DataFrame = {
+    import graft.functions.Rounding.{r4, r6}
+    val c = spark.read.parquet(s"$outDir/sheet_counters")
+    val entropy = c.select(col("source"), col("lang"), col("n_docs").as("nl"))
+      .join(c.groupBy(col("source")).agg(sum(col("n_docs")).as("ns")),
+        Seq("source"))
+      .select(col("source"),
+        r6((-(col("nl").cast("double") / col("ns")))
+          * log(col("nl").cast("double") / col("ns")))
+          .cast("decimal(20,6)").as("term"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"), sum(col("term")).as("ent"))
+    c.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_dups")).as("n_dups"), sum(col("n_pass")).as("n_pass"))
+      .join(entropy, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        r4(col("ent").cast("double")).as("lang_entropy"),
+        r4(col("n_dups").cast("double") / col("n_docs")).as("dup_frac"),
+        r4(col("n_pass").cast("double") / col("n_docs")).as("gopher_pass_frac"))
+  }
 }

@@ -137,4 +137,49 @@ class CorpusStreamsSpec extends SparkSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(offAfter == offBefore, "offsets double-advanced on replay")
   }
+
+  test("datasheet-on-ingest: single batch matches the batch card; dups detected across batches; replay-safe") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val hasLines = docs
+      .agg(max(col("text").contains("\n").cast("int")).as("h"))
+      .head().getInt(0) == 1
+    val out = freshDir()
+    CorpusStreams.ingestDatasheetBatch(docs, 0L, out, hasLines)
+    def card(dir: String) = CorpusStreams.datasheet(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    val streamed = card(out)
+    val batchCard = graft.operators.Corpus.sourceDatasheet(docs, hasLines)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(streamed.nonEmpty && streamed == batchCard,
+      "single-batch card must equal the batch q131 on every shared column")
+
+    // cross-batch dedup: replay HALF the corpus as a later batch — every
+    // doc's hash is already standing, so all of batch 1 counts as dup
+    val out2 = freshDir()
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    CorpusStreams.ingestDatasheetBatch(a, 0L, out2, hasLines)
+    CorpusStreams.ingestDatasheetBatch(a, 1L, out2, hasLines)
+    val c2 = spark.read.parquet(s"$out2/sheet_counters")
+      .agg(sum(col("n_docs")), sum(col("n_dups"))).head()
+    val nA = a.count()
+    assert(c2.getLong(0) == 2 * nA, "both batches must be counted")
+    // dups after the replayed content: batch-1 in-batch dups + ALL of
+    // batch 2 (every hash already standing)
+    val inBatchDups = {
+      val out3 = freshDir()
+      CorpusStreams.ingestDatasheetBatch(a, 0L, out3, hasLines)
+      spark.read.parquet(s"$out3/sheet_counters")
+        .agg(sum(col("n_dups"))).head().getLong(0)
+    }
+    assert(c2.getLong(1) == inBatchDups + nA,
+      s"cross-batch dups: got ${c2.getLong(1)}, want $inBatchDups + $nA")
+
+    // crash-replay of the SAME batch id leaves the counters unchanged
+    val before = card(out)
+    CorpusStreams.ingestDatasheetBatch(docs, 0L, out, hasLines)
+    assert(card(out) == before, "counters double-advanced on replay")
+  }
 }
