@@ -33,7 +33,8 @@ object Similarity {
     "q105_semantic_dedup" -> q105,
     "q113_cluster_balance" -> q113,
     "q129_knn_label_probe" -> q129,
-    "q130_label_separation" -> q130
+    "q130_label_separation" -> q130,
+    "q132_hard_negatives" -> q132
   )
 
   /** Salt for the q113 per-cell draw order — decorrelated from every
@@ -689,4 +690,54 @@ object Similarity {
     labelSeparation(Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
         col("label")))
+
+  /** Hard negatives per anchor (q132). */
+  val HNEG_K = 5
+
+  /** q132 — triplet mining for embedding-model training (the
+    * DPR/ANCE hard-negative step): for each anchor in a fixed cohort,
+    * the top-1 SAME-label neighbor is the positive and the k nearest
+    * DIFFERENT-label vectors are the hard negatives — the wrong-label
+    * items the model currently confuses, exactly what contrastive
+    * fine-tuning wants in the denominator. One row per
+    * (anchor, neg_rank) = one training triplet, with the cosine
+    * margin (pos − neg) the loss will push on. Anchors whose label
+    * has no second member drop (no positive exists — the honest
+    * semantics, deterministic on both engines).
+    *
+    * Exactness: both rankings use the q22 discipline (r6(cos) desc,
+    * id asc); the margin is a subtraction of two r4 values — a single
+    * IEEE op on identical inputs. Scale shape: the fixed cohort rides
+    * ONE broadcast against ONE corpus scan (the q129 posture); at
+    * corpus scale the neighbor stream swaps to the IVF/PQ ranked-list
+    * contract (the q127b swap) and the mining joins are unchanged. */
+  def hardNegatives(e: DataFrame, queryPred: Column,
+                    k: Int = HNEG_K): DataFrame = {
+    val anchors = e.filter(queryPred).select(col("vec_id").as("a_id"),
+      col("v").as("av"), col("label").as("a_label"))
+    val pairs = e.join(broadcast(anchors), col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("a_label"), col("vec_id").as("n_id"),
+        col("label").as("n_label"), r6(cosineArr(col("av"), col("v"))).as("cos"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    val pos = pairs.filter(col("n_label") === col("a_label"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("a_id"), col("n_id").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = pairs.filter(col("n_label") =!= col("a_label"))
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col("a_id"), col("a_label"), col("neg_rank"),
+        col("n_id").as("neg_id"), col("cos").as("neg_cos"))
+    neg.join(pos, Seq("a_id"))
+      .select(col("a_id"), col("a_label"), col("pos_id"),
+        r4(col("pos_cos")).as("pos_cos"), col("neg_rank"), col("neg_id"),
+        r4(col("neg_cos")).as("neg_cos"),
+        (r4(col("pos_cos")) - r4(col("neg_cos"))).as("margin"))
+  }
+
+  private def q132(spark: SparkSession, dir: String): DataFrame =
+    hardNegatives(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label")),
+      col("vec_id") % LPROBE_MOD === 0 && col("vec_id") < LPROBE_ID_CAP)
 }

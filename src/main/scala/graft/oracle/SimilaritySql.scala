@@ -102,6 +102,43 @@ object SimilaritySql {
          |GROUP BY 1""".stripMargin
     },
 
+    // both rankings under the q22 discipline; margin = one IEEE
+    // subtraction of two r4 values
+    "q132_hard_negatives" -> {
+      val s = graft.operators.Similarity
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+         |            FROM embeddings),
+         |a AS (SELECT vec_id AS a_id, v AS av, label AS a_label
+         |      FROM emb WHERE vec_id % ${s.LPROBE_MOD} = 0
+         |        AND vec_id < ${s.LPROBE_ID_CAP}),
+         |pairs AS (
+         |  SELECT a.a_id, a.a_label, e.vec_id AS n_id, e.label AS n_label,
+         |         floor(list_sum(list_transform(list_zip(a.av, e.v), z -> z[1]*z[2]))
+         |               / (sqrt(list_sum(list_transform(a.av, x -> x*x)))
+         |                  * sqrt(list_sum(list_transform(e.v, x -> x*x))))
+         |               * 1000000.0 + 0.5) / 1000000.0 AS cos
+         |  FROM emb e JOIN a ON e.vec_id <> a.a_id),
+         |pos AS (
+         |  SELECT a_id, n_id AS pos_id, cos AS pos_cos
+         |  FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY a_id ORDER BY cos DESC, n_id ASC) AS rk
+         |        FROM pairs WHERE n_label = a_label)
+         |  WHERE rk = 1),
+         |neg AS (
+         |  SELECT a_id, a_label, rk AS neg_rank, n_id AS neg_id, cos AS neg_cos
+         |  FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY a_id ORDER BY cos DESC, n_id ASC) AS rk
+         |        FROM pairs WHERE n_label <> a_label)
+         |  WHERE rk <= ${s.HNEG_K})
+         |SELECT n.a_id, n.a_label, p.pos_id,
+         |       floor(p.pos_cos * 10000.0 + 0.5) / 10000.0 AS pos_cos,
+         |       CAST(n.neg_rank AS INTEGER) AS neg_rank, n.neg_id,
+         |       floor(n.neg_cos * 10000.0 + 0.5) / 10000.0 AS neg_cos,
+         |       floor(p.pos_cos * 10000.0 + 0.5) / 10000.0
+         |         - floor(n.neg_cos * 10000.0 + 0.5) / 10000.0 AS margin
+         |FROM neg n JOIN pos p USING (a_id)""".stripMargin
+    },
+
     // centroid = DECIMAL sum of r6-quantized coordinates (order-free);
     // cosine is scale-invariant so the sum vector stands in for the
     // mean — no decimal division anywhere; intra mean = DECIMAL sum of

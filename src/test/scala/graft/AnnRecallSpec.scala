@@ -207,6 +207,49 @@ class AnnRecallSpec extends SparkSuite {
     assert(got.sameElements(want),
       s"separation diverged:\n got ${got.mkString(",")}\nwant ${want.mkString(",")}")
   }
+
+  test("hardNegatives replays a driver-side brute force exactly") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    val pred = col("vec_id") % Similarity.LPROBE_MOD === 0 &&
+      col("vec_id") < Similarity.LPROBE_ID_CAP
+    val got = Similarity.hardNegatives(e, pred).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+      .sortBy(t => (t._1, t._5))
+    assert(got.nonEmpty)
+    val all = e.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def r4d(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]) =
+      r6d(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    val want = all
+      .filter(v => v._1 % Similarity.LPROBE_MOD == 0 &&
+        v._1 < Similarity.LPROBE_ID_CAP)
+      .flatMap { case (aid, av, al) =>
+        val ranked = all.filter(_._1 != aid)
+          .map { case (nid, nv, nl) => (cos(av, nv), nid, nl) }
+          .sortBy { case (c, nid, _) => (-c, nid) }
+        ranked.find(_._3 == al).toSeq.flatMap { case (pc, pid, _) =>
+          ranked.filter(_._3 != al).take(Similarity.HNEG_K).zipWithIndex
+            .map { case ((nc, nid, _), i) =>
+              (aid, al, pid, r4d(pc), i + 1, nid, r4d(nc), r4d(pc) - r4d(nc)) }
+        }
+      }.sortBy(t => (t._1, t._5))
+    assert(got.sameElements(want),
+      s"triplets diverged:\n got ${got.take(3).mkString(",")}\nwant ${want.take(3).mkString(",")}")
+    // margins are what the triplet loss pushes on: every row carries
+    // pos and neg from the SAME anchor, margin consistent by field math
+    assert(got.forall(t => math.abs(t._8 - (t._4 - t._7)) < 1e-12))
+  }
 }
 
 object AnnRecallSpec {
