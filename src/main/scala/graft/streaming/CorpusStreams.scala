@@ -146,34 +146,59 @@ object CorpusStreams {
 
   /** Streaming datasheet-on-ingest — the q131
     * [[graft.operators.Corpus.sourceDatasheet]] maintained as LIVE
-    * per-source counters: every card column except the LM mean is a
-    * mergeable sum, so the state is ONE counter row per
-    * (source, lang) — bytes — plus the same standing seen-hash set the
-    * manifest/q95 gates already carry. `mean_logp` is deliberately
-    * absent: q94's bigram LM is a corpus-wide model, and an honest
-    * incremental card reports only what per-batch work can maintain
-    * (the batch q131 stays the full card).
+    * per-source counters. State under `outDir` is BATCH-KEYED and
+    * every write is idempotent, so a crash-replayed micro-batch
+    * reconverges to the same state regardless of where the previous
+    * attempt died:
+    *
+    *   - `sheet_hashes/batch_id=N` — the content hashes FIRST seen in
+    *     batch N (anti-joined against the standing set of earlier
+    *     batches before writing, so the standing set stays UNIQUE per
+    *     hash and the dup-detection join can never multiply perDoc
+    *     rows no matter how often the same content re-arrives)
+    *   - `sheet_deltas/batch_id=N` — batch N's per-(source, lang)
+    *     counter delta, computed ONLY against earlier batches' hashes
+    *     (a replay reads the identical standing set → identical
+    *     delta; overwrite-by-partition makes the write idempotent)
+    *   - `sheet_counters` — a DERIVED materialization (one sum over
+    *     the deltas) swapped in via rename-aside, so no crash point
+    *     loses state that the next replay can't rebuild from the
+    *     deltas
+    *   - `sheet_docs/batch_id=N` + `sheet_logp` — only when
+    *     `lmRefreshEvery > 0` (see the LM-refresh note below)
     *
     * Dup semantics are ARRIVAL-ordered (first occurrence wins —
     * within a batch the min doc_id, across batches the earlier
     * batch), the same honest ingest semantics as the manifest
     * stream's shard composition; single-batch ingest from empty state
     * matches the batch card bit-for-bit on every shared column
-    * (parity-spec'd). Replay-safe via the same marker-last
-    * discipline. */
+    * (parity-spec'd).
+    *
+    * LM refresh (`lmRefreshEvery = R > 0`): every R batches the hook
+    * re-runs [[graft.operators.TextOps.lmQualityScores]] — the q94
+    * corpus-wide bigram LM — over the accumulated docs (first arrival
+    * wins per doc_id) and stores the per-source (quantized-logp sum,
+    * count) partials, so the card's `mean_logp` equals the batch
+    * q131's on the same rows bit-for-bit (parity-spec'd). Honesty at
+    * scale: a corpus-wide LM cannot be maintained per-batch, so the
+    * refresh is a batch job over corpus-sized state (`sheet_docs`)
+    * run every R batches — between refreshes the card serves the
+    * last snapshot, and with the hook off (`R = 0`, the default)
+    * `mean_logp` is null and no doc text is retained. */
   def datasheetStream(docs: DataFrame, outDir: String, checkpointDir: String,
-                      corpusHasLines: Boolean)
+                      corpusHasLines: Boolean, lmRefreshEvery: Int = 0)
   : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((b: DataFrame, id: Long) =>
-        ingestDatasheetBatch(b, id, outDir, corpusHasLines))
+        ingestDatasheetBatch(b, id, outDir, corpusHasLines, lmRefreshEvery))
       .start()
 
   /** One micro-batch of [[datasheetStream]] — exposed for the parity
     * spec and batch backfills. */
   def ingestDatasheetBatch(batch: DataFrame, batchId: Long, outDir: String,
-                           corpusHasLines: Boolean): Unit = {
+                           corpusHasLines: Boolean,
+                           lmRefreshEvery: Int = 0): Unit = {
     import graft.operators.{Dedup, TextOps}
     val spark = batch.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -183,20 +208,24 @@ object CorpusStreams {
     if (exists(marker)) return
 
     val hashesPath = s"$outDir/sheet_hashes"
-    val countersPath = s"$outDir/sheet_counters"
+    val deltasPath = s"$outDir/sheet_deltas"
 
     val keyed = batch.select(col("doc_id"), col("source"), col("lang"),
       size(graft.functions.VectorFns.tokens(col("text"))).cast("long")
         .as("n_tok"),
       md5(Dedup.normText(col("text"))).as("h"))
     val canon = keyed.groupBy(col("h")).agg(min(col("doc_id")).as("canon_doc"))
+    // standing = hashes first seen in EARLIER batches only, unique per
+    // h by construction of the anti-joined append below — a replay of
+    // batch N reads the identical set, so its delta is reproducible
     val standing =
       if (exists(hashesPath))
-        spark.read.parquet(hashesPath).withColumn("seen", lit(1))
-      else keyed.select(col("h")).limit(0).withColumn("seen", lit(1))
+        spark.read.option("basePath", hashesPath).parquet(hashesPath)
+          .filter(col("batch_id") < batchId).select(col("h"))
+      else keyed.select(col("h")).limit(0)
     val perDoc = keyed
       .join(canon, Seq("h"))
-      .join(standing, Seq("h"), "left")
+      .join(standing.withColumn("seen", lit(1)), Seq("h"), "left")
       .withColumn("is_dup",
         (col("doc_id") =!= col("canon_doc") || col("seen").isNotNull)
           .cast("long"))
@@ -206,33 +235,85 @@ object CorpusStreams {
     val delta = perDoc.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
         sum(col("is_dup")).as("n_dups"), sum(col("pass")).as("n_pass"))
-    val merged =
-      (if (exists(countersPath)) spark.read.parquet(countersPath).union(delta)
-       else delta)
-        .groupBy(col("source"), col("lang"))
-        .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
-          sum(col("n_dups")).as("n_dups"), sum(col("n_pass")).as("n_pass"))
-        .cache()
-    merged.count() // materialize BEFORE overwriting the path it read from
-    merged.coalesce(1).write.mode("overwrite")
-      .parquet(s"$outDir/sheet_counters_next")
-    merged.unpersist()
-    // atomic-enough swap: counters_next is complete before the rename
-    val cur = new org.apache.hadoop.fs.Path(countersPath)
-    if (fs.exists(cur)) fs.delete(cur, true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$outDir/sheet_counters_next"), cur)
+    delta.coalesce(1).write.mode("overwrite")
+      .parquet(s"$deltasPath/batch_id=$batchId")
+    // only the hashes NEW in this batch — the anti-join keeps the
+    // standing set unique per h across re-arrivals
     keyed.select(col("h")).distinct()
-      .write.mode("append").parquet(hashesPath)
+      .join(standing, Seq("h"), "left_anti")
+      .write.mode("overwrite").parquet(s"$hashesPath/batch_id=$batchId")
+    // counters are DERIVED: one sum over the batch deltas, no
+    // read-modify-write to go stale or double-apply on replay
+    val counters = spark.read.option("basePath", deltasPath)
+      .parquet(deltasPath)
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_dups")).as("n_dups"), sum(col("n_pass")).as("n_pass"))
+    swapIn(spark, counters.coalesce(1), s"$outDir/sheet_counters")
+
+    if (lmRefreshEvery > 0) {
+      batch.select(col("doc_id"), col("source"), col("lang"), col("text"))
+        .write.mode("overwrite")
+        .parquet(s"$outDir/sheet_docs/batch_id=$batchId")
+      if ((batchId + 1) % lmRefreshEvery == 0) refreshLm(spark, outDir)
+    }
+    // marker LAST: a crash anywhere above replays the whole batch,
+    // and every write above is idempotent for a fixed batch id
     spark.range(1).select(lit(batchId).as("batch_id"))
       .write.mode("overwrite").parquet(marker)
   }
 
-  /** The per-source card over the live counters — q131's columns
-    * except `mean_logp`, computed with the SAME quantized-entropy
-    * arithmetic so single-batch ingest is bit-identical to the batch
-    * card's shared columns. */
+  /** The q94 LM re-score over the accumulated ingested docs (first
+    * arrival wins per doc_id), stored as per-source
+    * (Σ quantized-logp, count) — the SAME partials the batch card
+    * sums, so [[datasheet]]'s `mean_logp` is bit-identical to q131 on
+    * the same rows. Derived state: safe to re-run on replay. */
+  def refreshLm(spark: SparkSession, outDir: String): Unit = {
+    import graft.operators.TextOps
+    val docsPath = s"$outDir/sheet_docs"
+    val firstArrival = Window.partitionBy(col("doc_id"))
+      .orderBy(col("batch_id").asc)
+    val docs = spark.read.option("basePath", docsPath).parquet(docsPath)
+      .withColumn("rn", row_number().over(firstArrival))
+      .filter(col("rn") === 1).drop("rn", "batch_id")
+    val logp = docs.select(col("doc_id"), col("source"))
+      .join(TextOps.lmQualityScores(docs)
+        .select(col("doc_id"), col("avg_logp")), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("avg_logp").cast("decimal(20,4)")).as("slp"),
+        count(col("avg_logp")).as("n_lm"))
+    swapIn(spark, logp.coalesce(1), s"$outDir/sheet_logp")
+  }
+
+  /** Replace the directory at `path` with `df` via write-next →
+    * rename-aside → rename-in → drop-backup: no crash point leaves
+    * both the old and new state missing, and because every swapped
+    * path holds DERIVED state, even a mid-swap crash is rebuilt by
+    * the replayed batch. */
+  private def swapIn(spark: SparkSession, df: DataFrame, path: String)
+  : Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    df.write.mode("overwrite").parquet(s"${path}_next")
+    val cur = new Path(path)
+    val bak = new Path(s"${path}_old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(cur)) fs.rename(cur, bak)
+    fs.rename(new Path(s"${path}_next"), cur)
+    if (fs.exists(bak)) fs.delete(bak, true)
+  }
+
+  /** The per-source card over the live counters — q131's columns,
+    * computed with the SAME quantized-entropy arithmetic so
+    * single-batch ingest is bit-identical to the batch card
+    * (`mean_logp` is served from the last [[refreshLm]] snapshot and
+    * null when the LM hook is off). */
   def datasheet(spark: SparkSession, outDir: String): DataFrame = {
     import graft.functions.Rounding.{r4, r6}
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
     val c = spark.read.parquet(s"$outDir/sheet_counters")
     val entropy = c.select(col("source"), col("lang"), col("n_docs").as("nl"))
       .join(c.groupBy(col("source")).agg(sum(col("n_docs")).as("ns")),
@@ -243,13 +324,23 @@ object CorpusStreams {
           .cast("decimal(20,6)").as("term"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_langs"), sum(col("term")).as("ent"))
+    val logpPath = s"$outDir/sheet_logp"
+    val logp =
+      if (fs.exists(new org.apache.hadoop.fs.Path(logpPath)))
+        spark.read.parquet(logpPath)
+      else c.select(col("source")).limit(0)
+        .select(col("source"), lit(null).cast("decimal(20,4)").as("slp"),
+          lit(0L).as("n_lm"))
     c.groupBy(col("source"))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         sum(col("n_dups")).as("n_dups"), sum(col("n_pass")).as("n_pass"))
       .join(entropy, Seq("source"))
+      .join(logp, Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
         r4(col("ent").cast("double")).as("lang_entropy"),
         r4(col("n_dups").cast("double") / col("n_docs")).as("dup_frac"),
-        r4(col("n_pass").cast("double") / col("n_docs")).as("gopher_pass_frac"))
+        r4(col("n_pass").cast("double") / col("n_docs")).as("gopher_pass_frac"),
+        when(col("n_lm") > 0, r4(col("slp").cast("double") / col("n_lm")))
+          .as("mean_logp"))
   }
 }

@@ -176,10 +176,72 @@ class CorpusStreamsSpec extends SparkSuite {
     }
     assert(c2.getLong(1) == inBatchDups + nA,
       s"cross-batch dups: got ${c2.getLong(1)}, want $inBatchDups + $nA")
+    // THIRD arrival of the same content (ADVICE r10): under the old
+    // append-without-anti-join state, the standing set held the hash
+    // twice by now and the dup join doubled every row — counts must
+    // stay exactly linear in arrivals instead
+    CorpusStreams.ingestDatasheetBatch(a, 2L, out2, hasLines)
+    val c3 = spark.read.parquet(s"$out2/sheet_counters")
+      .agg(sum(col("n_docs")), sum(col("n_dups"))).head()
+    assert(c3.getLong(0) == 3 * nA,
+      s"third arrival inflated n_docs: got ${c3.getLong(0)}, want ${3 * nA}")
+    assert(c3.getLong(1) == inBatchDups + 2 * nA,
+      s"third-arrival dups: got ${c3.getLong(1)}, want $inBatchDups + ${2 * nA}")
+    // the standing hash set stays unique per hash across re-arrivals
+    val hashes = spark.read.parquet(s"$out2/sheet_hashes")
+    assert(hashes.count() == hashes.select("h").distinct().count(),
+      "standing hash set holds duplicate hashes")
 
     // crash-replay of the SAME batch id leaves the counters unchanged
     val before = card(out)
     CorpusStreams.ingestDatasheetBatch(docs, 0L, out, hasLines)
     assert(card(out) == before, "counters double-advanced on replay")
+
+    // partial-crash replay: simulate dying AFTER the delta + hash
+    // writes but BEFORE the marker (the ADVICE r10 medium scenario) by
+    // deleting the marker and re-ingesting — the batch-keyed overwrite
+    // discipline must reconverge instead of double-counting, even
+    // though the batch's own hashes are already on disk
+    val marker = new org.apache.hadoop.fs.Path(s"$out2/_sheet_batches/batch_id=2")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(marker, true)
+    CorpusStreams.ingestDatasheetBatch(a, 2L, out2, hasLines)
+    val c4 = spark.read.parquet(s"$out2/sheet_counters")
+      .agg(sum(col("n_docs")), sum(col("n_dups"))).head()
+    assert((c4.getLong(0), c4.getLong(1)) == (c3.getLong(0), c3.getLong(1)),
+      "mid-batch crash replay did not reconverge")
+  }
+
+  test("datasheet LM refresh: card with the hook on matches the FULL batch q131, mean_logp included") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val hasLines = docs
+      .agg(max(col("text").contains("\n").cast("int")).as("h"))
+      .head().getInt(0) == 1
+    def fullCard(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7)))).toMap
+    // two batches, refresh every 2 → the refresh fires on batch 1 over
+    // the accumulated corpus; every counter column AND mean_logp must
+    // equal the batch card on the same rows
+    val out = freshDir()
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    CorpusStreams.ingestDatasheetBatch(a, 0L, out, hasLines, lmRefreshEvery = 2)
+    assert(CorpusStreams.datasheet(spark, out).filter(col("mean_logp").isNotNull)
+      .count() == 0, "mean_logp must stay null before the first refresh")
+    CorpusStreams.ingestDatasheetBatch(b, 1L, out, hasLines, lmRefreshEvery = 2)
+    val streamed = fullCard(CorpusStreams.datasheet(spark, out))
+    val batch = fullCard(graft.operators.Corpus.sourceDatasheet(docs, hasLines))
+    assert(streamed.nonEmpty && streamed == batch,
+      "post-refresh card must equal the batch q131 including mean_logp")
+    // with the hook OFF no doc text is retained
+    val out2 = freshDir()
+    CorpusStreams.ingestDatasheetBatch(a, 0L, out2, hasLines)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out2/sheet_docs")),
+      "hook off must not retain corpus text")
   }
 }
