@@ -41,7 +41,8 @@ object Corpus {
     "q127_hybrid_rrf" -> q127,
     "q127b_hybrid_rrf_ivf" -> q127b,
     "q128_mix_schedule" -> q128,
-    "q131_source_datasheet" -> q131
+    "q131_source_datasheet" -> q131,
+    "q131b_datasheet_sketch_lm" -> q131b
   )
 
   /** Lucene-standard BM25 parameters. */
@@ -521,7 +522,8 @@ object Corpus {
     * on survivors only, which is the cheaper order). */
   def trainingManifest(docs: DataFrame, corpusHasLines: Boolean,
                        target: Long = graft.operators.Analytics.SHARD_TOKENS,
-                       minStops: Long = graft.operators.TextOps.GOPHER_MIN_STOPS): DataFrame = {
+                       minStops: Long = graft.operators.TextOps.GOPHER_MIN_STOPS,
+                       scheduleOut: Option[String] = None): DataFrame = {
     val keyed = docs.withColumn("h", md5(Dedup.normText(col("text"))))
     val canon = keyed.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
     val deduped = keyed.join(canon, Seq("h", "doc_id"), "left_semi")
@@ -531,6 +533,11 @@ object Corpus {
     val train = deduped
       .filter(splitAssign(col("doc_id")) === "train")
       .join(pass, Seq("doc_id"), "left_semi")
+    // optional stage: lay the kept train docs out in q128
+    // virtual-time order ([[scheduleWriter]] — range partition, local
+    // sort, no global order anywhere)
+    scheduleOut.foreach(out => scheduleWriter(
+      train.select(col("doc_id"), col("source")), out))
     graft.operators.Analytics.shardPlan(
       train.select(col("doc_id"), col("source"), col("text")), target)
   }
@@ -1056,6 +1063,22 @@ object Corpus {
     * TakeOrdered. */
   def mixSchedule(docs: DataFrame, take: Int = SCHED_TAKE): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val head = scheduleRows(docs)
+      .orderBy(col("vtime").asc, col("source").asc, col("doc_id").asc)
+      .limit(take)
+    head
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("vtime").asc, col("source").asc, col("doc_id").asc)))
+      .select(col("pos"), col("vtime"), col("source"), col("doc_id"),
+        col("src_rank"))
+  }
+
+  /** The full-corpus schedule columns `(vtime, source, doc_id,
+    * src_rank)` shared by the q128 head readout and [[scheduleWriter]]
+    * — per-source rank via the q119 two-level prefix construction,
+    * vtime a pure map column over it. */
+  private def scheduleRows(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val keyed = docs.select(col("doc_id"), col("source"),
         Dedup.baseHash(concat(col("doc_id").cast("string"), lit("_sched")))
           .as("hkey"))
@@ -1068,19 +1091,40 @@ object Corpus {
       .agg(count(lit(1)).as("bn"))
       .select(col("source"), col("bkt"),
         coalesce(sum(col("bn")).over(wo), lit(0L)).as("boff"))
-    val head = keyed
+    keyed
       .withColumn("brk", row_number().over(wb).cast("long"))
       .join(broadcast(offsets), Seq("source", "bkt"))
       .withColumn("src_rank", col("boff") + col("brk"))
       .withColumn("w", mixWeight(col("source")).cast("long"))
       .withColumn("vtime", col("src_rank") * expr("100 DIV w"))
-      .orderBy(col("vtime").asc, col("source").asc, col("doc_id").asc)
-      .limit(take)
-    head
-      .withColumn("pos", row_number().over(
-        Window.orderBy(col("vtime").asc, col("source").asc, col("doc_id").asc)))
-      .select(col("pos"), col("vtime"), col("source"), col("doc_id"),
-        col("src_rank"))
+      .select(col("vtime"), col("source"), col("doc_id"), col("src_rank"))
+  }
+
+  /** The full-corpus q128 writer the scale note promised (VERDICT r10
+    * next #6): lay the WHOLE schedule out in virtual-time order
+    * without a global sort. `repartitionByRange(vtime, source,
+    * doc_id)` samples range bounds and shuffles each row to its range
+    * bucket — one exchange, no driver-side total order — and
+    * `sortWithinPartitions` orders each bucket locally, so
+    * concatenating the output files in partition order IS the global
+    * schedule (the planner must show RangePartitioning + a
+    * partition-LOCAL Sort, never a global one — plan-asserted in
+    * LayoutSpec). A trainer streams the files in name order; `pos` is
+    * implied by that order, never materialized (a global row_number
+    * would be the single-partition window this writer exists to
+    * avoid). */
+  def scheduleWriter(docs: DataFrame, outPath: String,
+                     partitions: Int = 0): Unit = {
+    val rows = scheduleRows(docs)
+    val ranged =
+      if (partitions > 0)
+        rows.repartitionByRange(partitions,
+          col("vtime"), col("source"), col("doc_id"))
+      else rows.repartitionByRange(
+        col("vtime"), col("source"), col("doc_id"))
+    ranged
+      .sortWithinPartitions(col("vtime"), col("source"), col("doc_id"))
+      .write.mode("overwrite").parquet(outPath)
   }
 
   private def q128(spark: SparkSession, dir: String): DataFrame =
@@ -1106,7 +1150,15 @@ object Corpus {
     * aggs (q18's md5 group, q107's per-doc flags, q94's LM chain);
     * the rollup is ONE groupBy(source) with map-side partials, and
     * the language-entropy dim is |sources|×|langs| rows. */
-  def sourceDatasheet(docs: DataFrame, hasLines: Boolean): DataFrame = {
+  def sourceDatasheet(docs: DataFrame, hasLines: Boolean): DataFrame =
+    datasheetFrom(docs, hasLines,
+      TextOps.lmQualityScores(docs).select(col("doc_id"), col("avg_logp")))
+
+  /** The card rollup shared by q131 (exact LM) and q131b (sketch LM):
+    * every column except `mean_logp` is identical arithmetic; the LM
+    * leg arrives as `(doc_id, avg_logp)` from the caller. */
+  private def datasheetFrom(docs: DataFrame, hasLines: Boolean,
+                            lm: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("source"), col("lang"),
       size(VectorFns.tokens(col("text"))).cast("long").as("n_tok"),
       md5(Dedup.normText(col("text"))).as("fp"))
@@ -1116,8 +1168,7 @@ object Corpus {
         (col("doc_id") =!= col("canon_doc")).cast("long").as("is_dup"))
       .join(TextOps.gopherFlags(docs, hasLines)
         .select(col("doc_id"), col("gopher_pass")), Seq("doc_id"), "left")
-      .join(TextOps.lmQualityScores(docs)
-        .select(col("doc_id"), col("avg_logp")), Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
     val langMix = perDoc.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("nl"))
     val entropy = langMix
@@ -1151,5 +1202,98 @@ object Corpus {
       .agg(max(col("text").contains("\n").cast("int")).as("h"))
       .head().getInt(0) == 1
     sourceDatasheet(docs, hasLines)
+  }
+
+  /** Sketch-LM model support: a bigram enters the model iff its EXACT
+    * corpus count ≥ ceil(n_bigrams / SHEET_LM_SUPPORT). */
+  val SHEET_LM_SUPPORT = 2048L
+
+  /** Misra-Gries candidate capacity for the sketch-LM pass —
+    * exactness of the two-pass heavy-hitter recipe needs
+    * 1/(capacity+1) < 1/[[SHEET_LM_SUPPORT]]; 4096 leaves a 2×
+    * margin (the q72 posture on bigrams). */
+  val SHEET_LM_CAPACITY = 4096
+
+  /** The q131b LM leg — per-doc mean log-prob under the TOP-GRAM
+    * model instead of the full bigram-universe model (VERDICT r10
+    * next #5: q94's corpus-wide c₁₂ gram join is the one ≥1×-linear
+    * stage the exact card inherits). The model is the EXACT set of
+    * bigrams with count ≥ ceil(n/[[SHEET_LM_SUPPORT]]), found without
+    * ever shuffling the bigram-typed stream: pass 1 is the
+    * bounded-memory [[graft.functions.MisraGriesAggregator]]
+    * (capacity [[SHEET_LM_CAPACITY]]) as a global typed agg — ≤4096
+    * counters per partition, only sketches cross the wire, and the
+    * merged summary provably contains every bigram above the support
+    * line — and pass 2 recounts ONLY the ≤4096 candidates
+    * (broadcast semi-join before the count) and filters at the
+    * threshold. The result is exact and order-independent, hence
+    * hash-checkable against the plain GROUP BY/HAVING oracle, while
+    * the bigram-universe shuffle never happens.
+    *
+    * Scoring: every doc bigram scores log((c12ᴹ+1)/(c1+V)) where
+    * c12ᴹ is the model count for in-model bigrams and 0 otherwise
+    * (the add-one backoff) — in-model bigrams therefore score
+    * EXACTLY their q94 log-prob, and out-of-model ones score strictly
+    * lower, so per-source `mean_logp` is a provable lower bound on
+    * the exact card's (reconciliation-spec'd). The c1/V denominators
+    * stay exact: they are vocab-sized aggs, not bigram-universe ones.
+    * With support ≥ n_bigrams the threshold is 1, every observed
+    * bigram is in the model, and the sketch card equals q131
+    * bit-for-bit (the spec's exactness witness). */
+  def sketchLmScores(docs: DataFrame,
+                     support: Long = SHEET_LM_SUPPORT,
+                     capacity: Int = SHEET_LM_CAPACITY): DataFrame = {
+    require(support < capacity + 1,
+      "two-pass exactness needs 1/(capacity+1) < 1/support")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bg = docs
+      .select(col("doc_id"),
+        VectorFns.tokens(Dedup.normText(col("text"))).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("tk")) - 1)).as("i"), col("tk"))
+      .select(col("doc_id"),
+        element_at(col("tk"), col("i")).as("w1"),
+        element_at(col("tk"), col("i") + 1).as("w2"))
+      .cache()
+    // tokens are whitespace-split, so "w1 w2" is an unambiguous key
+    val gram = concat_ws(" ", col("w1"), col("w2"))
+    val sketch = new graft.functions.MisraGriesAggregator(capacity).toColumn
+    val cand = bg.select(gram.as("g")).as[String].select(sketch)
+      .select(explode(map_keys(col("counts"))).as("g"))
+    val total = bg.agg(count(lit(1)).as("n_bg"))
+    val model = bg.select(gram.as("g"), col("w1"), col("w2"))
+      .join(broadcast(cand), Seq("g"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .crossJoin(broadcast(total))
+      .filter(col("c12") >= ceil(col("n_bg") / lit(support.toDouble)))
+      .select(col("w1"), col("w2"), col("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vdim = bg.agg(countDistinct(col("w1")).as("v"))
+    bg.join(broadcast(model), Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vdim))
+      .select(col("doc_id"),
+        r6(log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")))
+          .cast("decimal(20,6)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+      .select(col("doc_id"),
+        r4(col("slp").cast("double") / col("n_bigrams")).as("avg_logp"))
+  }
+
+  /** q131b — the data card with the LM leg scored against the
+    * Misra-Gries top-gram model ([[sketchLmScores]]); every non-LM
+    * column is bit-identical to q131's. The sublinear twin a 100-TB
+    * release pipeline actually runs: q131 stays registered as the
+    * exact card for hash-compat. */
+  private def q131b(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val hasLines = docs
+      .agg(max(col("text").contains("\n").cast("int")).as("h"))
+      .head().getInt(0) == 1
+    datasheetFrom(docs, hasLines, sketchLmScores(docs))
   }
 }

@@ -60,6 +60,7 @@ object Recommender {
     "q45_user_profiles" -> q45,
     "q59_user_knn_pearson" -> q59,
     "q17b_item_knn_dimsum" -> q17b,
+    "q16b_user_knn_dimsum" -> q16b,
     "q63_user_knn_euclidean" -> q63
   )
 
@@ -84,6 +85,23 @@ object Recommender {
   private def q16(spark: SparkSession, dir: String): DataFrame =
     userKnnTopK(Tables.ratingsCached(spark, dir), K_NEIGHBORS, K_ITEMS,
       dotsSource = Some(userDotsCached(spark, dir)))
+
+  /** q16's DIMSUM twin (VERDICT r10 next #1) — the user-side 100-TB
+    * path run as an actual query: deterministic transposed-DIMSUM
+    * sampled similarities ([[userSimsDimsum]], threshold 0.3) drive
+    * the SAME all-users kNN scoring pipeline through `simsSource`.
+    * The sampling is a pure function of (item, user, salt), so the
+    * DuckDB oracle replays the draws, the scaled estimator and the
+    * scoring end to end — rows, schema AND hashes must match, no
+    * tolerance verdict needed. */
+  private def q16b(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.ratingsCached(spark, dir)
+    val half = userSimsDimsum(r, threshold = 0.3)
+    val sims = half
+      .union(half.select(col("v").as("u"), col("u").as("v"), col("sim")))
+      .select(col("u"), col("v"), r6(col("sim")).as("sim"))
+    userKnnTopK(r, K_NEIGHBORS, K_ITEMS, simsSource = Some(sims))
+  }
 
   /** The reference's Pearson user-kNN workload shape (Main.scala:
     * 354-356: `recSys.setSimilarity(new PearsonSimilarity)`) for the
@@ -126,10 +144,12 @@ object Recommender {
                   maxRatersPerItem: Int = Int.MaxValue,
                   dense: Boolean = false,
                   catalogSize: Option[Long] = None,
-                  dotsSource: Option[DataFrame] = None): DataFrame =
+                  dotsSource: Option[DataFrame] = None,
+                  simsSource: Option[DataFrame] = None): DataFrame =
     userKnnTopKRestricted(ratings, kNeighbors, kItems,
       targetUsers.map(p => (df: DataFrame) => df.filter(p)), kernel,
-      maxRatersPerItem, dense, catalogSize, dotsSource)
+      maxRatersPerItem, dense, catalogSize, dotsSource,
+      simsSource = simsSource)
 
   /** [[userKnnTopK]] for a DataFrame of target users (`user_id`
     * column) — the Estimator/Model `transform` surface; the cohort
@@ -158,12 +178,26 @@ object Recommender {
                                     dense: Boolean = false,
                                     catalogSize: Option[Long] = None,
                                     dotsSource: Option[DataFrame] = None,
-                                    denseGrid: Boolean = false): DataFrame = {
+                                    denseGrid: Boolean = false,
+                                    simsSource: Option[DataFrame] = None): DataFrame = {
+    require(simsSource.isEmpty || (!dense && dotsSource.isEmpty),
+      "simsSource replaces the sims build entirely; dense/dotsSource would be ignored")
     val r = ratings
     val stats = r.groupBy("user_id").agg(avg(col("rating")).as("umean"))
-    val sims = userSimsRestricted(r, kernel, restrict, maxRatersPerItem,
-      dense, catalogSize, dotsSource,
-      denseTopK = if (dense && !denseGrid) Some(kNeighbors) else None)
+    // simsSource: an externally built mirrored (u, v, sim) table — the
+    // itemKnnTopK seam on the user side, so the DIMSUM estimator (or
+    // any cached sims) can drive the same scoring pipeline.
+    val sims = simsSource match {
+      case Some(src) => restrict match {
+        case Some(f) => src.join(
+          broadcast(f(r).select(col("user_id").as("u")).distinct()),
+          Seq("u"), "left_semi")
+        case None => src
+      }
+      case None => userSimsRestricted(r, kernel, restrict, maxRatersPerItem,
+        dense, catalogSize, dotsSource,
+        denseTopK = if (dense && !denseGrid) Some(kNeighbors) else None)
+    }
 
     val wNb = Window.partitionBy(col("u")).orderBy(col("sim").desc, col("v").asc)
     val neighbors = sims.withColumn("nrk", row_number().over(wNb))
@@ -929,6 +963,56 @@ object Recommender {
       .select(col("i"), col("j"),
         (col("dot") / (least(lit(sgQ), col("ca")) * least(lit(sgQ), col("cb"))))
           .as("sim"))
+  }
+
+  /** User-user cosine via DIMSUM — the TRANSPOSE of [[itemSimsDimsum]]:
+    * user profiles are the columns of the item×user matrix, so the
+    * identical magnitude-proportional row sampling runs with the roles
+    * swapped — per-USER norms decide the keep probabilities
+    * (p_u = min(1, sg/‖c_u‖), sg = √(10·ln(nUsers)/θ)), pairs meet on
+    * item_id, and the estimate is the same unbiased scaled form. The
+    * sampling hash key is therefore `item:user:dimsum` (the transposed
+    * argument order), replayable in DuckDB exactly like the item side.
+    * Returns `(u < v, sim)` unrounded (seams round r6).
+    *
+    * This is the 100-TB escape hatch for the user-side pair stage:
+    * [[userDotsHalf]]'s shuffle is Σ_i raters_i² — the same Σ n²
+    * regime BASELINE §r10 measured going 13× super-linear on the item
+    * side — and the sampling cap bounds it independently of viral-item
+    * fan-out. */
+  def userSimsDimsum(ratings: DataFrame, threshold: Double): DataFrame =
+    itemSimsDimsum(
+      ratings.select(col("item_id").as("user_id"),
+        col("user_id").as("item_id"), col("rating")),
+      threshold)
+      .select(col("i").as("u"), col("j").as("v"), col("sim"))
+
+  /** User-user sims with the pair stage SIZED instead of assumed —
+    * [[itemSimsAuto]] mirrored onto the user side (VERDICT r10 next
+    * #1): one bounded scalar agg prices the exact [[userDotsHalf]]
+    * self-join's shuffle volume (Σ_i raters_i², computable from
+    * per-ITEM counts WITHOUT building the join), then the gate picks
+    * the exact cosine kernel below the measured crossover and the
+    * transposed DIMSUM estimator above it. The crossover constant is
+    * shared with the item side ([[DIMSUM_MIN_PAIRDOTS]]): both
+    * orientations pay the same Σ n² pair-agg regime, just keyed on the
+    * opposite column — the user-side sf0.1/sf1 probe (BASELINE §r11)
+    * confirms the exact/estimator cost bands mirror the item-side
+    * measurement. The registered q16 (exact) and q16b (DIMSUM) stay
+    * fixed for hash-compat; Auto is the library default for new
+    * callers. Returns mirrored 6-dp `(u, v, sim)` — the
+    * [[userKnnTopK]] `simsSource` contract. */
+  def userSimsAuto(ratings0: DataFrame,
+                   threshold: Double = 0.3): DataFrame = {
+    val ratings = ratings0.cache()
+    val pairDots = ratings.groupBy(col("item_id"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).cast("long")).collect()(0).getLong(0)
+    if (resolveDimsum(pairDots)) {
+      val half = userSimsDimsum(ratings, threshold)
+      half.union(half.select(col("v").as("u"), col("u").as("v"), col("sim")))
+        .select(col("u"), col("v"), r6(col("sim")).as("sim"))
+    } else userSims(ratings)
   }
 
   /** R1/R11/A2: the explicit per-user sparse profile build — the

@@ -163,10 +163,18 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
 
   /** §2.7 set ops — anti join (the distributed form of the reference's
-    * driver-side Set.diff, BaseRecommender.scala:64-71). */
+    * driver-side Set.diff, BaseRecommender.scala:64-71). Registered as
+    * LAPSED customers — no orders on/after 2000-01-01 — because the
+    * unfiltered complement is empty in the fixtures at gate scale
+    * (every customer has some order), which made the hash gate compare
+    * empty sets (VERDICT r10 next #4, the q125 de-vacuation
+    * precedent): the filtered right side keeps the identical anti-join
+    * plan shape while the gate checks real survivor rows. */
   private def q08(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
-    val o = Tables.orders(spark, dir).select("o_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("date"))
+      .select("o_custkey")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
   }

@@ -33,8 +33,10 @@ object Similarity {
     "q105_semantic_dedup" -> q105,
     "q113_cluster_balance" -> q113,
     "q129_knn_label_probe" -> q129,
+    "q129b_label_probe_ivf" -> q129b,
     "q130_label_separation" -> q130,
-    "q132_hard_negatives" -> q132
+    "q132_hard_negatives" -> q132,
+    "q132b_hard_negatives_ivf" -> q132b
   )
 
   /** Salt for the q113 per-cell draw order — decorrelated from every
@@ -271,6 +273,21 @@ object Similarity {
     * assignment stays the partition key at any corpus size. */
   def ivfTopK(e: DataFrame, queryPred: Column, seedIds: Seq[Long],
               probes: Int, k: Int): DataFrame = {
+    val pairs = ivfPairs(e, queryPred, seedIds, probes)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("cell"), col("n_id"), r4(col("cos")).as("cosine"), col("rk"))
+  }
+
+  /** The IVF cell-bounded candidate pair stream `(q_id, cell, n_id,
+    * cos)` under [[ivfTopK]] — exposed so the embedding-QA consumers
+    * (q129b's vote, q132b's triplet mining) can rank/filter the SAME
+    * cell-bounded candidates with their own windows instead of the
+    * plain top-k cut. Work is bounded by probe-cell occupancy
+    * (≈ IVF_SEED_MOD per cell at any corpus size), never the corpus. */
+  def ivfPairs(e: DataFrame, queryPred: Column, seedIds: Seq[Long],
+               probes: Int): DataFrame = {
     val cents = centsOf(e, seedIds)
     val wAsg = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2").asc, col("cell").asc)
@@ -284,14 +301,10 @@ object Similarity {
     // in exactly its nearest — so probe-1 searches the query's own cell
     val qprobe = ranked.filter(queryPred && col("crk") <= probes)
       .select(col("cell"), col("vec_id").as("q_id"), col("v").as("qv"))
-    val pairs = cells.join(qprobe, Seq("cell"))
+    cells.join(qprobe, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("cell"), col("vec_id").as("n_id"),
         r6(cosineArr(col("qv"), col("v"))).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
-    pairs.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("cell"), col("n_id"), r4(col("cos")).as("cosine"), col("rk"))
   }
 
   private def q113(spark: SparkSession, dir: String): DataFrame =
@@ -613,6 +626,14 @@ object Similarity {
     val pairs = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("true_label"), col("vec_id").as("n_id"),
         col("label").as("n_label"), r6(cosineArr(col("qv"), col("v"))).as("cos"))
+    voteRollup(pairs, k)
+  }
+
+  /** The q129 vote + accuracy rollup over any labeled candidate pair
+    * stream `(q_id, true_label, n_id, n_label, cos)` — shared by the
+    * exact probe and its IVF twin, so the swap changes ONLY the
+    * neighbor source. */
+  private def voteRollup(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
     val votes = pairs.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -628,6 +649,36 @@ object Similarity {
       .select(col("true_label"), col("n_queries"), col("n_correct"),
         r4(col("n_correct").cast("double") / col("n_queries")).as("acc"))
   }
+
+  /** q129b — the label probe at CORPUS scale: the registered IVF swap
+    * the q129 doc promised (VERDICT r10 next #3). The candidate
+    * stream is [[ivfPairs]] (cell-bounded, probe-1 = the query's own
+    * cell) with labels joined back; the vote is [[voteRollup]]
+    * verbatim, so the ONLY semantic change is the neighbor source —
+    * the q127b posture. Queries whose cell holds no other vector drop
+    * out (no vote exists), the honest ANN semantics, mirrored in the
+    * oracle's cell rule. */
+  def knnLabelProbeIvf(e: DataFrame, queryPred: Column,
+                       k: Int = LPROBE_K, probes: Int = 1): DataFrame = {
+    // q-side labels are cohort-sized → broadcast; the n-side join is
+    // (cohort × cell-occupancy) rows against corpus labels — small
+    // side is the pairs, AQE picks the broadcast direction
+    val qLabels = e.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"))
+    val pairs = ivfPairs(e, queryPred, IVF_SEEDS, probes)
+      .join(broadcast(qLabels), Seq("q_id"))
+      .join(e.select(col("vec_id").as("n_id"), col("label").as("n_label")),
+        Seq("n_id"))
+      .select(col("q_id"), col("true_label"), col("n_id"),
+        col("n_label"), col("cos"))
+    voteRollup(pairs, k)
+  }
+
+  private def q129b(spark: SparkSession, dir: String): DataFrame =
+    knnLabelProbeIvf(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label")),
+      col("vec_id") % LPROBE_MOD === 0 && col("vec_id") < LPROBE_ID_CAP)
 
   private def q129(spark: SparkSession, dir: String): DataFrame =
     knnLabelProbe(Tables.embeddings(spark, dir)
@@ -718,6 +769,13 @@ object Similarity {
     val pairs = e.join(broadcast(anchors), col("vec_id") =!= col("a_id"))
       .select(col("a_id"), col("a_label"), col("vec_id").as("n_id"),
         col("label").as("n_label"), r6(cosineArr(col("av"), col("v"))).as("cos"))
+    mineTriplets(pairs, k)
+  }
+
+  /** The q132 positive/negative mining windows over any labeled
+    * candidate pair stream `(a_id, a_label, n_id, n_label, cos)` —
+    * shared by the exact miner and its IVF twin. */
+  private def mineTriplets(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("a_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
     val pos = pairs.filter(col("n_label") === col("a_label"))
@@ -734,6 +792,34 @@ object Similarity {
         r4(col("neg_cos")).as("neg_cos"),
         (r4(col("pos_cos")) - r4(col("neg_cos"))).as("margin"))
   }
+
+  /** q132b — triplet mining at CORPUS scale: the registered IVF swap
+    * the q132 doc promised (VERDICT r10 next #3). Candidates are the
+    * cell-bounded [[ivfPairs]] stream (never a corpus broadcast), the
+    * mining windows are [[mineTriplets]] verbatim. Anchors whose
+    * probed cells hold no same-label vector drop (no positive exists
+    * among the ANN candidates — the honest semantics; the exact twin
+    * drops only label-singletons). Mirrored in the oracle's cell
+    * rule. */
+  def hardNegativesIvf(e: DataFrame, queryPred: Column,
+                       k: Int = HNEG_K, probes: Int = 1): DataFrame = {
+    val aLabels = e.filter(queryPred)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"))
+    val pairs = ivfPairs(e, queryPred, IVF_SEEDS, probes)
+      .select(col("q_id").as("a_id"), col("n_id"), col("cos"))
+      .join(broadcast(aLabels), Seq("a_id"))
+      .join(e.select(col("vec_id").as("n_id"), col("label").as("n_label")),
+        Seq("n_id"))
+      .select(col("a_id"), col("a_label"), col("n_id"),
+        col("n_label"), col("cos"))
+    mineTriplets(pairs, k)
+  }
+
+  private def q132b(spark: SparkSession, dir: String): DataFrame =
+    hardNegativesIvf(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label")),
+      col("vec_id") % LPROBE_MOD === 0 && col("vec_id") < LPROBE_ID_CAP)
 
   private def q132(spark: SparkSession, dir: String): DataFrame =
     hardNegatives(Tables.embeddings(spark, dir)

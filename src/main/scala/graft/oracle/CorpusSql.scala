@@ -84,6 +84,136 @@ object CorpusSql {
        |  ORDER BY floor(score * 1000000.0 + 0.5) / 1000000.0 DESC, doc_id ASC
        |  LIMIT 50)""".stripMargin
 
+  /** The q131 card SQL, shared with q131b: `sketchSupport = None`
+    * scores against the full bigram-universe model (the exact card);
+    * `Some(s)` restricts the model to bigrams with count >=
+    * ceil(n/s) — the two-pass Misra-Gries result is exactly this
+    * frequency filter, so the oracle needs no sketch — and backs off
+    * to c12 = 0 for out-of-model bigrams. */
+  private def datasheetSql(sketchSupport: Option[Long]): String = {
+    val c12Having = sketchSupport
+      .map(su => s"\n         HAVING count(*) >= (SELECT ceil(CAST(count(*) AS DOUBLE) / $su.0) FROM bg)")
+      .getOrElse("")
+    val c12Join = sketchSupport
+      .map(_ => "LEFT JOIN c12 USING (w1, w2)")
+      .getOrElse("JOIN c12 USING (w1, w2)")
+    val c12Expr = sketchSupport
+      .map(_ => "COALESCE(c12.c12, 0)").getOrElse("c12.c12")
+
+      import graft.operators.TextOps._
+      val stops = GOPHER_STOPS.map(s => s"'$s'").mkString(",")
+      val bullets = GOPHER_BULLET_PREFIXES
+        .map(p => s"starts_with(line, '$p')").mkString(" OR ")
+      val ellipses = GOPHER_ELLIPSIS_SUFFIXES
+        .map(s => s"ends_with(line, '$s')").mkString(" OR ")
+      val r4 = graft.functions.Rounding.sql4 _
+      val r6 = graft.functions.Rounding.sql6 _
+      s"""WITH base AS (
+         |  SELECT doc_id, source, lang,
+         |         CAST(len(${tokensSql("lower(trim(text))")}) AS BIGINT) AS n_tok,
+         |         md5(${normTextSql("text")}) AS fp
+         |  FROM documents),
+         |canon AS (SELECT fp, min(doc_id) AS canon_doc FROM base GROUP BY 1),
+         |gtoks AS (SELECT doc_id, ${tokensSql("lower(trim(text))")} AS tk
+         |          FROM documents),
+         |cap AS (
+         |  SELECT max(CASE WHEN contains(text, chr(10)) THEN 1 ELSE 0 END)
+         |           AS has_lines
+         |  FROM documents),
+         |glines AS (
+         |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS n_lines,
+         |         CAST(sum(CASE WHEN $bullets THEN 1 ELSE 0 END) AS DOUBLE)
+         |           AS n_bullet,
+         |         CAST(sum(CASE WHEN $ellipses THEN 1 ELSE 0 END) AS DOUBLE)
+         |           AS n_ellipsis
+         |  FROM (SELECT doc_id, trim(l) AS line
+         |        FROM documents, UNNEST(string_split(text, chr(10))) AS t(l)
+         |        WHERE len(trim(l)) > 0)
+         |  GROUP BY 1),
+         |gstats AS (
+         |  SELECT doc_id,
+         |         len(tk) AS n_words,
+         |         CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE)
+         |           AS sum_len,
+         |         CAST(len(list_filter(tk, t -> contains(t, '#')
+         |                                    OR contains(t, '...'))) AS DOUBLE)
+         |           AS n_sym,
+         |         CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))
+         |              AS DOUBLE) AS n_alpha,
+         |         len(list_distinct(list_filter(tk, t -> t IN ($stops))))
+         |           AS n_stop_distinct
+         |  FROM gtoks WHERE len(tk) > 0),
+         |gpass AS (
+         |  SELECT s.doc_id,
+         |         CAST(s.n_words >= $GOPHER_MIN_WORDS
+         |              AND s.n_words <= $GOPHER_MAX_WORDS
+         |              AND ${r4("s.sum_len / s.n_words")} >= $GOPHER_MIN_WORDLEN
+         |              AND ${r4("s.sum_len / s.n_words")} <= $GOPHER_MAX_WORDLEN
+         |              AND ${r4("s.n_sym / s.n_words")} <= $GOPHER_MAX_SYMBOL_RATIO
+         |              AND ${r4("s.n_alpha / s.n_words")} >= $GOPHER_MIN_ALPHA_RATIO
+         |              AND s.n_stop_distinct >= $GOPHER_MIN_STOPS
+         |              AND (c.has_lines = 0
+         |                   OR (${r4("ls.n_bullet / ls.n_lines")}
+         |                         <= $GOPHER_MAX_BULLET_FRAC
+         |                       AND ${r4("ls.n_ellipsis / ls.n_lines")}
+         |                         <= $GOPHER_MAX_ELLIPSIS_FRAC))
+         |              AS INTEGER) AS gopher_pass
+         |  FROM gstats s JOIN glines ls USING (doc_id), cap c),
+         |ntoks AS (
+         |  SELECT doc_id, ${tokensSql(normTextSql("text"))} AS tk FROM documents),
+         |bg AS (
+         |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+         |  FROM ntoks, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+         |  WHERE len(tk) >= 2),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2$c12Having),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w1) AS v FROM bg),
+         |lmscored AS (
+         |  SELECT bg.doc_id,
+         |         CAST(${r6(s"ln(CAST($c12Expr + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))")}
+         |              AS DECIMAL(20,6)) AS lp
+         |  FROM bg $c12Join JOIN c1 USING (w1), v),
+         |lm AS (
+         |  SELECT doc_id,
+         |         ${r4("CAST(sum(lp) AS DOUBLE) / count(*)")} AS avg_logp
+         |  FROM lmscored GROUP BY 1),
+         |perdoc AS (
+         |  SELECT b.doc_id, b.source, b.lang, b.n_tok,
+         |         CAST(b.doc_id <> c.canon_doc AS BIGINT) AS is_dup,
+         |         COALESCE(g.gopher_pass, 0) AS gopher_pass,
+         |         lm.avg_logp
+         |  FROM base b
+         |  JOIN canon c USING (fp)
+         |  LEFT JOIN gpass g USING (doc_id)
+         |  LEFT JOIN lm USING (doc_id)),
+         |mix AS (
+         |  SELECT source, lang, count(*) AS nl FROM perdoc GROUP BY 1, 2),
+         |ent AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+         |         sum(CAST(${r6("(-(CAST(nl AS DOUBLE) / ns)) * ln(CAST(nl AS DOUBLE) / ns)")}
+         |                  AS DECIMAL(20,6))) AS ent
+         |  FROM (SELECT m.source, m.lang, m.nl, s.ns
+         |        FROM mix m JOIN (SELECT source, sum(nl) AS ns FROM mix
+         |                         GROUP BY 1) s USING (source))
+         |  GROUP BY 1),
+         |roll AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |         CAST(sum(is_dup) AS BIGINT) AS n_dups,
+         |         CAST(sum(gopher_pass) AS BIGINT) AS n_pass,
+         |         sum(CAST(avg_logp AS DECIMAL(20,4))) AS slp,
+         |         count(avg_logp) AS n_lm
+         |  FROM perdoc GROUP BY 1)
+         |SELECT r.source, r.n_docs, r.n_tokens, e.n_langs,
+         |       ${r4("CAST(e.ent AS DOUBLE)")} AS lang_entropy,
+         |       ${r4("CAST(r.n_dups AS DOUBLE) / r.n_docs")} AS dup_frac,
+         |       ${r4("CAST(r.n_pass AS DOUBLE) / r.n_docs")} AS gopher_pass_frac,
+         |       CASE WHEN r.n_lm > 0
+         |            THEN ${r4("CAST(r.slp AS DOUBLE) / r.n_lm")}
+         |            ELSE NULL END AS mean_logp
+         |FROM roll r JOIN ent e USING (source)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
 
     "q64_bm25" ->
@@ -359,120 +489,14 @@ object CorpusSql {
     // the q18 dup rule, q107 gopher conjunction and q94 LM chain
     // verbatim, rolled up per source; entropy terms and LM means ride
     // the r6/r4-quantize -> DECIMAL-sum pattern
-    "q131_source_datasheet" -> {
-      import graft.operators.TextOps._
-      val stops = GOPHER_STOPS.map(s => s"'$s'").mkString(",")
-      val bullets = GOPHER_BULLET_PREFIXES
-        .map(p => s"starts_with(line, '$p')").mkString(" OR ")
-      val ellipses = GOPHER_ELLIPSIS_SUFFIXES
-        .map(s => s"ends_with(line, '$s')").mkString(" OR ")
-      val r4 = graft.functions.Rounding.sql4 _
-      val r6 = graft.functions.Rounding.sql6 _
-      s"""WITH base AS (
-         |  SELECT doc_id, source, lang,
-         |         CAST(len(${tokensSql("lower(trim(text))")}) AS BIGINT) AS n_tok,
-         |         md5(${normTextSql("text")}) AS fp
-         |  FROM documents),
-         |canon AS (SELECT fp, min(doc_id) AS canon_doc FROM base GROUP BY 1),
-         |gtoks AS (SELECT doc_id, ${tokensSql("lower(trim(text))")} AS tk
-         |          FROM documents),
-         |cap AS (
-         |  SELECT max(CASE WHEN contains(text, chr(10)) THEN 1 ELSE 0 END)
-         |           AS has_lines
-         |  FROM documents),
-         |glines AS (
-         |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS n_lines,
-         |         CAST(sum(CASE WHEN $bullets THEN 1 ELSE 0 END) AS DOUBLE)
-         |           AS n_bullet,
-         |         CAST(sum(CASE WHEN $ellipses THEN 1 ELSE 0 END) AS DOUBLE)
-         |           AS n_ellipsis
-         |  FROM (SELECT doc_id, trim(l) AS line
-         |        FROM documents, UNNEST(string_split(text, chr(10))) AS t(l)
-         |        WHERE len(trim(l)) > 0)
-         |  GROUP BY 1),
-         |gstats AS (
-         |  SELECT doc_id,
-         |         len(tk) AS n_words,
-         |         CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE)
-         |           AS sum_len,
-         |         CAST(len(list_filter(tk, t -> contains(t, '#')
-         |                                    OR contains(t, '...'))) AS DOUBLE)
-         |           AS n_sym,
-         |         CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))
-         |              AS DOUBLE) AS n_alpha,
-         |         len(list_distinct(list_filter(tk, t -> t IN ($stops))))
-         |           AS n_stop_distinct
-         |  FROM gtoks WHERE len(tk) > 0),
-         |gpass AS (
-         |  SELECT s.doc_id,
-         |         CAST(s.n_words >= $GOPHER_MIN_WORDS
-         |              AND s.n_words <= $GOPHER_MAX_WORDS
-         |              AND ${r4("s.sum_len / s.n_words")} >= $GOPHER_MIN_WORDLEN
-         |              AND ${r4("s.sum_len / s.n_words")} <= $GOPHER_MAX_WORDLEN
-         |              AND ${r4("s.n_sym / s.n_words")} <= $GOPHER_MAX_SYMBOL_RATIO
-         |              AND ${r4("s.n_alpha / s.n_words")} >= $GOPHER_MIN_ALPHA_RATIO
-         |              AND s.n_stop_distinct >= $GOPHER_MIN_STOPS
-         |              AND (c.has_lines = 0
-         |                   OR (${r4("ls.n_bullet / ls.n_lines")}
-         |                         <= $GOPHER_MAX_BULLET_FRAC
-         |                       AND ${r4("ls.n_ellipsis / ls.n_lines")}
-         |                         <= $GOPHER_MAX_ELLIPSIS_FRAC))
-         |              AS INTEGER) AS gopher_pass
-         |  FROM gstats s JOIN glines ls USING (doc_id), cap c),
-         |ntoks AS (
-         |  SELECT doc_id, ${tokensSql(normTextSql("text"))} AS tk FROM documents),
-         |bg AS (
-         |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
-         |  FROM ntoks, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
-         |  WHERE len(tk) >= 2),
-         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
-         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
-         |v AS (SELECT count(DISTINCT w1) AS v FROM bg),
-         |lmscored AS (
-         |  SELECT bg.doc_id,
-         |         CAST(${r6("ln(CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))")}
-         |              AS DECIMAL(20,6)) AS lp
-         |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v),
-         |lm AS (
-         |  SELECT doc_id,
-         |         ${r4("CAST(sum(lp) AS DOUBLE) / count(*)")} AS avg_logp
-         |  FROM lmscored GROUP BY 1),
-         |perdoc AS (
-         |  SELECT b.doc_id, b.source, b.lang, b.n_tok,
-         |         CAST(b.doc_id <> c.canon_doc AS BIGINT) AS is_dup,
-         |         COALESCE(g.gopher_pass, 0) AS gopher_pass,
-         |         lm.avg_logp
-         |  FROM base b
-         |  JOIN canon c USING (fp)
-         |  LEFT JOIN gpass g USING (doc_id)
-         |  LEFT JOIN lm USING (doc_id)),
-         |mix AS (
-         |  SELECT source, lang, count(*) AS nl FROM perdoc GROUP BY 1, 2),
-         |ent AS (
-         |  SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
-         |         sum(CAST(${r6("(-(CAST(nl AS DOUBLE) / ns)) * ln(CAST(nl AS DOUBLE) / ns)")}
-         |                  AS DECIMAL(20,6))) AS ent
-         |  FROM (SELECT m.source, m.lang, m.nl, s.ns
-         |        FROM mix m JOIN (SELECT source, sum(nl) AS ns FROM mix
-         |                         GROUP BY 1) s USING (source))
-         |  GROUP BY 1),
-         |roll AS (
-         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-         |         CAST(sum(is_dup) AS BIGINT) AS n_dups,
-         |         CAST(sum(gopher_pass) AS BIGINT) AS n_pass,
-         |         sum(CAST(avg_logp AS DECIMAL(20,4))) AS slp,
-         |         count(avg_logp) AS n_lm
-         |  FROM perdoc GROUP BY 1)
-         |SELECT r.source, r.n_docs, r.n_tokens, e.n_langs,
-         |       ${r4("CAST(e.ent AS DOUBLE)")} AS lang_entropy,
-         |       ${r4("CAST(r.n_dups AS DOUBLE) / r.n_docs")} AS dup_frac,
-         |       ${r4("CAST(r.n_pass AS DOUBLE) / r.n_docs")} AS gopher_pass_frac,
-         |       CASE WHEN r.n_lm > 0
-         |            THEN ${r4("CAST(r.slp AS DOUBLE) / r.n_lm")}
-         |            ELSE NULL END AS mean_logp
-         |FROM roll r JOIN ent e USING (source)""".stripMargin
-    },
+    "q131_source_datasheet" -> datasheetSql(None),
+
+    // q131b: the card with the LM leg scored against the top-gram
+    // model — the oracle computes the heavy set as the plain
+    // GROUP BY/HAVING frequency filter the two-pass Misra-Gries
+    // recipe provably equals, and backs off to c12 = 0 elsewhere
+    "q131b_datasheet_sketch_lm" ->
+      datasheetSql(Some(graft.operators.Corpus.SHEET_LM_SUPPORT)),
 
     "q70_source_mix" ->
       s"""WITH flags AS (

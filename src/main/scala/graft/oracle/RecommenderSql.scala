@@ -164,6 +164,78 @@ object RecommenderSql {
          |  FROM scored)
          |WHERE rk <= 5""".stripMargin,
 
+    // q16b: the TRANSPOSED deterministic DIMSUM twin replayed END TO
+    // END — per-USER norms decide the keeps, the hash key is the
+    // transposed argument order (item:user:dimsum), sg scales with
+    // ln(count users), pairs meet on item_id, and the q16 all-users
+    // scoring pipeline runs over the mirrored 6-dp estimates. No
+    // tolerance verdict: rows, schema and hashes must match.
+    "q16b_user_knn_dimsum" ->
+      s"""WITH $ratingsSql,
+         |sg AS (
+         |  SELECT floor(sqrt(10.0 * ln(CAST(count(DISTINCT user_id) AS DOUBLE)) / 0.3)
+         |               * 1000000.0 + 0.5) / 1000000.0 AS sg
+         |  FROM ratings),
+         |norms AS (
+         |  SELECT user_id,
+         |         sqrt(CAST(CAST(sum(n4 * n4) AS BIGINT) AS DOUBLE) / 100000000.0) AS unorm
+         |  FROM (SELECT user_id,
+         |               CAST(floor(rating * 10000.0 + 0.5) AS BIGINT) AS n4
+         |        FROM ratings)
+         |  GROUP BY 1),
+         |kept AS (
+         |  SELECT r.user_id, r.item_id, r.rating
+         |  FROM ratings r
+         |  JOIN norms nm ON nm.user_id = r.user_id
+         |  CROSS JOIN sg
+         |  WHERE CAST(('0x' || substr(md5(concat_ws(':', r.item_id, r.user_id, 'dimsum')), 1, 7)) AS BIGINT)
+         |        < CAST(floor(least(1.0, sg.sg / nm.unorm) * 268435456.0 + 0.5) AS BIGINT)),
+         |dots AS (
+         |  SELECT a.user_id AS u, b.user_id AS v, sum(a.rating * b.rating) AS dot
+         |  FROM kept a JOIN kept b ON a.item_id = b.item_id
+         |  WHERE a.user_id < b.user_id GROUP BY 1, 2),
+         |half AS (
+         |  SELECT u, v,
+         |         floor(dot / (least(sg.sg, nu.unorm) * least(sg.sg, nv.unorm))
+         |               * 1000000.0 + 0.5) / 1000000.0 AS sim
+         |  FROM dots
+         |  CROSS JOIN sg
+         |  JOIN norms nu ON nu.user_id = u
+         |  JOIN norms nv ON nv.user_id = v),
+         |sims AS (
+         |  SELECT u, v, sim FROM half
+         |  UNION ALL
+         |  SELECT v AS u, u AS v, sim FROM half),
+         |stats AS (
+         |  SELECT user_id, avg(rating) AS umean FROM ratings GROUP BY 1),
+         |neighbors AS (
+         |  SELECT u, v, sim FROM (
+         |    SELECT u, v, sim, row_number() OVER (
+         |      PARTITION BY u ORDER BY sim DESC, v ASC) AS nrk
+         |    FROM sims)
+         |  WHERE nrk <= 25),
+         |scores AS (
+         |  SELECT nb.u, r.item_id,
+         |         sum(nb.sim * (r.rating - sv.umean)) AS num,
+         |         sum(nb.sim) AS den
+         |  FROM neighbors nb
+         |  JOIN ratings r ON r.user_id = nb.v
+         |  JOIN stats sv ON sv.user_id = nb.v
+         |  GROUP BY 1, 2),
+         |preds AS (
+         |  SELECT s.u AS user_id, s.item_id,
+         |         floor((su.umean + s.num / s.den) * 10000.0 + 0.5) / 10000.0 AS score
+         |  FROM scores s
+         |  JOIN stats su ON su.user_id = s.u
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM ratings r
+         |    WHERE r.user_id = s.u AND r.item_id = s.item_id))
+         |SELECT user_id, item_id, score, CAST(rk AS INTEGER) AS rk FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY user_id ORDER BY score DESC, item_id ASC) AS rk
+         |  FROM preds)
+         |WHERE rk <= 5""".stripMargin,
+
     // q16's pipeline under the K2 kernel: Pearson with whole-profile
     // ZERO-INCLUSIVE moments — mean = Σr/N over all N catalog
     // positions (absent ratings contribute 0 to Σr and Σr²), matching

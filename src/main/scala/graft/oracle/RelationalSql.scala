@@ -91,7 +91,9 @@ object RelationalSql {
     "q08_customers_without_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= DATE '2000-01-01')""".stripMargin,
 
     "q09_top_customer_per_nation" ->
       """WITH ranked AS (

@@ -102,6 +102,106 @@ object SimilaritySql {
          |GROUP BY 1""".stripMargin
     },
 
+    // q129b: the probe with the IVF cell rule as the neighbor source —
+    // cells/q/pairs are the q42 construction (probe-1 = the query's
+    // own cell), the vote is the q129 SQL verbatim
+    "q129b_label_probe_ivf" -> {
+      val s = graft.operators.Similarity
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+         |            FROM embeddings),
+         |$ivfCentsCte,
+         |cells AS (
+         |  SELECT vec_id, v, label, cell FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rk
+         |    FROM (
+         |      SELECT e.vec_id, e.v, e.label, c.cell,
+         |             floor(list_sum(list_transform(list_zip(e.v, c.cv),
+         |                     z -> (z[1]-z[2])*(z[1]-z[2])))
+         |                   * 1000000.0 + 0.5) / 1000000.0 AS d2
+         |      FROM emb e CROSS JOIN cents c))
+         |  WHERE rk = 1),
+         |q AS (SELECT cell, vec_id AS q_id, v AS qv, label AS true_label
+         |      FROM cells WHERE vec_id % ${s.LPROBE_MOD} = 0
+         |        AND vec_id < ${s.LPROBE_ID_CAP}),
+         |pairs AS (
+         |  SELECT q.q_id, q.true_label, c.vec_id AS n_id, c.label AS n_label,
+         |         floor(list_sum(list_transform(list_zip(q.qv, c.v), z -> z[1]*z[2]))
+         |               / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
+         |                  * sqrt(list_sum(list_transform(c.v, x -> x*x))))
+         |               * 1000000.0 + 0.5) / 1000000.0 AS cos
+         |  FROM cells c JOIN q ON c.cell = q.cell AND c.vec_id <> q.q_id),
+         |votes AS (
+         |  SELECT q_id, true_label, n_label, count(*) AS nv
+         |  FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+         |        FROM pairs)
+         |  WHERE rk <= ${s.LPROBE_K}
+         |  GROUP BY 1, 2, 3),
+         |pred AS (
+         |  SELECT q_id, true_label, n_label AS pred_label
+         |  FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY q_id ORDER BY nv DESC, n_label ASC) AS vr
+         |        FROM votes)
+         |  WHERE vr = 1)
+         |SELECT true_label, CAST(count(*) AS BIGINT) AS n_queries,
+         |       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_correct,
+         |       floor(CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+         |                  AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS acc
+         |FROM pred
+         |GROUP BY 1""".stripMargin
+    },
+
+    // q132b: the miner over the IVF cell rule — same pos/neg/margin
+    // SQL as q132, candidates bounded to the anchor's own cell
+    "q132b_hard_negatives_ivf" -> {
+      val s = graft.operators.Similarity
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+         |            FROM embeddings),
+         |$ivfCentsCte,
+         |cells AS (
+         |  SELECT vec_id, v, label, cell FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rk
+         |    FROM (
+         |      SELECT e.vec_id, e.v, e.label, c.cell,
+         |             floor(list_sum(list_transform(list_zip(e.v, c.cv),
+         |                     z -> (z[1]-z[2])*(z[1]-z[2])))
+         |                   * 1000000.0 + 0.5) / 1000000.0 AS d2
+         |      FROM emb e CROSS JOIN cents c))
+         |  WHERE rk = 1),
+         |a AS (SELECT cell, vec_id AS a_id, v AS av, label AS a_label
+         |      FROM cells WHERE vec_id % ${s.LPROBE_MOD} = 0
+         |        AND vec_id < ${s.LPROBE_ID_CAP}),
+         |pairs AS (
+         |  SELECT a.a_id, a.a_label, c.vec_id AS n_id, c.label AS n_label,
+         |         floor(list_sum(list_transform(list_zip(a.av, c.v), z -> z[1]*z[2]))
+         |               / (sqrt(list_sum(list_transform(a.av, x -> x*x)))
+         |                  * sqrt(list_sum(list_transform(c.v, x -> x*x))))
+         |               * 1000000.0 + 0.5) / 1000000.0 AS cos
+         |  FROM cells c JOIN a ON c.cell = a.cell AND c.vec_id <> a.a_id),
+         |pos AS (
+         |  SELECT a_id, n_id AS pos_id, cos AS pos_cos
+         |  FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY a_id ORDER BY cos DESC, n_id ASC) AS rk
+         |        FROM pairs WHERE n_label = a_label)
+         |  WHERE rk = 1),
+         |neg AS (
+         |  SELECT a_id, a_label, rk AS neg_rank, n_id AS neg_id, cos AS neg_cos
+         |  FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY a_id ORDER BY cos DESC, n_id ASC) AS rk
+         |        FROM pairs WHERE n_label <> a_label)
+         |  WHERE rk <= ${s.HNEG_K})
+         |SELECT n.a_id, n.a_label, p.pos_id,
+         |       floor(p.pos_cos * 10000.0 + 0.5) / 10000.0 AS pos_cos,
+         |       CAST(n.neg_rank AS INTEGER) AS neg_rank, n.neg_id,
+         |       floor(n.neg_cos * 10000.0 + 0.5) / 10000.0 AS neg_cos,
+         |       floor(p.pos_cos * 10000.0 + 0.5) / 10000.0
+         |         - floor(n.neg_cos * 10000.0 + 0.5) / 10000.0 AS margin
+         |FROM neg n JOIN pos p USING (a_id)""".stripMargin
+    },
+
     // both rankings under the q22 discipline; margin = one IEEE
     // subtraction of two r4 values
     "q132_hard_negatives" -> {

@@ -250,6 +250,47 @@ class AnnRecallSpec extends SparkSuite {
     // pos and neg from the SAME anchor, margin consistent by field math
     assert(got.forall(t => math.abs(t._8 - (t._4 - t._7)) < 1e-12))
   }
+
+  test("q129b/q132b IVF twins: recall vs the exact probe/miner, exactness at full probing") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    val pred = col("vec_id") % Similarity.LPROBE_MOD === 0 &&
+      col("vec_id") < Similarity.LPROBE_ID_CAP
+    val nCells = AnnRecallSpec.cellCount(spark, dir)
+
+    // label probe: prediction agreement with the exact vote at
+    // probe-1, and bit-exact equality when every cell is probed
+    def preds(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val exactProbe = preds(Similarity.knnLabelProbe(e, pred))
+    val ivf1 = preds(Similarity.knnLabelProbeIvf(e, pred))
+    assert(ivf1.nonEmpty && ivf1.keySet.subsetOf(exactProbe.keySet))
+    val ivfAll = preds(Similarity.knnLabelProbeIvf(e, pred, probes = nCells))
+    assert(ivfAll == exactProbe,
+      "probing every cell must reproduce the exact label probe")
+    // per-label accuracy agreement at probe-1, reported not asserted
+    // (uniform synthetic embeddings are IVF's worst case)
+    val agree = ivf1.keys.count(l => ivf1(l) == exactProbe(l))
+    info(s"probe-1 label rows bit-equal to exact: $agree/${ivf1.size}")
+
+    // triplet miner: neighbor recall of the IVF negatives vs exact
+    // at probe-1, bit-exact at full probing
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(4), r.getLong(5))).toSet
+    val exactNeg = rows(Similarity.hardNegatives(e, pred))
+    val ivfNeg1 = rows(Similarity.hardNegativesIvf(e, pred))
+    assert(ivfNeg1.nonEmpty)
+    val ivfNegAll = rows(Similarity.hardNegativesIvf(e, pred, probes = nCells))
+    assert(ivfNegAll == exactNeg,
+      "probing every cell must reproduce the exact triplet miner")
+    val recall = exactNeg.intersect(ivfNeg1).size.toDouble / exactNeg.size
+    info(f"probe-1 (anchor, rank, neg) recall vs exact: $recall%.3f")
+    assert(recall >= 0.0 && recall <= 1.0)
+  }
 }
 
 object AnnRecallSpec {

@@ -631,6 +631,17 @@ class CorpusSpec extends SparkSuite {
     assert(out == expected)
     assert(out.nonEmpty && survivors.size < 38,
       "the split gate must actually drop someone for the test to bite")
+
+    // the optional schedule stage lays out EXACTLY the kept train
+    // docs in vtime order (the q128 writer wired into q125)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_sched").toString
+    graft.operators.Corpus.trainingManifest(docs, corpusHasLines = false,
+      scheduleOut = Some(s"$dir/sched"))
+    val sched = spark.read.parquet(s"$dir/sched")
+    assert(sched.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      survivors.map(_._1).sorted,
+      "schedule rows must be the manifest's kept train docs")
   }
 
   test("ngramDiversity: hand-computed distinct-n over a two-doc source") {
@@ -891,5 +902,56 @@ class CorpusSpec extends SparkSuite {
           .sum.toDouble / scores.length))
       assert(meanCol(src) == want, s"$src mean_logp ${meanCol(src)} != $want")
     }
+  }
+
+  test("q131b sketch-LM card reconciles with the exact card: lower bound, shared columns, exactness at full support") {
+    val dir = "/root/testdata/sf0.001"
+    def cardOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7)))).toMap
+    val exact = cardOf(
+      graft.SparkEntry.queries("q131_source_datasheet")(spark, dir))
+    val sketch = cardOf(
+      graft.SparkEntry.queries("q131b_datasheet_sketch_lm")(spark, dir))
+    assert(sketch.keySet == exact.keySet && sketch.nonEmpty)
+    sketch.foreach { case (src, s) =>
+      val e = exact(src)
+      // every non-LM column is bit-identical
+      assert((s._1, s._2, s._3, s._4, s._5, s._6) ==
+        (e._1, e._2, e._3, e._4, e._5, e._6), s"$src non-LM columns differ")
+      // in-model bigrams score exactly their q94 log-prob and
+      // out-of-model ones strictly lower, so the sketch mean is a
+      // lower bound on the exact mean (allowing the two r4 roundings)
+      (s._7, e._7) match {
+        case (Some(sm), Some(em)) =>
+          assert(sm <= em + 2e-4, s"$src sketch mean $sm above exact $em")
+        case (a, b) => assert(a == b, s"$src LM presence differs")
+      }
+    }
+    // the model is non-trivial at the default support: it neither
+    // covers every bigram type nor is empty (the corpus calibration
+    // this spec pins: ~900 of ~916 types at sf0.001)
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val modelAtDefault = graft.operators.Corpus.sketchLmScores(docs)
+    val fullSupport = graft.operators.Corpus.sketchLmScores(docs,
+      support = 1L << 20, capacity = 1 << 21)
+    // with support >= n_bigrams the threshold is 1: every observed
+    // bigram enters the model and the sketch scores ARE q94's
+    val q94 = graft.SparkEntry.queries("q94_lm_quality")(spark, dir)
+      .select(col("doc_id"), col("avg_logp")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val full = fullSupport.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(full == q94,
+      "at full support the sketch LM must equal the exact LM per doc")
+    val dflt = modelAtDefault.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dflt.keySet == q94.keySet)
+    assert(dflt != q94,
+      "at the default support some bigram must fall out of the model " +
+        "(otherwise the spec exercises nothing)")
+    assert(dflt.forall { case (d, v) => v <= q94(d) + 1e-9 },
+      "per-doc sketch score must lower-bound the exact score")
   }
 }

@@ -69,6 +69,64 @@ class RecommenderSpec extends SparkSuite {
     }
   }
 
+  test("userSimsDimsum at threshold 0 equals the exact user-user cosine") {
+    val exact = tiny.as("a").join(tiny.as("b"),
+        col("a.item_id") === col("b.item_id") &&
+          col("a.user_id") < col("b.user_id"))
+      .groupBy(col("a.user_id").as("u"), col("b.user_id").as("v"))
+      .agg(org.apache.spark.sql.functions.sum(
+        col("a.rating") * col("b.rating")).as("dot"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val norms = tiny.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.sum(col("rating") * col("rating")).as("nsq"))
+      .collect().map(r => (r.getInt(0), math.sqrt(r.getDouble(1)))).toMap
+    val got = Recommender.userSimsDimsum(tiny, threshold = 0.0)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (k, sim) =>
+      val want = exact(k) / (norms(k._1) * norms(k._2))
+      assert(math.abs(sim - want) < 1e-12, s"$k: $sim vs $want")
+    }
+  }
+
+  test("userSimsAuto: boundary rule both sides; below the crossover it IS the exact kernel") {
+    // the decision rule is shared with the item side — Σ n² pair-dot
+    // volume against the same measured crossover, keyed per-ITEM here
+    assert(!Recommender.resolveDimsum(Recommender.DIMSUM_MIN_PAIRDOTS - 1))
+    assert(Recommender.resolveDimsum(Recommender.DIMSUM_MIN_PAIRDOTS))
+    val s = spark
+    import s.implicits._
+    val r = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 3.0), (1L, 12L, 1.0),
+      (2L, 10L, 4.0), (2L, 11L, 2.0),
+      (3L, 11L, 5.0), (3L, 12L, 4.0)
+    ).toDF("user_id", "item_id", "rating")
+    val auto = Recommender.userSimsAuto(r).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    val exact = Recommender.userSims(r).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(auto == exact, "below the crossover Auto must equal the exact kernel")
+    assert(auto.nonEmpty)
+  }
+
+  test("userKnnTopK via simsSource equals the built-in sims path") {
+    // the q16b seam: feeding the exact mirrored cosine sims through
+    // simsSource must reproduce the default pipeline bit-for-bit
+    val sims = Recommender.userSims(tiny)
+    val viaSource = Recommender.userKnnTopK(tiny, 2, 4,
+      simsSource = Some(sims)).collect().map(_.toSeq).toSet
+    val direct = Recommender.userKnnTopK(tiny, 2, 4)
+      .collect().map(_.toSeq).toSet
+    assert(viaSource == direct && viaSource.nonEmpty)
+    // cohort runs narrow the simsSource u-side
+    val cohort = Recommender.userKnnTopK(tiny, 2, 4,
+      targetUsers = Some(col("user_id") === 1),
+      simsSource = Some(sims)).collect().map(_.toSeq).toSet
+    val cohortDirect = Recommender.userKnnTopK(tiny, 2, 4,
+      targetUsers = Some(col("user_id") === 1)).collect().map(_.toSeq).toSet
+    assert(cohort == cohortDirect && cohort.nonEmpty)
+  }
+
   test("userSims kernels equal dense-vector formulas (K2 zero-inclusive mean)") {
     import graft.operators.Kernel
     // the fixture densified over catalog {1,2,3,4}
