@@ -42,7 +42,8 @@ object Corpus {
     "q127b_hybrid_rrf_ivf" -> q127b,
     "q128_mix_schedule" -> q128,
     "q131_source_datasheet" -> q131,
-    "q131b_datasheet_sketch_lm" -> q131b
+    "q131b_datasheet_sketch_lm" -> q131b,
+    "q133_epoch_plan" -> q133
   )
 
   /** Lucene-standard BM25 parameters. */
@@ -1283,6 +1284,59 @@ object Corpus {
       .select(col("doc_id"),
         r4(col("slp").cast("double") / col("n_bigrams")).as("avg_logp"))
   }
+
+  /** Epoch cap for [[epochPlan]] — repeating data up to ~4 epochs
+    * retains most of its value; beyond that returns decay rapidly
+    * (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models"). */
+  val EPOCH_CAP = 4L
+
+  /** Token budget as a multiple of the corpus's own token mass. */
+  val BUDGET_MULT = 3L
+
+  /** q133 — data-constrained epoch plan: given the q70/q128 mixing
+    * weights and a total training-token budget, how many EPOCHS of
+    * each source does the mix imply, and where does it demand more
+    * repetition than the cap allows? The planning table a
+    * data-constrained run reads before training (Muennighoff et al.
+    * 2023): per source — token mass, weight, the budget share the
+    * weights assign (`target_tokens`), the implied epochs clamped at
+    * [[EPOCH_CAP]], the tokens actually servable under the cap, and a
+    * `capped` flag marking sources whose weight demands more data
+    * than repetition can honestly supply (the signal to re-balance
+    * the q70 weights or collect more of that source).
+    *
+    * Exactness: budget share = one BIGINT multiply + integer DIV
+    * (exact on both engines); `capped` is an all-integer compare;
+    * `epochs` is the single IEEE division target/n_tokens clamped and
+    * r4'd. Scale shape: one tokenize agg (the q131 volume leg), a
+    * 1-row broadcast total, and per-source arithmetic — |sources|
+    * rows end to end. */
+  def epochPlan(docs: DataFrame, budgetMult: Long = BUDGET_MULT,
+                cap: Long = EPOCH_CAP): DataFrame = {
+    val perSrc = docs.select(col("source"),
+        size(VectorFns.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("n_tokens"))
+      .withColumn("weight", mixWeight(col("source")).cast("long"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("corpus_tokens"),
+      sum(col("weight")).as("wsum"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        expr(s"(corpus_tokens * $budgetMult * weight) DIV wsum"))
+      .withColumn("epochs",
+        r4(least(col("target_tokens").cast("double") / col("n_tokens"),
+          lit(cap.toDouble))))
+      .withColumn("tokens_served",
+        least(col("target_tokens"), col("n_tokens") * cap))
+      .withColumn("capped",
+        (col("target_tokens") > col("n_tokens") * cap).cast("int"))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        col("target_tokens"), col("epochs"), col("tokens_served"),
+        col("capped"))
+  }
+
+  private def q133(spark: SparkSession, dir: String): DataFrame =
+    epochPlan(Tables.documents(spark, dir))
 
   /** q131b — the data card with the LM leg scored against the
     * Misra-Gries top-gram model ([[sketchLmScores]]); every non-LM

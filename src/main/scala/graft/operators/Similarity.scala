@@ -27,6 +27,7 @@ object Similarity {
     "q23_kernel_matrix" -> q23,
     "q41_emb_neardup" -> q41,
     "q42_ivf_ann" -> q42,
+    "q42b_ivf2_ann" -> q42b,
     "q49_neardup_banded" -> q49,
     "q62_embed_quantize" -> q62,
     "q99_pq_ann" -> q99,
@@ -81,6 +82,78 @@ object Similarity {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Salt for the level-1 super-cell pick of [[ivf2TopK]]. */
+  val IVF_SUPER_SALT = "graft_ivfsuper_v1:"
+
+  /** q42b — TWO-LEVEL coarse quantization (the IMI/IVF-tree posture):
+    * the honest next rung the flat IVF notes name. The corpus-growing
+    * codebook makes flat assignment vec × cells work — cells ≈ N/64,
+    * so N²/64 map work: scan-bound but quadratic. Here a hash-picked
+    * ~√|cells| subset of the cells (always including the base seeds)
+    * forms a LEVEL-1 codebook; every cell attaches to its nearest
+    * super, every vector finds its nearest super first (O(√cells))
+    * and then argmins only over THAT super's cells (O(√cells)
+    * expected) — total assignment N·O(√cells) instead of N·cells,
+    * the standard inverted-multi-index trade. Both argmins use the
+    * r6(d2)-asc, id-asc discipline, and superMod = ⌊√|cells|+0.5⌋ is
+    * derived from the SAME codebook count on both engines, so the
+    * whole two-level rule replays in the oracle. `superMod = Some(1)`
+    * makes every cell a super and the assignment IS the flat q42 rule
+    * (the spec's exactness witness). Approximation is the standard
+    * one: a vector whose true nearest cell lives under a different
+    * super lands elsewhere — recall vs flat IVF quantified in
+    * AnnRecallSpec. */
+  def ivf2TopK(e: DataFrame, queryPred: Column, seedIds: Seq[Long],
+               k: Int, superMod: Option[Long] = None): DataFrame = {
+    val cents = centsOf(e, seedIds)
+    val nCells = cents.count()
+    val sm = superMod.getOrElse(
+      math.max(1L, math.floor(math.sqrt(nCells.toDouble) + 0.5).toLong))
+    val supers = cents.filter(col("cell").isin(seedIds.map(_.toInt): _*) ||
+        Dedup.baseHash(concat(lit(IVF_SUPER_SALT), col("cell").cast("string")))
+          % sm === 0)
+      .select(col("cell").as("super"), col("cv").as("sv"))
+    val wSup = Window.partitionBy(col("cell"))
+      .orderBy(col("d2s").asc, col("super").asc)
+    // level-1: each CELL attaches to its nearest super (tiny × tiny)
+    val cellSuper = cents.crossJoin(broadcast(supers))
+      .select(col("cell"), col("cv"), col("super"),
+        r6(sqDistArr(col("cv"), col("sv"))).as("d2s"))
+      .withColumn("srk", row_number().over(wSup))
+      .filter(col("srk") === 1).select(col("cell"), col("cv"), col("super"))
+    // level-1: each VECTOR finds its nearest super
+    val wVs = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2s").asc, col("super").asc)
+    val vSuper = e.crossJoin(broadcast(supers))
+      .select(col("vec_id"), col("v"),
+        col("super"), r6(sqDistArr(col("v"), col("sv"))).as("d2s"))
+      .withColumn("srk", row_number().over(wVs))
+      .filter(col("srk") === 1).select(col("vec_id"), col("v"), col("super"))
+    // level-2: argmin over ONLY the vector's super's cells
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cell").asc)
+    val assigned = vSuper.join(broadcast(cellSuper), Seq("super"))
+      .select(col("vec_id"), col("v"), col("cell"),
+        r6(sqDistArr(col("v"), col("cv"))).as("d2"))
+      .withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("cell"))
+    val qprobe = assigned.filter(queryPred)
+      .select(col("cell"), col("vec_id").as("q_id"), col("v").as("qv"))
+    val pairs = assigned.join(qprobe, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("cell"), col("vec_id").as("n_id"),
+        r6(cosineArr(col("qv"), col("v"))).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("cell"), col("n_id"),
+        r4(col("cos")).as("cosine"), col("rk"))
+  }
+
+  private def q42b(spark: SparkSession, dir: String): DataFrame =
+    ivf2TopK(emb(spark, dir), col("vec_id") % 25 === 0, IVF_SEEDS, IVF_TOP_K)
 
   /** Exact top-10 cosine neighbors for the `vec_id % 25 = 0` query
     * cohort: a broadcast nested-loop of the (small) query set against

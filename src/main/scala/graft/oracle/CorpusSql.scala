@@ -498,6 +498,34 @@ object CorpusSql {
     "q131b_datasheet_sketch_lm" ->
       datasheetSql(Some(graft.operators.Corpus.SHEET_LM_SUPPORT)),
 
+    // budget share = BIGINT multiply + integer DIV (exact both
+    // engines); capped is an all-integer compare; epochs is one IEEE
+    // division clamped + r4
+    "q133_epoch_plan" -> {
+      val c = graft.operators.Corpus
+      s"""WITH pt AS (
+         |  SELECT source,
+         |         CAST(sum(len(${tokensSql("lower(trim(text))")})) AS BIGINT)
+         |           AS n_tokens,
+         |         CAST(CASE WHEN source IN ('src0','src1','src2','src3') THEN 100
+         |                   WHEN source IN ('src4','src5','src6','src7') THEN 50
+         |                   ELSE 20 END AS BIGINT) AS weight
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens,
+         |               CAST(sum(weight) AS BIGINT) AS wsum FROM pt)
+         |SELECT source, n_tokens, weight,
+         |       (corpus_tokens * ${c.BUDGET_MULT} * weight) // wsum
+         |         AS target_tokens,
+         |       floor(least(CAST((corpus_tokens * ${c.BUDGET_MULT} * weight) // wsum
+         |                        AS DOUBLE) / n_tokens, ${c.EPOCH_CAP}.0)
+         |             * 10000.0 + 0.5) / 10000.0 AS epochs,
+         |       least((corpus_tokens * ${c.BUDGET_MULT} * weight) // wsum,
+         |             n_tokens * ${c.EPOCH_CAP}) AS tokens_served,
+         |       CAST((corpus_tokens * ${c.BUDGET_MULT} * weight) // wsum
+         |              > n_tokens * ${c.EPOCH_CAP} AS INTEGER) AS capped
+         |FROM pt, tot""".stripMargin
+    },
+
     "q70_source_mix" ->
       s"""WITH flags AS (
          |  SELECT source,

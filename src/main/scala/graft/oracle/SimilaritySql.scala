@@ -402,6 +402,61 @@ object SimilaritySql {
          |      FROM pairs)
          |WHERE rk <= 5""".stripMargin,
 
+    // q42b: the two-level coarse quantizer replayed end to end — the
+    // √|cells| super pick, both argmin levels (r6(d2) asc, id asc),
+    // and the q42 probe/top-k over the resulting assignment
+    "q42b_ivf2_ann" -> {
+      val s = graft.operators.Similarity
+      def d2(a: String, b: String) =
+        s"floor(list_sum(list_transform(list_zip($a, $b), z -> (z[1]-z[2])*(z[1]-z[2]))) * 1000000.0 + 0.5) / 1000000.0"
+      s"""WITH $embCte,
+         |$ivfCentsCte,
+         |sm AS (SELECT greatest(1, CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) + 0.5)
+         |                              AS BIGINT)) AS sm FROM cents),
+         |supers AS (
+         |  SELECT cell AS super, cv AS sv FROM cents, sm
+         |  WHERE cell IN (${s.IVF_SEEDS.mkString(", ")})
+         |     OR ${SqlFragments.baseHashSql(
+                s"'${s.IVF_SUPER_SALT}' || CAST(cell AS VARCHAR)")} % sm.sm = 0),
+         |cellsuper AS (
+         |  SELECT cell, cv, super FROM (
+         |    SELECT c.cell, c.cv, sp.super, row_number() OVER (
+         |      PARTITION BY c.cell
+         |      ORDER BY ${d2("c.cv", "sp.sv")} ASC, sp.super ASC) AS srk
+         |    FROM cents c CROSS JOIN supers sp)
+         |  WHERE srk = 1),
+         |vsuper AS (
+         |  SELECT vec_id, v, super FROM (
+         |    SELECT e.vec_id, e.v, sp.super, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY ${d2("e.v", "sp.sv")} ASC, sp.super ASC) AS srk
+         |    FROM emb e CROSS JOIN supers sp)
+         |  WHERE srk = 1),
+         |assigned AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT vs.vec_id, vs.v, cs.cell, row_number() OVER (
+         |      PARTITION BY vs.vec_id
+         |      ORDER BY ${d2("vs.v", "cs.cv")} ASC, cs.cell ASC) AS crk
+         |    FROM vsuper vs JOIN cellsuper cs USING (super))
+         |  WHERE crk = 1),
+         |q AS (SELECT cell, vec_id AS q_id, v AS qv FROM assigned
+         |      WHERE vec_id % 25 = 0),
+         |pairs AS (
+         |  SELECT q.q_id, q.cell, a.vec_id AS n_id,
+         |         floor(list_sum(list_transform(list_zip(q.qv, a.v), z -> z[1]*z[2]))
+         |               / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
+         |                  * sqrt(list_sum(list_transform(a.v, x -> x*x))))
+         |               * 1000000.0 + 0.5) / 1000000.0 AS cos
+         |  FROM assigned a JOIN q ON a.cell = q.cell AND a.vec_id <> q.q_id)
+         |SELECT q_id, cell, n_id,
+         |       floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine,
+         |       CAST(rk AS INTEGER) AS rk
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rk
+         |      FROM pairs)
+         |WHERE rk <= ${s.IVF_TOP_K}""".stripMargin
+    },
+
     "q113_cluster_balance" -> {
       val salt = graft.operators.Similarity.CBALANCE_SALT
       s"""WITH $embCte,

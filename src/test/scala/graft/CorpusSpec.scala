@@ -904,6 +904,36 @@ class CorpusSpec extends SparkSuite {
     }
   }
 
+  test("epochPlan: budget conservation, cap semantics, driver-replayed arithmetic") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q133_epoch_plan")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5), r.getInt(6))).toMap
+    assert(got.size == 20)
+    val corpus = got.values.map(_._1).sum
+    val wsum = got.values.map(_._2).sum
+    def r4d(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    got.foreach { case (src, (n, w, target, epochs, served, capped)) =>
+      assert(target == corpus * graft.operators.Corpus.BUDGET_MULT * w / wsum,
+        s"$src target")
+      assert(epochs == r4d(math.min(target.toDouble / n,
+        graft.operators.Corpus.EPOCH_CAP.toDouble)), s"$src epochs")
+      assert(served == math.min(target, n * graft.operators.Corpus.EPOCH_CAP),
+        s"$src served")
+      assert((capped == 1) == (target > n * graft.operators.Corpus.EPOCH_CAP),
+        s"$src capped")
+    }
+    // integer DIV floors each share, so the plan never over-commits
+    // the budget
+    assert(got.values.map(_._3).sum <=
+      corpus * graft.operators.Corpus.BUDGET_MULT)
+    // the fixture's skewed weights must actually exercise the cap
+    // (heavy sources demand more than 4 epochs of the light ones'
+    // mass would) — otherwise the clamp is untested
+    assert(got.values.exists(_._6 == 1) && got.values.exists(_._6 == 0),
+      "fixture must exercise both sides of the epoch cap")
+  }
+
   test("q131b sketch-LM card reconciles with the exact card: lower bound, shared columns, exactness at full support") {
     val dir = "/root/testdata/sf0.001"
     def cardOf(df: org.apache.spark.sql.DataFrame) = df.collect()
