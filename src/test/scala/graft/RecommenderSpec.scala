@@ -214,6 +214,19 @@ class RecommenderSpec extends SparkSuite {
     assert(base.nonEmpty)
   }
 
+  test("userSimsDimsum sampling is deterministic across partitionings") {
+    // the transposed twin of the item-side test: the hash key is
+    // md5(item:user:salt), a pure function of values — layout must
+    // not change a single pair
+    def sims(df: org.apache.spark.sql.DataFrame) =
+      Recommender.userSimsDimsum(df, threshold = 0.9)
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val base = sims(tiny)
+    val shuffled = sims(tiny.repartition(7))
+    assert(base == shuffled, "draws changed with partitioning")
+    assert(base.nonEmpty)
+  }
+
   test("itemSimsDimsum: pairs of small-norm columns stay EXACT under sampling") {
     // DIMSUM only thins oversampled (high-norm) columns: when both
     // norms ≤ sg, p = 1 and q = ‖c‖, so the estimator reduces to the
