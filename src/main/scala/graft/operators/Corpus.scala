@@ -531,9 +531,15 @@ object Corpus {
     val pass = graft.operators.TextOps
       .gopherFlags(deduped, corpusHasLines, minStops)
       .filter(col("gopher_pass") === 1).select(col("doc_id"))
-    val train = deduped
+    val train0 = deduped
       .filter(splitAssign(col("doc_id")) === "train")
       .join(pass, Seq("doc_id"), "left_semi")
+    // with the optional schedule stage the keep pipeline feeds TWO
+    // consumers (the eager schedule write + the returned plan) —
+    // localCheckpoint materializes the dedup/quality/split stages
+    // once so neither consumer recomputes the corpus-wide joins
+    val train =
+      if (scheduleOut.isDefined) train0.localCheckpoint() else train0
     // optional stage: lay the kept train docs out in q128
     // virtual-time order ([[scheduleWriter]] — range partition, local
     // sort, no global order anywhere)
@@ -1222,8 +1228,9 @@ object Corpus {
     * bigrams with count ≥ ceil(n/[[SHEET_LM_SUPPORT]]), found without
     * ever shuffling the bigram-typed stream: pass 1 is the
     * bounded-memory [[graft.functions.MisraGriesAggregator]]
-    * (capacity [[SHEET_LM_CAPACITY]]) as a global typed agg — ≤4096
-    * counters per partition, only sketches cross the wire, and the
+    * (capacity [[SHEET_LM_CAPACITY]]) as a global typed agg —
+    * ≤2·4096 entries per partition (summary + exact side-buffer),
+    * only sketches cross the wire, and the
     * merged summary provably contains every bigram above the support
     * line — and pass 2 recounts ONLY the ≤4096 candidates
     * (broadcast semi-join before the count) and filters at the
@@ -1248,16 +1255,8 @@ object Corpus {
       "two-pass exactness needs 1/(capacity+1) < 1/support")
     val spark = docs.sparkSession
     import spark.implicits._
-    val bg = docs
-      .select(col("doc_id"),
-        VectorFns.tokens(Dedup.normText(col("text"))).as("tk"))
-      .filter(size(col("tk")) >= 2)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), size(col("tk")) - 1)).as("i"), col("tk"))
-      .select(col("doc_id"),
-        element_at(col("tk"), col("i")).as("w1"),
-        element_at(col("tk"), col("i") + 1).as("w2"))
-      .cache()
+    // the SAME tokenization as q94's exact LM, by construction
+    val bg = TextOps.bigramStream(docs)
     // tokens are whitespace-split, so "w1 w2" is an unambiguous key
     val gram = concat_ws(" ", col("w1"), col("w2"))
     val sketch = new graft.functions.MisraGriesAggregator(capacity).toColumn

@@ -96,12 +96,17 @@ object Recommender {
     * tolerance verdict needed. */
   private def q16b(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.ratingsCached(spark, dir)
-    val half = userSimsDimsum(r, threshold = 0.3)
-    val sims = half
-      .union(half.select(col("v").as("u"), col("u").as("v"), col("sim")))
-      .select(col("u"), col("v"), r6(col("sim")).as("sim"))
-    userKnnTopK(r, K_NEIGHBORS, K_ITEMS, simsSource = Some(sims))
+    userKnnTopK(r, K_NEIGHBORS, K_ITEMS,
+      simsSource = Some(mirrorUserSims(userSimsDimsum(r, threshold = 0.3))))
   }
+
+  /** Mirror a `u < v` half user-sims table into the both-directions
+    * 6-dp form the kNN pipelines rank on — [[mirrorSims]]' user-side
+    * twin, shared by q16b and [[userSimsAuto]] so the mirroring and
+    * rounding discipline has one source of truth. */
+  def mirrorUserSims(half: DataFrame): DataFrame =
+    half.union(half.select(col("v").as("u"), col("u").as("v"), col("sim")))
+      .select(col("u"), col("v"), r6(col("sim")).as("sim"))
 
   /** The reference's Pearson user-kNN workload shape (Main.scala:
     * 354-356: `recSys.setSimilarity(new PearsonSimilarity)`) for the
@@ -180,8 +185,11 @@ object Recommender {
                                     dotsSource: Option[DataFrame] = None,
                                     denseGrid: Boolean = false,
                                     simsSource: Option[DataFrame] = None): DataFrame = {
-    require(simsSource.isEmpty || (!dense && dotsSource.isEmpty),
-      "simsSource replaces the sims build entirely; dense/dotsSource would be ignored")
+    require(simsSource.isEmpty ||
+        (!dense && dotsSource.isEmpty && maxRatersPerItem == Int.MaxValue),
+      "simsSource replaces the sims build entirely; dense/dotsSource/" +
+        "maxRatersPerItem would be silently ignored. (The kernel param is " +
+        "likewise moot: the supplied sims ARE the similarity.)")
     val r = ratings
     val stats = r.groupBy("user_id").agg(avg(col("rating")).as("umean"))
     // simsSource: an externally built mirrored (u, v, sim) table — the
@@ -1004,15 +1012,17 @@ object Recommender {
     * [[userKnnTopK]] `simsSource` contract. */
   def userSimsAuto(ratings0: DataFrame,
                    threshold: Double = 0.3): DataFrame = {
+    // cache scope mirrors itemSimsAuto: the sizing agg materializes
+    // the ratings the returned plan then reuses; the cache is
+    // session-scoped and CacheManager-dedup'd — callers making many
+    // Auto calls over distinct frames own unpersisting them
     val ratings = ratings0.cache()
     val pairDots = ratings.groupBy(col("item_id"))
       .agg(count(lit(1)).as("c"))
       .agg(sum(col("c") * col("c")).cast("long")).collect()(0).getLong(0)
-    if (resolveDimsum(pairDots)) {
-      val half = userSimsDimsum(ratings, threshold)
-      half.union(half.select(col("v").as("u"), col("u").as("v"), col("sim")))
-        .select(col("u"), col("v"), r6(col("sim")).as("sim"))
-    } else userSims(ratings)
+    if (resolveDimsum(pairDots))
+      mirrorUserSims(userSimsDimsum(ratings, threshold))
+    else userSims(ratings)
   }
 
   /** R1/R11/A2: the explicit per-user sparse profile build — the

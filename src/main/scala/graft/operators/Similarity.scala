@@ -106,7 +106,10 @@ object Similarity {
     * AnnRecallSpec. */
   def ivf2TopK(e: DataFrame, queryPred: Column, seedIds: Seq[Long],
                k: Int, superMod: Option[Long] = None): DataFrame = {
-    val cents = centsOf(e, seedIds)
+    // cache the codebook (~N/64 rows): it feeds the count, both
+    // broadcast legs and the cell→super attach — uncached, each would
+    // re-filter the full embeddings table
+    val cents = centsOf(e, seedIds).cache()
     val nCells = cents.count()
     val sm = superMod.getOrElse(
       math.max(1L, math.floor(math.sqrt(nCells.toDouble) + 0.5).toLong))

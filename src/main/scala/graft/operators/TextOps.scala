@@ -262,8 +262,9 @@ object TextOps {
     * tokens covering ≥ [[HH_PHI]] of all token occurrences, with exact
     * counts. Pass 1 runs the bounded-memory [[graft.functions
     * .MisraGriesAggregator]] (capacity [[HH_CAPACITY]]) as a global
-    * typed agg: map-side partial sketches hold ≤ 256 counters per
-    * partition and only sketches cross the wire, yet the merged
+    * typed agg: map-side partial sketches hold ≤ 2·256 entries per
+    * partition (summary + exact side-buffer) and only sketches cross
+    * the wire, yet the merged
     * summary provably contains every token above the threshold. Pass 2
     * broadcast-semi-joins the token stream down to the candidate set
     * BEFORE the count shuffle, recounts exactly, and filters at
@@ -327,9 +328,14 @@ object TextOps {
   /** Library surface of [[q94]]: `(doc_id, text)` → per-doc
     * `(doc_id, n_bigrams, avg_logp)` under the corpus's own add-one
     * bigram LM. Docs with < 2 tokens drop out (no bigrams). */
-  def lmQualityScores(docs: DataFrame): DataFrame = {
-    import graft.functions.Rounding.{r4, r6}
-    val bg = docs
+  /** The exploded per-doc bigram stream `(doc_id, w1, w2)` under the
+    * normText/tokens discipline — the ONE tokenization both LM legs
+    * (q94's exact model, q131b's sketch model) must share, extracted
+    * so a tokenizer change cannot silently diverge the sketch card
+    * from the exact card it lower-bounds. Cached: every consumer
+    * feeds it to 2-3 aggs plus the scoring join. */
+  private[operators] def bigramStream(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         VectorFns.tokens(Dedup.normText(col("text"))).as("tk"))
       .filter(size(col("tk")) >= 2)
@@ -339,6 +345,10 @@ object TextOps {
         element_at(col("tk"), col("i")).as("w1"),
         element_at(col("tk"), col("i") + 1).as("w2"))
       .cache()
+
+  def lmQualityScores(docs: DataFrame): DataFrame = {
+    import graft.functions.Rounding.{r4, r6}
+    val bg = bigramStream(docs)
     val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val vdim = bg.agg(countDistinct(col("w1")).as("v"))

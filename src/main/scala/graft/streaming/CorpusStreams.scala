@@ -217,9 +217,17 @@ object CorpusStreams {
     val canon = keyed.groupBy(col("h")).agg(min(col("doc_id")).as("canon_doc"))
     // standing = hashes first seen in EARLIER batches only, unique per
     // h by construction of the anti-joined append below — a replay of
-    // batch N reads the identical set, so its delta is reproducible
+    // batch N reads the identical set, so its delta is reproducible.
+    // Guard on committed batch_id=* partitions, not bare existence: a
+    // crash during the very first hashes write can leave the parent
+    // directory with no readable partition, and a plain read of it
+    // fails schema inference on every replay (the one crash point
+    // that would NOT reconverge).
+    val hasPartitions = exists(hashesPath) &&
+      fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$hashesPath/batch_id=*")).nonEmpty
     val standing =
-      if (exists(hashesPath))
+      if (hasPartitions)
         spark.read.option("basePath", hashesPath).parquet(hashesPath)
           .filter(col("batch_id") < batchId).select(col("h"))
       else keyed.select(col("h")).limit(0)

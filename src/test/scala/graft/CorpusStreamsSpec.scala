@@ -213,6 +213,19 @@ class CorpusStreamsSpec extends SparkSuite {
       "mid-batch crash replay did not reconverge")
   }
 
+  test("a crash during the very first hashes write does not wedge replay (empty dir, no partitions)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val hasLines = false
+    val out = freshDir()
+    // simulate dying after mkdir but before any partition committed
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$out/sheet_hashes"))
+    CorpusStreams.ingestDatasheetBatch(docs, 0L, out, hasLines)
+    assert(CorpusStreams.datasheet(spark, out).count() > 0,
+      "replay over an empty hashes dir must reconverge, not fail")
+  }
+
   test("datasheet LM refresh: card with the hook on matches the FULL batch q131, mean_logp included") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val hasLines = docs
