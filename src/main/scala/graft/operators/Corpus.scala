@@ -24,6 +24,7 @@ object Corpus {
     "q67_hash_sample" -> q67,
     "q69_seq_pack" -> q69,
     "q69b_seq_pack_bpe" -> q69b,
+    "q69c_pack_spans" -> q69c,
     "q70_source_mix" -> q70,
     "q81_decontaminate" -> q81,
     "q108_chunk_dedup" -> q108,
@@ -336,6 +337,47 @@ object Corpus {
 
   private def q69(spark: SparkSession, dir: String): DataFrame =
     packSequences(Tables.documents(spark, dir))
+
+  /** q69c — packed-sequence document-boundary spans: the attention-
+    * mask metadata packed pretraining actually consumes. Packing
+    * concatenates documents, so without boundary info a trainer's
+    * causal mask lets sequence-mates attend across document
+    * boundaries; the standard fix is a block-diagonal mask built from
+    * per-sequence (doc, start, len) spans. This emits exactly that:
+    * one row per (document × training sequence it intersects) with
+    * the span's in-sequence start/length and head/tail flags (a long
+    * document legitimately spans sequences — its interior rows are
+    * neither head nor tail). Σ span_len per sequence ≤ seqLen by
+    * construction, and every token of every packed doc is covered
+    * exactly once (spec'd).
+    *
+    * Shape: [[packSequences]]' sharded window sums plus ONE
+    * explode over each doc's intersected-sequence RANGE (≤
+    * 1 + n_tokens/seqLen rows per doc — output-sized, never a
+    * blow-up) and pure span arithmetic — all integer, hash-exact.
+    * Zero-token docs drop (they occupy no span). */
+  def packSpans(docs: DataFrame, seqLen: Int = SEQ_LEN,
+                shards: Int = PACK_SHARDS): DataFrame = {
+    val lo = col("seq_id").cast("long") * seqLen
+    val hi = lo + seqLen
+    val end = col("stream_offset") + col("n_tokens")
+    packSequences(docs, seqLen, shards)
+      .filter(col("n_tokens") >= 1)
+      .select(col("lang"), col("shard"), col("doc_id"), col("n_tokens"),
+        col("stream_offset"),
+        explode(sequence(
+          floor(col("stream_offset") / seqLen).cast("int"),
+          floor((col("stream_offset") + col("n_tokens") - 1) / seqLen)
+            .cast("int"))).as("seq_id"))
+      .select(col("lang"), col("shard"), col("seq_id"), col("doc_id"),
+        (greatest(col("stream_offset"), lo) - lo).as("span_start"),
+        (least(end, hi) - greatest(col("stream_offset"), lo)).as("span_len"),
+        (lo <= col("stream_offset")).cast("int").as("doc_head"),
+        (hi >= end).cast("int").as("doc_tail"))
+  }
+
+  private def q69c(spark: SparkSession, dir: String): DataFrame =
+    packSpans(Tables.documents(spark, dir))
 
   /** q69b — sequence packing over the REAL token measure (VERDICT r9
     * next #7): the q69 pack windows re-run with per-doc lengths from

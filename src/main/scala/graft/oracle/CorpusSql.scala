@@ -330,6 +330,42 @@ object CorpusSql {
          |       CAST(floor(stream_offset / 256.0) AS INTEGER) AS seq_id
          |FROM offs""".stripMargin,
 
+    // q69c: the q69 offsets exploded over each doc's intersected
+    // sequence range — pure integer span arithmetic, hash-exact
+    "q69c_pack_spans" -> {
+      val L = graft.operators.Corpus.SEQ_LEN
+      s"""WITH base AS (
+         |  SELECT lang, doc_id,
+         |         CAST(${baseHashSql("CAST(doc_id AS VARCHAR)")} % 8 AS INTEGER)
+         |           AS shard,
+         |         CAST(len(${tokensSql("lower(trim(text))")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |offs AS (
+         |  SELECT lang, doc_id, shard, n_tokens,
+         |         CAST(COALESCE(sum(n_tokens) OVER (
+         |           PARTITION BY lang, shard ORDER BY doc_id ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS BIGINT) AS stream_offset
+         |  FROM base WHERE n_tokens >= 0),
+         |spans AS (
+         |  SELECT lang, shard, CAST(s AS INTEGER) AS seq_id, doc_id,
+         |         CAST(s AS BIGINT) * $L AS lo,
+         |         stream_offset, n_tokens
+         |  FROM offs,
+         |       UNNEST(generate_series(
+         |         CAST(floor(stream_offset / $L.0) AS BIGINT),
+         |         CAST(floor((stream_offset + n_tokens - 1) / $L.0) AS BIGINT)))
+         |         AS t(s)
+         |  WHERE n_tokens >= 1)
+         |SELECT lang, shard, seq_id, doc_id,
+         |       greatest(stream_offset, lo) - lo AS span_start,
+         |       least(stream_offset + n_tokens, lo + $L)
+         |         - greatest(stream_offset, lo) AS span_len,
+         |       CAST(lo <= stream_offset AS INTEGER) AS doc_head,
+         |       CAST(lo + $L >= stream_offset + n_tokens AS INTEGER) AS doc_tail
+         |FROM spans""".stripMargin
+    },
+
     // q69b: the q69 pack windows over the q115 BPE symbol counts —
     // the unrolled merge chain's vocabulary prices each doc's length
     "q69b_seq_pack_bpe" -> {

@@ -904,6 +904,45 @@ class CorpusSpec extends SparkSuite {
     }
   }
 
+  test("packSpans: exact token coverage, per-seq budget, head/tail flags, parity with q69 starts") {
+    val dir = "/root/testdata/sf0.001"
+    val L = graft.operators.Corpus.SEQ_LEN
+    val spans = graft.SparkEntry.queries("q69c_pack_spans")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6), r.getInt(7)))
+    assert(spans.nonEmpty)
+    val packs = graft.SparkEntry.queries("q69_seq_pack")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getInt(5)))
+    // 1. every packed doc's tokens are covered exactly once
+    val byDoc = spans.groupBy(t => (t._1, t._4))
+    packs.filter(_._4 >= 1).foreach { case (lang, doc, _, n, off, seq0) =>
+      val ds = byDoc((lang, doc)).sortBy(_._3)
+      assert(ds.map(_._6).sum == n, s"doc $doc covered ${ds.map(_._6).sum}/$n")
+      // 2. the first span starts in the q69-assigned sequence
+      assert(ds.head._3 == seq0, s"doc $doc head seq ${ds.head._3} != $seq0")
+      // 3. exactly one head and one tail, at the ends
+      assert(ds.head._7 == 1 && ds.last._8 == 1)
+      assert(ds.count(_._7 == 1) == 1 && ds.count(_._8 == 1) == 1)
+      // 4. interior spans (if any) fill whole sequences
+      ds.drop(1).dropRight(1).foreach(s =>
+        assert(s._5 == 0 && s._6 == L, s"interior span of doc $doc not full"))
+    }
+    // 5. per-sequence span budget: Σ span_len ≤ L, spans disjoint
+    spans.groupBy(t => (t._1, t._2, t._3)).foreach { case (k, ss) =>
+      assert(ss.map(_._6).sum <= L, s"seq $k over budget")
+      val sorted = ss.sortBy(_._5)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 + a._6 <= b._5, s"seq $k spans overlap")
+        case _ =>
+      }
+    }
+    // the fixture must exercise multi-sequence docs or the interior
+    // and budget logic is untested
+    assert(spans.groupBy(t => (t._1, t._4)).values.exists(_.length > 1),
+      "no doc spans multiple sequences at fixture scale")
+  }
+
   test("epochPlan: budget conservation, cap semantics, driver-replayed arithmetic") {
     val dir = "/root/testdata/sf0.001"
     val got = graft.SparkEntry.queries("q133_epoch_plan")(spark, dir)
