@@ -156,6 +156,18 @@ object Recommender {
       maxRatersPerItem, dense, catalogSize, dotsSource,
       simsSource = simsSource)
 
+  /** The scale-safe library default for cosine user-kNN: the sims
+    * stage rides [[userSimsAuto]] — exact below the measured pair-dot
+    * crossover (where it is bit-identical to [[userKnnTopK]]'s
+    * built-in path, spec'd), the transposed DIMSUM estimator above it
+    * (where the exact Σ_i raters_i² shuffle goes super-linear). The
+    * registered q16 stays exact for hash-compat; new callers should
+    * start here, like Content's CandidateSource.Auto. */
+  def userKnnTopKAuto(ratings: DataFrame, kNeighbors: Int, kItems: Int,
+                      threshold: Double = 0.3): DataFrame =
+    userKnnTopK(ratings, kNeighbors, kItems,
+      simsSource = Some(userSimsAuto(ratings, threshold)))
+
   /** [[userKnnTopK]] for a DataFrame of target users (`user_id`
     * column) — the Estimator/Model `transform` surface; the cohort
     * narrows via a broadcast semi-join instead of a predicate. */

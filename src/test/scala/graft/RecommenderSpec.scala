@@ -127,6 +127,14 @@ class RecommenderSpec extends SparkSuite {
     assert(cohort == cohortDirect && cohort.nonEmpty)
   }
 
+  test("userKnnTopKAuto below the crossover is bit-identical to the built-in exact path") {
+    val auto = Recommender.userKnnTopKAuto(tiny, 2, 4)
+      .collect().map(_.toSeq).toSet
+    val exact = Recommender.userKnnTopK(tiny, 2, 4)
+      .collect().map(_.toSeq).toSet
+    assert(auto == exact && auto.nonEmpty)
+  }
+
   test("userSims kernels equal dense-vector formulas (K2 zero-inclusive mean)") {
     import graft.operators.Kernel
     // the fixture densified over catalog {1,2,3,4}
