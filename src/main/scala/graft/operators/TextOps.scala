@@ -32,7 +32,8 @@ object TextOps {
     "q111_blocklist" -> q111,
     "q116_quality_classifier" -> q116,
     "q122_ngram_diversity" -> q122,
-    "q123_zipf_fit" -> q123
+    "q123_zipf_fit" -> q123,
+    "q134_filter_sweep" -> q134
   )
 
   /** Blocklist for the C4-style badwords filter (Raffel et al. 2020
@@ -363,6 +364,58 @@ object TextOps {
       .select(col("doc_id"), col("n_bigrams"),
         r4(col("slp").cast("double") / col("n_bigrams")).as("avg_logp"))
   }
+
+  /** Threshold grid for the q134 operating-curve sweep: the window a
+    * team actually tunes the q94 cutoff inside (the fixture's
+    * LM_FLAG_THRESH = −3.5 sits mid-grid). Exact binary halves, so
+    * the `avg_logp >= thresh` compare is engine-identical. */
+  val SWEEP_THRESHOLDS: Seq[Double] = (-12 to -4).map(_ / 2.0)
+
+  /** q134 — quality-filter operating curve: for each candidate LM
+    * threshold, how many documents/tokens survive and at what mean
+    * quality — the retained-data-vs-quality tradeoff table a data
+    * team reads BEFORE fixing the q94 cutoff (every corpus-filtering
+    * paper publishes exactly this sweep when choosing an operating
+    * point). One row per threshold: kept doc/token counts, kept
+    * fractions, and the kept cohort's mean log-prob.
+    *
+    * Contract: the sweep runs over SCOREABLE docs (≥2 tokens — the
+    * q94 domain); `mean_logp_kept` is null when a threshold keeps
+    * nothing. Fractions are single IEEE divisions of exact integers;
+    * the kept mean rides the r4-quantize → DECIMAL-sum discipline.
+    *
+    * Scale shape: the q94 chain (already priced) plus ONE explode of
+    * the per-doc score row over the |grid| broadcast literals —
+    * |docs|·|grid| narrow rows into one keyed agg with map-side
+    * partials. No new shuffle class, no sort. */
+  def filterSweep(docs: DataFrame,
+                  grid: Seq[Double] = SWEEP_THRESHOLDS): DataFrame = {
+    val scored = lmQualityScores(docs)
+      .join(docs.select(col("doc_id"),
+        size(VectorFns.tokens(col("text"))).cast("long").as("n_tok")),
+        Seq("doc_id"))
+    val kept = col("avg_logp") >= col("thresh")
+    scored
+      .select(col("avg_logp"), col("n_tok"),
+        explode(array(grid.map(lit): _*)).as("thresh"))
+      .groupBy(col("thresh"))
+      .agg(count(lit(1)).as("n_docs_total"),
+        sum(col("n_tok")).as("n_tokens_total"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(kept, col("n_tok")).otherwise(0L)).as("n_tokens_kept"),
+        sum(when(kept, col("avg_logp").cast("decimal(20,4)"))).as("slp"))
+      .select(col("thresh"), col("n_docs_kept"), col("n_tokens_kept"),
+        r4(col("n_docs_kept").cast("double") / col("n_docs_total"))
+          .as("doc_frac"),
+        r4(col("n_tokens_kept").cast("double") / col("n_tokens_total"))
+          .as("token_frac"),
+        when(col("n_docs_kept") > 0,
+          r4(col("slp").cast("double") / col("n_docs_kept")))
+          .as("mean_logp_kept"))
+  }
+
+  private def q134(spark: SparkSession, dir: String): DataFrame =
+    filterSweep(Tables.documents(spark, dir))
 
   /** The published Gopher quality-rule bounds (Rae et al. 2021 §A1.1).
     * The word-level rules apply to any corpus; the LINE-STRUCTURE

@@ -362,6 +362,55 @@ object TextSql {
          |            < ${graft.operators.TextOps.LM_FLAG_THRESH} AS INTEGER) AS flagged
          |FROM agg""".stripMargin,
 
+    // q134: the q94 chain joined with per-doc token counts, crossed
+    // with the literal threshold grid — kept mean rides the same
+    // r4-quantize -> DECIMAL-sum discipline as the per-doc scores
+    "q134_filter_sweep" -> {
+      val grid = graft.operators.TextOps.SWEEP_THRESHOLDS
+        .map(t => f"$t%.1f").mkString(", ")
+      val r4 = graft.functions.Rounding.sql4 _
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${SqlFragments.tokensSql(SqlFragments.normTextSql("text"))} AS tk
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+         |  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+         |  WHERE len(tk) >= 2),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w1) AS v FROM bg),
+         |lmscored AS (
+         |  SELECT bg.doc_id,
+         |         CAST(${graft.functions.Rounding.sql6(
+                     "ln(CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))")}
+         |              AS DECIMAL(20,6)) AS lp
+         |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS slp
+         |  FROM lmscored GROUP BY 1),
+         |sc AS (
+         |  SELECT a.doc_id,
+         |         ${r4("CAST(a.slp AS DOUBLE) / a.n_bigrams")} AS avg_logp,
+         |         CAST(len(${SqlFragments.tokensSql("lower(trim(text))")})
+         |              AS BIGINT) AS n_tok
+         |  FROM agg a JOIN documents d ON d.doc_id = a.doc_id),
+         |grid AS (SELECT unnest([$grid]) AS thresh)
+         |SELECT g.thresh,
+         |       CAST(sum(CASE WHEN avg_logp >= g.thresh THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_docs_kept,
+         |       CAST(sum(CASE WHEN avg_logp >= g.thresh THEN n_tok ELSE 0 END)
+         |            AS BIGINT) AS n_tokens_kept,
+         |       ${r4("CAST(sum(CASE WHEN avg_logp >= g.thresh THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")}
+         |         AS doc_frac,
+         |       ${r4("CAST(sum(CASE WHEN avg_logp >= g.thresh THEN n_tok ELSE 0 END) AS DOUBLE) / sum(n_tok)")}
+         |         AS token_frac,
+         |       CASE WHEN sum(CASE WHEN avg_logp >= g.thresh THEN 1 ELSE 0 END) > 0
+         |            THEN ${r4("CAST(sum(CASE WHEN avg_logp >= g.thresh THEN CAST(avg_logp AS DECIMAL(20,4)) END) AS DOUBLE) / sum(CASE WHEN avg_logp >= g.thresh THEN 1 ELSE 0 END)")}
+         |            ELSE NULL END AS mean_logp_kept
+         |FROM sc CROSS JOIN grid g
+         |GROUP BY 1""".stripMargin
+    },
+
     // every Gopher bound interpolates from the TextOps constants (the
     // q106 LM_*_THRESH discipline) so a rule change cannot desync the
     // oracle from the engine (ADVICE r8). The line-structure columns

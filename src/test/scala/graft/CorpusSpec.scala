@@ -904,6 +904,39 @@ class CorpusSpec extends SparkSuite {
     }
   }
 
+  test("filterSweep: monotone operating curve, endpoint sanity, reconciles with q94 per-doc scores") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q134_filter_sweep")(spark, dir)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      .sortBy(_._1)
+    assert(rows.length == graft.operators.TextOps.SWEEP_THRESHOLDS.length)
+    // tightening the threshold can only shrink what is kept, and the
+    // kept cohort's mean quality can only rise
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(hi._2 <= lo._2 && hi._3 <= lo._3,
+          s"kept counts rose from ${lo._1} to ${hi._1}")
+        (lo._6, hi._6) match {
+          case (Some(a), Some(b)) =>
+            assert(b >= a - 1e-9, s"kept mean fell from ${lo._1} to ${hi._1}")
+          case _ =>
+        }
+      case _ =>
+    }
+    // the grid must actually discriminate at fixture scale: not all
+    // thresholds keep everything, not all keep nothing
+    assert(rows.head._4 > rows.last._4,
+      "grid does not discriminate — every threshold keeps the same fraction")
+    // endpoint reconciliation against the q94 per-doc scores
+    val scores = graft.SparkEntry.queries("q94_lm_quality")(spark, dir)
+      .select(col("avg_logp")).collect().map(_.getDouble(0))
+    rows.foreach { case (t, kept, _, _, _, _) =>
+      assert(kept == scores.count(_ >= t), s"thresh $t kept-count mismatch")
+    }
+  }
+
   test("packSpans: exact token coverage, per-seq budget, head/tail flags, parity with q69 starts") {
     val dir = "/root/testdata/sf0.001"
     val L = graft.operators.Corpus.SEQ_LEN
