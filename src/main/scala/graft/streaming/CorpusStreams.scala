@@ -29,9 +29,15 @@ object CorpusStreams {
     * Appends doc-level manifest rows to `outDir/manifest` partitioned
     * by batch id (the [[EventStreams.writeBatchIdempotent]] replay
     * discipline: a crash-replayed batch OVERWRITES its own partition
-    * instead of duplicating it); state updates are guarded by a
-    * per-batch marker so a replayed batch never double-advances the
-    * offsets or re-appends its hashes.
+    * instead of duplicating it). Since round 11 ALL state is
+    * batch-keyed the same way — hashes first seen in batch N and
+    * batch N's per-source token delta land in `batch_id=N` overwrite
+    * partitions, and a batch reads only `batch_id < N` state — so a
+    * crash at ANY point before the per-batch marker replays to
+    * identical output and state (the earlier append/read-modify-write
+    * layout lost the batch's manifest rows if it died between the
+    * hash append and the marker: the replay anti-joined the batch
+    * against its own hashes).
     *
     * Semantics vs the batch twin: the keep DECISIONS (dedup winner,
     * quality, split) are order-independent and match
@@ -77,16 +83,31 @@ object CorpusStreams {
     // already written (or will be overwritten below) and state already
     // advanced — never advance it twice
 
+    // ROUND-11 rework (the datasheet-stream idempotency audit applied
+    // here): state is BATCH-KEYED overwrite partitions, so a crash at
+    // ANY point before the marker replays to identical state. The old
+    // layout (append-mode hashes, read-modify-write offsets) LOST the
+    // batch on a crash between the hash append and the marker: the
+    // replay anti-joined the batch against its own hashes and
+    // overwrote the manifest partition with zero rows.
     val hashesPath = s"$outDir/state_hashes"
-    val offsetsPath = s"$outDir/state_offsets"
+    val deltasPath = s"$outDir/offset_deltas"
 
     val keyed = batch.withColumn("h", md5(Dedup.normText(col("text"))))
     val canon = keyed.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
     val inBatch = keyed.join(canon, Seq("h", "doc_id"), "left_semi")
-    val fresh =
-      if (exists(hashesPath))
-        inBatch.join(spark.read.parquet(hashesPath), Seq("h"), "left_anti")
-      else inBatch
+    // standing = hashes first seen in EARLIER batches only (committed
+    // batch_id=* partitions — bare existence would trip schema
+    // inference on a crash-created empty dir)
+    val hasHashes = exists(hashesPath) &&
+      fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$hashesPath/batch_id=*")).nonEmpty
+    val standing =
+      if (hasHashes)
+        spark.read.option("basePath", hashesPath).parquet(hashesPath)
+          .filter(col("batch_id") < batchId).select(col("h"))
+      else keyed.select(col("h")).limit(0)
+    val fresh = inBatch.join(standing, Seq("h"), "left_anti")
     val pass = TextOps.gopherFlags(fresh, corpusHasLines, minStops)
       .filter(col("gopher_pass") === 1).select(col("doc_id"))
     val train = fresh
@@ -98,11 +119,17 @@ object CorpusStreams {
         Dedup.baseHash(concat(col("doc_id").cast("string"), lit("_shard")))
           .as("hkey"))
 
-    // per-source running offsets: ≤ one tiny row per source — driver map
+    // per-source running offsets, DERIVED from earlier batches' delta
+    // partitions (≤ one tiny row per source per batch) — driver map
+    val hasDeltas = exists(deltasPath) &&
+      fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$deltasPath/batch_id=*")).nonEmpty
     val offsets: Map[String, Long] =
-      if (exists(offsetsPath))
-        spark.read.parquet(offsetsPath).collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (hasDeltas)
+        spark.read.option("basePath", deltasPath).parquet(deltasPath)
+          .filter(col("batch_id") < batchId)
+          .groupBy(col("source")).agg(sum(col("batch_tok")).as("off"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       else Map.empty
     val offCol = offsets.foldLeft(lit(0L)) { case (acc, (s, o)) =>
       when(col("source") === s, lit(o)).otherwise(acc) }
@@ -117,19 +144,26 @@ object CorpusStreams {
       .select(col("doc_id"), col("source"), col("n_tok"), col("shard_id"))
       .cache()
 
-    // manifest partition: overwrite-by-batch-id = replay-safe append
+    // every write below is an overwrite of a batch-keyed partition —
+    // idempotent for a fixed batch id, in any crash/replay interleaving
     rows.write.mode("overwrite").parquet(s"$outDir/manifest/batch_id=$batchId")
-    // advance state: new hashes append; offsets rewrite (tiny)
     keyed.select(col("h")).distinct()
-      .write.mode("append").parquet(hashesPath)
+      .join(standing, Seq("h"), "left_anti")
+      .write.mode("overwrite").parquet(s"$hashesPath/batch_id=$batchId")
+    rows.groupBy(col("source")).agg(sum(col("n_tok")).as("batch_tok"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$deltasPath/batch_id=$batchId")
+    // observability snapshot of the standing offsets AFTER this batch
+    // (derived — rebuilt by any replay; consumers needing exactness
+    // should aggregate the deltas)
+    import spark.implicits._
     val advanced = rows.groupBy(col("source"))
       .agg(sum(col("n_tok")).as("batch_tok")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val merged = (offsets.keySet ++ advanced.keySet).toSeq.map { s =>
       (s, offsets.getOrElse(s, 0L) + advanced.getOrElse(s, 0L)) }
-    import spark.implicits._
-    merged.toDF("source", "off").coalesce(1)
-      .write.mode("overwrite").parquet(offsetsPath)
+    swapIn(spark, merged.toDF("source", "off").coalesce(1),
+      s"$outDir/state_offsets")
     rows.unpersist()
     // marker LAST: a crash anywhere above replays the whole batch
     spark.range(1).select(lit(batchId).as("batch_id"))

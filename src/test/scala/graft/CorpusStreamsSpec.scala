@@ -136,6 +136,22 @@ class CorpusStreamsSpec extends SparkSuite {
     val offAfter = spark.read.parquet(s"$out/state_offsets").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(offAfter == offBefore, "offsets double-advanced on replay")
+
+    // the data-loss crash window the r11 rework closes: die AFTER the
+    // state writes but BEFORE the marker (simulated by deleting the
+    // marker) — under the old append-mode hashes the replay anti-joined
+    // the batch against its OWN hashes and overwrote its manifest
+    // partition with zero rows
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/_batches/batch_id=0"), true)
+    CorpusStreams.ingestManifestBatch(half, 0L, out,
+      corpusHasLines = false, target = target, minStops = minStops)
+    assert(spark.read.parquet(s"$out/manifest").count() == before,
+      "mid-crash replay lost the batch's manifest rows")
+    val offCrash = spark.read.parquet(s"$out/state_offsets").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(offCrash == offBefore, "mid-crash replay corrupted offsets")
   }
 
   test("datasheet-on-ingest: single batch matches the batch card; dups detected across batches; replay-safe") {
