@@ -38,6 +38,8 @@ object Corpus {
     "q115_bpe_encode" -> q115,
     "q124_split_contamination" -> q124,
     "q124b_split_repair" -> q124b,
+    "q124c_bloom_decon" -> q124c,
+    "q136_split_leakage" -> q136,
     "q125_training_manifest" -> q125,
     "q127_hybrid_rrf" -> q127,
     "q127b_hybrid_rrf_ivf" -> q127b,
@@ -496,6 +498,16 @@ object Corpus {
     * anywhere. Engine parity: both engines join on md5(g), so even a
     * hash collision produces the identical verdict. */
   def splitContamination(docs: DataFrame, n: Int = DECON_NGRAM): DataFrame = {
+    val (train, testGrams) = splitGramSides(docs, n)
+    val shared = train.join(testGrams, "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    contaminationReport(train, shared)
+  }
+
+  /** Shared gram prep for the q124 family: distinct (doc, split, gram
+    * md5) rows for the train/test splits, returned as the two join
+    * sides ((doc_id, h) train rows; distinct test h). */
+  private def splitGramSides(docs: DataFrame, n: Int): (DataFrame, DataFrame) = {
     val grams = docs
       .withColumn("split", splitAssign(col("doc_id")))
       .filter(col("split") =!= "val")
@@ -504,16 +516,47 @@ object Corpus {
           Dedup.normText(col("text"))), n)).as("g"))
       .select(col("doc_id"), col("split"), md5(col("g")).as("h"))
       .distinct()
-    val testGrams = grams.filter(col("split") === "test")
-      .select(col("h")).distinct()
-    val train = grams.filter(col("split") === "train")
-      .select(col("doc_id"), col("h"))
-    val shared = train.join(testGrams, "h")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    (grams.filter(col("split") === "train").select(col("doc_id"), col("h")),
+      grams.filter(col("split") === "test").select(col("h")).distinct())
+  }
+
+  /** The q124 report tail: per-doc totals joined to shared counts. */
+  private def contaminationReport(train: DataFrame, shared: DataFrame): DataFrame =
     train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
       .join(shared, "doc_id")
       .select(col("doc_id"), col("n_grams"), col("n_shared"),
         r4(col("n_shared").cast("double") / col("n_grams")).as("shared_frac"))
+
+  /** q124c — q124's EXACT report behind a Bloom prefilter: the
+    * train-side gram stream is pruned by [[Skew.bloomPrune]]'s
+    * one-row sketch of the test grams BEFORE the shuffle equi-join.
+    * Bloom membership is one-sided (never a false negative), so the
+    * exact join over the pruned stream returns exactly q124's rows —
+    * the oracle is q124's own SQL, which is the point: the gate
+    * proves the optimized plan's equivalence, not a new semantics.
+    *
+    * Scale shape: q124's join shuffles BOTH full gram streams (train
+    * ~8/10 of the corpus' grams); here the train side exchanges only
+    * the ~shared fraction plus bounded Bloom false positives, at the
+    * price of one extra pass over the SMALLER (test, corpus/10) side
+    * to build the sketch. `numBits` bounds the broadcast artifact by
+    * construction (8M bits ≈ 1 MB ≈ 1% FPR at 1M grams; at 100 TB
+    * you raise it with `spark.sql.optimizer.runtime.bloomFilter.*`
+    * caps — the sketch grows with the EVAL side, not the corpus).
+    * Keys probe as `xxhash64(h)`: a 64-bit hash collision only adds
+    * a false positive, which the exact join then drops. */
+  def splitContaminationBloom(docs: DataFrame, n: Int = DECON_NGRAM,
+                              expectedItems: Long = 1000000L,
+                              numBits: Long = 8388608L): DataFrame = {
+    val (train, testGrams) = splitGramSides(docs, n)
+    val trainHx = train.withColumn("hx", xxhash64(col("h")))
+    val testHx = testGrams.select(xxhash64(col("h")).as("hx"))
+    val candidates = graft.operators.Skew
+      .bloomPrune(trainHx, "hx", testHx, "hx", expectedItems, numBits)
+      .drop("hx")
+    val shared = candidates.join(testGrams, "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    contaminationReport(train, shared)
   }
 
   private def q124(spark: SparkSession, dir: String): DataFrame =
@@ -545,6 +588,60 @@ object Corpus {
 
   private def q124b(spark: SparkSession, dir: String): DataFrame =
     splitRepair(Tables.documents(spark, dir))
+
+  private def q124c(spark: SparkSession, dir: String): DataFrame =
+    splitContaminationBloom(Tables.documents(spark, dir))
+
+  /** q136 — split-leakage MATRIX: the split-level rollup of the q124
+    * family. For every unordered split pair, the distinct-gram counts
+    * of each side, the shared-gram count, the directional overlap
+    * fraction (shared/|a|) and the Jaccard — the one-page audit that
+    * says whether train/val/test are actually n-gram-disjoint and
+    * WHERE the leakage sits (q124 then names the offending docs).
+    * Includes val, which q124's train→test probe deliberately skips.
+    *
+    * Scale shape: one gram explode → distinct (split, h) → ONE
+    * h-keyed agg folding each gram's split membership into three 0/1
+    * flags (map-side partials; |distinct grams| keys, never corpus
+    * rows) → one global sum → a 3-row stack. No join at all — the
+    * pairwise intersection counts are products of the membership
+    * flags, so the whole matrix costs one aggregation pass. */
+  def splitLeakageMatrix(docs: DataFrame, n: Int = DECON_NGRAM): DataFrame = {
+    val flags = docs
+      .withColumn("split", splitAssign(col("doc_id")))
+      .select(col("split"),
+        explode(VectorFns.shingles(VectorFns.tokens(
+          Dedup.normText(col("text"))), n)).as("g"))
+      .select(col("split"), md5(col("g")).as("h"))
+      .distinct()
+      .groupBy(col("h")).agg(
+        max(when(col("split") === "train", 1L).otherwise(0L)).as("tr"),
+        max(when(col("split") === "val", 1L).otherwise(0L)).as("va"),
+        max(when(col("split") === "test", 1L).otherwise(0L)).as("te"))
+    val m = flags.agg(
+      sum(col("tr")).as("n_tr"), sum(col("va")).as("n_va"),
+      sum(col("te")).as("n_te"),
+      sum(col("tr") * col("va")).as("s_tv"),
+      sum(col("tr") * col("te")).as("s_tt"),
+      sum(col("va") * col("te")).as("s_vt"))
+    m.selectExpr(
+      """stack(3,
+        |  'train', 'val',  n_tr, n_va, s_tv,
+        |  'train', 'test', n_tr, n_te, s_tt,
+        |  'val',   'test', n_va, n_te, s_vt)
+        |AS (split_a, split_b, grams_a, grams_b, shared_grams)""".stripMargin)
+      // an empty split is representable (0-gram side) — both engines
+      // drop the row rather than disagree on 0/0
+      .filter(col("grams_a") > 0 && col("grams_b") > 0)
+      .select(col("split_a"), col("split_b"),
+        col("grams_a"), col("grams_b"), col("shared_grams"),
+        r4(col("shared_grams").cast("double") / col("grams_a")).as("frac_a"),
+        r4(col("shared_grams").cast("double") /
+          (col("grams_a") + col("grams_b") - col("shared_grams"))).as("jaccard"))
+  }
+
+  private def q136(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageMatrix(Tables.documents(spark, dir))
 
   /** q125 — the end-to-end TRAINING MANIFEST: the write-side capstone
     * that chains the pipeline a trainer actually ships —

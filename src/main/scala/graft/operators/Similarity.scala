@@ -32,6 +32,7 @@ object Similarity {
     "q62_embed_quantize" -> q62,
     "q99_pq_ann" -> q99,
     "q105_semantic_dedup" -> q105,
+    "q105b_semdedup_incr" -> q105b,
     "q113_cluster_balance" -> q113,
     "q129_knn_label_probe" -> q129,
     "q129b_label_probe_ivf" -> q129b,
@@ -73,7 +74,7 @@ object Similarity {
   val IVF_SEED_SALT = "graft_ivfseed_v1:"
 
   /** Shared codebook builder: base seeds ∪ hash-rate-picked extras. */
-  private def centsOf(e: DataFrame, baseSeeds: Seq[Long]): DataFrame =
+  private[graft] def centsOf(e: DataFrame, baseSeeds: Seq[Long]): DataFrame =
     e.filter(col("vec_id").isin(baseSeeds: _*) ||
         Dedup.baseHash(concat(lit(IVF_SEED_SALT), col("vec_id").cast("string")))
           % IVF_SEED_MOD === 0)
@@ -462,14 +463,7 @@ object Similarity {
     * occupancy stays O(corpus/k); the all-pairs semantic dedup the
     * paper replaces never happens. */
   def semanticDedup(e: DataFrame, seedIds: Seq[Long], tau: Double): DataFrame = {
-    val cents = centsOf(e, seedIds)
-    val wAsg = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2").asc, col("cell").asc)
-    val cells = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cell"),
-        r6(sqDistArr(col("v"), col("cv"))).as("d2"))
-      .withColumn("crk", row_number().over(wAsg)).filter(col("crk") === 1)
-      .select(col("vec_id"), col("v"), col("cell"))
+    val cells = cellAssign(e, centsOf(e, seedIds))
     val dups = cells.select(col("cell"), col("vec_id").as("id_a"), col("v").as("va"))
       .join(cells.select(col("cell"), col("vec_id").as("id_b"), col("v").as("vb")),
         Seq("cell"))
@@ -483,6 +477,59 @@ object Similarity {
       .select(col("vec_id"), col("cell"),
         coalesce(col("n_better_dups"), lit(0L)).as("n_better_dups"),
         (coalesce(col("n_better_dups"), lit(0L)) === 0).cast("int").as("kept"))
+  }
+
+  /** Nearest-cell coarse assignment against an explicit codebook —
+    * the q42/q105 argmin (r6(d2) asc, cell asc) factored out so the
+    * incremental/streaming paths assign against a STANDING corpus's
+    * codebook rather than their own. */
+  private[graft] def cellAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cell").asc)
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cell"),
+        r6(sqDistArr(col("v"), col("cv"))).as("d2"))
+      .withColumn("crk", row_number().over(wAsg)).filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("cell"))
+  }
+
+  /** vec_ids ≡ MOD-1 (mod [[SEM_INCR_MOD]]) form q105b's "new batch";
+    * the rest are the standing corpus (the q95 split discipline on the
+    * embedding table). */
+  val SEM_INCR_MOD = 4L
+
+  /** q105b — INCREMENTAL semantic dedup: the q95 ingest posture on the
+    * embedding space. A new batch of vectors is checked against the
+    * STANDING corpus only — codebook, cell assignments and the
+    * within-cell cosine verify all run against standing state; only
+    * cross pairs (new × existing, cosine ≥ τ) are emitted, never
+    * new×new (the next compaction's full q105 catches those, exactly
+    * like q95 defers same-batch dups to q20).
+    *
+    * Scale shape: the standing cells are a precomputed index probed
+    * per batch — each micro-batch pays |batch|×cells assignment plus
+    * within-cell pair work against the standing occupancy (O(IVF_SEED
+    * _MOD) per cell by the corpus-growing codebook), so ingest cost
+    * scales with the batch, never the corpus. */
+  def semanticDedupIncrement(standing: DataFrame, incoming: DataFrame,
+                             seedIds: Seq[Long], tau: Double): DataFrame = {
+    val cents = centsOf(standing, seedIds)
+    val standingCells = cellAssign(standing, cents)
+      .select(col("cell"), col("vec_id").as("existing_vec_id"), col("v").as("vb"))
+    cellAssign(incoming, cents)
+      .select(col("cell"), col("vec_id"), col("v").as("va"))
+      .join(standingCells, Seq("cell"))
+      .select(col("vec_id"), col("existing_vec_id"), col("cell"),
+        r6(cosineArr(col("va"), col("vb"))).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  private def q105b(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    semanticDedupIncrement(
+      e.filter(col("vec_id") % SEM_INCR_MOD =!= SEM_INCR_MOD - 1),
+      e.filter(col("vec_id") % SEM_INCR_MOD === SEM_INCR_MOD - 1),
+      IVF_SEEDS, SEMDEDUP_TAU)
   }
 
   /** PQ geometry: 64-dim embeddings → [[PQ_M]] subspaces of

@@ -33,6 +33,7 @@ object TextOps {
     "q116_quality_classifier" -> q116,
     "q122_ngram_diversity" -> q122,
     "q123_zipf_fit" -> q123,
+    "q135_vocab_growth" -> q135,
     "q134_filter_sweep" -> q134
   )
 
@@ -836,5 +837,53 @@ object TextOps {
         r6(col("slope_raw")).as("slope"),
         r6((col("sy") - col("slope_raw") * col("sx")) / col("m"))
           .as("intercept"))
+  }
+
+  private def q135(spark: SparkSession, dir: String): DataFrame =
+    vocabGrowth(Tables.documents(spark, dir))
+
+  /** q135 — vocabulary growth (Heaps' law) per source: type counts at
+    * deterministic 10%/50%/100% corpus prefixes and the implied Heaps
+    * exponent β (V = K·nᵝ, Heaps 1978). Natural text sits at
+    * β ≈ 0.4–0.7; β → 1 flags id-like/synthetic token streams (every
+    * token new), β → 0 flags boilerplate (vocabulary saturates
+    * instantly). The "prefix" is a salted hash bucket of doc_id —
+    * deterministic, order-free, and the only growth-curve sampling a
+    * 100-TB pipeline can afford (no global order, no second pass).
+    *
+    * Scale shape: one tokenize explode feeds (a) per-source
+    * conditional token totals (map-side partials) and (b) ONE
+    * (source, token) keyed agg whose MIN bucket decides membership in
+    * every prefix at once — vocabulary-sized, never corpus-sized, no
+    * countDistinct Expand. β is a handful of IEEE ops on exact BIGINT
+    * sums (the q123 emit discipline), r6 on emit; degenerate sources
+    * (empty or prefix-complete at 10%) are filtered identically in
+    * both engines rather than relying on engine-specific x/0. */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    import graft.functions.Rounding.r6
+    val toks = docs
+      .withColumn("bkt",
+        Dedup.baseHash(concat(col("doc_id").cast("string"), lit("_vg"))) % 100)
+      .select(col("source"), col("bkt"),
+        explode(VectorFns.tokens(Dedup.normText(col("text")))).as("tok"))
+    val totals = toks.groupBy(col("source")).agg(
+      sum(when(col("bkt") < 10, 1L).otherwise(0L)).as("tokens_10"),
+      sum(when(col("bkt") < 50, 1L).otherwise(0L)).as("tokens_50"),
+      count(lit(1)).as("tokens_100"))
+    val vocab = toks.groupBy(col("source"), col("tok"))
+      .agg(min(col("bkt")).as("fb"))
+      .groupBy(col("source")).agg(
+        sum(when(col("fb") < 10, 1L).otherwise(0L)).as("vocab_10"),
+        sum(when(col("fb") < 50, 1L).otherwise(0L)).as("vocab_50"),
+        count(lit(1)).as("vocab_100"))
+    totals.join(vocab, "source")
+      .filter(col("tokens_10") > 0 && col("tokens_100") > col("tokens_10") &&
+        col("vocab_10") > 0)
+      .select(col("source"),
+        col("tokens_10"), col("tokens_50"), col("tokens_100"),
+        col("vocab_10"), col("vocab_50"), col("vocab_100"),
+        r6(log(col("vocab_100").cast("double") / col("vocab_10").cast("double")) /
+          log(col("tokens_100").cast("double") / col("tokens_10").cast("double")))
+          .as("heaps_beta"))
   }
 }

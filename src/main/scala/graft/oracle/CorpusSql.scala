@@ -214,6 +214,33 @@ object CorpusSql {
          |FROM roll r JOIN ent e USING (source)""".stripMargin
   }
 
+  // Shared by q124 and its Bloom-prefiltered twin q124c: the Spark
+  // plans differ (q124c prunes the train side through the sketch
+  // before the shuffle join) but the emitted relation is identical.
+  private val q124Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         ${baseHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS bkt,
+       |         ${tokensSql(normTextSql("text"))} AS tk
+       |  FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, bkt, md5(g) AS h
+       |  FROM toks, UNNEST(${shinglesSql("tk", 5)}) AS t(g)
+       |  WHERE bkt < 80 OR bkt >= 90),
+       |test_g AS (
+       |  SELECT DISTINCT h FROM grams WHERE bkt >= 90),
+       |train AS (
+       |  SELECT doc_id, h FROM grams WHERE bkt < 80),
+       |shared AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM train JOIN test_g USING (h) GROUP BY 1),
+       |tot AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+       |  FROM train GROUP BY 1)
+       |SELECT doc_id, n_grams, n_shared,
+       |       ${sql4("CAST(n_shared AS DOUBLE) / n_grams")} AS shared_frac
+       |FROM tot JOIN shared USING (doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
 
     "q64_bm25" ->
@@ -606,29 +633,53 @@ object CorpusSql {
     // q124: split hygiene — both engines join on md5(g), so even a
     // hash collision produces the identical verdict; split buckets
     // mirror Corpus.splitAssign (train <80, test >=90)
-    "q124_split_contamination" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id,
-         |         ${baseHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS bkt,
-         |         ${tokensSql(normTextSql("text"))} AS tk
-         |  FROM documents),
-         |grams AS (
-         |  SELECT DISTINCT doc_id, bkt, md5(g) AS h
-         |  FROM toks, UNNEST(${shinglesSql("tk", 5)}) AS t(g)
-         |  WHERE bkt < 80 OR bkt >= 90),
-         |test_g AS (
-         |  SELECT DISTINCT h FROM grams WHERE bkt >= 90),
-         |train AS (
-         |  SELECT doc_id, h FROM grams WHERE bkt < 80),
-         |shared AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
-         |  FROM train JOIN test_g USING (h) GROUP BY 1),
-         |tot AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
-         |  FROM train GROUP BY 1)
-         |SELECT doc_id, n_grams, n_shared,
-         |       ${sql4("CAST(n_shared AS DOUBLE) / n_grams")} AS shared_frac
-         |FROM tot JOIN shared USING (doc_id)""".stripMargin,
+    "q124_split_contamination" -> q124Sql,
+
+    // q124c: the Bloom-prefiltered twin emits EXACTLY q124's rows —
+    // Bloom membership is one-sided (no false negatives) and the
+    // exact verify join drops its false positives, so the SAME SQL
+    // gates the optimized plan's equivalence
+    "q124c_bloom_decon" -> q124Sql,
+
+    // q136: split-leakage matrix — per-gram split membership flags
+    // folded in one keyed agg; pairwise intersections are flag
+    // products, the 3-row matrix a UNION ALL (Spark: stack)
+    "q136_split_leakage" ->
+      s"""WITH grams AS (
+         |  SELECT DISTINCT
+         |         CASE WHEN bkt < 80 THEN 'train'
+         |              WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+         |         md5(g) AS h
+         |  FROM (SELECT ${baseHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS bkt,
+         |               ${tokensSql(normTextSql("text"))} AS tk
+         |        FROM documents),
+         |       UNNEST(${shinglesSql("tk", 5)}) AS t(g)),
+         |flags AS (
+         |  SELECT h,
+         |         max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS tr,
+         |         max(CASE WHEN split = 'val'   THEN 1 ELSE 0 END) AS va,
+         |         max(CASE WHEN split = 'test'  THEN 1 ELSE 0 END) AS te
+         |  FROM grams GROUP BY 1),
+         |m AS (
+         |  SELECT CAST(sum(tr) AS BIGINT) AS n_tr,
+         |         CAST(sum(va) AS BIGINT) AS n_va,
+         |         CAST(sum(te) AS BIGINT) AS n_te,
+         |         CAST(sum(tr * va) AS BIGINT) AS s_tv,
+         |         CAST(sum(tr * te) AS BIGINT) AS s_tt,
+         |         CAST(sum(va * te) AS BIGINT) AS s_vt
+         |  FROM flags),
+         |mat AS (
+         |  SELECT 'train' AS split_a, 'val' AS split_b,
+         |         n_tr AS grams_a, n_va AS grams_b, s_tv AS shared_grams FROM m
+         |  UNION ALL
+         |  SELECT 'train', 'test', n_tr, n_te, s_tt FROM m
+         |  UNION ALL
+         |  SELECT 'val', 'test', n_va, n_te, s_vt FROM m)
+         |SELECT split_a, split_b, grams_a, grams_b, shared_grams,
+         |       ${sql4("CAST(shared_grams AS DOUBLE) / grams_a")} AS frac_a,
+         |       ${sql4("CAST(shared_grams AS DOUBLE) / (grams_a + grams_b - shared_grams)")}
+         |         AS jaccard
+         |FROM mat WHERE grams_a > 0 AND grams_b > 0""".stripMargin,
 
     // q124b: the repair to q124's report — train docs over the
     // contamination threshold move to 'quarantine'

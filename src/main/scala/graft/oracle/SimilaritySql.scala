@@ -518,6 +518,45 @@ object SimilaritySql {
          |       CASE WHEN coalesce(d.n_better_dups, 0) = 0 THEN 1 ELSE 0 END AS kept
          |FROM cells c LEFT JOIN dups d ON c.vec_id = d.vec_id""".stripMargin,
 
+    // q105b: incremental semantic dedup — codebook and cells from the
+    // STANDING side only (vec_id % 4 <> 3); cross pairs new × existing
+    "q105b_semdedup_incr" -> {
+      val s = graft.operators.Similarity
+      val m = s.SEM_INCR_MOD
+      def argminCte(name: String, src: String) =
+        s"""$name AS (
+           |  SELECT vec_id, v, cell FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rk
+           |    FROM (
+           |      SELECT e.vec_id, e.v, c.cell,
+           |             floor(list_sum(list_transform(list_zip(e.v, c.cv),
+           |                     z -> (z[1]-z[2])*(z[1]-z[2])))
+           |                   * 1000000.0 + 0.5) / 1000000.0 AS d2
+           |      FROM $src e CROSS JOIN cents c))
+           |  WHERE rk = 1)""".stripMargin
+      val cosExpr =
+        """floor(list_sum(list_transform(list_zip(n.v, s.v), z -> z[1]*z[2]))
+          |            / (sqrt(list_sum(list_transform(n.v, x -> x*x)))
+          |               * sqrt(list_sum(list_transform(s.v, x -> x*x))))
+          |            * 1000000.0 + 0.5) / 1000000.0""".stripMargin
+      s"""WITH $embCte,
+         |sta AS (SELECT * FROM emb WHERE vec_id % $m <> ${m - 1}),
+         |inc AS (SELECT * FROM emb WHERE vec_id % $m = ${m - 1}),
+         |cents AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv FROM sta
+         |  WHERE vec_id IN (${s.IVF_SEEDS.mkString(", ")})
+         |     OR ${SqlFragments.baseHashSql(
+                s"'${s.IVF_SEED_SALT}' || CAST(vec_id AS VARCHAR)")}
+         |        % ${s.IVF_SEED_MOD} = 0),
+         |${argminCte("scells", "sta")},
+         |${argminCte("ncells", "inc")}
+         |SELECT n.vec_id, s.vec_id AS existing_vec_id, n.cell,
+         |       $cosExpr AS cos
+         |FROM ncells n JOIN scells s USING (cell)
+         |WHERE $cosExpr >= ${s.SEMDEDUP_TAU}""".stripMargin
+    },
+
     // q99 PQ contract row: cohort/corpus sizes and k are exact facts
     // the oracle recomputes; recall_ok certifies mean PQ recall@k ≥
     // the floor (the oracle pins it to 1 — a codebook/LUT regression

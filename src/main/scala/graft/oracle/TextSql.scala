@@ -106,6 +106,41 @@ object TextSql {
          |FROM fit""".stripMargin
     },
 
+    // q135: Heaps-law vocabulary growth — salted doc_id buckets mirror
+    // the Spark side exactly (baseHash of doc_id||'_vg'); a type's
+    // prefix membership is its MIN bucket; β from exact BIGINT sums
+    "q135_vocab_growth" -> {
+      val norm = SqlFragments.normTextSql("text")
+      val bkt = SqlFragments.baseHashSql("CAST(doc_id AS VARCHAR) || '_vg'")
+      s"""WITH tok AS (
+         |  SELECT source, bkt, t AS tok
+         |  FROM (SELECT source, $bkt % 100 AS bkt,
+         |               ${tokensSql(norm)} AS tk FROM documents),
+         |       UNNEST(tk) AS u(t)),
+         |totals AS (
+         |  SELECT source,
+         |         CAST(sum(CASE WHEN bkt < 10 THEN 1 ELSE 0 END) AS BIGINT) AS tokens_10,
+         |         CAST(sum(CASE WHEN bkt < 50 THEN 1 ELSE 0 END) AS BIGINT) AS tokens_50,
+         |         CAST(count(*) AS BIGINT) AS tokens_100
+         |  FROM tok GROUP BY 1),
+         |firsts AS (
+         |  SELECT source, tok, min(bkt) AS fb FROM tok GROUP BY 1, 2),
+         |vocab AS (
+         |  SELECT source,
+         |         CAST(sum(CASE WHEN fb < 10 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_10,
+         |         CAST(sum(CASE WHEN fb < 50 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_50,
+         |         CAST(count(*) AS BIGINT) AS vocab_100
+         |  FROM firsts GROUP BY 1)
+         |SELECT source, tokens_10, tokens_50, tokens_100,
+         |       vocab_10, vocab_50, vocab_100,
+         |       ${graft.functions.Rounding.sql6(
+              "ln(CAST(vocab_100 AS DOUBLE) / CAST(vocab_10 AS DOUBLE)) / " +
+              "ln(CAST(tokens_100 AS DOUBLE) / CAST(tokens_10 AS DOUBLE))")}
+         |         AS heaps_beta
+         |FROM totals JOIN vocab USING (source)
+         |WHERE tokens_10 > 0 AND tokens_100 > tokens_10 AND vocab_10 > 0""".stripMargin
+    },
+
     // q120: frame sampling — true BYTE walk on both engines: DuckDB
     // slices the payload's lowercase hex encoding (2 chars per byte)
     // and hashes the hex, exactly what the Spark side's

@@ -565,6 +565,107 @@ class CorpusSpec extends SparkSuite {
     assert(out.nonEmpty, "the synthetic corpus straddles splits; an empty report is a bug")
   }
 
+  test("splitContaminationBloom: exactly q124's rows, at default AND saturated sketch sizes") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val exact = rows(graft.operators.Corpus.splitContamination(docs))
+    assert(exact.nonEmpty, "fixture must exercise the report")
+    // default sizing: the prefilter is selective AND lossless
+    val pruned = rows(graft.operators.Corpus.splitContaminationBloom(docs))
+    assert(pruned == exact, "bloom prefilter changed the report (false negative?)")
+    // pathological sizing: a 64-bit sketch over thousands of grams
+    // saturates (≈all-pass) — false positives must be verify-joined
+    // away, leaving the report STILL exact
+    val saturated = rows(graft.operators.Corpus
+      .splitContaminationBloom(docs, expectedItems = 8L, numBits = 64L))
+    assert(saturated == exact, "saturated sketch leaked false positives into the report")
+  }
+
+  test("splitLeakageMatrix: equals a driver-side brute force over sf0.001") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def split(id: Long) =
+      java.lang.Long.parseLong(md5hex(id.toString).take(7), 16) % 100 match {
+        case b if b < 80 => "train"; case b if b < 90 => "val"; case _ => "test"
+      }
+    def gramSet(t: String): Set[String] = {
+      val toks = t.trim.toLowerCase.replaceAll("\\s+", " ")
+        .split("\\s+").filter(_.nonEmpty)
+      if (toks.length < 5) Set.empty
+      else toks.sliding(5).map(w => md5hex(w.mkString(" "))).toSet
+    }
+    val bySplit = docs.groupBy { case (id, _) => split(id) }
+      .map { case (s, ds) => s -> ds.flatMap(d => gramSet(d._2)).toSet }
+      .withDefaultValue(Set.empty[String])
+    val pairs = Seq(("train", "val"), ("train", "test"), ("val", "test"))
+    val expected = pairs.flatMap { case (a, b) =>
+      val (ga, gb) = (bySplit(a), bySplit(b))
+      if (ga.isEmpty || gb.isEmpty) None
+      else {
+        val sh = (ga & gb).size.toLong
+        def r4d(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+        Some((a, b, ga.size.toLong, gb.size.toLong, sh,
+          r4d(sh.toDouble / ga.size), r4d(sh.toDouble / (ga.size + gb.size - sh))))
+      }
+    }.toSet
+    val out = graft.operators.Corpus
+      .splitLeakageMatrix(graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSet
+    assert(out == expected)
+    assert(out.exists(_._5 > 0), "fixture must exhibit cross-split gram sharing")
+  }
+
+  test("vocabGrowth: equals a driver-side brute force over sf0.001; β sits in (0,1]") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bkt(id: Long) = java.lang.Long.parseLong(md5hex(id + "_vg").take(7), 16) % 100
+    def toks(t: String) = t.trim.toLowerCase.replaceAll("\\s+", " ")
+      .split("\\s+").filter(_.nonEmpty).toSeq
+    val rows = docs.flatMap { case (id, src, t) => toks(t).map(tk => (src, bkt(id), tk)) }
+    val expected = rows.groupBy(_._1).flatMap { case (src, rs) =>
+      val t10 = rs.count(_._2 < 10).toLong
+      val t50 = rs.count(_._2 < 50).toLong
+      val t100 = rs.length.toLong
+      val firsts = rs.groupBy(_._3).map { case (_, g) => g.map(_._2).min }
+      val (v10, v50, v100) =
+        (firsts.count(_ < 10).toLong, firsts.count(_ < 50).toLong, firsts.size.toLong)
+      if (t10 > 0 && t100 > t10 && v10 > 0) {
+        def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+        val beta = r6d(math.log(v100.toDouble / v10) / math.log(t100.toDouble / t10))
+        Some((src, t10, t50, t100, v10, v50, v100, beta))
+      } else None
+    }.toSet
+    val out = graft.operators.TextOps
+      .vocabGrowth(graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7))).toSet
+    assert(out == expected)
+    assert(out.nonEmpty, "every sf0.001 source should report a growth curve")
+    // β is a growth EXPONENT: [0, 1] by construction (β can hit 0.0
+    // exactly on this template-generated fixture — per-source
+    // vocabulary saturates inside the first decile, which is precisely
+    // the boilerplate signal the readout exists to flag)
+    out.foreach { case t =>
+      assert(t._8 >= 0.0 && t._8 <= 1.0, s"implausible Heaps beta: $t")
+    }
+    assert(out.exists(_._8 == 0.0),
+      "fixture regression: the template corpus saturated vocabulary before; " +
+        "if this moved, re-check the brute force")
+  }
+
   test("splitRepair: quarantines exactly the over-threshold train docs, touches nothing else") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"
