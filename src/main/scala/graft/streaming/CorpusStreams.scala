@@ -352,6 +352,65 @@ object CorpusStreams {
     * single-batch ingest is bit-identical to the batch card
     * (`mean_logp` is served from the last [[refreshLm]] snapshot and
     * null when the LM hook is off). */
+  /** Streaming SEMANTIC ingest gate —
+    * [[graft.operators.Similarity.semanticDedupIncrement]] (q105b) as
+    * a `readStream` stage, the embedding-space sibling of
+    * [[EventStreams.neardupGateStream]]: each arriving vector is
+    * assigned to its nearest STANDING-corpus IVF cell and cosine-
+    * verified against only that cell's standing vectors; every pair at
+    * cosine ≥ τ is emitted so ingest can quarantine semantic near-dups
+    * before write. New×new pairs are deliberately not checked (the
+    * next compaction's full q105 catches them — the q95/q105b
+    * contract).
+    *
+    * The stream side is row-LOCAL until the replay guard: the codebook
+    * is the one bounded artifact collected to the driver (k×dim
+    * doubles — the SOM "collect the centroids, never the points"
+    * shape) and rides the plan as an array literal, so nearest-cell
+    * assignment is an `array_min` over per-centroid r6(d²) structs —
+    * the EXACT comparator of the batch argmin (r6(d2) asc, cell asc),
+    * no shuffle and no stream aggregation. The within-cell verify is
+    * one stream-static equi-join on the cell id; the standing cells
+    * are a precomputed index the driver refreshes on corpus
+    * compaction. `dropDuplicatesWithinWatermark` absorbs crash-replay
+    * redelivery; its state is watermark-bounded.
+    *
+    * At 100 TB the standing index is the big side and it is STATIC —
+    * each micro-batch pays |batch| argmins plus within-cell pair work
+    * against O([[graft.operators.Similarity.IVF_SEED_MOD]]) standing
+    * occupancy per cell: ingest cost scales with the batch, never the
+    * corpus (the probe evidence for the manifest/datasheet gates in
+    * BASELINE §r11 applies — same state discipline). */
+  def semdedupGateStream(vecs: DataFrame, standing: DataFrame,
+                         seedIds: Seq[Long], tau: Double,
+                         watermark: String): DataFrame = {
+    import graft.operators.Similarity
+    import graft.functions.VectorFns.{cosineArr, sqDistArr}
+    import graft.functions.Rounding.r6
+    val cents = Similarity.centsOf(standing, seedIds)
+    val cb = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    require(cb.nonEmpty, "standing corpus yields an empty codebook")
+    val cbCol = array(cb.map { case (cell, cv) =>
+      struct(typedlit(cv).as("cv"), lit(cell).as("cell")) }.toSeq: _*)
+    val standingCells = Similarity.cellAssign(standing, cents)
+      .select(col("cell"), col("vec_id").as("existing_vec_id"),
+        col("v").as("vb"))
+    vecs
+      .select(col("vec_id"), col("ts"), col("v"))
+      .withColumn("best", array_min(transform(cbCol, c =>
+        struct(r6(sqDistArr(col("v"), c.getField("cv"))).as("d2"),
+          c.getField("cell").as("cell")))))
+      .select(col("vec_id"), col("ts"), col("v").as("va"),
+        col("best").getField("cell").as("cell"))
+      .join(standingCells, Seq("cell"))
+      .select(col("vec_id"), col("existing_vec_id"), col("cell"), col("ts"),
+        r6(cosineArr(col("va"), col("vb"))).as("cos"))
+      .filter(col("cos") >= tau)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("vec_id", "existing_vec_id")
+  }
+
   def datasheet(spark: SparkSession, outDir: String): DataFrame = {
     import graft.functions.Rounding.{r4, r6}
     val fs = org.apache.hadoop.fs.FileSystem.get(

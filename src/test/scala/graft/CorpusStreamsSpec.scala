@@ -18,6 +18,48 @@ class CorpusStreamsSpec extends SparkSuite {
   private def freshDir() =
     java.nio.file.Files.createTempDirectory("graft_manifest_stream").toString
 
+  test("semdedupGateStream: stream pairs == the q105b batch increment; replays emit once") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val S = graft.operators.Similarity
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val standing = e.filter(col("vec_id") % S.SEM_INCR_MOD =!= S.SEM_INCR_MOD - 1)
+    val incomingDf = e.filter(col("vec_id") % S.SEM_INCR_MOD === S.SEM_INCR_MOD - 1)
+    val expected = S
+      .semanticDedupIncrement(standing, incomingDf, S.IVF_SEEDS, S.SEMDEDUP_TAU)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(expected.nonEmpty, "fixture must exhibit cross-corpus semantic near-dups")
+
+    val incoming = incomingDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    val t0 = java.sql.Timestamp.valueOf("2024-05-01 10:00:00")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Seq[Double])]
+    val stream = mem.toDF().toDF("vec_id", "ts", "v")
+    val q = CorpusStreams
+      .semdedupGateStream(stream, standing, S.IVF_SEEDS, S.SEMDEDUP_TAU, "1 hour")
+      .writeStream.format("memory").queryName("semgate")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = incoming.splitAt(incoming.length / 2)
+      mem.addData(b1.map(x => (x._1, t0, x._2)).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b2.map(x => (x._1, t0, x._2)).toSeq: _*)
+      q.processAllAvailable()
+      // crash-replay: a slice of batch 1 redelivered later
+      mem.addData(b1.take(8).map(x => (x._1, t0, x._2)).toSeq: _*)
+      q.processAllAvailable()
+      val rows = sp.sql("SELECT vec_id, existing_vec_id, cos FROM semgate")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.length == rows.toSet.size, s"replay duplicated a pair: ${rows.toSeq}")
+      assert(rows.toSet == expected,
+        s"stream/batch divergence: stream-only=${rows.toSet -- expected}, " +
+          s"batch-only=${expected -- rows.toSet}")
+    } finally q.stop()
+  }
+
   test("single-batch ingest from empty state reproduces the batch manifest bit-for-bit") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val out = freshDir()
