@@ -33,7 +33,8 @@ object Dedup {
     "q95_incremental_dedup" -> q95,
     "q117_dup_spans" -> q117,
     "q117b_span_scrub" -> q117b,
-    "q126_dedup_impact" -> q126
+    "q126_dedup_impact" -> q126,
+    "q137_dup_affinity" -> q137
   )
 
   val CLUSTER_JACCARD = 0.5
@@ -192,6 +193,36 @@ object Dedup {
 
   private def q20(spark: SparkSession, dir: String): DataFrame =
     neardupPairsCached(spark, dir)
+
+  /** q137 — cross-source duplication AFFINITY: the q20 verified pairs
+    * (jaccard ≥ [[CLUSTER_JACCARD]]) rolled up to (source, source)
+    * counts — the provenance readout that says WHICH scrapes/dumps
+    * duplicate into which. Off-diagonal mass tells a pipeline two
+    * acquisition channels overlap (fix upstream: drop or re-scope one
+    * feed); diagonal mass is ordinary within-source boilerplate for
+    * the dedup pass. The unordered pair key normalizes via
+    * least/greatest so (x, y) and (y, x) accumulate together.
+    *
+    * Scale shape: rides the session-cached pair table (bucketed LSH,
+    * never all-pairs); the rollup joins the |pairs|-sized edge list —
+    * orders of magnitude below corpus size — to the doc→source dim
+    * twice and folds into a ≤|sources|² agg. */
+  def dupAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    neardupPairsCached(spark, dir)
+      .filter(col("jaccard") >= CLUSTER_JACCARD)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private def q137(spark: SparkSession, dir: String): DataFrame =
+    dupAffinity(spark, dir)
 
   /** Near-duplicate pairs: LSH candidates (same band hash in ≥1 band,
     * a bucketed self-join — NEVER all-pairs) verified with the exact

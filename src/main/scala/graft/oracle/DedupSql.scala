@@ -70,6 +70,22 @@ object DedupSql {
          |       CAST(sum(rm_tok) AS BIGINT) AS tokens_removed
          |FROM cl GROUP BY 1""".stripMargin,
 
+    // q137: q20's verified pairs rolled up to unordered (source,
+    // source) counts — least/greatest normalize the pair key
+    "q137_dup_affinity" ->
+      s"""WITH pairs AS (
+         |  SELECT * FROM (
+         |${oracleQ20}
+         |  ) WHERE jaccard >= ${graft.operators.Dedup.CLUSTER_JACCARD}),
+         |src AS (SELECT doc_id, source FROM documents)
+         |SELECT least(sa.source, sb.source) AS source_a,
+         |       greatest(sa.source, sb.source) AS source_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs p
+         |JOIN src sa ON sa.doc_id = p.doc_a
+         |JOIN src sb ON sb.doc_id = p.doc_b
+         |GROUP BY 1, 2""".stripMargin,
+
     // q50's label CTE left-joined back onto the corpus: kept iff the
     // doc IS its cluster canonical (unclustered docs are their own)
     "q92_dedup_keep" ->
