@@ -29,7 +29,8 @@ object Analytics {
     "q101_pit_join" -> q101,
     "q103_ab_test" -> q103,
     "q118_ewma" -> q118,
-    "q119_shard_plan" -> q119
+    "q119_shard_plan" -> q119,
+    "q138_source_quota" -> q138
   )
 
   /** Semi-structured extraction: the `events.props` column is a JSON
@@ -552,5 +553,52 @@ object Analytics {
       .groupBy(col("source"), col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("shard_tokens"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+  }
+
+  /** Per-source keep quota for q138 and its salt (decorrelated from
+    * every other hash-gated draw — the CBALANCE_SALT discipline). */
+  val SOURCE_QUOTA = 15L
+  val QUOTA_SALT = "graft_quota_v1:"
+
+  private def q138(spark: SparkSession, dir: String): DataFrame =
+    sourceQuota(graft.sources.Tables.documents(spark, dir), SOURCE_QUOTA)
+
+  /** q138 — per-source quota cap (the RefinedWeb/CommonCrawl
+    * "per-domain cap" stage): every source keeps at most `quota`
+    * documents, chosen by deterministic salted-hash order — the
+    * anti-dominance dial a mixture pipeline applies when one scrape
+    * would otherwise swamp the mix (complementing q70's RATE sampling
+    * with an exact COUNT cap, and q113's per-cell quota with a
+    * per-provenance one). Emits the full per-doc assignment (rank and
+    * kept flag) — the artifact a pipeline mounts, q124b-style.
+    *
+    * Scale shape: an exact per-source rank WITHOUT a corpus-wide sort
+    * — the q119 two-level construction: row_number within (source,
+    * hash-bucket) partitions + broadcast exclusive bucket-count
+    * offsets (≤4096 rows per source, counts only). Ordering by
+    * (bucket, hkey) IS ordering by hkey since the bucket is
+    * order-preserving, so the two-level rank equals the oracle's flat
+    * per-source row_number exactly; hkey ties are impossible across
+    * buckets and broken by doc_id within one. */
+  def sourceQuota(docs: DataFrame, quota: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.select(col("doc_id"), col("source"),
+      graft.operators.Dedup.baseHash(concat(lit(QUOTA_SALT),
+        col("doc_id").cast("string"))).as("hkey"))
+      .withColumn("bkt", expr(s"hkey DIV $SHARD_BUCKET_DIV"))
+    val wb = Window.partitionBy(col("source"), col("bkt"))
+      .orderBy(col("hkey"), col("doc_id"))
+    val wo = Window.partitionBy(col("source")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("source"), col("bkt"))
+      .agg(count(lit(1)).as("bcnt"))
+      .select(col("source"), col("bkt"),
+        coalesce(sum(col("bcnt")).over(wo), lit(0L)).as("boff"))
+    keyed
+      .withColumn("brk", row_number().over(wb).cast("long"))
+      .join(broadcast(offsets), Seq("source", "bkt"))
+      .select(col("doc_id"), col("source"),
+        (col("boff") + col("brk")).as("qrank"),
+        (col("boff") + col("brk") <= quota).cast("int").as("kept"))
   }
 }

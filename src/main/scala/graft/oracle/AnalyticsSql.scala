@@ -295,6 +295,26 @@ object AnalyticsSql {
          |       CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
          |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM cums GROUP BY 1, 2""".stripMargin
+    },
+
+    // q138: exact per-source quota — flat per-source row_number in
+    // salted-hash order; the Spark side's two-level bucketed rank is
+    // provably the same ordering (order-preserving bucket key)
+    "q138_source_quota" -> {
+      val a = graft.operators.Analytics
+      s"""WITH keyed AS (
+         |  SELECT doc_id, source,
+         |         ${SqlFragments.baseHashSql(
+              s"'${a.QUOTA_SALT}' || CAST(doc_id AS VARCHAR)")} AS hkey
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, source,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY source ORDER BY hkey, doc_id) AS BIGINT) AS qrank
+         |  FROM keyed)
+         |SELECT doc_id, source, qrank,
+         |       CASE WHEN qrank <= ${a.SOURCE_QUOTA} THEN 1 ELSE 0 END AS kept
+         |FROM ranked""".stripMargin
     }
   )
 

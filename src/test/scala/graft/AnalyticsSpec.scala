@@ -333,6 +333,27 @@ class AnalyticsSpec extends SparkSuite {
       s"bucket offsets (<=4096 rows/source) must broadcast:\n$plan")
   }
 
+  test("q138 plan shape: bucketed rank window + broadcast offsets; quota exact per source") {
+    val df = graft.SparkEntry.queries("q138_source_quota")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    val nWindows = "Window \\[".r.findAllIn(plan).size
+    assert(nWindows == 2, s"expected the two-level decomposition's 2 windows, got $nWindows:\n$plan")
+    assert(plan.contains("bkt"), s"rank window must partition by the hkey-prefix bucket:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket-count offsets must broadcast:\n$plan")
+    // semantic invariants: kept == min(quota, |source|) per source and
+    // qrank is a dense 1..n permutation within each source
+    val rows = df.collect().map(r =>
+      (r.getString(1), r.getLong(2), r.getInt(3)))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val kept = rs.count(_._3 == 1)
+      assert(kept == math.min(graft.operators.Analytics.SOURCE_QUOTA, rs.length),
+        s"$src kept $kept of ${rs.length}")
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq,
+        s"$src qrank not a dense permutation")
+    }
+  }
+
   test("shardPlan: two-level prefix sum equals the naive single-window plan") {
     val s = spark
     import s.implicits._
