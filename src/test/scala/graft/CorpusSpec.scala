@@ -573,7 +573,11 @@ class CorpusSpec extends SparkSuite {
     val exact = rows(graft.operators.Corpus.splitContamination(docs))
     assert(exact.nonEmpty, "fixture must exercise the report")
     // default sizing: the prefilter is selective AND lossless
-    val pruned = rows(graft.operators.Corpus.splitContaminationBloom(docs))
+    val prunedDf = graft.operators.Corpus.splitContaminationBloom(docs)
+    val plan = prunedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain") || plan.contains("Subquery"),
+      s"q124c must actually plan the bloom probe:\n$plan")
+    val pruned = rows(prunedDf)
     assert(pruned == exact, "bloom prefilter changed the report (false negative?)")
     // pathological sizing: a 64-bit sketch over thousands of grams
     // saturates (≈all-pass) — false positives must be verify-joined
