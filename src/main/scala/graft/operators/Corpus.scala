@@ -26,6 +26,7 @@ object Corpus {
     "q69b_seq_pack_bpe" -> q69b,
     "q69c_pack_spans" -> q69c,
     "q70_source_mix" -> q70,
+    "q139_alpha_mix" -> q139,
     "q81_decontaminate" -> q81,
     "q108_chunk_dedup" -> q108,
     "q108b_chunk_keep" -> q108b,
@@ -438,6 +439,51 @@ object Corpus {
 
   private def q70(spark: SparkSession, dir: String): DataFrame =
     mixSample(Tables.documents(spark, dir))
+
+  /** The α grid for q139 — the published temperature range (α=1 is
+    * proportional sampling; 0.3 is mBERT/XLM-R's low-resource boost). */
+  val ALPHA_GRID: Seq[Double] = Seq(0.3, 0.5, 0.7, 1.0)
+
+  private def q139(spark: SparkSession, dir: String): DataFrame =
+    alphaMix(Tables.documents(spark, dir), ALPHA_GRID)
+
+  /** q139 — temperature-scaled (α-tempered) source mixing weights
+    * (Conneau & Lample 2019; mT5's sampling exponent): for each α in
+    * the grid, q_s ∝ p_s^α over the per-source token shares p_s, plus
+    * the implied boost q_s/p_s — the table that says how hard each α
+    * upsamples the small sources before a team commits the q70/q128
+    * weights.
+    *
+    * Float discipline: p_s is ONE IEEE division of exact BIGINT token
+    * sums; p_s^α runs as exp(α·ln p) — the same two-libm-call sequence
+    * in both engines — then r6-quantizes into DECIMAL(20,6) so the
+    * normalizing Σ p^α is exact and shuffle-order-free (the q123
+    * pattern); the emitted weight/boost are single trailing IEEE
+    * divisions, r6 on emit.
+    *
+    * Scale shape: one tokenize agg (map-side partials) to ≤|sources|
+    * rows; everything after is |sources|×|grid| arithmetic. */
+  def alphaMix(docs: DataFrame, alphas: Seq[Double]): DataFrame = {
+    import graft.functions.Rounding.r6
+    import org.apache.spark.sql.expressions.Window
+    val masses = docs.select(col("source"),
+      size(VectorFns.tokens(Dedup.normText(col("text")))).cast("long").as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("n_tokens"))
+    val tot = masses.agg(sum(col("n_tokens")).as("corpus_tokens"))
+    val w = Window.partitionBy(col("alpha"))
+    masses.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_tokens").cast("double") / col("corpus_tokens"))
+      .select(col("source"), col("n_tokens"), col("p"),
+        explode(array(alphas.map(lit): _*)).as("alpha"))
+      .withColumn("pa",
+        r6(exp(col("alpha") * log(col("p")))).cast("decimal(20,6)"))
+      .withColumn("w",
+        col("pa").cast("double") / sum(col("pa")).over(w).cast("double"))
+      .select(col("source"), col("alpha"), col("n_tokens"),
+        r6(col("p")).as("p_raw"),
+        r6(col("w")).as("weight"),
+        r6(col("w") / col("p")).as("boost"))
+  }
 
   /** Decontamination n-gram width and benchmark-set fraction (%). */
   val DECON_NGRAM = 5

@@ -34,7 +34,8 @@ object Dedup {
     "q117_dup_spans" -> q117,
     "q117b_span_scrub" -> q117b,
     "q126_dedup_impact" -> q126,
-    "q137_dup_affinity" -> q137
+    "q137_dup_affinity" -> q137,
+    "q140_dedup_curve" -> q140
   )
 
   val CLUSTER_JACCARD = 0.5
@@ -223,6 +224,46 @@ object Dedup {
 
   private def q137(spark: SparkSession, dir: String): DataFrame =
     dupAffinity(spark, dir)
+
+  /** Jaccard thresholds q140 sweeps (the verify floor 0.4 up to an
+    * exact-dup-only 0.9). */
+  val TAU_GRID: Seq[Double] = Seq(0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** q140 — the dedup-threshold OPERATING CURVE (q134's posture
+    * applied to the near-dup family): for every candidate τ, how many
+    * verified pairs survive and how many documents the greedy
+    * keep-min-id rule would drop — the retained-data-vs-aggressiveness
+    * table that fixes [[CLUSTER_JACCARD]] before a team re-runs the
+    * q50/q92 pipeline. Grid rows with zero surviving pairs still
+    * emit (0, 0): a curve with silently missing points misreads as a
+    * cliff.
+    *
+    * Scale shape: rides the session-cached verified pairs (bucketed
+    * LSH candidates only); the sweep is one |pairs|×|grid| explode
+    * into two keyed aggs — pair counts and distinct dropped docs —
+    * then a broadcast grid left-join to restore empty points. */
+  def dedupCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = TAU_GRID.toDF("tau")
+    val hits = neardupPairsCached(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        explode(array(TAU_GRID.map(lit): _*)).as("tau"))
+      .filter(col("jaccard") >= col("tau"))
+    val pairCounts = hits.groupBy(col("tau"))
+      .agg(count(lit(1)).as("n_pairs"))
+    // greedy q105/q92 drop rule: a doc drops iff a smaller-id partner
+    // sits at or above τ — doc_b of each (doc_a < doc_b) pair
+    val dropCounts = hits.select(col("tau"), col("doc_b")).distinct()
+      .groupBy(col("tau")).agg(count(lit(1)).as("n_docs_dropped"))
+    grid.join(pairCounts, Seq("tau"), "left")
+      .join(dropCounts, Seq("tau"), "left")
+      .select(col("tau"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"))
+  }
+
+  private def q140(spark: SparkSession, dir: String): DataFrame =
+    dedupCurve(spark, dir)
 
   /** Near-duplicate pairs: LSH candidates (same band hash in ≥1 band,
     * a bucketed self-join — NEVER all-pairs) verified with the exact

@@ -589,6 +589,40 @@ object CorpusSql {
          |FROM pt, tot""".stripMargin
     },
 
+    // q139: α-tempered mixing weights — p one IEEE division of exact
+    // BIGINT sums; p^α as exp(α·ln p) (the identical two-libm-call
+    // sequence Spark runs) r6-quantized into DECIMAL before the
+    // normalizing sum; grid literals cast to DOUBLE (bare decimals
+    // type as DECIMAL in DuckDB)
+    "q139_alpha_mix" -> {
+      val grid = graft.operators.Corpus.ALPHA_GRID
+        .map(a => s"CAST($a AS DOUBLE)").mkString(", ")
+      def q6(e: String) =
+        s"CAST(${graft.functions.Rounding.sql6(e)} AS DECIMAL(20,6))"
+      s"""WITH masses AS (
+         |  SELECT source,
+         |         CAST(sum(len(${tokensSql(normTextSql("text"))})) AS BIGINT)
+         |           AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens
+         |        FROM masses),
+         |g AS (SELECT unnest([$grid]) AS alpha),
+         |pa AS (
+         |  SELECT source, n_tokens, alpha,
+         |         CAST(n_tokens AS DOUBLE) / corpus_tokens AS p,
+         |         ${q6("exp(alpha * ln(CAST(n_tokens AS DOUBLE) / corpus_tokens))")}
+         |           AS pa
+         |  FROM masses, tot, g),
+         |s AS (SELECT alpha, sum(pa) AS spa FROM pa GROUP BY 1)
+         |SELECT source, alpha, n_tokens,
+         |       ${graft.functions.Rounding.sql6("p")} AS p_raw,
+         |       ${graft.functions.Rounding.sql6(
+              "CAST(pa AS DOUBLE) / CAST(spa AS DOUBLE)")} AS weight,
+         |       ${graft.functions.Rounding.sql6(
+              "(CAST(pa AS DOUBLE) / CAST(spa AS DOUBLE)) / p")} AS boost
+         |FROM pa JOIN s USING (alpha)""".stripMargin
+    },
+
     "q70_source_mix" ->
       s"""WITH flags AS (
          |  SELECT source,

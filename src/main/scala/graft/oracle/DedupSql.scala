@@ -86,6 +86,31 @@ object DedupSql {
          |JOIN src sb ON sb.doc_id = p.doc_b
          |GROUP BY 1, 2""".stripMargin,
 
+    // q140: the q20 pairs swept over the τ grid — grid rows with no
+    // surviving pairs still emit (0, 0); bare decimal literals type
+    // as DECIMAL in DuckDB, so the grid casts to DOUBLE explicitly
+    "q140_dedup_curve" -> {
+      val grid = graft.operators.Dedup.TAU_GRID
+        .map(t => s"CAST($t AS DOUBLE)").mkString(", ")
+      s"""WITH pairs AS (
+         |  SELECT * FROM (
+         |${oracleQ20}
+         |  )),
+         |g AS (SELECT unnest([$grid]) AS tau),
+         |hits AS (
+         |  SELECT g.tau, p.doc_a, p.doc_b
+         |  FROM pairs p JOIN g ON p.jaccard >= g.tau),
+         |pc AS (SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs
+         |       FROM hits GROUP BY 1),
+         |dc AS (SELECT tau, CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_dropped
+         |       FROM hits GROUP BY 1)
+         |SELECT g.tau,
+         |       CAST(coalesce(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |       CAST(coalesce(dc.n_docs_dropped, 0) AS BIGINT) AS n_docs_dropped
+         |FROM g LEFT JOIN pc ON pc.tau = g.tau
+         |       LEFT JOIN dc ON dc.tau = g.tau""".stripMargin
+    },
+
     // q50's label CTE left-joined back onto the corpus: kept iff the
     // doc IS its cluster canonical (unclustered docs are their own)
     "q92_dedup_keep" ->
