@@ -1,8 +1,16 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One arriving document for [[CorpusStreams.quotaGateStream]]. */
+case class QuotaDoc(doc_id: Long, source: String, ts: java.sql.Timestamp)
+
+/** One admitted document: `qrank` is the source's admission ordinal. */
+case class QuotaAdmit(doc_id: Long, source: String, ts: java.sql.Timestamp,
+                      qrank: Long)
 
 /** Streaming corpus-prep surfaces — the ingest-side twins of the
   * [[graft.operators.Corpus]] batch pipeline (VERDICT r9 next #6).
@@ -409,6 +417,51 @@ object CorpusStreams {
       .filter(col("cos") >= tau)
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("vec_id", "existing_vec_id")
+  }
+
+  /** Streaming per-source quota ADMISSION GATE — q138's per-domain
+    * cap on ingest: each source admits its first `quota` documents and
+    * rejects everything after, emitting one row per ADMITTED doc (the
+    * manifest a capped ingest mounts). Semantics vs the batch twin:
+    * q138 ranks by deterministic salted hash (the whole corpus visible
+    * at once); an append-only ingest's honest order is ARRIVAL — the
+    * same divergence the manifest stream documents for shard
+    * composition. Kept COUNTS match the batch cap exactly
+    * (min(quota, |source|)); membership is arrival-ordered.
+    *
+    * Replay safety WITHOUT an upstream dedup operator: the state
+    * carries the admitted id set itself — a redelivered admitted doc
+    * is already a member (no re-emit, no double-count), a redelivered
+    * rejected doc still finds the quota exhausted... and a rejected
+    * doc re-arriving BEFORE the quota fills is admitted, exactly like
+    * a first arrival (at-least-once ingest semantics). Within a batch,
+    * rows replay in (ts, doc_id) order so micro-batch iterator order
+    * never changes the admitted set.
+    *
+    * State bound: ≤ `quota` ids + one counter per source — bytes per
+    * source by CONSTRUCTION (the cap is the bound), the tightest state
+    * story of any gate here; no watermark state needed at all. */
+  def quotaGateStream(docs: Dataset[QuotaDoc], quota: Long): Dataset[QuotaAdmit] = {
+    import docs.sparkSession.implicits._
+    require(quota > 0, "quota must be positive")
+
+    def fn(src: String, rows: Iterator[QuotaDoc],
+           state: GroupState[Seq[Long]]): Iterator[QuotaAdmit] = {
+      var admitted = state.getOption.getOrElse(Seq.empty[Long])
+      val out = Seq.newBuilder[QuotaAdmit]
+      rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
+        if (admitted.size < quota && !admitted.contains(r.doc_id)) {
+          admitted = admitted :+ r.doc_id
+          out += QuotaAdmit(r.doc_id, src, r.ts, admitted.size.toLong)
+        }
+      }
+      state.update(admitted)
+      out.result().iterator
+    }
+
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
   }
 
   def datasheet(spark: SparkSession, outDir: String): DataFrame = {
