@@ -27,6 +27,7 @@ object Corpus {
     "q69c_pack_spans" -> q69c,
     "q70_source_mix" -> q70,
     "q139_alpha_mix" -> q139,
+    "q141_drift_report" -> q141,
     "q81_decontaminate" -> q81,
     "q108_chunk_dedup" -> q108,
     "q108b_chunk_keep" -> q108b,
@@ -1066,6 +1067,79 @@ object Corpus {
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_grams"),
         sum(col("n") * col("lam")).as("sum_llr"))
+  }
+
+  /** Modulus for q141's standing/incoming slice — the q105b split
+    * discipline applied to documents (doc_id ≡ 3 is "the new batch"). */
+  val DRIFT_INCR_MOD = 4L
+
+  private def q141(spark: SparkSession, dir: String): DataFrame =
+    driftReport(Tables.documents(spark, dir))
+
+  /** q141 — ingest DRIFT report: per source, the Jensen–Shannon
+    * divergence between the STANDING corpus's and the INCOMING
+    * batch's hashed-unigram+bigram LMs (the q110 DSIR gram space) —
+    * the distribution-shift monitor a pipeline reads before letting a
+    * new crawl into the mix (drift high ⇒ re-derive the q70/q139
+    * weights and the q94 LM before they mislabel the new data).
+    * JS rather than KL: symmetric, bounded [0, ln 2], and defined
+    * even for buckets one side has never seen (via the add-one
+    * smoothing + mixture M).
+    *
+    * Float discipline: p, q, m are single IEEE expressions of exact
+    * BIGINT counts; each bucket's contribution quantizes r6 into
+    * DECIMAL(20,6) before the per-source sum (the q110 pattern — the
+    * cross-engine exposure is two libm `ln` calls per (source,
+    * bucket), never a float accumulation); the scaffold cross-join
+    * guarantees all B buckets contribute in both engines.
+    *
+    * Scale shape: one tokenize explode → ONE (source, bucket) keyed
+    * agg with conditional sums (map-side partials); everything after
+    * is |sources|×B arithmetic with broadcast per-source totals. */
+  def driftReport(docs: DataFrame, buckets: Int = DSIR_BUCKETS): DataFrame = {
+    val b = lit(buckets.toLong)
+    val grams = docs
+      .select(col("source"),
+        (col("doc_id") % DRIFT_INCR_MOD === DRIFT_INCR_MOD - 1)
+          .cast("long").as("inc"),
+        VectorFns.tokens(Dedup.normText(col("text"))).as("tk"))
+      .select(col("source"), col("inc"),
+        explode(concat(col("tk"), VectorFns.shingles(col("tk"), 2))).as("g"))
+      .select(col("source"), col("inc"),
+        (Dedup.baseHash(col("g")) % b).as("b"))
+    val counts = grams.groupBy(col("source"), col("b"))
+      .agg(sum(col("inc")).as("c_i"),
+        sum(lit(1L) - col("inc")).as("c_s"))
+    val scaffold = docs.select(col("source")).distinct()
+      .select(col("source"),
+        explode(sequence(lit(0L), b - 1)).as("b"))
+    val full = scaffold.join(counts, Seq("source", "b"), "left")
+      .select(col("source"), col("b"),
+        coalesce(col("c_i"), lit(0L)).as("c_i"),
+        coalesce(col("c_s"), lit(0L)).as("c_s"))
+    val totals = full.groupBy(col("source"))
+      .agg(sum(col("c_i")).as("n_i"), sum(col("c_s")).as("n_s"))
+    val contrib = full.join(broadcast(totals), Seq("source"))
+      .withColumn("p", ((col("c_s") + 1).cast("double")) /
+        (col("n_s") + b).cast("double"))
+      .withColumn("q", ((col("c_i") + 1).cast("double")) /
+        (col("n_i") + b).cast("double"))
+      .withColumn("m", (col("p") + col("q")) / 2.0)
+      .select(col("source"), col("n_s"), col("n_i"),
+        r6(lit(0.5) * col("p") * log(col("p") / col("m")) +
+          lit(0.5) * col("q") * log(col("q") / col("m")))
+          .cast("decimal(20,6)").as("contrib"))
+    val nd = docs.groupBy(col("source")).agg(
+      sum(when(col("doc_id") % DRIFT_INCR_MOD === DRIFT_INCR_MOD - 1, 0L)
+        .otherwise(1L)).as("n_docs_standing"),
+      sum(when(col("doc_id") % DRIFT_INCR_MOD === DRIFT_INCR_MOD - 1, 1L)
+        .otherwise(0L)).as("n_docs_incoming"))
+    contrib.groupBy(col("source"), col("n_s").as("n_grams_standing"),
+        col("n_i").as("n_grams_incoming"))
+      .agg(r6(sum(col("contrib")).cast("double")).as("js_div"))
+      .join(nd, Seq("source"))
+      .select(col("source"), col("n_docs_standing"), col("n_docs_incoming"),
+        col("n_grams_standing"), col("n_grams_incoming"), col("js_div"))
   }
 
   def dsirWeights(docs: DataFrame,

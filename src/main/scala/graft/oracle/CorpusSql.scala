@@ -926,6 +926,63 @@ object CorpusSql {
     // q110b: DSIR importance resampling — the q110 log-weight chain
     // plus the deterministic Gumbel-top-k draw (key = sum_llr −
     // ln(−ln u), the q98 md5 discipline in log space)
+    // q141: per-source standing/incoming JS divergence over the DSIR
+    // gram space — scaffold guarantees all B buckets contribute;
+    // per-bucket contributions r6-quantize into the exact DECIMAL sum
+    "q141_drift_report" -> {
+      val B = graft.operators.Corpus.DSIR_BUCKETS
+      val m = graft.operators.Corpus.DRIFT_INCR_MOD
+      s"""WITH toks3 AS (
+         |  SELECT source, CAST(doc_id % $m = ${m - 1} AS BIGINT) AS inc,
+         |         ${tokensSql(normTextSql("text"))} AS tk
+         |  FROM documents),
+         |grams AS (
+         |  SELECT source, inc, ${baseHashSql("g")} % $B AS b
+         |  FROM toks3, UNNEST(list_concat(tk, ${shinglesSql("tk", 2)})) AS u(g)),
+         |counts AS (
+         |  SELECT source, b, CAST(sum(inc) AS BIGINT) AS c_i,
+         |         CAST(sum(1 - inc) AS BIGINT) AS c_s
+         |  FROM grams GROUP BY 1, 2),
+         |scaffold AS (
+         |  SELECT source, gs.b
+         |  FROM (SELECT DISTINCT source FROM documents),
+         |       (SELECT unnest(generate_series(0, ${B - 1})) AS b) gs),
+         |f AS (
+         |  SELECT s.source, s.b,
+         |         COALESCE(c.c_i, 0) AS c_i, COALESCE(c.c_s, 0) AS c_s
+         |  FROM scaffold s LEFT JOIN counts c
+         |    ON c.source = s.source AND c.b = s.b),
+         |tot3 AS (
+         |  SELECT source, CAST(sum(c_i) AS BIGINT) AS n_i,
+         |         CAST(sum(c_s) AS BIGINT) AS n_s
+         |  FROM f GROUP BY 1),
+         |contrib AS (
+         |  SELECT f.source, n_s, n_i,
+         |         CAST(${sql6(
+              s"0.5 * (CAST(c_s + 1 AS DOUBLE) / (n_s + $B)) * " +
+              s"ln((CAST(c_s + 1 AS DOUBLE) / (n_s + $B)) / " +
+              s"((CAST(c_s + 1 AS DOUBLE) / (n_s + $B) + CAST(c_i + 1 AS DOUBLE) / (n_i + $B)) / 2.0)) + " +
+              s"0.5 * (CAST(c_i + 1 AS DOUBLE) / (n_i + $B)) * " +
+              s"ln((CAST(c_i + 1 AS DOUBLE) / (n_i + $B)) / " +
+              s"((CAST(c_s + 1 AS DOUBLE) / (n_s + $B) + CAST(c_i + 1 AS DOUBLE) / (n_i + $B)) / 2.0))")}
+         |           AS DECIMAL(20,6)) AS contrib
+         |  FROM f JOIN tot3 ON tot3.source = f.source),
+         |js AS (
+         |  SELECT source, n_s AS n_grams_standing, n_i AS n_grams_incoming,
+         |         ${sql6("CAST(sum(contrib) AS DOUBLE)")} AS js_div
+         |  FROM contrib GROUP BY 1, 2, 3),
+         |nd AS (
+         |  SELECT source,
+         |         CAST(sum(CASE WHEN doc_id % $m = ${m - 1} THEN 0 ELSE 1 END) AS BIGINT)
+         |           AS n_docs_standing,
+         |         CAST(sum(CASE WHEN doc_id % $m = ${m - 1} THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_docs_incoming
+         |  FROM documents GROUP BY 1)
+         |SELECT source, n_docs_standing, n_docs_incoming,
+         |       n_grams_standing, n_grams_incoming, js_div
+         |FROM js JOIN nd USING (source)""".stripMargin
+    },
+
     "q110b_dsir_resample" -> {
       val B = graft.operators.Corpus.DSIR_BUCKETS
       val K = graft.operators.Corpus.DSIR_SAMPLE_K
