@@ -470,6 +470,11 @@ object Corpus {
     val masses = docs.select(col("source"),
       size(VectorFns.tokens(Dedup.normText(col("text")))).cast("long").as("n_tok"))
       .groupBy(col("source")).agg(sum(col("n_tok")).as("n_tokens"))
+      // a zero-token source would put ln(0) in the α path, where the
+      // engines diverge (Spark NULL vs DuckDB error) — drop it
+      // identically on both sides (the q135/q123 degenerate-source
+      // discipline); its share of the mix is zero either way
+      .filter(col("n_tokens") > 0)
     val tot = masses.agg(sum(col("n_tokens")).as("corpus_tokens"))
     val w = Window.partitionBy(col("alpha"))
     masses.crossJoin(broadcast(tot))

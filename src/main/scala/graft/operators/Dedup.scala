@@ -231,10 +231,15 @@ object Dedup {
 
   /** q140 — the dedup-threshold OPERATING CURVE (q134's posture
     * applied to the near-dup family): for every candidate τ, how many
-    * verified pairs survive and how many documents the greedy
-    * keep-min-id rule would drop — the retained-data-vs-aggressiveness
-    * table that fixes [[CLUSTER_JACCARD]] before a team re-runs the
-    * q50/q92 pipeline. Grid rows with zero surviving pairs still
+    * verified pairs survive and how many documents the GREEDY
+    * pairwise rule drops (a doc drops iff a smaller-id partner sits
+    * at ≥ τ — q105's published greedy shape). Note this is a LOWER
+    * BOUND on the q50/q92 cluster-canonical drop count: transitive
+    * chains (1~5, 3~5) drop doc 3 under the cluster rule but not
+    * here, because 3's only partner has a larger id. The curve is
+    * still the right τ-picking readout — both rules move together —
+    * and the bound direction is stated so nobody reads it as the
+    * exact cluster loss. Grid rows with zero surviving pairs still
     * emit (0, 0): a curve with silently missing points misreads as a
     * cliff.
     *

@@ -603,7 +603,8 @@ object CorpusSql {
          |  SELECT source,
          |         CAST(sum(len(${tokensSql(normTextSql("text"))})) AS BIGINT)
          |           AS n_tokens
-         |  FROM documents GROUP BY 1),
+         |  FROM documents GROUP BY 1
+         |  HAVING sum(len(${tokensSql(normTextSql("text"))})) > 0),
          |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens
          |        FROM masses),
          |g AS (SELECT unnest([$grid]) AS alpha),
@@ -923,9 +924,6 @@ object CorpusSql {
          |FROM agg""".stripMargin
     },
 
-    // q110b: DSIR importance resampling — the q110 log-weight chain
-    // plus the deterministic Gumbel-top-k draw (key = sum_llr −
-    // ln(−ln u), the q98 md5 discipline in log space)
     // q141: per-source standing/incoming JS divergence over the DSIR
     // gram space — scaffold guarantees all B buckets contribute;
     // per-bucket contributions r6-quantize into the exact DECIMAL sum
@@ -983,6 +981,9 @@ object CorpusSql {
          |FROM js JOIN nd USING (source)""".stripMargin
     },
 
+    // q110b: DSIR importance resampling — the q110 log-weight chain
+    // plus the deterministic Gumbel-top-k draw (key = sum_llr −
+    // ln(−ln u), the q98 md5 discipline in log space)
     "q110b_dsir_resample" -> {
       val B = graft.operators.Corpus.DSIR_BUCKETS
       val K = graft.operators.Corpus.DSIR_SAMPLE_K

@@ -355,11 +355,6 @@ object CorpusStreams {
     if (fs.exists(bak)) fs.delete(bak, true)
   }
 
-  /** The per-source card over the live counters — q131's columns,
-    * computed with the SAME quantized-entropy arithmetic so
-    * single-batch ingest is bit-identical to the batch card
-    * (`mean_logp` is served from the last [[refreshLm]] snapshot and
-    * null when the LM hook is off). */
   /** Streaming SEMANTIC ingest gate —
     * [[graft.operators.Similarity.semanticDedupIncrement]] (q105b) as
     * a `readStream` stage, the embedding-space sibling of
@@ -401,9 +396,19 @@ object CorpusStreams {
     require(cb.nonEmpty, "standing corpus yields an empty codebook")
     val cbCol = array(cb.map { case (cell, cv) =>
       struct(typedlit(cv).as("cv"), lit(cell).as("cell")) }.toSeq: _*)
+    // the static side of a stream-static join RE-EXECUTES every
+    // micro-batch — left unpersisted, each batch would re-run the
+    // O(N·cells) assignment cross-join over the whole standing corpus,
+    // which is exactly the "cost scales with the corpus" failure this
+    // gate exists to avoid. The gate therefore pins the cell index for
+    // its own lifetime (the ONE deliberate library-pinned cache: the
+    // caller cannot reach inside to do it, and a gate without its
+    // index is not the documented operator). Refreshing on compaction
+    // means building a new gate, which drops this pin with it.
     val standingCells = Similarity.cellAssign(standing, cents)
       .select(col("cell"), col("vec_id").as("existing_vec_id"),
         col("v").as("vb"))
+      .persist()
     vecs
       .select(col("vec_id"), col("ts"), col("v"))
       .withColumn("best", array_min(transform(cbCol, c =>
@@ -447,15 +452,23 @@ object CorpusStreams {
 
     def fn(src: String, rows: Iterator[QuotaDoc],
            state: GroupState[Seq[Long]]): Iterator[QuotaAdmit] = {
-      var admitted = state.getOption.getOrElse(Seq.empty[Long])
+      // state encodes as a Seq; membership probes go through a hash
+      // set so a large caller-supplied quota costs O(1) per row, not
+      // an O(|admitted|) scan (and additions build once, no per-row
+      // Seq copy)
+      val prior = state.getOption.getOrElse(Seq.empty[Long])
+      val seen = scala.collection.mutable.HashSet.from(prior)
+      var n = prior.size.toLong
+      val added = Seq.newBuilder[Long]
       val out = Seq.newBuilder[QuotaAdmit]
       rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
-        if (admitted.size < quota && !admitted.contains(r.doc_id)) {
-          admitted = admitted :+ r.doc_id
-          out += QuotaAdmit(r.doc_id, src, r.ts, admitted.size.toLong)
+        if (n < quota && seen.add(r.doc_id)) {
+          n += 1
+          added += r.doc_id
+          out += QuotaAdmit(r.doc_id, src, r.ts, n)
         }
       }
-      state.update(admitted)
+      state.update(prior ++ added.result())
       out.result().iterator
     }
 
@@ -464,6 +477,11 @@ object CorpusStreams {
         GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** The per-source card over the live counters — q131's columns,
+    * computed with the SAME quantized-entropy arithmetic so
+    * single-batch ingest is bit-identical to the batch card
+    * (`mean_logp` is served from the last [[refreshLm]] snapshot and
+    * null when the LM hook is off). */
   def datasheet(spark: SparkSession, outDir: String): DataFrame = {
     import graft.functions.Rounding.{r4, r6}
     val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -587,6 +587,68 @@ class CorpusSpec extends SparkSuite {
     assert(saturated == exact, "saturated sketch leaked false positives into the report")
   }
 
+  test("alphaMix: weights are a distribution per alpha; alpha=1 reproduces the raw shares") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.operators.Corpus
+      .alphaMix(graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"),
+        graft.operators.Corpus.ALPHA_GRID)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    // each alpha's weights sum to ~1 (r6 emit rounding bounds the slack)
+    out.groupBy(_._2).foreach { case (a, rs) =>
+      val s = rs.map(_._5).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"alpha=$a weights sum to $s")
+    }
+    // alpha = 1 is proportional sampling: weight == p_raw, boost == 1
+    out.filter(_._2 == 1.0).foreach { r =>
+      assert(math.abs(r._5 - r._4) <= 2e-6, s"alpha=1 weight != share: $r")
+      assert(math.abs(r._6 - 1.0) <= 1e-4, s"alpha=1 boost != 1: $r")
+    }
+    // tempering flattens — the mathematically guaranteed claims only
+    // (the boost-1 crossover is (Σp^α)^(-1/(1-α)), NOT 1/n, so a
+    // per-source band assertion would be fixture-luck): boost is
+    // monotone decreasing in share, the smallest share boosts ≥ 1,
+    // the largest damps ≤ 1
+    val a03 = out.filter(_._2 == 0.3).sortBy(_._4)
+    a03.sliding(2).foreach { w =>
+      if (w.length == 2 && w(0)._4 < w(1)._4)
+        assert(w(0)._6 >= w(1)._6 - 1e-9, s"boost not monotone: ${w.toSeq}")
+    }
+    assert(a03.head._6 >= 1.0 - 1e-4, s"smallest share not boosted: ${a03.head}")
+    assert(a03.last._6 <= 1.0 + 1e-4, s"largest share not damped: ${a03.last}")
+  }
+
+  test("driftReport: JS bounds hold and a self-identical split reads ~0") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.operators.Corpus
+      .driftReport(graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r._6 >= 0.0 && r._6 <= math.log(2.0) + 1e-3, s"JS out of bounds: $r")
+      assert(r._2 + r._3 > 0, s"source with no docs reported: $r")
+    }
+    // same-distribution control: feed a corpus whose incoming slice is
+    // a verbatim copy of its standing slice — drift must read ≈0
+    // (add-one smoothing over unseen buckets keeps it just above 0)
+    val s = spark
+    import s.implicits._
+    val base = (0L until 40L).map(i =>
+      (i * graft.operators.Corpus.DRIFT_INCR_MOD, "only",
+        s"alpha beta gamma delta epsilon word$i tail"))
+    val mirrored = base.map { case (id, src, t) =>
+      (id + graft.operators.Corpus.DRIFT_INCR_MOD - 1, src, t) }
+    val docs = (base ++ mirrored).toDF("doc_id", "source", "text")
+    val ctl = graft.operators.Corpus.driftReport(docs).collect()
+    assert(ctl.length == 1)
+    assert(ctl(0).getDouble(5) < 0.01,
+      s"identical halves must not drift: ${ctl(0)}")
+  }
+
   test("splitLeakageMatrix: equals a driver-side brute force over sf0.001") {
     import org.apache.spark.sql.functions.col
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
@@ -658,12 +720,15 @@ class CorpusSpec extends SparkSuite {
         r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7))).toSet
     assert(out == expected)
     assert(out.nonEmpty, "every sf0.001 source should report a growth curve")
-    // β is a growth EXPONENT: [0, 1] by construction (β can hit 0.0
-    // exactly on this template-generated fixture — per-source
-    // vocabulary saturates inside the first decile, which is precisely
-    // the boilerplate signal the readout exists to flag)
+    // β ≥ 0 IS guaranteed (vocab_100 ≥ vocab_10, tokens_100 > tokens_10
+    // by the filter); an upper bound is NOT — the prefix is a hash
+    // bucket, not a size-proportional sample, so a repetitive decile
+    // under a vocabulary-rich remainder can push β past 1. Assert only
+    // what construction gives; β == 0.0 on this template fixture is
+    // the boilerplate signal the readout exists to flag.
     out.foreach { case t =>
-      assert(t._8 >= 0.0 && t._8 <= 1.0, s"implausible Heaps beta: $t")
+      assert(t._8 >= 0.0 && !t._8.isNaN && !t._8.isInfinite,
+        s"implausible Heaps beta: $t")
     }
     assert(out.exists(_._8 == 0.0),
       "fixture regression: the template corpus saturated vocabulary before; " +
