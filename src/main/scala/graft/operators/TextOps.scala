@@ -34,6 +34,7 @@ object TextOps {
     "q122_ngram_diversity" -> q122,
     "q123_zipf_fit" -> q123,
     "q135_vocab_growth" -> q135,
+    "q142_mink_prob" -> q142,
     "q134_filter_sweep" -> q134
   )
 
@@ -348,8 +349,12 @@ object TextOps {
         element_at(col("tk"), col("i") + 1).as("w2"))
       .cache()
 
-  def lmQualityScores(docs: DataFrame): DataFrame = {
-    import graft.functions.Rounding.{r4, r6}
+  /** The per-gram r6-quantized log-prob stream `(doc_id, lp)` under
+    * the corpus's add-one bigram LM — q94's scoring join before its
+    * per-doc rollup, extracted so the Min-K% probe (q142) scores the
+    * IDENTICAL model. */
+  private[operators] def perGramLogp(docs: DataFrame): DataFrame = {
+    import graft.functions.Rounding.r6
     val bg = bigramStream(docs)
     val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
@@ -360,10 +365,55 @@ object TextOps {
         r6(log((col("c12") + 1).cast("double") /
           (col("c1") + col("v")).cast("double")))
           .cast("decimal(20,6)").as("lp"))
+  }
+
+  def lmQualityScores(docs: DataFrame): DataFrame = {
+    import graft.functions.Rounding.r4
+    perGramLogp(docs)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
       .select(col("doc_id"), col("n_bigrams"),
         r4(col("slp").cast("double") / col("n_bigrams")).as("avg_logp"))
+  }
+
+  /** Min-K% tail denominator: k = ⌈n/5⌉ (the published 20% setting) —
+    * INTEGER ceil division, so both engines pick the identical k with
+    * no 0.2-is-not-binary float hazard. */
+  val MINK_DEN = 5L
+
+  private def q142(spark: SparkSession, dir: String): DataFrame =
+    minKProb(Tables.documents(spark, dir))
+
+  /** q142 — Min-K% probability (Shi et al. 2023): per document, the
+    * mean log-prob of its k least-likely grams under the corpus LM —
+    * the membership-inference / memorization probe. A document whose
+    * WORST-case grams still score high reads as "known" to the model
+    * (verbatim-memorized or boilerplate); the tail mean separates that
+    * from ordinary fluent text far better than q94's full-doc mean,
+    * which fluent novel text also earns. Run against a trained model's
+    * scores in production; here the corpus LM makes the statistic
+    * self-contained and oracle-replayable.
+    *
+    * Determinism at ties: grams tied on lp at the k boundary are
+    * interchangeable — any row_number order selects the same VALUE
+    * multiset, so the mean is tie-stable in both engines.
+    *
+    * Scale shape: q94's scoring joins plus ONE doc-keyed window
+    * (bounded by the doc's own gram count, never corpus-wide) and a
+    * keyed agg. */
+  def minKProb(docs: DataFrame): DataFrame = {
+    import graft.functions.Rounding.r4
+    val lps = perGramLogp(docs)
+    val counts = lps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bigrams"))
+      .withColumn("k_tail",
+        expr(s"(n_bigrams + ${MINK_DEN - 1}) DIV $MINK_DEN"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("lp").asc)
+    lps.withColumn("rk", row_number().over(w))
+      .join(counts, Seq("doc_id"))
+      .filter(col("rk") <= col("k_tail"))
+      .groupBy(col("doc_id"), col("n_bigrams"), col("k_tail"))
+      .agg(r4(sum(col("lp")).cast("double") / col("k_tail")).as("mink_logp"))
+      .select(col("doc_id"), col("n_bigrams"), col("k_tail"), col("mink_logp"))
   }
 
   /** Threshold grid for the q134 operating-curve sweep: the window a

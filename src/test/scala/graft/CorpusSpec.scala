@@ -649,6 +649,24 @@ class CorpusSpec extends SparkSuite {
       s"identical halves must not drift: ${ctl(0)}")
   }
 
+  test("minKProb: identical doc domain as q94, k = ceil(n/5), tail mean <= full mean") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val q94 = graft.operators.TextOps.lmQualityScores(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val out = graft.operators.TextOps.minKProb(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSet == q94.keySet, "q142 must score exactly q94's domain")
+    out.foreach { case (id, n, k, mink) =>
+      assert(n == q94(id)._1, s"doc $id bigram count drifted from q94")
+      assert(k == (n + 4) / 5, s"doc $id k_tail != ceil(n/5): $k vs n=$n")
+      // the mean of the k smallest values cannot exceed the full mean
+      // (1e-4 slack: both sides round to 4 dp independently)
+      assert(mink <= q94(id)._2 + 1e-4,
+        s"doc $id tail mean $mink above full mean ${q94(id)._2}")
+    }
+  }
+
   test("splitLeakageMatrix: equals a driver-side brute force over sf0.001") {
     import org.apache.spark.sql.functions.col
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
