@@ -37,6 +37,7 @@ object Similarity {
     "q129_knn_label_probe" -> q129,
     "q129b_label_probe_ivf" -> q129b,
     "q130_label_separation" -> q130,
+    "q143_embedding_drift" -> q143,
     "q132_hard_negatives" -> q132,
     "q132b_hard_negatives_ivf" -> q132b
   )
@@ -858,6 +859,65 @@ object Similarity {
         r4(col("s").cast("double") / col("n")).as("intra_cos"),
         col("nn_label"), r4(col("ccos")).as("nn_cos"),
         (r4(col("s").cast("double") / col("n")) - r4(col("ccos"))).as("margin"))
+  }
+
+  private def q143(spark: SparkSession, dir: String): DataFrame =
+    embeddingDrift(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label")))
+
+  /** q143 — embedding-space DRIFT: the geometric half of the q141
+    * monitor. Per label, the cosine between the STANDING slice's and
+    * the INCOMING slice's centroid (did the class move?) and the
+    * mean-norm ratio (did the encoder's scale shift?) — the two
+    * checks run before letting a re-embedded or newly-crawled batch
+    * into a space the q105/q129/q132 family already indexes: a
+    * centroid that rotated or a norm that drifted invalidates stored
+    * IVF cells and calibrated thresholds. Same standing/incoming
+    * slice as q105b ([[SEM_INCR_MOD]]).
+    *
+    * Float discipline (the q130 centroid path): each side's centroid
+    * rides as the per-(label, dim) DECIMAL sum of r6-quantized
+    * coordinates — order-free, and cosine's scale-invariance lets the
+    * SUM vector stand in for the mean with no division; per-vector
+    * norms r6-quantize into DECIMAL sums before the ratio's single
+    * trailing IEEE division chain.
+    *
+    * Scale shape: one posexplode keyed agg per side (map-side
+    * partials over |vecs|·dim rows) + a |labels|-row join — no
+    * pairwise stage at all. Labels missing a side drop on the inner
+    * join, identically in both engines. */
+  def embeddingDrift(e: DataFrame): DataFrame = {
+    val sided = e.withColumn("inc",
+      (col("vec_id") % SEM_INCR_MOD === SEM_INCR_MOD - 1).cast("int"))
+    val cvec = sided
+      .select(col("label"), col("inc"), posexplode(col("v")))
+      .select(col("label"), col("inc"), col("pos").as("dim"),
+        r6(col("col")).cast("decimal(38,6)").as("xq"))
+      .groupBy(col("label"), col("inc"), col("dim"))
+      .agg(sum(col("xq")).as("sx"))
+      .groupBy(col("label"), col("inc"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("sx").cast("double").as("c")))),
+        s => s.getField("c")).as("sv"))
+    val stats = sided.select(col("label"), col("inc"),
+        r6(sqrt(dotArr(col("v"), col("v"))))
+          .cast("decimal(20,6)").as("nrm"))
+      .groupBy(col("label"), col("inc"))
+      .agg(count(lit(1)).as("n"), sum(col("nrm")).as("snrm"))
+    val side = (df: DataFrame, flag: Int, suf: String) =>
+      df.filter(col("inc") === flag).drop("inc")
+        .withColumnRenamed("sv", s"sv$suf")
+        .withColumnRenamed("n", s"n$suf")
+        .withColumnRenamed("snrm", s"snrm$suf")
+    side(cvec, 0, "_s").join(side(cvec, 1, "_i"), Seq("label"))
+      .join(side(stats, 0, "_s"), Seq("label"))
+      .join(side(stats, 1, "_i"), Seq("label"))
+      .select(col("label"),
+        col("n_s").as("n_standing"), col("n_i").as("n_incoming"),
+        r4(cosineArr(col("sv_s"), col("sv_i"))).as("centroid_cos"),
+        r4((col("snrm_i").cast("double") / col("n_i")) /
+          (col("snrm_s").cast("double") / col("n_s"))).as("norm_ratio"))
   }
 
   private def q130(spark: SparkSession, dir: String): DataFrame =

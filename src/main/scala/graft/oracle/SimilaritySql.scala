@@ -243,6 +243,45 @@ object SimilaritySql {
     // cosine is scale-invariant so the sum vector stands in for the
     // mean — no decimal division anywhere; intra mean = DECIMAL sum of
     // r6 cosines / count (the q106 pattern)
+    // q143: embedding drift — per-label centroid cosine + mean-norm
+    // ratio between the standing (vec_id % 4 <> 3) and incoming
+    // slices; centroids as DECIMAL sums of r6 coordinates (q130 path)
+    "q143_embedding_drift" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+         |            FROM embeddings),
+         |sided AS (
+         |  SELECT vec_id, v, label,
+         |         CAST(vec_id % ${graft.operators.Similarity.SEM_INCR_MOD} =
+         |              ${graft.operators.Similarity.SEM_INCR_MOD - 1} AS INTEGER) AS inc
+         |  FROM emb),
+         |dims AS (
+         |  SELECT label, inc, i - 1 AS dim,
+         |         CAST(floor(v[i] * 1000000.0 + 0.5) / 1000000.0
+         |              AS DECIMAL(38,6)) AS xq
+         |  FROM sided, UNNEST(generate_series(1, len(v))) AS t(i)),
+         |cvec AS (
+         |  SELECT label, inc, list(CAST(sx AS DOUBLE) ORDER BY dim) AS sv
+         |  FROM (SELECT label, inc, dim, SUM(xq) AS sx FROM dims GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2),
+         |stats AS (
+         |  SELECT label, inc, CAST(count(*) AS BIGINT) AS n,
+         |         SUM(CAST(floor(sqrt(list_sum(list_transform(v, x -> x*x)))
+         |                        * 1000000.0 + 0.5) / 1000000.0
+         |                  AS DECIMAL(20,6))) AS snrm
+         |  FROM sided GROUP BY 1, 2)
+         |SELECT cs.label, ss.n AS n_standing, si.n AS n_incoming,
+         |       floor(list_sum(list_transform(list_zip(cs.sv, ci.sv), z -> z[1]*z[2]))
+         |             / (sqrt(list_sum(list_transform(cs.sv, x -> x*x)))
+         |                * sqrt(list_sum(list_transform(ci.sv, x -> x*x))))
+         |             * 10000.0 + 0.5) / 10000.0 AS centroid_cos,
+         |       floor((CAST(si.snrm AS DOUBLE) / si.n)
+         |             / (CAST(ss.snrm AS DOUBLE) / ss.n)
+         |             * 10000.0 + 0.5) / 10000.0 AS norm_ratio
+         |FROM cvec cs
+         |JOIN cvec ci ON ci.label = cs.label AND cs.inc = 0 AND ci.inc = 1
+         |JOIN stats ss ON ss.label = cs.label AND ss.inc = 0
+         |JOIN stats si ON si.label = cs.label AND si.inc = 1""".stripMargin,
+
     "q130_label_separation" ->
       """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
         |            FROM embeddings),

@@ -62,6 +62,38 @@ class SemanticDedupSpec extends SparkSuite {
     }
   }
 
+  test("embeddingDrift: a mirrored incoming slice reads cos=1 and norm_ratio=1") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val mod = graft.operators.Similarity.SEM_INCR_MOD
+    // standing ids ≡ 0, incoming ids ≡ mod-1 carry the SAME vectors
+    val base = (0 until 24).map { i =>
+      (i.toLong * mod, Seq.tabulate(8)(d => math.sin(i * 8 + d + 1)), i % 3)
+    }
+    val mirrored = base.map { case (id, v, l) => (id + mod - 1, v, l) }
+    val e = (base ++ mirrored).toDF("vec_id", "v", "label")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"), col("label"))
+    val out = graft.operators.Similarity.embeddingDrift(e).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.length == 3, s"one row per label: ${out.toSeq}")
+    out.foreach { r =>
+      assert(r._2 == 8 && r._3 == 8, s"side counts: $r")
+      assert(r._4 == 1.0, s"identical centroids must read cos 1.0: $r")
+      assert(r._5 == 1.0, s"identical norms must read ratio 1.0: $r")
+    }
+    // and the real fixture: bounded sanity (cos in [-1,1], ratio > 0)
+    val real = graft.operators.Similarity.embeddingDrift(
+      graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val (c, nr) = (r.getDouble(3), r.getDouble(4))
+      assert(c >= -1.0 && c <= 1.0 && nr > 0.0, s"implausible drift row: $r")
+    }
+  }
+
   test("plan shape: codebook broadcasts, no cartesian product") {
     val sp = spark
     import sp.implicits._
