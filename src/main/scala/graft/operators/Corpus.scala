@@ -1103,28 +1103,55 @@ object Corpus {
     * is |sources|×B arithmetic with broadcast per-source totals. */
   def driftReport(docs: DataFrame, buckets: Int = DSIR_BUCKETS): DataFrame = {
     val b = lit(buckets.toLong)
-    val grams = docs
-      .select(col("source"),
+    val grams = gramBuckets(
+      docs.withColumn("inc",
         (col("doc_id") % DRIFT_INCR_MOD === DRIFT_INCR_MOD - 1)
-          .cast("long").as("inc"),
+          .cast("long")), buckets)
+    val counts = grams.groupBy(col("source"), col("b"))
+      .agg(sum(col("inc")).as("c_i"),
+        sum(lit(1L) - col("inc")).as("c_s"))
+    val sources = docs.select(col("source")).distinct()
+    val nd = docs.groupBy(col("source")).agg(
+      sum(when(col("doc_id") % DRIFT_INCR_MOD === DRIFT_INCR_MOD - 1, 0L)
+        .otherwise(1L)).as("n_docs_standing"),
+      sum(when(col("doc_id") % DRIFT_INCR_MOD === DRIFT_INCR_MOD - 1, 1L)
+        .otherwise(0L)).as("n_docs_incoming"))
+    jsDivergence(counts, sources, buckets)
+      .join(nd, Seq("source"))
+      .select(col("source"), col("n_docs_standing"), col("n_docs_incoming"),
+        col("n_grams_standing"), col("n_grams_incoming"), col("js_div"))
+  }
+
+  /** The q141 gram→bucket explode over an `inc`-flagged doc frame:
+    * (source, inc, b) rows under the shared tokenize discipline —
+    * extracted so the streaming drift monitor buckets each batch with
+    * the identical rule. */
+  private[graft] def gramBuckets(docs: DataFrame, buckets: Int): DataFrame =
+    docs
+      .select(col("source"), col("inc"),
         VectorFns.tokens(Dedup.normText(col("text"))).as("tk"))
       .select(col("source"), col("inc"),
         explode(concat(col("tk"), VectorFns.shingles(col("tk"), 2))).as("g"))
       .select(col("source"), col("inc"),
-        (Dedup.baseHash(col("g")) % b).as("b"))
-    val counts = grams.groupBy(col("source"), col("b"))
-      .agg(sum(col("inc")).as("c_i"),
-        sum(lit(1L) - col("inc")).as("c_s"))
-    val scaffold = docs.select(col("source")).distinct()
-      .select(col("source"),
-        explode(sequence(lit(0L), b - 1)).as("b"))
+        (Dedup.baseHash(col("g")) % lit(buckets.toLong)).as("b"))
+
+  /** The q141 JS arithmetic over pre-bucketed counts `(source, b,
+    * c_s, c_i)`: scaffold all B buckets for every source in
+    * `sources`, add-one smooth, r6-quantize per-bucket contributions
+    * into the exact DECIMAL sum. Shared verbatim by the batch report
+    * and the streaming monitor so the two cannot drift (pun intended). */
+  private[graft] def jsDivergence(counts: DataFrame, sources: DataFrame,
+                                  buckets: Int): DataFrame = {
+    val b = lit(buckets.toLong)
+    val scaffold = sources
+      .select(col("source"), explode(sequence(lit(0L), b - 1)).as("b"))
     val full = scaffold.join(counts, Seq("source", "b"), "left")
       .select(col("source"), col("b"),
         coalesce(col("c_i"), lit(0L)).as("c_i"),
         coalesce(col("c_s"), lit(0L)).as("c_s"))
     val totals = full.groupBy(col("source"))
       .agg(sum(col("c_i")).as("n_i"), sum(col("c_s")).as("n_s"))
-    val contrib = full.join(broadcast(totals), Seq("source"))
+    full.join(broadcast(totals), Seq("source"))
       .withColumn("p", ((col("c_s") + 1).cast("double")) /
         (col("n_s") + b).cast("double"))
       .withColumn("q", ((col("c_i") + 1).cast("double")) /
@@ -1134,17 +1161,9 @@ object Corpus {
         r6(lit(0.5) * col("p") * log(col("p") / col("m")) +
           lit(0.5) * col("q") * log(col("q") / col("m")))
           .cast("decimal(20,6)").as("contrib"))
-    val nd = docs.groupBy(col("source")).agg(
-      sum(when(col("doc_id") % DRIFT_INCR_MOD === DRIFT_INCR_MOD - 1, 0L)
-        .otherwise(1L)).as("n_docs_standing"),
-      sum(when(col("doc_id") % DRIFT_INCR_MOD === DRIFT_INCR_MOD - 1, 1L)
-        .otherwise(0L)).as("n_docs_incoming"))
-    contrib.groupBy(col("source"), col("n_s").as("n_grams_standing"),
+      .groupBy(col("source"), col("n_s").as("n_grams_standing"),
         col("n_i").as("n_grams_incoming"))
       .agg(r6(sum(col("contrib")).cast("double")).as("js_div"))
-      .join(nd, Seq("source"))
-      .select(col("source"), col("n_docs_standing"), col("n_docs_incoming"),
-        col("n_grams_standing"), col("n_grams_incoming"), col("js_div"))
   }
 
   def dsirWeights(docs: DataFrame,

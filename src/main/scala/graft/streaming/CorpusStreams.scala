@@ -355,6 +355,73 @@ object CorpusStreams {
     if (fs.exists(bak)) fs.delete(bak, true)
   }
 
+  /** Drift-on-ingest — the q141 JS monitor as a `foreachBatch` stage:
+    * every micro-batch is scored against the ACCUMULATED standing
+    * corpus's hashed-gram distribution (per source), and the per-batch
+    * drift rows land in a batch-keyed log a pipeline can alert on.
+    * Unlike the manifest/datasheet states, NO marker is needed: both
+    * writes are batch_id-overwrite partitions derived from (the batch,
+    * state strictly below batchId), so a crash-replay at ANY point
+    * rewrites identical partitions — the whole update is idempotent by
+    * construction.
+    *
+    * State = per-(source, bucket) gram counts, B·|sources| rows per
+    * batch partition — KB-scale regardless of batch size (the bucket
+    * space is fixed), the tightest corpus-derived state of the ingest
+    * family; the standing read is a `batch_id < N` partition scan +
+    * one keyed sum, and the batch pays one gram explode. Sources that
+    * went SILENT in a batch still emit a row (their batch side reads
+    * as the uniform add-one LM — a high-drift signal, which is what a
+    * vanished feed should look like). */
+  def ingestDriftBatch(batch: DataFrame, batchId: Long, outDir: String,
+                       buckets: Int = graft.operators.Corpus.DSIR_BUCKETS): Unit = {
+    import graft.operators.Corpus
+    val spark = batch.sparkSession
+    val countsPath = s"$outDir/drift_counts"
+    val logPath = s"$outDir/drift_log"
+    val bcnts = Corpus
+      .gramBuckets(batch.withColumn("inc", lit(1L)), buckets)
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+    EventStreams.writeBatchIdempotent(bcnts, batchId, countsPath)
+    // read the batch's own counts back from its just-written partition
+    // so the gram explode runs exactly once per batch
+    val all = spark.read.option("basePath", countsPath).parquet(countsPath)
+    val standingC = all.filter(col("batch_id") < batchId)
+      .groupBy(col("source"), col("b")).agg(sum(col("c")).as("c_s"))
+    val batchC = all.filter(col("batch_id") === batchId)
+      .select(col("source"), col("b"), col("c").as("c_i"))
+    val counts = batchC.join(standingC, Seq("source", "b"), "full")
+    val nd = batch.groupBy(col("source")).agg(count(lit(1)).as("n_docs_batch"))
+    val drift = Corpus
+      .jsDivergence(counts, all.select(col("source")).distinct(), buckets)
+      .join(nd, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_docs_batch"), lit(0L)).as("n_docs_batch"),
+        col("n_grams_standing"),
+        col("n_grams_incoming").as("n_grams_batch"), col("js_div"))
+    EventStreams.writeBatchIdempotent(drift, batchId, logPath)
+  }
+
+  /** The accumulated drift log under an [[ingestDriftBatch]] state
+    * dir: one row per (batch_id, source). */
+  def driftLog(spark: SparkSession, outDir: String): DataFrame = {
+    val p = s"$outDir/drift_log"
+    spark.read.option("basePath", p).parquet(p)
+      .select(col("batch_id"), col("source"), col("n_docs_batch"),
+        col("n_grams_standing"), col("n_grams_batch"), col("js_div"))
+  }
+
+  /** The q141 monitor wired as a streaming sink: `foreachBatch` over
+    * a documents stream, state + log under `outDir`. */
+  def driftStream(docs: DataFrame, outDir: String, checkpointDir: String,
+                  buckets: Int = graft.operators.Corpus.DSIR_BUCKETS)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, id: Long) =>
+        ingestDriftBatch(b, id, outDir, buckets))
+      .start()
+
   /** Streaming SEMANTIC ingest gate —
     * [[graft.operators.Similarity.semanticDedupIncrement]] (q105b) as
     * a `readStream` stage, the embedding-space sibling of

@@ -100,6 +100,47 @@ class CorpusStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("ingestDriftBatch: batch-1 log equals the library JS between the halves; replay idempotent") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val out = freshDir()
+    CorpusStreams.ingestDriftBatch(a, 0L, out)
+    CorpusStreams.ingestDriftBatch(b, 1L, out)
+    def logRows() = CorpusStreams.driftLog(spark, out)
+      .filter(col("batch_id") === 1).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toSet
+    val got = logRows()
+    // expected: the shared jsDivergence core over the same two sides
+    val counts = graft.operators.Corpus
+      .gramBuckets(a.withColumn("inc", lit(0L))
+        .union(b.withColumn("inc", lit(1L))),
+        graft.operators.Corpus.DSIR_BUCKETS)
+      .groupBy(col("source"), col("b"))
+      .agg(sum(col("inc")).as("c_i"), sum(lit(1L) - col("inc")).as("c_s"))
+    val ndB = b.groupBy(col("source")).agg(count(lit(1)).as("n_docs_batch"))
+    val expected = graft.operators.Corpus
+      .jsDivergence(counts, docs.select(col("source")).distinct(),
+        graft.operators.Corpus.DSIR_BUCKETS)
+      .join(ndB, Seq("source"), "left")
+      .collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(4)) 0L else r.getLong(4),
+        r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected,
+      s"stream-only=${got -- expected}\nbatch-only=${expected -- got}")
+    // batch 0 scored against EMPTY standing state
+    val b0 = CorpusStreams.driftLog(spark, out)
+      .filter(col("batch_id") === 0).collect()
+    assert(b0.nonEmpty && b0.forall(_.getLong(3) == 0L),
+      "batch 0 must read zero standing grams")
+    // crash-replay: re-running batch 1 rewrites identical partitions
+    CorpusStreams.ingestDriftBatch(b, 1L, out)
+    assert(logRows() == got, "replay changed the drift log")
+  }
+
   test("single-batch ingest from empty state reproduces the batch manifest bit-for-bit") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val out = freshDir()
