@@ -59,17 +59,22 @@ object StreamIngestProbe {
     val sheet = drive((b, id) =>
       graft.streaming.CorpusStreams.ingestDatasheetBatch(b, id,
         s"$base/sheet", corpusHasLines = false))
+    val drift = drive((b, id) =>
+      graft.streaming.CorpusStreams.ingestDriftBatch(b, id, s"$base/drift"))
 
     def halves(xs: Seq[Double]) =
       (median(xs.take(n / 2)), median(xs.drop(n / 2)))
     val (m1, m2) = halves(manifest)
     val (s1, s2) = halves(sheet)
+    val (d1, d2) = halves(drift)
     val json =
       s"""{"metric":"stream_ingest_probe","sf_dir":"$dir","n_batches":$n,""" +
         s""""manifest_walls":[${manifest.map(f3).mkString(",")}],""" +
         s""""datasheet_walls":[${sheet.map(f3).mkString(",")}],""" +
+        s""""drift_walls":[${drift.map(f3).mkString(",")}],""" +
         s""""manifest_half_medians":[${f3(m1)},${f3(m2)}],""" +
-        s""""datasheet_half_medians":[${f3(s1)},${f3(s2)}]}"""
+        s""""datasheet_half_medians":[${f3(s1)},${f3(s2)}],""" +
+        s""""drift_half_medians":[${f3(d1)},${f3(d2)}]}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("stream_ingest_probe.json"), json)
     println(json)
