@@ -28,6 +28,7 @@ object Corpus {
     "q70_source_mix" -> q70,
     "q139_alpha_mix" -> q139,
     "q141_drift_report" -> q141,
+    "q125b_manifest_decon" -> q125b,
     "q81_decontaminate" -> q81,
     "q108_chunk_dedup" -> q108,
     "q108b_chunk_keep" -> q108b,
@@ -715,16 +716,30 @@ object Corpus {
   def trainingManifest(docs: DataFrame, corpusHasLines: Boolean,
                        target: Long = graft.operators.Analytics.SHARD_TOKENS,
                        minStops: Long = graft.operators.TextOps.GOPHER_MIN_STOPS,
-                       scheduleOut: Option[String] = None): DataFrame = {
+                       scheduleOut: Option[String] = None,
+                       decontaminate: Boolean = false): DataFrame = {
     val keyed = docs.withColumn("h", md5(Dedup.normText(col("text"))))
     val canon = keyed.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
     val deduped = keyed.join(canon, Seq("h", "doc_id"), "left_semi")
     val pass = graft.operators.TextOps
       .gopherFlags(deduped, corpusHasLines, minStops)
       .filter(col("gopher_pass") === 1).select(col("doc_id"))
-    val train0 = deduped
+    val trainKept = deduped
       .filter(splitAssign(col("doc_id")) === "train")
       .join(pass, Seq("doc_id"), "left_semi")
+    // optional stage (q125b): split hygiene — drop the train docs
+    // q124b would quarantine (shared-5-gram fraction vs the corpus's
+    // OWN test split above CONTAM_FRAC), so the manifest a trainer
+    // mounts is the one the audit already repaired. One anti-join
+    // against the |flagged| set (far smaller than the corpus); the
+    // contamination probe itself is q124's audited shuffle shape.
+    val train0 =
+      if (decontaminate)
+        trainKept.join(
+          splitContamination(docs).filter(col("shared_frac") > CONTAM_FRAC)
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      else trainKept
     // with the optional schedule stage the keep pipeline feeds TWO
     // consumers (the eager schedule write + the returned plan) —
     // localCheckpoint materializes the dedup/quality/split stages
@@ -755,6 +770,17 @@ object Corpus {
       .agg(max(col("text").contains("\n").cast("int")).as("h"))
       .head().getInt(0) == 1
     trainingManifest(docs, hasLines, minStops = Q125_MIN_STOPS)
+  }
+
+  /** q125b — the manifest WITH the split-hygiene stage on: the full
+    * dedup → quality → split → decontaminate → shard loop. */
+  private def q125b(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val hasLines = docs
+      .agg(max(col("text").contains("\n").cast("int")).as("h"))
+      .head().getInt(0) == 1
+    trainingManifest(docs, hasLines, minStops = Q125_MIN_STOPS,
+      decontaminate = true)
   }
 
   /** Top terms per document for q84. */

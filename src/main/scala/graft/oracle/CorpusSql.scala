@@ -759,7 +759,15 @@ object CorpusSql {
     // q107, stop-word gate at the corpus-calibrated Q125_MIN_STOPS so
     // the manifest is NON-EMPTY at gate scale) → train split → the
     // q119 shard windows over survivors
-    "q125_training_manifest" -> {
+    "q125_training_manifest" -> q125Sql(decon = false),
+
+    // q125b: the same manifest with the split-hygiene stage on — the
+    // q124 contamination chain flags over-threshold train docs and the
+    // train CTE anti-joins them out before sharding
+    "q125b_manifest_decon" -> q125Sql(decon = true)
+  ) ++ oracleTail
+
+  private def q125Sql(decon: Boolean): String = {
       import graft.operators.TextOps._
       val t = graft.operators.Analytics.SHARD_TOKENS
       val stops = GOPHER_STOPS.map(s => s"'$s'").mkString(",")
@@ -767,7 +775,19 @@ object CorpusSql {
         .map(p => s"starts_with(line, '$p')").mkString(" OR ")
       val ellipses = GOPHER_ELLIPSIS_SUFFIXES
         .map(s => s"ends_with(line, '$s')").mkString(" OR ")
-      s"""WITH cap AS (
+      val flaggedCte =
+        if (decon)
+          s"""flagged AS (
+             |  SELECT doc_id FROM (
+             |${q124Sql}
+             |  ) WHERE shared_frac > ${graft.operators.Corpus.CONTAM_FRAC}),
+             |""".stripMargin
+        else ""
+      val deconPred =
+        if (decon)
+          "\n    AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)"
+        else ""
+      s"""WITH $flaggedCte cap AS (
          |  SELECT max(CASE WHEN contains(text, chr(10)) THEN 1 ELSE 0 END)
          |    AS has_lines FROM documents),
          |keyed AS (
@@ -812,7 +832,7 @@ object CorpusSql {
          |train AS (
          |  SELECT d.doc_id, d.source, d.text
          |  FROM dedup d JOIN pass p USING (doc_id)
-         |  WHERE ${baseHashSql("CAST(d.doc_id AS VARCHAR)")} % 100 < 80),
+         |  WHERE ${baseHashSql("CAST(d.doc_id AS VARCHAR)")} % 100 < 80$deconPred),
          |shard_toks AS (
          |  SELECT doc_id, source,
          |         CAST(len(${tokensSql("lower(trim(text))")}) AS BIGINT) AS n_tok,
@@ -828,8 +848,13 @@ object CorpusSql {
          |       CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
          |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM cums GROUP BY 1, 2""".stripMargin
-    },
+  }
 
+  // Map-literal size: the q125Sql split keeps the main literal under
+  // scalac's method-size comfort zone; content-wise one flat map.
+  // (def, not val: `oracle` above concatenates this during object
+  // init, before a later-declared val would be assigned)
+  private def oracleTail: Map[String, String] = Map(
     // tf/dl · ln(N/df) over exact integers — same IEEE sequence as the
     // Spark side, so the rank needs no rounding guard
     "q84_tfidf_topterms" ->
