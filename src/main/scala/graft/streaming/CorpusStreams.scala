@@ -17,6 +17,23 @@ case class QuotaAdmit(doc_id: Long, source: String, ts: java.sql.Timestamp,
   */
 object CorpusStreams {
 
+  /** Standing-index pins taken by gate builders (semdedup's cell
+    * index). `persist()` registers the plan in the session
+    * CacheManager and only `unpersist()` (or session end) releases it,
+    * so a driver that rebuilds gates on compaction must release the
+    * retired pins or executor storage grows by one index per rebuild. */
+  private val pinnedGateIndexes =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  /** Unpersist every standing index pinned by retired gates. Call
+    * after stopping a gate's streaming query (e.g. on corpus
+    * compaction, before building the replacement gate). Blocking=false:
+    * the release is async and safe while executors still hold blocks. */
+  def releaseGateIndexes(): Unit = {
+    var df = pinnedGateIndexes.poll()
+    while (df != null) { df.unpersist(blocking = false); df = pinnedGateIndexes.poll() }
+  }
+
   /** Streaming manifest-on-ingest — the q125
     * [[graft.operators.Corpus.trainingManifest]] as a `foreachBatch`
     * ingest pipeline. Per micro-batch, against STANDING state under
@@ -470,12 +487,16 @@ object CorpusStreams {
     // gate exists to avoid. The gate therefore pins the cell index for
     // its own lifetime (the ONE deliberate library-pinned cache: the
     // caller cannot reach inside to do it, and a gate without its
-    // index is not the documented operator). Refreshing on compaction
-    // means building a new gate, which drops this pin with it.
+    // index is not the documented operator). The pin lives in the
+    // session CacheManager until explicitly released — building a new
+    // gate on compaction does NOT drop the old entry, so long-lived
+    // drivers that rebuild gates must call `releaseGateIndexes()`
+    // after retiring the old query (the index is registered below).
     val standingCells = Similarity.cellAssign(standing, cents)
       .select(col("cell"), col("vec_id").as("existing_vec_id"),
         col("v").as("vb"))
       .persist()
+    pinnedGateIndexes.add(standingCells)
     vecs
       .select(col("vec_id"), col("ts"), col("v"))
       .withColumn("best", array_min(transform(cbCol, c =>
