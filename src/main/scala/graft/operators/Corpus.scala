@@ -1128,7 +1128,6 @@ object Corpus {
     * agg with conditional sums (map-side partials); everything after
     * is |sources|×B arithmetic with broadcast per-source totals. */
   def driftReport(docs: DataFrame, buckets: Int = DSIR_BUCKETS): DataFrame = {
-    val b = lit(buckets.toLong)
     val grams = gramBuckets(
       docs.withColumn("inc",
         (col("doc_id") % DRIFT_INCR_MOD === DRIFT_INCR_MOD - 1)
@@ -1520,15 +1519,13 @@ object Corpus {
     sourceDatasheet(docs, hasLines)
   }
 
-  /** Sketch-LM model support: a bigram enters the model iff its EXACT
-    * corpus count ≥ ceil(n_bigrams / SHEET_LM_SUPPORT). */
-  val SHEET_LM_SUPPORT = 2048L
+  /** Sketch-LM model support — since round 12 the model lives in
+    * [[TextOps.perGramLogpSketch]] (the `lmGrams` seam's sketch
+    * side); these aliases keep the card-era names. */
+  val SHEET_LM_SUPPORT: Long = TextOps.LM_SKETCH_SUPPORT
 
-  /** Misra-Gries candidate capacity for the sketch-LM pass —
-    * exactness of the two-pass heavy-hitter recipe needs
-    * 1/(capacity+1) < 1/[[SHEET_LM_SUPPORT]]; 4096 leaves a 2×
-    * margin (the q72 posture on bigrams). */
-  val SHEET_LM_CAPACITY = 4096
+  /** Misra-Gries candidate capacity ([[TextOps.LM_SKETCH_CAPACITY]]). */
+  val SHEET_LM_CAPACITY: Int = TextOps.LM_SKETCH_CAPACITY
 
   /** The q131b LM leg — per-doc mean log-prob under the TOP-GRAM
     * model instead of the full bigram-universe model (VERDICT r10
@@ -1559,39 +1556,12 @@ object Corpus {
     * bit-for-bit (the spec's exactness witness). */
   def sketchLmScores(docs: DataFrame,
                      support: Long = SHEET_LM_SUPPORT,
-                     capacity: Int = SHEET_LM_CAPACITY): DataFrame = {
-    require(support < capacity + 1,
-      "two-pass exactness needs 1/(capacity+1) < 1/support")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    // the SAME tokenization as q94's exact LM, by construction
-    val bg = TextOps.bigramStream(docs)
-    // tokens are whitespace-split, so "w1 w2" is an unambiguous key
-    val gram = concat_ws(" ", col("w1"), col("w2"))
-    val sketch = new graft.functions.MisraGriesAggregator(capacity).toColumn
-    val cand = bg.select(gram.as("g")).as[String].select(sketch)
-      .select(explode(map_keys(col("counts"))).as("g"))
-    val total = bg.agg(count(lit(1)).as("n_bg"))
-    val model = bg.select(gram.as("g"), col("w1"), col("w2"))
-      .join(broadcast(cand), Seq("g"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      .crossJoin(broadcast(total))
-      .filter(col("c12") >= ceil(col("n_bg") / lit(support.toDouble)))
-      .select(col("w1"), col("w2"), col("c12"))
-    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vdim = bg.agg(countDistinct(col("w1")).as("v"))
-    bg.join(broadcast(model), Seq("w1", "w2"), "left")
-      .join(c1, Seq("w1"))
-      .crossJoin(broadcast(vdim))
-      .select(col("doc_id"),
-        r6(log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
-          (col("c1") + col("v")).cast("double")))
-          .cast("decimal(20,6)").as("lp"))
+                     capacity: Int = SHEET_LM_CAPACITY): DataFrame =
+    TextOps.perGramLogpSketch(docs, support, capacity)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
       .select(col("doc_id"),
         r4(col("slp").cast("double") / col("n_bigrams")).as("avg_logp"))
-  }
 
   /** Epoch cap for [[epochPlan]] — repeating data up to ~4 epochs
     * retains most of its value; beyond that returns decay rapidly

@@ -35,6 +35,7 @@ object TextOps {
     "q123_zipf_fit" -> q123,
     "q135_vocab_growth" -> q135,
     "q142_mink_prob" -> q142,
+    "q142b_mink_sketch" -> q142b,
     "q134_filter_sweep" -> q134
   )
 
@@ -353,7 +354,7 @@ object TextOps {
     * the corpus's add-one bigram LM — q94's scoring join before its
     * per-doc rollup, extracted so the Min-K% probe (q142) scores the
     * IDENTICAL model. */
-  private[operators] def perGramLogp(docs: DataFrame): DataFrame = {
+  def perGramLogp(docs: DataFrame): DataFrame = {
     import graft.functions.Rounding.r6
     val bg = bigramStream(docs)
     val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
@@ -367,14 +368,128 @@ object TextOps {
           .cast("decimal(20,6)").as("lp"))
   }
 
-  def lmQualityScores(docs: DataFrame): DataFrame = {
-    import graft.functions.Rounding.r4
-    perGramLogp(docs)
-      .groupBy(col("doc_id"))
+  /** Sketch-LM model support: a bigram enters the model iff its EXACT
+    * corpus count ≥ ceil(n_bigrams / LM_SKETCH_SUPPORT). */
+  val LM_SKETCH_SUPPORT = 2048L
+
+  /** Misra-Gries candidate capacity for the sketch-LM pass —
+    * exactness of the two-pass heavy-hitter recipe needs
+    * 1/(capacity+1) < 1/[[LM_SKETCH_SUPPORT]]; 4096 leaves a 2×
+    * margin (the q72 posture on bigrams). */
+  val LM_SKETCH_CAPACITY = 4096
+
+  /** The sketch-LM twin of [[perGramLogp]] — the same `(doc_id, lp)`
+    * per-gram stream scored against the TOP-GRAM model instead of the
+    * full bigram universe, so the vocab²-sized c₁₂ SHUFFLE join never
+    * happens. The model is the EXACT set of bigrams with count ≥
+    * ceil(n/support), found without shuffling the bigram-typed
+    * stream: pass 1 is the bounded-memory
+    * [[graft.functions.MisraGriesAggregator]] as a global typed agg
+    * (only ≤2·capacity-entry sketches cross the wire; the merged
+    * summary provably contains every bigram above the support line),
+    * pass 2 recounts ONLY the ≤capacity candidates behind a broadcast
+    * semi-join and filters at the threshold — exact and
+    * order-independent, hence hash-checkable against a plain
+    * GROUP BY/HAVING oracle. In-model bigrams score EXACTLY their
+    * [[perGramLogp]] log-prob ((c12+1)/(c1+V) with exact c1/V — both
+    * are vocab-sized aggs, kept exact); out-of-model ones back off to
+    * c12 = 0 and score strictly lower, so every per-doc rollup over
+    * this stream is a provable lower bound on the exact one. With
+    * support ≥ n_bigrams the threshold is 1 and the stream equals
+    * [[perGramLogp]] bit-for-bit (the spec's exactness witness). */
+  def perGramLogpSketch(docs: DataFrame,
+      support: Long = LM_SKETCH_SUPPORT,
+      capacity: Int = LM_SKETCH_CAPACITY): DataFrame = {
+    import graft.functions.Rounding.r6
+    require(support < capacity + 1,
+      "two-pass exactness needs 1/(capacity+1) < 1/support")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bg = bigramStream(docs)
+    // tokens are whitespace-split, so "w1 w2" is an unambiguous key
+    val gram = concat_ws(" ", col("w1"), col("w2"))
+    val sketch = new MisraGriesAggregator(capacity).toColumn
+    val cand = bg.select(gram.as("g")).as[String].select(sketch)
+      .select(explode(map_keys(col("counts"))).as("g"))
+    val total = bg.agg(count(lit(1)).as("n_bg"))
+    val model = bg.select(gram.as("g"), col("w1"), col("w2"))
+      .join(broadcast(cand), Seq("g"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .crossJoin(broadcast(total))
+      .filter(col("c12") >= ceil(col("n_bg") / lit(support.toDouble)))
+      .select(col("w1"), col("w2"), col("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vdim = bg.agg(countDistinct(col("w1")).as("v"))
+    bg.join(broadcast(model), Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vdim))
+      .select(col("doc_id"),
+        r6(log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")))
+          .cast("decimal(20,6)").as("lp"))
+  }
+
+  /** The measured exact↔sketch crossover for the corpus LM, in
+    * DISTINCT BIGRAMS — the exact model's c₁₂ table size: the column
+    * that grows with corpus VOCABULARY (vocab²-shaped on organic
+    * text), decides whether the scoring join can broadcast, and keys
+    * the model shuffle (BASELINE §round-12,
+    * `scale_probe_r12_lmgate_{sf01,sf1}.json`): at sf0.1's 931
+    * distinct bigrams the exact chain wins (q142 1.76 s vs the
+    * sketch's 2.37 — the two MG passes are pure overhead when c₁₂ is
+    * dimension-sized), while at the sf1 replica's 9 310 the order
+    * flips (3.49 vs 3.23) and the sketch side holds q142's growth to
+    * 0.14× linear (model build capacity-bounded, scoring join
+    * broadcast by construction — exact's 0.20–0.36× curve bends up
+    * with vocab², the sketch's cannot). The gate flips between the
+    * two measured points, the DIMSUM_MIN_PAIRDOTS discipline. */
+  val LM_SKETCH_MIN_GRAMS: Long = 4000L
+
+  /** [[lmGramsAuto]]'s pure decision rule, exposed so the boundary is
+    * unit-testable without building either plan: sketch iff the exact
+    * model's c₁₂ table would hold at least [[LM_SKETCH_MIN_GRAMS]]
+    * distinct bigrams. */
+  def resolveSketchLm(gramUniverse: Long): Boolean =
+    gramUniverse >= LM_SKETCH_MIN_GRAMS
+
+  /** Corpus-LM per-gram scores with the model stage SIZED instead of
+    * assumed (the `itemSimsAuto` posture applied to the q94 family):
+    * one bounded scalar agg estimates the exact model's c₁₂ universe
+    * (`approx_count_distinct` over the cached bigram stream — one
+    * narrow pass, never a shuffle of the universe itself), then the
+    * gate picks the exact bigram-universe model below the measured
+    * crossover and the Misra-Gries top-gram model above it. Below the
+    * crossover the returned plan IS [[perGramLogp]] — bit-identical,
+    * so every registered query that routes through this seam keeps
+    * its oracle hash at gate scale — and above it the sketch stream
+    * is the documented lower-bound swap (q131b's model). This is the
+    * default `lmGrams` for [[lmQualityScores]]/[[minKProb]]; callers
+    * pin a side by passing [[perGramLogp]]/[[perGramLogpSketch]]
+    * explicitly. */
+  def lmGramsAuto(docs: DataFrame,
+                  crossover: Long = LM_SKETCH_MIN_GRAMS): DataFrame = {
+    val universe = bigramStream(docs)
+      .agg(approx_count_distinct(concat_ws(" ", col("w1"), col("w2"))))
+      .collect()(0).getLong(0)
+    if (universe >= crossover) perGramLogpSketch(docs)
+    else perGramLogp(docs)
+  }
+
+  /** The shared per-doc rollup both LM legs feed: mean r6-quantized
+    * log-prob via the DECIMAL-sum discipline (order-independent at
+    * any parallelism). */
+  private def lmRollup(lps: DataFrame): DataFrame =
+    lps.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
       .select(col("doc_id"), col("n_bigrams"),
         r4(col("slp").cast("double") / col("n_bigrams")).as("avg_logp"))
-  }
+
+  /** `lmGrams` is the LM seam (VERDICT r11 next #1, the `dotsSource`
+    * pattern): None → [[lmGramsAuto]] decides exact vs sketch at the
+    * measured crossover. */
+  def lmQualityScores(docs: DataFrame,
+                      lmGrams: Option[DataFrame] = None): DataFrame =
+    lmRollup(lmGrams.getOrElse(lmGramsAuto(docs)))
 
   /** Min-K% tail denominator: k = ⌈n/5⌉ (the published 20% setting) —
     * INTEGER ceil division, so both engines pick the identical k with
@@ -383,6 +498,18 @@ object TextOps {
 
   private def q142(spark: SparkSession, dir: String): DataFrame =
     minKProb(Tables.documents(spark, dir))
+
+  /** q142b — the Min-K% probe scored against the Misra-Gries top-gram
+    * model ([[perGramLogpSketch]]): the sketch side of the
+    * [[lmGramsAuto]] boundary as a registered, oracle-gated query
+    * (the q17b/q131b twin discipline), so the scale path the gate
+    * flips to past [[LM_SKETCH_MIN_GRAMS]] is itself hash-checked and
+    * priceable. Domain and k are identical to q142's; every in-model
+    * gram's lp is bit-equal, out-of-model grams back off lower. */
+  private def q142b(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    minKProb(docs, Some(perGramLogpSketch(docs)))
+  }
 
   /** q142 — Min-K% probability (Shi et al. 2023): per document, the
     * mean log-prob of its k least-likely grams under the corpus LM —
@@ -401,9 +528,10 @@ object TextOps {
     * Scale shape: q94's scoring joins plus ONE doc-keyed window
     * (bounded by the doc's own gram count, never corpus-wide) and a
     * keyed agg. */
-  def minKProb(docs: DataFrame): DataFrame = {
+  def minKProb(docs: DataFrame,
+               lmGrams: Option[DataFrame] = None): DataFrame = {
     import graft.functions.Rounding.r4
-    val lps = perGramLogp(docs)
+    val lps = lmGrams.getOrElse(lmGramsAuto(docs))
     val counts = lps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bigrams"))
       .withColumn("k_tail",
         expr(s"(n_bigrams + ${MINK_DEN - 1}) DIV $MINK_DEN"))

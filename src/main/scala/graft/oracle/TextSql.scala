@@ -435,6 +435,48 @@ object TextSql {
          |GROUP BY 1, 2, 3""".stripMargin
     },
 
+    // q142b: the Min-K% probe under the TOP-GRAM model — the
+    // Misra-Gries two-pass result is exactly a frequency filter, so
+    // the oracle is the plain GROUP BY/HAVING count >= ceil(n/support)
+    // model with c12 = 0 backoff for out-of-model bigrams (the q131b
+    // replay discipline)
+    "q142b_mink_sketch" -> {
+      val den = graft.operators.TextOps.MINK_DEN
+      val su = graft.operators.TextOps.LM_SKETCH_SUPPORT
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${SqlFragments.tokensSql(SqlFragments.normTextSql("text"))} AS tk
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+         |  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+         |  WHERE len(tk) >= 2),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+         |        HAVING count(*) >= (SELECT ceil(CAST(count(*) AS DOUBLE) / $su.0)
+         |                            FROM bg)),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w1) AS v FROM bg),
+         |scored AS (
+         |  SELECT bg.doc_id,
+         |         CAST(${graft.functions.Rounding.sql6(
+                     "ln(CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))")}
+         |              AS DECIMAL(20,6)) AS lp
+         |  FROM bg LEFT JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v),
+         |cnt AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |         CAST((count(*) + ${den - 1}) // $den AS BIGINT) AS k_tail
+         |  FROM scored GROUP BY 1),
+         |ranked AS (
+         |  SELECT doc_id, lp,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY lp ASC) AS rk
+         |  FROM scored)
+         |SELECT r.doc_id, c.n_bigrams, c.k_tail,
+         |       ${graft.functions.Rounding.sql4(
+              "CAST(sum(r.lp) AS DOUBLE) / c.k_tail")} AS mink_logp
+         |FROM ranked r JOIN cnt c USING (doc_id)
+         |WHERE r.rk <= c.k_tail
+         |GROUP BY 1, 2, 3""".stripMargin
+    },
+
     // q134: the q94 chain joined with per-doc token counts, crossed
     // with the literal threshold grid — kept mean rides the same
     // r4-quantize -> DECIMAL-sum discipline as the per-doc scores

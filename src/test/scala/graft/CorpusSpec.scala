@@ -667,6 +667,51 @@ class CorpusSpec extends SparkSuite {
     }
   }
 
+  test("lmGramsAuto gate: pure rule boundary; exact side bit-identical below crossover; sketch side == perGramLogpSketch above; q142b lower-bounds q142") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextOps
+    // the pure decision rule, both sides of the boundary
+    assert(!TextOps.resolveSketchLm(TextOps.LM_SKETCH_MIN_GRAMS - 1))
+    assert(TextOps.resolveSketchLm(TextOps.LM_SKETCH_MIN_GRAMS))
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    def scores(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("avg_logp")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // below the crossover (sf0.001's gram universe << LM_SKETCH_MIN_
+    // GRAMS) the default-auto plan IS the exact bigram-universe LM
+    val auto = scores(TextOps.lmQualityScores(docs))
+    val exact = scores(TextOps.lmQualityScores(docs,
+      Some(TextOps.perGramLogp(docs))))
+    assert(auto == exact,
+      "auto below the crossover must be bit-identical to the exact LM")
+    // a crossover of 1 forces the sketch side; the chosen stream must
+    // be the Misra-Gries model's, not some third plan
+    val forced = scores(TextOps.lmQualityScores(docs,
+      Some(TextOps.lmGramsAuto(docs, crossover = 1L))))
+    val sketch = scores(graft.operators.Corpus.sketchLmScores(docs))
+    assert(forced == sketch,
+      "auto above the crossover must be the sketch-LM stream")
+    assert(forced != exact,
+      "the default support must drop some bigram at sf0.001 " +
+        "(otherwise the boundary test exercises nothing)")
+    // the registered sketch twin: identical doc domain and k as q142,
+    // tail mean a lower bound (out-of-model grams only score lower)
+    val e142 = graft.SparkEntry.queries("q142_mink_prob")(spark, dir)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val s142 = graft.SparkEntry.queries("q142b_mink_sketch")(spark, dir)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(s142.keySet == e142.keySet && s142.nonEmpty)
+    s142.foreach { case (id, (n, k, mink)) =>
+      assert((n, k) == (e142(id)._1, e142(id)._2),
+        s"doc $id domain/k drifted between q142 and q142b")
+      assert(mink <= e142(id)._3 + 2e-4,
+        s"doc $id sketch tail mean $mink above exact ${e142(id)._3}")
+    }
+  }
+
   test("splitLeakageMatrix: equals a driver-side brute force over sf0.001") {
     import org.apache.spark.sql.functions.col
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
