@@ -33,6 +33,7 @@ object Similarity {
     "q99_pq_ann" -> q99,
     "q105_semantic_dedup" -> q105,
     "q105b_semdedup_incr" -> q105b,
+    "q105c_semdedup_incr_ivf2" -> q105c,
     "q113_cluster_balance" -> q113,
     "q129_knn_label_probe" -> q129,
     "q129b_label_probe_ivf" -> q129b,
@@ -106,19 +107,32 @@ object Similarity {
     * one: a vector whose true nearest cell lives under a different
     * super lands elsewhere — recall vs flat IVF quantified in
     * AnnRecallSpec. */
-  def ivf2TopK(e: DataFrame, queryPred: Column, seedIds: Seq[Long],
-               k: Int, superMod: Option[Long] = None): DataFrame = {
-    // cache the codebook (~N/64 rows): it feeds the count, both
-    // broadcast legs and the cell→super attach — uncached, each would
-    // re-filter the full embeddings table
-    val cents = centsOf(e, seedIds).cache()
-    val nCells = cents.count()
-    val sm = superMod.getOrElse(
-      math.max(1L, math.floor(math.sqrt(nCells.toDouble) + 0.5).toLong))
-    val supers = cents.filter(col("cell").isin(seedIds.map(_.toInt): _*) ||
+  /** Super-cell count rule shared by every two-level consumer:
+    * ~√|cells| supers (never below 1). */
+  private[graft] def superModOf(nCells: Long): Long =
+    math.max(1L, math.floor(math.sqrt(nCells.toDouble) + 0.5).toLong)
+
+  /** The hash-picked level-1 codebook: ~|cells|/sm supers, always
+    * including the base seeds. */
+  private[graft] def supersOf(cents: DataFrame, seedIds: Seq[Long],
+                              sm: Long): DataFrame =
+    cents.filter(col("cell").isin(seedIds.map(_.toInt): _*) ||
         Dedup.baseHash(concat(lit(IVF_SUPER_SALT), col("cell").cast("string")))
           % sm === 0)
       .select(col("cell").as("super"), col("cv").as("sv"))
+
+  /** TWO-LEVEL nearest-cell assignment (q42b's stages, factored out so
+    * the incremental/streaming semdedup paths can swap it in for
+    * [[cellAssign]]): each cell attaches to its nearest super, each
+    * vector argmins over the ~√cells supers and then only over THAT
+    * super's cells — N·O(√cells) work instead of N·cells. Both
+    * argmins use the r6(d2)-asc, id-asc discipline. With sm = 1 every
+    * cell is a super and the result IS the flat [[cellAssign]] (the
+    * exactness witness AnnRecallSpec pins). Same output schema as
+    * [[cellAssign]]: `(vec_id, v, cell)`. */
+  private[graft] def cellAssign2(e: DataFrame, cents: DataFrame,
+                                 seedIds: Seq[Long], sm: Long): DataFrame = {
+    val supers = supersOf(cents, seedIds, sm)
     val wSup = Window.partitionBy(col("cell"))
       .orderBy(col("d2s").asc, col("super").asc)
     // level-1: each CELL attaches to its nearest super (tiny × tiny)
@@ -138,12 +152,23 @@ object Similarity {
     // level-2: argmin over ONLY the vector's super's cells
     val wCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2").asc, col("cell").asc)
-    val assigned = vSuper.join(broadcast(cellSuper), Seq("super"))
+    vSuper.join(broadcast(cellSuper), Seq("super"))
       .select(col("vec_id"), col("v"), col("cell"),
         r6(sqDistArr(col("v"), col("cv"))).as("d2"))
       .withColumn("crk", row_number().over(wCell))
       .filter(col("crk") === 1)
       .select(col("vec_id"), col("v"), col("cell"))
+  }
+
+  def ivf2TopK(e: DataFrame, queryPred: Column, seedIds: Seq[Long],
+               k: Int, superMod: Option[Long] = None): DataFrame = {
+    // cache the codebook (~N/64 rows): it feeds the count, both
+    // broadcast legs and the cell→super attach — uncached, each would
+    // re-filter the full embeddings table
+    val cents = centsOf(e, seedIds).cache()
+    val nCells = cents.count()
+    val sm = superMod.getOrElse(superModOf(nCells))
+    val assigned = cellAssign2(e, cents, seedIds, sm)
     val qprobe = assigned.filter(queryPred)
       .select(col("cell"), col("vec_id").as("q_id"), col("v").as("qv"))
     val pairs = assigned.join(qprobe, Seq("cell"))
@@ -494,6 +519,44 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("cell"))
   }
 
+  /** The measured flat↔two-level assignment crossover, in CODEBOOK
+    * CELLS — the multiplier of the flat [[cellAssign]]'s per-vector
+    * argmin (vec × cells map work; with the corpus-growing codebook
+    * cells ≈ N/[[IVF_SEED_MOD]], so flat assignment bends N²/64-
+    * quadratic while the two-level rule holds N·O(√cells))
+    * (BASELINE §round-12, `scale_probe_r12_semgate_{sf01,sf1}.json`):
+    * at sf0.1's ~30 standing cells the flat argmin wins decisively
+    * (q105b 0.88 s vs q105c 1.28 — the super hop is pure overhead on
+    * a dimension-sized codebook); at the sf1 replica's ~236 the two
+    * sides price inside each other's band (1.77 vs 1.79 — the
+    * measured INDIFFERENCE point). The gate flips just past it:
+    * beyond the indifference point the flat side's N·cells term only
+    * grows (quadratic in corpus size under the corpus-growing
+    * codebook) while the two-level side's N·√cells cannot catch it —
+    * the DIMSUM/LM-gate discipline of flipping where the measurements
+    * stop favoring exact. */
+  val IVF2_MIN_CELLS: Long = 256L
+
+  /** [[cellAssignAuto]]'s pure decision rule, exposed so the boundary
+    * is unit-testable without building either plan: two-level iff the
+    * codebook holds at least [[IVF2_MIN_CELLS]] cells. */
+  def resolveIvf2(nCells: Long): Boolean =
+    nCells >= IVF2_MIN_CELLS
+
+  /** Nearest-cell assignment with the codebook SIZED instead of
+    * assumed (the `itemSimsAuto` posture on the coarse quantizer):
+    * the caller passes the codebook's cell count — a scalar it
+    * already holds from building/caching `cents` — and the gate picks
+    * the flat argmin below [[IVF2_MIN_CELLS]], the q42b two-level
+    * rule above it. Below the crossover the plan IS [[cellAssign]] —
+    * bit-identical, so gate-scale hashes are untouched; above it the
+    * two-level side is the documented approximate swap (recall
+    * quantified in AnnRecallSpec). */
+  private[graft] def cellAssignAuto(e: DataFrame, cents: DataFrame,
+      seedIds: Seq[Long], nCells: Long): DataFrame =
+    if (resolveIvf2(nCells)) cellAssign2(e, cents, seedIds, superModOf(nCells))
+    else cellAssign(e, cents)
+
   /** vec_ids ≡ MOD-1 (mod [[SEM_INCR_MOD]]) form q105b's "new batch";
     * the rest are the standing corpus (the q95 split discipline on the
     * embedding table). */
@@ -512,12 +575,26 @@ object Similarity {
     * within-cell pair work against the standing occupancy (O(IVF_SEED
     * _MOD) per cell by the corpus-growing codebook), so ingest cost
     * scales with the batch, never the corpus. */
+  /** `twoLevel` is the assignment seam (VERDICT r11 next #3): None →
+    * [[cellAssignAuto]] decides flat vs two-level at the measured
+    * [[IVF2_MIN_CELLS]] crossover (ONE cached-codebook count prices
+    * the decision); Some(b) pins a side (q105b's oracle is the flat
+    * rule, q105c's the two-level one). Standing and incoming assign
+    * under the SAME decision — a split decision would put the two
+    * sides of the cell join in different geometries. */
   def semanticDedupIncrement(standing: DataFrame, incoming: DataFrame,
-                             seedIds: Seq[Long], tau: Double): DataFrame = {
-    val cents = centsOf(standing, seedIds)
-    val standingCells = cellAssign(standing, cents)
+                             seedIds: Seq[Long], tau: Double,
+                             twoLevel: Option[Boolean] = None): DataFrame = {
+    val cents = centsOf(standing, seedIds).cache()
+    val assign: DataFrame => DataFrame = twoLevel match {
+      case Some(true) =>
+        cellAssign2(_, cents, seedIds, superModOf(cents.count()))
+      case Some(false) => cellAssign(_, cents)
+      case None => cellAssignAuto(_, cents, seedIds, cents.count())
+    }
+    val standingCells = assign(standing)
       .select(col("cell"), col("vec_id").as("existing_vec_id"), col("v").as("vb"))
-    cellAssign(incoming, cents)
+    assign(incoming)
       .select(col("cell"), col("vec_id"), col("v").as("va"))
       .join(standingCells, Seq("cell"))
       .select(col("vec_id"), col("existing_vec_id"), col("cell"),
@@ -531,6 +608,19 @@ object Similarity {
       e.filter(col("vec_id") % SEM_INCR_MOD =!= SEM_INCR_MOD - 1),
       e.filter(col("vec_id") % SEM_INCR_MOD === SEM_INCR_MOD - 1),
       IVF_SEEDS, SEMDEDUP_TAU)
+  }
+
+  /** q105c — the incremental semantic dedup with BOTH sides assigned
+    * by the q42b two-level rule: the registered, oracle-gated sketch
+    * of the [[cellAssignAuto]] boundary's far side (the q142b/q17b
+    * twin discipline), so the plan the gate flips to past
+    * [[IVF2_MIN_CELLS]] is itself hash-checked and priceable. */
+  private def q105c(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    semanticDedupIncrement(
+      e.filter(col("vec_id") % SEM_INCR_MOD =!= SEM_INCR_MOD - 1),
+      e.filter(col("vec_id") % SEM_INCR_MOD === SEM_INCR_MOD - 1),
+      IVF_SEEDS, SEMDEDUP_TAU, twoLevel = Some(true))
   }
 
   /** PQ geometry: 64-dim embeddings → [[PQ_M]] subspaces of

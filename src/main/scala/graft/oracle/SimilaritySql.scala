@@ -596,6 +596,65 @@ object SimilaritySql {
          |WHERE $cosExpr >= ${s.SEMDEDUP_TAU}""".stripMargin
     },
 
+    // q105c: the incremental semdedup with BOTH sides assigned by the
+    // q42b two-level rule — sm/supers/cell-attach derived from the
+    // STANDING codebook, then the same cross-pair verify as q105b
+    "q105c_semdedup_incr_ivf2" -> {
+      val s = graft.operators.Similarity
+      val m = s.SEM_INCR_MOD
+      def d2(a: String, b: String) =
+        s"floor(list_sum(list_transform(list_zip($a, $b), z -> (z[1]-z[2])*(z[1]-z[2]))) * 1000000.0 + 0.5) / 1000000.0"
+      def assigned2(name: String, src: String) =
+        s"""${name}_vs AS (
+           |  SELECT vec_id, v, super FROM (
+           |    SELECT e.vec_id, e.v, sp.super, row_number() OVER (
+           |      PARTITION BY e.vec_id
+           |      ORDER BY ${d2("e.v", "sp.sv")} ASC, sp.super ASC) AS srk
+           |    FROM $src e CROSS JOIN supers sp)
+           |  WHERE srk = 1),
+           |$name AS (
+           |  SELECT vec_id, v, cell FROM (
+           |    SELECT vs.vec_id, vs.v, cs.cell, row_number() OVER (
+           |      PARTITION BY vs.vec_id
+           |      ORDER BY ${d2("vs.v", "cs.cv")} ASC, cs.cell ASC) AS crk
+           |    FROM ${name}_vs vs JOIN cellsuper cs USING (super))
+           |  WHERE crk = 1)""".stripMargin
+      val cosExpr =
+        """floor(list_sum(list_transform(list_zip(n.v, s.v), z -> z[1]*z[2]))
+          |            / (sqrt(list_sum(list_transform(n.v, x -> x*x)))
+          |               * sqrt(list_sum(list_transform(s.v, x -> x*x))))
+          |            * 1000000.0 + 0.5) / 1000000.0""".stripMargin
+      s"""WITH $embCte,
+         |sta AS (SELECT * FROM emb WHERE vec_id % $m <> ${m - 1}),
+         |inc AS (SELECT * FROM emb WHERE vec_id % $m = ${m - 1}),
+         |cents AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv FROM sta
+         |  WHERE vec_id IN (${s.IVF_SEEDS.mkString(", ")})
+         |     OR ${SqlFragments.baseHashSql(
+                s"'${s.IVF_SEED_SALT}' || CAST(vec_id AS VARCHAR)")}
+         |        % ${s.IVF_SEED_MOD} = 0),
+         |sm AS (SELECT greatest(1, CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) + 0.5)
+         |                              AS BIGINT)) AS sm FROM cents),
+         |supers AS (
+         |  SELECT cell AS super, cv AS sv FROM cents, sm
+         |  WHERE cell IN (${s.IVF_SEEDS.mkString(", ")})
+         |     OR ${SqlFragments.baseHashSql(
+                s"'${s.IVF_SUPER_SALT}' || CAST(cell AS VARCHAR)")} % sm.sm = 0),
+         |cellsuper AS (
+         |  SELECT cell, cv, super FROM (
+         |    SELECT c.cell, c.cv, sp.super, row_number() OVER (
+         |      PARTITION BY c.cell
+         |      ORDER BY ${d2("c.cv", "sp.sv")} ASC, sp.super ASC) AS srk
+         |    FROM cents c CROSS JOIN supers sp)
+         |  WHERE srk = 1),
+         |${assigned2("scells", "sta")},
+         |${assigned2("ncells", "inc")}
+         |SELECT n.vec_id, s.vec_id AS existing_vec_id, n.cell,
+         |       $cosExpr AS cos
+         |FROM ncells n JOIN scells s USING (cell)
+         |WHERE $cosExpr >= ${s.SEMDEDUP_TAU}""".stripMargin
+    },
+
     // q99 PQ contract row: cohort/corpus sizes and k are exact facts
     // the oracle recomputes; recall_ok certifies mean PQ recall@k ≥
     // the floor (the oracle pins it to 1 — a codebook/LUT regression

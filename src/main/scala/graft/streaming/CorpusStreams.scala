@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -470,7 +470,8 @@ object CorpusStreams {
     * BASELINE §r11 applies — same state discipline). */
   def semdedupGateStream(vecs: DataFrame, standing: DataFrame,
                          seedIds: Seq[Long], tau: Double,
-                         watermark: String): DataFrame = {
+                         watermark: String,
+                         twoLevel: Option[Boolean] = None): DataFrame = {
     import graft.operators.Similarity
     import graft.functions.VectorFns.{cosineArr, sqDistArr}
     import graft.functions.Rounding.r6
@@ -478,8 +479,53 @@ object CorpusStreams {
     val cb = cents.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
     require(cb.nonEmpty, "standing corpus yields an empty codebook")
-    val cbCol = array(cb.map { case (cell, cv) =>
-      struct(typedlit(cv).as("cv"), lit(cell).as("cell")) }.toSeq: _*)
+    // the stream side follows the SAME flat↔two-level gate as the
+    // batch twin (Similarity.cellAssignAuto, VERDICT r11 next #3):
+    // the codebook is already on the driver, so the decision scalar
+    // is free. Below the crossover the per-row argmin rides one flat
+    // array_min over |cells| structs; above it the q42b two-level
+    // rule is inlined as a NESTED literal — supers each carrying
+    // their attached cells — so a row pays O(√cells) supers + one
+    // super's cell list, still row-LOCAL (no shuffle, no stream agg).
+    // The cell→super attach is computed once at gate build on the
+    // dimension-sized codebook and collected with it.
+    val useTwoLevel =
+      twoLevel.getOrElse(Similarity.resolveIvf2(cb.length.toLong))
+    val assignExpr: Column = if (!useTwoLevel) {
+      val cbCol = array(cb.map { case (cell, cv) =>
+        struct(typedlit(cv).as("cv"), lit(cell).as("cell")) }.toSeq: _*)
+      array_min(transform(cbCol, c =>
+        struct(r6(sqDistArr(col("v"), c.getField("cv"))).as("d2"),
+          c.getField("cell").as("cell")))).getField("cell")
+    } else {
+      val sm = Similarity.superModOf(cb.length.toLong)
+      val attach = cents.crossJoin(
+          broadcast(Similarity.supersOf(cents, seedIds, sm)))
+        .select(col("cell"), col("cv"), col("super"), col("sv"),
+          r6(sqDistArr(col("cv"), col("sv"))).as("d2s"))
+        .withColumn("srk", row_number().over(
+          Window.partitionBy(col("cell"))
+            .orderBy(col("d2s").asc, col("super").asc)))
+        .filter(col("srk") === 1)
+        .select(col("super"), col("sv"), col("cell"), col("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1),
+          r.getInt(2), r.getSeq[Double](3)))
+      val supCol = array(attach.groupBy(s => (s._1, s._2)).toSeq
+        .sortBy(_._1._1)
+        .map { case ((sup, sv), cells) =>
+          struct(typedlit(sv).as("sv"), lit(sup).as("super"),
+            array(cells.sortBy(_._3).map { c =>
+              struct(typedlit(c._4).as("cv"), lit(c._3).as("cell"))
+            }.toSeq: _*).as("cells")) }: _*)
+      val bestSuper = array_min(transform(supCol, s =>
+        struct(r6(sqDistArr(col("v"), s.getField("sv"))).as("d2s"),
+          s.getField("super").as("super"),
+          s.getField("cells").as("cells"))))
+      array_min(transform(bestSuper.getField("cells"), c =>
+        struct(r6(sqDistArr(col("v"), c.getField("cv"))).as("d2"),
+          c.getField("cell").as("cell")))).getField("cell")
+    }
     // the static side of a stream-static join RE-EXECUTES every
     // micro-batch — left unpersisted, each batch would re-run the
     // O(N·cells) assignment cross-join over the whole standing corpus,
@@ -492,18 +538,18 @@ object CorpusStreams {
     // gate on compaction does NOT drop the old entry, so long-lived
     // drivers that rebuild gates must call `releaseGateIndexes()`
     // after retiring the old query (the index is registered below).
-    val standingCells = Similarity.cellAssign(standing, cents)
+    val standingCells = (if (useTwoLevel)
+        Similarity.cellAssign2(standing, cents, seedIds,
+          Similarity.superModOf(cb.length.toLong))
+      else Similarity.cellAssign(standing, cents))
       .select(col("cell"), col("vec_id").as("existing_vec_id"),
         col("v").as("vb"))
       .persist()
     pinnedGateIndexes.add(standingCells)
     vecs
       .select(col("vec_id"), col("ts"), col("v"))
-      .withColumn("best", array_min(transform(cbCol, c =>
-        struct(r6(sqDistArr(col("v"), c.getField("cv"))).as("d2"),
-          c.getField("cell").as("cell")))))
-      .select(col("vec_id"), col("ts"), col("v").as("va"),
-        col("best").getField("cell").as("cell"))
+      .withColumn("cell", assignExpr)
+      .select(col("vec_id"), col("ts"), col("v").as("va"), col("cell"))
       .join(standingCells, Seq("cell"))
       .select(col("vec_id"), col("existing_vec_id"), col("cell"), col("ts"),
         r6(cosineArr(col("va"), col("vb"))).as("cos"))

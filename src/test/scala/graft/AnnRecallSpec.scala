@@ -279,6 +279,47 @@ class AnnRecallSpec extends SparkSuite {
     assert(agree > 0.0, "two-level assignment shares nothing with flat — wrong rule")
   }
 
+  test("semdedup assignment gate: pure rule boundary; auto == flat below the crossover; forced two-level == the q105c twin; sm=1 exactness") {
+    import graft.operators.Similarity
+    // the pure decision rule, both sides of the boundary
+    assert(!Similarity.resolveIvf2(Similarity.IVF2_MIN_CELLS - 1))
+    assert(Similarity.resolveIvf2(Similarity.IVF2_MIN_CELLS))
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val standing = e.filter(col("vec_id") % Similarity.SEM_INCR_MOD
+      =!= Similarity.SEM_INCR_MOD - 1)
+    val incoming = e.filter(col("vec_id") % Similarity.SEM_INCR_MOD
+      === Similarity.SEM_INCR_MOD - 1)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    // below the crossover (sf0.001's codebook << IVF2_MIN_CELLS) the
+    // default-auto plan IS the flat assignment
+    val auto = pairs(Similarity.semanticDedupIncrement(
+      standing, incoming, Similarity.IVF_SEEDS, Similarity.SEMDEDUP_TAU))
+    val flat = pairs(Similarity.semanticDedupIncrement(
+      standing, incoming, Similarity.IVF_SEEDS, Similarity.SEMDEDUP_TAU,
+      twoLevel = Some(false)))
+    assert(auto == flat && flat.nonEmpty,
+      "auto below the crossover must be bit-identical to the flat assignment")
+    // the forced two-level side must be the registered q105c plan
+    val two = pairs(Similarity.semanticDedupIncrement(
+      standing, incoming, Similarity.IVF_SEEDS, Similarity.SEMDEDUP_TAU,
+      twoLevel = Some(true)))
+    val q105c = pairs(graft.SparkEntry.queries("q105c_semdedup_incr_ivf2")(
+      spark, dir))
+    assert(two == q105c && two.nonEmpty,
+      "forced two-level must equal the registered q105c twin")
+    // sm = 1 exactness witness on the assignment itself: every cell a
+    // super → cellAssign2 must reproduce the flat cellAssign
+    val cents = Similarity.centsOf(standing, Similarity.IVF_SEEDS)
+    def asg(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(asg(Similarity.cellAssign2(standing, cents, Similarity.IVF_SEEDS, 1L))
+      == asg(Similarity.cellAssign(standing, cents)),
+      "sm=1 two-level assignment must equal the flat argmin")
+  }
+
   test("q129b/q132b IVF twins: recall vs the exact probe/miner, exactness at full probing") {
     import graft.operators.Similarity
     val dir = "/root/testdata/sf0.001"

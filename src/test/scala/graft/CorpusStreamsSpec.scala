@@ -60,6 +60,43 @@ class CorpusStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("semdedupGateStream two-level: forced ivf2 stream pairs == the q105c batch twin") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val S = graft.operators.Similarity
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val standing = e.filter(col("vec_id") % S.SEM_INCR_MOD =!= S.SEM_INCR_MOD - 1)
+    val incomingDf = e.filter(col("vec_id") % S.SEM_INCR_MOD === S.SEM_INCR_MOD - 1)
+    val expected = S
+      .semanticDedupIncrement(standing, incomingDf, S.IVF_SEEDS, S.SEMDEDUP_TAU,
+        twoLevel = Some(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(expected.nonEmpty, "two-level fixture must exhibit cross-corpus near-dups")
+    val incoming = incomingDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    val t0 = java.sql.Timestamp.valueOf("2024-05-01 10:00:00")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Seq[Double])]
+    val stream = mem.toDF().toDF("vec_id", "ts", "v")
+    val q = CorpusStreams
+      .semdedupGateStream(stream, standing, S.IVF_SEEDS, S.SEMDEDUP_TAU,
+        "1 hour", twoLevel = Some(true))
+      .writeStream.format("memory").queryName("semgate2")
+      .outputMode("append").start()
+    try {
+      mem.addData(incoming.map(x => (x._1, t0, x._2)).toSeq: _*)
+      q.processAllAvailable()
+      val rows = sp.sql("SELECT vec_id, existing_vec_id, cos FROM semgate2")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.length == rows.toSet.size, "duplicate pair emitted")
+      assert(rows.toSet == expected,
+        s"two-level stream/batch divergence: stream-only=${rows.toSet -- expected}, " +
+          s"batch-only=${expected -- rows.toSet}")
+    } finally q.stop()
+  }
+
   test("quotaGateStream: cap continues across batches, counts match the batch cap, replays emit once") {
     val sp = spark
     import sp.implicits._
