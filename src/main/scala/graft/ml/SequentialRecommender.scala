@@ -42,9 +42,21 @@ private[ml] trait SequentialParams extends Params {
     "deterministic Lloyd iterations", ParamValidators.gt(0))
   final val kItems = new IntParam(this, "kItems", "recommendations per user",
     ParamValidators.gt(0))
+  final val timestampCol = new Param[String](this, "timestampCol",
+    "timestamp column used when fit input carries no period_id")
+  final val periodRanges = new StringArrayParam(this, "periodRanges",
+    "explicit period ranges as 'id|yyyy-MM-dd HH:mm:ss|yyyy-MM-dd HH:mm:ss' " +
+      "entries (reference period mode 1: first match wins, unmatched " +
+      "timestamps take the last range)")
+  final val periodDuration = new Param[String](this, "periodDuration",
+    "period window duration, e.g. '30 days' (reference period mode 2)")
+  final val numPeriods = new IntParam(this, "numPeriods",
+    "target period count; span/n-day windows, extras clamp to the last " +
+      "(reference period mode 3)", ParamValidators.gt(0))
   setDefault(numClusters -> SeqRecommender.NUM_CLUSTERS,
     clusterIters -> SeqRecommender.KMEANS_ITERS,
-    kItems -> SeqRecommender.TOP_K)
+    kItems -> SeqRecommender.TOP_K,
+    timestampCol -> "timestamp")
 }
 
 class SequentialRecommender(override val uid: String)
@@ -53,9 +65,46 @@ class SequentialRecommender(override val uid: String)
   def setNumClusters(v: Int): this.type = set(numClusters, v)
   def setClusterIters(v: Int): this.type = set(clusterIters, v)
   def setKItems(v: Int): this.type = set(kItems, v)
+  def setTimestampCol(v: String): this.type = set(timestampCol, v)
+  /** Reference period mode 1 — explicit ranges. */
+  def setPeriodRanges(v: Seq[(Long, String, String)]): this.type =
+    set(periodRanges, v.map { case (id, s, e) => s"$id|$s|$e" }.toArray)
+  /** Reference period mode 2 — fixed window duration. */
+  def setPeriodDuration(v: String): this.type = set(periodDuration, v)
+  /** Reference period mode 3 — target period count. */
+  def setNumPeriods(v: Int): this.type = set(numPeriods, v)
+
+  /** Reference `buildPeriods` precedence (:263-277): explicit ranges,
+    * else duration, else count — applied only when the fit input
+    * carries no `period_id` of its own (pre-bucketed input keeps the
+    * operator-path behavior unchanged). */
+  private def withPeriods(trans: DataFrame): DataFrame =
+    if (trans.columns.contains("period_id")) trans
+    else {
+      require(trans.columns.contains($(timestampCol)),
+        s"period modes need timestamp column '${$(timestampCol)}'")
+      val out =
+        if (isSet(periodRanges)) {
+          val ranges = $(periodRanges).toSeq.map { s =>
+            val Array(id, st, en) = s.split('|')
+            (id.toLong, java.sql.Timestamp.valueOf(st),
+              java.sql.Timestamp.valueOf(en))
+          }
+          SeqRecommender.assignPeriodsFromRanges(trans, ranges, $(timestampCol))
+        } else if (isSet(periodDuration))
+          SeqRecommender.assignPeriodsFromDuration(trans, $(periodDuration),
+            $(timestampCol))
+        else if (isSet(numPeriods))
+          SeqRecommender.assignPeriodsFromCount(trans, $(numPeriods),
+            $(timestampCol))
+        else throw new IllegalArgumentException(
+          "fit input has no period_id and no period mode is set — " +
+            "provide period_id, or one of periodRanges/periodDuration/numPeriods")
+      out.drop($(timestampCol))
+    }
 
   override def fit(dataset: Dataset[_]): SequentialRecommenderModel = {
-    val trans = dataset.toDF()
+    val trans = withPeriods(dataset.toDF())
     Seq("t_id", "user_id", "period_id", "item_id").foreach(c =>
       require(trans.columns.contains(c),
         s"fit input must be long-form transactions with column $c"))

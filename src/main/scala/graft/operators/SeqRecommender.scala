@@ -61,6 +61,64 @@ object SeqRecommender {
     * `getTransactionDf` groups by (user, timestamp); here the order key
     * IS that grouping) with its period from the shared q28 bounds
     * arithmetic ([[Sequential.periodBounds]]). */
+  /** Period assignment from EXPLICIT ranges — the reference's first
+    * period mode (`buildPeriodsFromProvidedRanges`,
+    * SequentialTopKRecommender.scala:279-314): a transaction whose
+    * timestamp falls in [start, end) takes the FIRST matching range's
+    * id; one matching no range takes the LAST range's id (the
+    * reference's default-to-last rule). The reference scans the
+    * ranges in a per-row UDF; here the (driver-tiny) range list
+    * compiles into ONE first-match when-chain — pure codegen'd map
+    * work, no join, no UDF, embarrassingly parallel at any size. */
+  def assignPeriodsFromRanges(trans: DataFrame,
+      ranges: Seq[(Long, java.sql.Timestamp, java.sql.Timestamp)],
+      tsCol: String = "timestamp"): DataFrame = {
+    require(ranges.nonEmpty, "at least one period range")
+    val ts = col(tsCol).cast("timestamp")
+    val assigned = ranges.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+      case (acc, (pid, s, e)) =>
+        val hit = ts >= lit(s) && ts < lit(e)
+        Some(acc.fold(when(hit, lit(pid)))(_.when(hit, lit(pid))))
+    }.get.otherwise(lit(ranges.last._1))
+    trans.withColumn("period_id", assigned)
+  }
+
+  /** Period assignment from a WINDOW DURATION — the reference's second
+    * period mode (`buildPeriodsFromDuration`, :315-348): bucket by
+    * `window(timestamp, duration)` (epoch-aligned, exactly the
+    * reference's own bucketing), then id the observed windows densely
+    * in time order. The reference ids them with
+    * monotonically_increasing_id over an ordered distinct — the
+    * partition-dependent idiom the repo bans (W3, q14) — replaced by
+    * row_number over the PERIOD DIMENSION (|periods| rows, never
+    * corpus rows: the single-partition sort touches a dimension, the
+    * corpus joins back on a broadcast). */
+  def assignPeriodsFromDuration(trans: DataFrame, duration: String,
+                                tsCol: String = "timestamp"): DataFrame = {
+    val w = trans.withColumn("_pw", window(col(tsCol).cast("timestamp"), duration))
+    val periods = w.select(col("_pw")).distinct()
+      .withColumn("period_id",
+        row_number().over(Window.orderBy(col("_pw"))).cast("long") - 1L)
+    w.join(broadcast(periods), Seq("_pw")).drop("_pw")
+  }
+
+  /** Period assignment from a TARGET PERIOD COUNT — the reference's
+    * third mode (`buildPeriodsFromNumberOfPartitions`, :350-401):
+    * width = ⌊datediff(max, min) / n⌋ days (floored at 1 day — the
+    * reference's integer division feeds window() a "0 days" width on
+    * sub-n-day spans and throws; the floor keeps the mode total),
+    * windows epoch-aligned as in the duration mode, and any periods
+    * past n−1 CLAMP to n−1 (the reference's extra-period rule). */
+  def assignPeriodsFromCount(trans: DataFrame, n: Int,
+                             tsCol: String = "timestamp"): DataFrame = {
+    require(n > 0, "numPeriods must be positive")
+    val ts = col(tsCol).cast("timestamp")
+    val diff = trans.agg(datediff(max(ts), min(ts))).collect()(0).getInt(0)
+    val width = math.max(1, diff / n)
+    assignPeriodsFromDuration(trans, s"$width days", tsCol)
+      .withColumn("period_id", least(col("period_id"), lit(n - 1L)))
+  }
+
   def transactions(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
@@ -157,7 +215,12 @@ object SeqRecommender {
   def mineSeqRules(baskets: DataFrame, nBaskets: Long): DataFrame = {
     val fp = new org.apache.spark.ml.fpm.FPGrowth()
       .setItemsCol("items")
-      .setMinSupport(math.max(FP_MIN_SUPPORT, 4.0 / math.max(nBaskets, 1L)))
+      // min-count floor of 4, clamped at 1.0: with < 4 baskets the
+      // floor exceeds valid support and FPGrowth rejects it — a
+      // 1.0 threshold (only universally-held itemsets) is the honest
+      // degenerate-cohort behavior
+      .setMinSupport(math.min(1.0,
+        math.max(FP_MIN_SUPPORT, 4.0 / math.max(nBaskets, 1L))))
       .setMinConfidence(FP_MIN_CONFIDENCE)
     val rules0 = fp.fit(baskets).associationRules
       .filter(size(col("antecedent")) <= MAX_ANTECEDENT)
