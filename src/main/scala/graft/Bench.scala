@@ -37,10 +37,22 @@ object Bench {
     * that series. Floors are the stable fingerprint of a plan on this
     * host — the ambient band inflates individual repeats but not the
     * floor (BASELINE round-7 attribution). */
-  def priorFloors(json: String): Map[String, Double] = {
+  def priorFloors(json: String): Map[String, Double] =
+    priorFloorsOf(json, "runs")
+
+  /** Per-query OWN-CPU floor-of-series from a prior artifact's
+    * `runs_cpu` array (empty for pre-r12 artifacts that lack it).
+    * CPU floors are the BAND-ROBUST fingerprint: ambient host-day
+    * contention inflates wall (the JVM waits) but not the query's own
+    * process-CPU, so a wall-floor shift with intact CPU floors is the
+    * band, not a regression (the r11 false-alarm mode). */
+  def priorCpuFloors(json: String): Map[String, Double] =
+    priorFloorsOf(json, "runs_cpu")
+
+  private def priorFloorsOf(json: String, field: String): Map[String, Double] = {
     import org.json4s._
     implicit val fmts: Formats = DefaultFormats
-    val runs = (jackson.JsonMethods.parse(json) \ "runs")
+    val runs = (jackson.JsonMethods.parse(json) \ field)
       .extract[List[Map[String, Double]]]
     runs.flatten.groupBy(_._1).flatMap { case (k, vs) =>
       val good = vs.map(_._2).filter(_ >= 0)
@@ -58,13 +70,30 @@ object Bench {
     * must not read as a regression); `no_prior` with nothing to
     * compare against. */
   def diagnose(prior: Map[String, Double], cur: Map[String, Double],
-               repeatWalls: Seq[Double]): String = {
+               repeatWalls: Seq[Double],
+               priorCpu: Map[String, Double] = Map.empty,
+               curCpu: Map[String, Double] = Map.empty): String = {
     if (repeatWalls.size < 2) return "warming"
     val considered = prior.filter(_._2 >= 1.0).keySet.intersect(cur.keySet).toSeq
     if (considered.isEmpty) "no_prior"
     else {
       val shifted = considered.count(k => cur(k) > 1.5 * prior(k))
-      if (shifted * 2 >= considered.size) "regression"
+      if (shifted * 2 >= considered.size) {
+        // the r12 band-robust check (VERDICT r11 next #7): wall floors
+        // shifted, but do the CPU floors agree? Ambient contention
+        // makes the JVM WAIT (wall up, own-CPU flat); a plan
+        // regression does more WORK (own-CPU up with wall). If most of
+        // the CPU floors on the same comparable set hold within 1.5×,
+        // the shift is the host-day band, not a regression.
+        val cpuConsidered = considered
+          .filter(k => priorCpu.contains(k) && curCpu.contains(k)
+            && priorCpu(k) >= 1.0)
+        val cpuShifted = cpuConsidered
+          .count(k => curCpu(k) > 1.5 * priorCpu(k))
+        if (cpuConsidered.nonEmpty && cpuShifted * 2 < cpuConsidered.size)
+          "band"
+        else "regression"
+      }
       else if (repeatWalls.max > 1.4 * repeatWalls.min) "band"
       else "stable"
     }
@@ -179,10 +208,14 @@ object Bench {
     // prior floors always come from the COMMITTED full artifact (never
     // a partial probe file) — the diagnosis baseline is the last
     // accepted series
+    val priorJson: String =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("bench_results.json"))
+      catch { case _: Throwable => "" }
     val prior: Map[String, Double] =
-      try priorFloors(java.nio.file.Files.readString(
-        java.nio.file.Paths.get("bench_results.json")))
-      catch { case _: Throwable => Map.empty }
+      try priorFloors(priorJson) catch { case _: Throwable => Map.empty }
+    val priorCpu: Map[String, Double] =
+      try priorCpuFloors(priorJson) catch { case _: Throwable => Map.empty }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val runs = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
     val runsCpu = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
@@ -253,13 +286,30 @@ object Bench {
         val good = runs.map(_(n)).filter(_ >= 0)
         if (good.isEmpty) None else Some(n -> good.min)
       }.toMap
-      val diag = diagnose(prior, curFloors, cpuAttr.map(_._1).toSeq)
+      val curCpuFloors = names.flatMap { case (n, _) =>
+        val good = runsCpu.map(_(n)).filter(_ >= 0)
+        if (good.isEmpty) None else Some(n -> good.min)
+      }.toMap
+      val diag = diagnose(prior, curFloors, cpuAttr.map(_._1).toSeq,
+        priorCpu, curCpuFloors)
       val floorsJson = names.flatMap { case (n, _) =>
         curFloors.get(n).map(v => "\"" + n + "\":" + f3(v)) }
+        .mkString("{", ",", "}")
+      // per-query OWN-CPU medians + floors alongside the wall ones —
+      // the band-robust fingerprint the amended adoption rule reads
+      // (wall floors inflate with host-day contention; CPU floors
+      // track only the plan's own work)
+      val cpuMedJson = names.map { case (n, _) =>
+        val good = runsCpu.map(_(n)).filter(_ >= 0)
+        "\"" + n + "\":" + f3(if (good.isEmpty) -1.0 else median(good.toSeq))
+      }.mkString("{", ",", "}")
+      val cpuFloorsJson = names.flatMap { case (n, _) =>
+        curCpuFloors.get(n).map(v => "\"" + n + "\":" + f3(v)) }
         .mkString("{", ",", "}")
       val fileJson = s"""{"metric":"total","unit":"sec","sf":"${esc(sfDir)}",""" +
         s""""repeats_done":$r,"repeats_target":$repeats,""" +
         s""""band_or_regression":"$diag","floors":$floorsJson,""" +
+        s""""floors_cpu":$cpuFloorsJson,"queries_cpu":$cpuMedJson,""" +
         s""""host_loadavg":$loadsJson,"cpu_attr":$attrJson,""" +
         s""""queries":$qs,"runs":$runsJson,"runs_cpu":$runsCpuJson,""" +
         s""""errors":$errJson,"value":${f3(total)}}"""

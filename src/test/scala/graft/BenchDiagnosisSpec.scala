@@ -52,6 +52,29 @@ class BenchDiagnosisSpec extends AnyFunSuite {
     assert(Bench.diagnose(prior, cur, Seq(60.0)) == "warming")
   }
 
+  test("priorCpuFloors reads runs_cpu; absent field yields empty (pre-r12 artifacts)") {
+    val withCpu =
+      """{"runs":[{"q_a":5.0}],"runs_cpu":[{"q_a":40.0},{"q_a":-1.0}]}"""
+    assert(Bench.priorCpuFloors(withCpu) == Map("q_a" -> 40.0))
+    assert(Bench.priorCpuFloors(priorJson) == Map.empty)
+  }
+
+  test("band-robust verdict: wall floors shifted but CPU floors intact reads band (the r11 false-alarm mode)") {
+    // wall floors shift >1.5x on both comparable queries...
+    val cur = Map("q_heavy" -> 17.0, "q_mid" -> 3.5, "q_tiny" -> 0.22)
+    val priorCpu = Map("q_heavy" -> 100.0, "q_mid" -> 20.0)
+    // ...but the queries' own CPU is flat: the JVM was WAITING
+    val curCpuFlat = Map("q_heavy" -> 105.0, "q_mid" -> 21.0)
+    assert(Bench.diagnose(prior, cur, Seq(40.0, 41.0), priorCpu, curCpuFlat)
+      == "band")
+    // CPU floors shifted WITH the walls: the plans do more work
+    val curCpuUp = Map("q_heavy" -> 170.0, "q_mid" -> 35.0)
+    assert(Bench.diagnose(prior, cur, Seq(40.0, 41.0), priorCpu, curCpuUp)
+      == "regression")
+    // no CPU data (pre-r12 prior): the wall verdict stands
+    assert(Bench.diagnose(prior, cur, Seq(40.0, 41.0)) == "regression")
+  }
+
   test("no prior artifact or no comparable queries reads no_prior") {
     assert(Bench.diagnose(Map.empty, Map("q" -> 1.0), Seq(1.0, 1.0)) == "no_prior")
     // prior exists but only sub-1s floors -> nothing comparable
