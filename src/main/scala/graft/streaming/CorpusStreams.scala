@@ -17,22 +17,10 @@ case class QuotaAdmit(doc_id: Long, source: String, ts: java.sql.Timestamp,
   */
 object CorpusStreams {
 
-  /** Standing-index pins taken by gate builders (semdedup's cell
-    * index). `persist()` registers the plan in the session
-    * CacheManager and only `unpersist()` (or session end) releases it,
-    * so a driver that rebuilds gates on compaction must release the
-    * retired pins or executor storage grows by one index per rebuild. */
-  private val pinnedGateIndexes =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
-
-  /** Unpersist every standing index pinned by retired gates. Call
-    * after stopping a gate's streaming query (e.g. on corpus
-    * compaction, before building the replacement gate). Blocking=false:
-    * the release is async and safe while executors still hold blocks. */
-  def releaseGateIndexes(): Unit = {
-    var df = pinnedGateIndexes.poll()
-    while (df != null) { df.unpersist(blocking = false); df = pinnedGateIndexes.poll() }
-  }
+  /** Unpersist every standing index pinned by retired gates — see
+    * [[GateIndexes]] (shared with the neardup gate in
+    * [[EventStreams]]). */
+  def releaseGateIndexes(): Unit = GateIndexes.releaseAll()
 
   /** Streaming manifest-on-ingest — the q125
     * [[graft.operators.Corpus.trainingManifest]] as a `foreachBatch`
@@ -538,14 +526,13 @@ object CorpusStreams {
     // gate on compaction does NOT drop the old entry, so long-lived
     // drivers that rebuild gates must call `releaseGateIndexes()`
     // after retiring the old query (the index is registered below).
-    val standingCells = (if (useTwoLevel)
+    val standingCells = GateIndexes.pin(
+      (if (useTwoLevel)
         Similarity.cellAssign2(standing, cents, seedIds,
           Similarity.superModOf(cb.length.toLong))
       else Similarity.cellAssign(standing, cents))
       .select(col("cell"), col("vec_id").as("existing_vec_id"),
-        col("v").as("vb"))
-      .persist()
-    pinnedGateIndexes.add(standingCells)
+        col("v").as("vb")))
     vecs
       .select(col("vec_id"), col("ts"), col("v"))
       .withColumn("cell", assignExpr)

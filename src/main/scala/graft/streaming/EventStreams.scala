@@ -297,12 +297,19 @@ object EventStreams {
                         watermark: String): DataFrame = {
     import graft.operators.Dedup
     import graft.functions.Rounding.r4
-    val standingBands = Dedup.mapOnlyBands(standing)
+    // both static sides PIN for the gate's lifetime (the semdedup
+    // gate's index discipline, GateIndexes): a stream-static join's
+    // static side re-executes every micro-batch, and re-shingling the
+    // whole standing corpus per batch measured ~34 s/batch at sf0.1
+    // (flat, but corpus-sized) vs ~1 s pinned
+    // (`probes/stream_ingest_probe_r12_prepin.json` → `_r12.json`). Long-lived drivers
+    // release retired pins via CorpusStreams.releaseGateIndexes().
+    val standingBands = GateIndexes.pin(Dedup.mapOnlyBands(standing)
       .select(col("doc_id").as("existing_doc_id"),
-        col("band_id"), col("band_hash"))
-    val standingSets = Dedup.docShingleSets(standing)
+        col("band_id"), col("band_hash")))
+    val standingSets = GateIndexes.pin(Dedup.docShingleSets(standing)
       .select(col("doc_id").as("existing_doc_id"),
-        col("sh_set").as("sh_old"), col("n_sh").as("n_b"))
+        col("sh_set").as("sh_old"), col("n_sh").as("n_b")))
     // ONE linear flow on the stream (two derivations of the same
     // stream joined together would be a stream-stream self-join):
     // shingle set, signatures and bands all ride the same rows

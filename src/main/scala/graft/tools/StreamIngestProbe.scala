@@ -48,33 +48,123 @@ object StreamIngestProbe {
         val batch = docs.filter(pmod(col("doc_id"), lit(n)) === b)
         val t0 = System.nanoTime()
         run(batch, b.toLong)
-        (System.nanoTime() - t0) / 1e9
+        val w = (System.nanoTime() - t0) / 1e9
+        Console.err.println(s"[probe] batch $b ${f3(w)}s")
+        w
       }
 
+    Console.err.println("[probe] phase: manifest")
     val manifest = drive((b, id) =>
       graft.streaming.CorpusStreams.ingestManifestBatch(b, id,
         s"$base/manifest", corpusHasLines = false,
         target = graft.operators.Analytics.SHARD_TOKENS,
         minStops = graft.operators.Corpus.Q125_MIN_STOPS))
+    Console.err.println("[probe] phase: datasheet")
     val sheet = drive((b, id) =>
       graft.streaming.CorpusStreams.ingestDatasheetBatch(b, id,
         s"$base/sheet", corpusHasLines = false))
+    Console.err.println("[probe] phase: drift")
     val drift = drive((b, id) =>
       graft.streaming.CorpusStreams.ingestDriftBatch(b, id, s"$base/drift"))
+
+    // ---- the three readStream gates (VERDICT r11 next #6): real
+    // MemoryStream queries, ONE timed processAllAvailable per batch —
+    // per-batch wall staying flat across n batches is the direct
+    // evidence that their standing state (watermark-bounded dedup
+    // keys; the quota gate's ≤quota admitted-id sets) never turns
+    // into per-batch cost growth
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val S = graft.operators.Similarity
+    val t0ms = java.sql.Timestamp.valueOf("2024-05-01 10:00:00").getTime
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    Console.err.println("[probe] phase: semdedup gate")
+    val semWalls = {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val standing = e.filter(col("vec_id") % S.SEM_INCR_MOD =!= S.SEM_INCR_MOD - 1)
+      val incoming = e.filter(col("vec_id") % S.SEM_INCR_MOD === S.SEM_INCR_MOD - 1)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Seq[Double])]
+      val q = graft.streaming.CorpusStreams
+        .semdedupGateStream(mem.toDF().toDF("vec_id", "ts", "v"), standing,
+          S.IVF_SEEDS, S.SEMDEDUP_TAU, "1 hour")
+        .writeStream.format("memory").queryName("probe_sem")
+        .outputMode("append").start()
+      val walls = (0 until n).map { b =>
+        val slice = incoming.filter(x => (x._1 / S.SEM_INCR_MOD) % n == b)
+          .map(x => (x._1, new java.sql.Timestamp(t0ms + b * 60000L), x._2))
+        timed { mem.addData(slice.toSeq: _*); q.processAllAvailable() }
+      }
+      q.stop(); walls
+    }
+
+    Console.err.println("[probe] phase: neardup gate")
+    val neardupWalls = {
+      val standing = docs.filter(col("doc_id") % 4 =!= 3)
+        .select(col("doc_id"), col("text"))
+      val incoming = docs.filter(col("doc_id") % 4 === 3)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val q = graft.streaming.EventStreams
+        .neardupGateStream(mem.toDF().toDF("doc_id", "ts", "text"), standing,
+          watermark = "1 hour")
+        .writeStream.format("memory").queryName("probe_nd")
+        .outputMode("append").start()
+      val walls = (0 until n).map { b =>
+        val slice = incoming.filter(x => (x._1 / 4) % n == b)
+          .map(x => (x._1, new java.sql.Timestamp(t0ms + b * 60000L), x._2))
+        timed { mem.addData(slice.toSeq: _*); q.processAllAvailable() }
+      }
+      q.stop(); walls
+    }
+
+    Console.err.println("[probe] phase: quota gate")
+    val quotaWalls = {
+      val all = docs.select(col("doc_id"), col("source")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val mem = MemoryStream[graft.streaming.QuotaDoc]
+      val q = graft.streaming.CorpusStreams
+        .quotaGateStream(mem.toDS(), graft.operators.Analytics.SOURCE_QUOTA)
+        .writeStream.format("memory").queryName("probe_quota")
+        .outputMode("append").start()
+      val walls = (0 until n).map { b =>
+        val slice = all.filter(x => x._1 % n == b)
+          .map(x => graft.streaming.QuotaDoc(x._1, x._2,
+            new java.sql.Timestamp(t0ms + b * 60000L)))
+        timed { mem.addData(slice.toSeq: _*); q.processAllAvailable() }
+      }
+      q.stop(); walls
+    }
 
     def halves(xs: Seq[Double]) =
       (median(xs.take(n / 2)), median(xs.drop(n / 2)))
     val (m1, m2) = halves(manifest)
     val (s1, s2) = halves(sheet)
     val (d1, d2) = halves(drift)
+    val (se1, se2) = halves(semWalls)
+    val (nd1, nd2) = halves(neardupWalls)
+    val (qu1, qu2) = halves(quotaWalls)
     val json =
       s"""{"metric":"stream_ingest_probe","sf_dir":"$dir","n_batches":$n,""" +
         s""""manifest_walls":[${manifest.map(f3).mkString(",")}],""" +
         s""""datasheet_walls":[${sheet.map(f3).mkString(",")}],""" +
         s""""drift_walls":[${drift.map(f3).mkString(",")}],""" +
+        s""""semdedup_walls":[${semWalls.map(f3).mkString(",")}],""" +
+        s""""neardup_walls":[${neardupWalls.map(f3).mkString(",")}],""" +
+        s""""quota_walls":[${quotaWalls.map(f3).mkString(",")}],""" +
         s""""manifest_half_medians":[${f3(m1)},${f3(m2)}],""" +
         s""""datasheet_half_medians":[${f3(s1)},${f3(s2)}],""" +
-        s""""drift_half_medians":[${f3(d1)},${f3(d2)}]}"""
+        s""""drift_half_medians":[${f3(d1)},${f3(d2)}],""" +
+        s""""semdedup_half_medians":[${f3(se1)},${f3(se2)}],""" +
+        s""""neardup_half_medians":[${f3(nd1)},${f3(nd2)}],""" +
+        s""""quota_half_medians":[${f3(qu1)},${f3(qu2)}]}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("stream_ingest_probe.json"), json)
     println(json)
