@@ -256,6 +256,60 @@ class MovieLensParitySpec extends SparkSuite {
     assert(iMap > 0.01 && iMap < 0.1, s"item-kNN 5-fold MAP $iMap outside band")
   }
 
+  test("5-fold CV of the content and hybrid recommenders (reference Main.scala:193-335)") {
+    requireData()
+    // the reference's remaining two CV harnesses: the content-based
+    // top-K over the 19 genre flags, and the user+item hybrid fusion.
+    // Same protocol as the kNN CV: fit per fold on the full 80k rows,
+    // rank top-10 for the ≤200-user cohort against rating ≥ 4.0
+    // relevant sets, read the FOLD MEAN.
+    val raw = Tables.featuresCsv(spark, "/root/reference/data/features.csv")
+    val feats = raw.select(col("id").as("item_id"),
+      array(raw.columns.filter(_ != "id").map(c => col(c).cast("double")): _*)
+        .as("fv")).cache()
+    val results = (1 to 5).map { i =>
+      val train = Tables
+        .ratingsTsv(spark, s"/root/reference/data/train-fold$i.csv")
+        .select(col("user_id"), col("item_id"), col("rating")).cache()
+      val test = Tables.ratingsTsv(spark, s"/root/reference/data/test-fold$i.csv")
+      val targets = train.filter(col("user_id") <= 200).select("user_id")
+      val relevant = test.filter(col("rating") >= 4.0 && col("user_id") <= 200)
+        .select("user_id", "item_id")
+      def metricsOf(recs: org.apache.spark.sql.DataFrame) = {
+        val m = Evaluation.rankingMetricsAt(recs, relevant, 10).collect()(0)
+        (m.getDouble(0), m.getDouble(1), m.getDouble(2))
+      }
+      val cm = metricsOf(new ContentKnnRecommender()
+        .setKNeighbors(8).setKItems(10).setItemFeatures(feats)
+        .fit(train).transform(targets))
+      val hm = metricsOf(new HybridRecommender()
+        .setChildren(
+          new KnnRecommender().setUserBased(true).setKNeighbors(25).setKItems(10),
+          new KnnRecommender().setUserBased(false).setKNeighbors(25).setKItems(10))
+        .setWeightA(0.5).setWeightB(0.5).setKItems(10)
+        .fit(train).transform(targets))
+      train.unpersist()
+      info(f"fold $i content prec@10=${cm._1}%.4f recall@10=${cm._2}%.4f MAP@10=${cm._3}%.4f")
+      info(f"fold $i hybrid  prec@10=${hm._1}%.4f recall@10=${hm._2}%.4f MAP@10=${hm._3}%.4f")
+      (cm, hm)
+    }
+    def mean(xs: Seq[Double]) = xs.sum / xs.length
+    val (cPrec, cMap) = (mean(results.map(_._1._1)), mean(results.map(_._1._3)))
+    val (hPrec, hMap) = (mean(results.map(_._2._1)), mean(results.map(_._2._3)))
+    info(f"5-fold means: content prec@10=$cPrec%.4f MAP@10=$cMap%.4f; hybrid prec@10=$hPrec%.4f MAP@10=$hMap%.4f")
+    // genre-only content ranking is WEAK on ML-100k (19 binary
+    // features) — the bound catches broken joins (all-zero) and
+    // leakage (implausibly high), nothing tighter is honest
+    assert(cPrec >= 0.0 && cPrec < 0.2, s"content 5-fold prec $cPrec outside band")
+    assert(results.map(_._1._1).sum > 0.0,
+      "content recommender hit nothing across five folds — broken join")
+    // the hybrid fuses the two kNN rankers; its fold-mean must land in
+    // the band its children span (it cannot be wildly off both)
+    assert(hPrec > 0.005 && hPrec < 0.2, s"hybrid 5-fold prec $hPrec outside band")
+    assert(hMap > 0.003 && hMap < 0.15, s"hybrid 5-fold MAP $hMap outside band")
+    feats.unpersist()
+  }
+
   test("estimators compose inside org.apache.spark.ml.Pipeline") {
     requireData()
     import org.apache.spark.ml.Pipeline
