@@ -84,13 +84,19 @@ object Bench {
         // makes the JVM WAIT (wall up, own-CPU flat); a plan
         // regression does more WORK (own-CPU up with wall). If most of
         // the CPU floors on the same comparable set hold within 1.5×,
-        // the shift is the host-day band, not a regression.
+        // the shift is the host-day band, not a regression. Guard: the
+        // CPU-comparable subset must cover ≥ HALF the wall-comparable
+        // set — one or two CPU-heavy queries must not veto a broad
+        // wall regression whose other members are IO-shaped (a
+        // wait-dominated regression — lost persist, new spill — keeps
+        // own-CPU flat too, so a thin CPU sample proves nothing).
         val cpuConsidered = considered
           .filter(k => priorCpu.contains(k) && curCpu.contains(k)
             && priorCpu(k) >= 1.0)
         val cpuShifted = cpuConsidered
           .count(k => curCpu(k) > 1.5 * priorCpu(k))
-        if (cpuConsidered.nonEmpty && cpuShifted * 2 < cpuConsidered.size)
+        if (cpuConsidered.size * 2 >= considered.size
+            && cpuShifted * 2 < cpuConsidered.size)
           "band"
         else "regression"
       }

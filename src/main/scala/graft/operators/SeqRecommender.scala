@@ -80,7 +80,13 @@ object SeqRecommender {
         val hit = ts >= lit(s) && ts < lit(e)
         Some(acc.fold(when(hit, lit(pid)))(_.when(hit, lit(pid))))
     }.get.otherwise(lit(ranges.last._1))
-    trans.withColumn("period_id", assigned)
+    // null timestamps DROP — uniformly across all three modes (the
+    // duration/count modes drop them via the window join; without
+    // this filter the when-chain's null predicates would fall through
+    // to the default-to-last arm and pollute the final period). The
+    // reference's per-row UDF would throw on null instead; dropping
+    // is the deliberate total-function behavior.
+    trans.filter(ts.isNotNull).withColumn("period_id", assigned)
   }
 
   /** Period assignment from a WINDOW DURATION — the reference's second
@@ -113,8 +119,10 @@ object SeqRecommender {
                              tsCol: String = "timestamp"): DataFrame = {
     require(n > 0, "numPeriods must be positive")
     val ts = col(tsCol).cast("timestamp")
-    val diff = trans.agg(datediff(max(ts), min(ts))).collect()(0).getInt(0)
-    val width = math.max(1, diff / n)
+    val row = trans.agg(datediff(max(ts), min(ts))).collect()(0)
+    require(!row.isNullAt(0),
+      "count-mode periods need at least one non-null timestamp")
+    val width = math.max(1, row.getInt(0) / n)
     assignPeriodsFromDuration(trans, s"$width days", tsCol)
       .withColumn("period_id", least(col("period_id"), lit(n - 1L)))
   }

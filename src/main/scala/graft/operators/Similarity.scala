@@ -585,12 +585,22 @@ object Similarity {
   def semanticDedupIncrement(standing: DataFrame, incoming: DataFrame,
                              seedIds: Seq[Long], tau: Double,
                              twoLevel: Option[Boolean] = None): DataFrame = {
+    // the codebook cache is a session-CacheManager pin (dimension-
+    // sized — ~N/IVF_SEED_MOD rows); CacheManager plan-dedup collapses
+    // repeated calls over the SAME standing plan to one entry, but a
+    // long-lived driver incrementing against a GROWING standing frame
+    // accretes one entry per distinct plan — such drivers should run
+    // the streaming gate (pinned via GateIndexes, releasable per
+    // group) or clear the session cache on compaction.
     val cents = centsOf(standing, seedIds).cache()
+    val nCells = twoLevel match {
+      case Some(false) => 0L // flat path never reads the count
+      case _ => cents.count()
+    }
     val assign: DataFrame => DataFrame = twoLevel match {
-      case Some(true) =>
-        cellAssign2(_, cents, seedIds, superModOf(cents.count()))
+      case Some(true) => cellAssign2(_, cents, seedIds, superModOf(nCells))
       case Some(false) => cellAssign(_, cents)
-      case None => cellAssignAuto(_, cents, seedIds, cents.count())
+      case None => cellAssignAuto(_, cents, seedIds, nCells)
     }
     val standingCells = assign(standing)
       .select(col("cell"), col("vec_id").as("existing_vec_id"), col("v").as("vb"))

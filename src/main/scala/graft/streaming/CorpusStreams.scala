@@ -19,7 +19,10 @@ object CorpusStreams {
 
   /** Unpersist every standing index pinned by retired gates — see
     * [[GateIndexes]] (shared with the neardup gate in
-    * [[EventStreams]]). */
+    * [[EventStreams]]). Only safe with NO gate queries still running;
+    * to retire one gate while others run, use
+    * `GateIndexes.release(<pinGroup>)` with the group that gate was
+    * built under. */
   def releaseGateIndexes(): Unit = GateIndexes.releaseAll()
 
   /** Streaming manifest-on-ingest — the q125
@@ -459,7 +462,8 @@ object CorpusStreams {
   def semdedupGateStream(vecs: DataFrame, standing: DataFrame,
                          seedIds: Seq[Long], tau: Double,
                          watermark: String,
-                         twoLevel: Option[Boolean] = None): DataFrame = {
+                         twoLevel: Option[Boolean] = None,
+                         pinGroup: String = "semdedup"): DataFrame = {
     import graft.operators.Similarity
     import graft.functions.VectorFns.{cosineArr, sqDistArr}
     import graft.functions.Rounding.r6
@@ -532,7 +536,7 @@ object CorpusStreams {
           Similarity.superModOf(cb.length.toLong))
       else Similarity.cellAssign(standing, cents))
       .select(col("cell"), col("vec_id").as("existing_vec_id"),
-        col("v").as("vb")))
+        col("v").as("vb")), pinGroup)
     vecs
       .select(col("vec_id"), col("ts"), col("v"))
       .withColumn("cell", assignExpr)

@@ -294,7 +294,8 @@ object EventStreams {
     * probe work, exactly the "ingest cost scales with the batch,
     * never the corpus" posture of the batch twin. */
   def neardupGateStream(docs: DataFrame, standing: DataFrame,
-                        watermark: String): DataFrame = {
+                        watermark: String,
+                        pinGroup: String = "neardup"): DataFrame = {
     import graft.operators.Dedup
     import graft.functions.Rounding.r4
     // both static sides PIN for the gate's lifetime (the semdedup
@@ -306,10 +307,10 @@ object EventStreams {
     // release retired pins via CorpusStreams.releaseGateIndexes().
     val standingBands = GateIndexes.pin(Dedup.mapOnlyBands(standing)
       .select(col("doc_id").as("existing_doc_id"),
-        col("band_id"), col("band_hash")))
+        col("band_id"), col("band_hash")), pinGroup)
     val standingSets = GateIndexes.pin(Dedup.docShingleSets(standing)
       .select(col("doc_id").as("existing_doc_id"),
-        col("sh_set").as("sh_old"), col("n_sh").as("n_b")))
+        col("sh_set").as("sh_old"), col("n_sh").as("n_b")), pinGroup)
     // ONE linear flow on the stream (two derivations of the same
     // stream joined together would be a stream-stream self-join):
     // shingle set, signatures and bands all ride the same rows

@@ -17,22 +17,35 @@ import org.apache.spark.sql.DataFrame
 object GateIndexes {
 
   private val pinned =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, DataFrame)]
 
-  /** Persist `df` and register it for [[releaseAll]]. */
-  def pin(df: DataFrame): DataFrame = {
+  /** Persist `df` and register it under `group` for [[release]]. Each
+    * gate builder pins under its own group (callers pick a distinct
+    * `pinGroup` per live gate), so retiring ONE gate never unpersists
+    * a concurrently-running gate's index. */
+  def pin(df: DataFrame, group: String = "default"): DataFrame = {
     val p = df.persist()
-    pinned.add(p)
+    pinned.add((group, p))
     p
   }
 
-  /** Unpersist every standing index pinned by retired gates. Call
-    * after stopping a gate's streaming query (e.g. on corpus
-    * compaction, before building the replacement gate).
-    * Blocking=false: the release is async and safe while executors
-    * still hold blocks. */
+  /** Unpersist the standing indexes pinned under `group`. Call after
+    * stopping that gate's streaming query (e.g. on corpus compaction,
+    * before building the replacement gate). Blocking=false: the
+    * release is async and safe while executors still hold blocks. */
+  def release(group: String): Unit = {
+    val it = pinned.iterator()
+    while (it.hasNext) {
+      val (g, df) = it.next()
+      if (g == group) { df.unpersist(blocking = false); it.remove() }
+    }
+  }
+
+  /** Unpersist EVERY pinned index — only safe when no gate query is
+    * still running (full shutdown/compaction of all gates); with live
+    * gates, prefer [[release]] on the retired gate's group. */
   def releaseAll(): Unit = {
-    var df = pinned.poll()
-    while (df != null) { df.unpersist(blocking = false); df = pinned.poll() }
+    var e = pinned.poll()
+    while (e != null) { e._2.unpersist(blocking = false); e = pinned.poll() }
   }
 }

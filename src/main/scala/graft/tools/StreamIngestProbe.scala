@@ -96,12 +96,19 @@ object StreamIngestProbe {
           S.IVF_SEEDS, S.SEMDEDUP_TAU, "1 hour")
         .writeStream.format("memory").queryName("probe_sem")
         .outputMode("append").start()
-      val walls = (0 until n).map { b =>
+      val walls = try (0 until n).map { b =>
         val slice = incoming.filter(x => (x._1 / S.SEM_INCR_MOD) % n == b)
           .map(x => (x._1, new java.sql.Timestamp(t0ms + b * 60000L), x._2))
         timed { mem.addData(slice.toSeq: _*); q.processAllAvailable() }
       }
-      q.stop(); walls
+      // release this gate's standing pin before the next phase — the
+      // later phases' walls must not be measured under a retired
+      // phase's cached index (and a processAllAvailable failure must
+      // not leak the running query)
+      finally {
+        q.stop(); graft.streaming.GateIndexes.release("semdedup")
+      }
+      walls
     }
 
     Console.err.println("[probe] phase: neardup gate")
@@ -117,12 +124,15 @@ object StreamIngestProbe {
           watermark = "1 hour")
         .writeStream.format("memory").queryName("probe_nd")
         .outputMode("append").start()
-      val walls = (0 until n).map { b =>
+      val walls = try (0 until n).map { b =>
         val slice = incoming.filter(x => (x._1 / 4) % n == b)
           .map(x => (x._1, new java.sql.Timestamp(t0ms + b * 60000L), x._2))
         timed { mem.addData(slice.toSeq: _*); q.processAllAvailable() }
       }
-      q.stop(); walls
+      finally {
+        q.stop(); graft.streaming.GateIndexes.release("neardup")
+      }
+      walls
     }
 
     Console.err.println("[probe] phase: quota gate")
@@ -134,13 +144,14 @@ object StreamIngestProbe {
         .quotaGateStream(mem.toDS(), graft.operators.Analytics.SOURCE_QUOTA)
         .writeStream.format("memory").queryName("probe_quota")
         .outputMode("append").start()
-      val walls = (0 until n).map { b =>
+      val walls = try (0 until n).map { b =>
         val slice = all.filter(x => x._1 % n == b)
           .map(x => graft.streaming.QuotaDoc(x._1, x._2,
             new java.sql.Timestamp(t0ms + b * 60000L)))
         timed { mem.addData(slice.toSeq: _*); q.processAllAvailable() }
       }
-      q.stop(); walls
+      finally q.stop()
+      walls
     }
 
     def halves(xs: Seq[Double]) =

@@ -75,6 +75,23 @@ class BenchDiagnosisSpec extends AnyFunSuite {
     assert(Bench.diagnose(prior, cur, Seq(40.0, 41.0)) == "regression")
   }
 
+  test("a thin CPU-comparable subset cannot veto a broad wall regression (half-coverage guard)") {
+    // four comparable wall floors, all shifted >1.5x
+    val prior4 = Map("a" -> 10.0, "b" -> 10.0, "c" -> 10.0, "d" -> 10.0)
+    val cur4 = Map("a" -> 17.0, "b" -> 17.0, "c" -> 17.0, "d" -> 17.0)
+    // CPU data exists for only ONE of the four (the rest are IO-shaped)
+    val priorCpu = Map("a" -> 100.0)
+    val curCpuFlat = Map("a" -> 101.0)
+    assert(Bench.diagnose(prior4, cur4, Seq(40.0, 41.0), priorCpu, curCpuFlat)
+      == "regression",
+      "1-of-4 CPU coverage must not flip a broad wall regression to band")
+    // with CPU floors covering half or more, the flat-CPU verdict holds
+    val priorCpu2 = Map("a" -> 100.0, "b" -> 100.0)
+    val curCpu2 = Map("a" -> 101.0, "b" -> 99.0)
+    assert(Bench.diagnose(prior4, cur4, Seq(40.0, 41.0), priorCpu2, curCpu2)
+      == "band")
+  }
+
   test("no prior artifact or no comparable queries reads no_prior") {
     assert(Bench.diagnose(Map.empty, Map("q" -> 1.0), Seq(1.0, 1.0)) == "no_prior")
     // prior exists but only sub-1s floors -> nothing comparable

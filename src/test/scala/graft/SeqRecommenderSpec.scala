@@ -139,6 +139,20 @@ class SeqRecommenderSpec extends SparkSuite {
     assert(strayPid == Sequential.NUM_PERIODS - 1L,
       s"unmatched timestamp must take the last period, got $strayPid")
 
+    // null timestamps DROP uniformly in all three modes (they must
+    // not fall through the ranges default-to-last arm)
+    val withNull = spark.createDataFrame(Seq(
+      (999002L, 1L, Option.empty[java.sql.Timestamp], 43L),
+      (999003L, 1L,
+        Some(java.sql.Timestamp.valueOf("1995-06-01 00:00:00")), 44L)))
+      .toDF("t_id", "user_id", "timestamp", "item_id")
+    val nullOut = SeqRecommender
+      .assignPeriodsFromRanges(withNull, ranges.map { case (id, s, e) =>
+        (id, java.sql.Timestamp.valueOf(s), java.sql.Timestamp.valueOf(e)) })
+      .select("t_id").collect().map(_.getLong(0)).toSet
+    assert(nullOut == Set(999003L),
+      s"null-timestamp row must drop in ranges mode: $nullOut")
+
     // mode 2 — duration windows: dense time-ordered ids over the
     // observed epoch-aligned windows (W3 discipline, no m.i.id)
     val fix = spark.createDataFrame(Seq(
