@@ -320,6 +320,27 @@ class AnnRecallSpec extends SparkSuite {
       "sm=1 two-level assignment must equal the flat argmin")
   }
 
+  test("two-level assignment plan shape: every codebook leg is broadcast; only vec-keyed exchanges remain") {
+    import graft.operators.Similarity
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val standing = e.filter(col("vec_id") % Similarity.SEM_INCR_MOD
+      =!= Similarity.SEM_INCR_MOD - 1)
+    val cents = Similarity.centsOf(standing, Similarity.IVF_SEEDS)
+    val plan = Similarity
+      .cellAssign2(standing, cents, Similarity.IVF_SEEDS, 3L)
+      .queryExecution.executedPlan.toString
+    // supers, the cell→super attach and the per-super cell lists are
+    // all dimension-sized broadcasts; the embedding side must never
+    // sort-merge — its only exchanges are the vec_id-keyed window
+    // shuffles (per-vector argmins, the N·O(√cells) cost the gate buys)
+    assert(!plan.contains("SortMergeJoin"),
+      s"two-level assignment must not sort-merge any codebook leg:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length
+      + "BroadcastNestedLoopJoin".r.findAllIn(plan).length >= 2,
+      "codebook legs must ride broadcasts")
+  }
+
   test("q129b/q132b IVF twins: recall vs the exact probe/miner, exactness at full probing") {
     import graft.operators.Similarity
     val dir = "/root/testdata/sf0.001"

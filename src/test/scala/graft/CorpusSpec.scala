@@ -667,6 +667,20 @@ class CorpusSpec extends SparkSuite {
     }
   }
 
+  test("sketch-LM plan shape: model and scoring joins are broadcast — the bigram-typed stream never sort-merges") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = graft.operators.TextOps.perGramLogpSketch(docs)
+      .queryExecution.executedPlan.toString
+    // the candidate semi-join, the ≤capacity-gram model join and the
+    // 1-row V dim all ride broadcasts; a SortMergeJoin anywhere means
+    // the gram-keyed stream got shuffled — the exact plan's one
+    // super-linear stage, absent here by construction
+    assert(!plan.contains("SortMergeJoin"),
+      s"sketch-LM plan must not sort-merge the gram stream:\n$plan")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 2, s"expected >=2 broadcast joins, saw $bhj")
+  }
+
   test("lmGramsAuto gate: pure rule boundary; exact side bit-identical below crossover; sketch side == perGramLogpSketch above; q142b lower-bounds q142") {
     import org.apache.spark.sql.functions.col
     import graft.operators.TextOps
