@@ -430,6 +430,99 @@ object CorpusStreams {
         ingestDriftBatch(b, id, outDir, buckets))
       .start()
 
+  /** EMBEDDING drift on ingest — the q143 monitor
+    * ([[graft.operators.Similarity.embeddingDrift]]) per micro-batch
+    * against the ACCUMULATED standing corpus: the geometric sibling of
+    * [[ingestDriftBatch]], watching for the encoder/crawl shifts that
+    * invalidate stored IVF cells and calibrated cosine thresholds.
+    * Per batch of `(vec_id, label, v)`:
+    *
+    *   1. the batch's per-(label, dim) r6-quantized DECIMAL coordinate
+    *      sums and per-label (count, DECIMAL norm-sum) land in
+    *      batch_id-keyed overwrite partitions — the EXACT partials the
+    *      batch operator sums, so accumulation across batches is the
+    *      same order-independent DECIMAL arithmetic (a sum of partial
+    *      sums IS the total sum, exactly)
+    *   2. standing state = the partitions with `batch_id < N` summed;
+    *      the drift row per label = centroid cosine (scale-invariant,
+    *      so the SUM vector stands in for the mean — the q130/q143
+    *      no-division centroid path) + mean-norm ratio of batch vs
+    *      standing
+    *
+    * Labels with no standing mass yet emit nothing (batch 1 logs zero
+    * rows — the q143 inner-join semantics; the NEXT batch sees them as
+    * standing). State is |labels|×dims + |labels| rows per batch —
+    * KB-scale regardless of corpus size — and both writes are derived
+    * only from the batch + strictly-earlier partitions, so a replayed
+    * batch overwrites itself and reconverges from any crash point (the
+    * marker-free [[ingestDriftBatch]] discipline). */
+  def ingestEmbDriftBatch(batch: DataFrame, batchId: Long,
+                          outDir: String): Unit = {
+    import graft.functions.VectorFns.{cosineArr, dotArr}
+    import graft.functions.Rounding.{r4, r6}
+    val spark = batch.sparkSession
+    val sumsPath = s"$outDir/edrift_sums"
+    val statsPath = s"$outDir/edrift_stats"
+    val logPath = s"$outDir/edrift_log"
+    val bsums = batch
+      .select(col("label"), posexplode(col("v")))
+      .select(col("label"), col("pos").as("dim"),
+        r6(col("col")).cast("decimal(38,6)").as("sx"))
+      .groupBy(col("label"), col("dim")).agg(sum(col("sx")).as("sx"))
+    EventStreams.writeBatchIdempotent(bsums, batchId, sumsPath)
+    val bstats = batch
+      .select(col("label"),
+        r6(sqrt(dotArr(col("v"), col("v")))).cast("decimal(20,6)").as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("nrm")).as("snrm"))
+    EventStreams.writeBatchIdempotent(bstats, batchId, statsPath)
+    def sv(df: DataFrame) = df
+      .groupBy(col("label"), col("dim")).agg(sum(col("sx")).as("sx"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"),
+          col("sx").cast("double").as("c")))),
+        s => s.getField("c")).as("sv"))
+    val allSums = spark.read.option("basePath", sumsPath).parquet(sumsPath)
+    val allStats = spark.read.option("basePath", statsPath).parquet(statsPath)
+    val standingSv = sv(allSums.filter(col("batch_id") < batchId))
+      .withColumnRenamed("sv", "sv_s")
+    val batchSv = sv(allSums.filter(col("batch_id") === batchId))
+      .withColumnRenamed("sv", "sv_i")
+    val standingStats = allStats.filter(col("batch_id") < batchId)
+      .groupBy(col("label"))
+      .agg(sum(col("n")).as("n_s"), sum(col("snrm")).as("snrm_s"))
+    val batchStats = allStats.filter(col("batch_id") === batchId)
+      .select(col("label"), col("n").as("n_i"), col("snrm").as("snrm_i"))
+    val drift = standingSv.join(batchSv, Seq("label"))
+      .join(standingStats, Seq("label")).join(batchStats, Seq("label"))
+      .select(col("label"),
+        col("n_s").as("n_standing"), col("n_i").as("n_batch"),
+        r4(cosineArr(col("sv_s"), col("sv_i"))).as("centroid_cos"),
+        r4((col("snrm_i").cast("double") / col("n_i")) /
+          (col("snrm_s").cast("double") / col("n_s"))).as("norm_ratio"))
+    EventStreams.writeBatchIdempotent(drift, batchId, logPath)
+  }
+
+  /** The accumulated embedding-drift log under an
+    * [[ingestEmbDriftBatch]] state dir. */
+  def embDriftLog(spark: SparkSession, outDir: String): DataFrame = {
+    val p = s"$outDir/edrift_log"
+    spark.read.option("basePath", p).parquet(p)
+      .select(col("batch_id"), col("label"), col("n_standing"),
+        col("n_batch"), col("centroid_cos"), col("norm_ratio"))
+  }
+
+  /** The q143 monitor wired as a streaming sink: `foreachBatch` over
+    * a `(vec_id, label, v)` stream, state + log under `outDir`. */
+  def embDriftStream(vecs: DataFrame, outDir: String, checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, id: Long) =>
+        ingestEmbDriftBatch(b, id, outDir))
+      .start()
+
   /** Streaming SEMANTIC ingest gate —
     * [[graft.operators.Similarity.semanticDedupIncrement]] (q105b) as
     * a `readStream` stage, the embedding-space sibling of

@@ -154,6 +154,23 @@ object StreamIngestProbe {
       walls
     }
 
+    Console.err.println("[probe] phase: embdrift")
+    val embdrift = {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v")).cache()
+      e.count()
+      (0 until n).map { b =>
+        val batch = e.filter(pmod(col("vec_id"), lit(n)) === b)
+        val t0 = System.nanoTime()
+        graft.streaming.CorpusStreams
+          .ingestEmbDriftBatch(batch, b.toLong, s"$base/embdrift")
+        val w = (System.nanoTime() - t0) / 1e9
+        Console.err.println(s"[probe] batch $b ${f3(w)}s")
+        w
+      }
+    }
+
     def halves(xs: Seq[Double]) =
       (median(xs.take(n / 2)), median(xs.drop(n / 2)))
     val (m1, m2) = halves(manifest)
@@ -162,6 +179,7 @@ object StreamIngestProbe {
     val (se1, se2) = halves(semWalls)
     val (nd1, nd2) = halves(neardupWalls)
     val (qu1, qu2) = halves(quotaWalls)
+    val (ed1, ed2) = halves(embdrift)
     val json =
       s"""{"metric":"stream_ingest_probe","sf_dir":"$dir","n_batches":$n,""" +
         s""""manifest_walls":[${manifest.map(f3).mkString(",")}],""" +
@@ -170,12 +188,14 @@ object StreamIngestProbe {
         s""""semdedup_walls":[${semWalls.map(f3).mkString(",")}],""" +
         s""""neardup_walls":[${neardupWalls.map(f3).mkString(",")}],""" +
         s""""quota_walls":[${quotaWalls.map(f3).mkString(",")}],""" +
+        s""""embdrift_walls":[${embdrift.map(f3).mkString(",")}],""" +
         s""""manifest_half_medians":[${f3(m1)},${f3(m2)}],""" +
         s""""datasheet_half_medians":[${f3(s1)},${f3(s2)}],""" +
         s""""drift_half_medians":[${f3(d1)},${f3(d2)}],""" +
         s""""semdedup_half_medians":[${f3(se1)},${f3(se2)}],""" +
         s""""neardup_half_medians":[${f3(nd1)},${f3(nd2)}],""" +
-        s""""quota_half_medians":[${f3(qu1)},${f3(qu2)}]}"""
+        s""""quota_half_medians":[${f3(qu1)},${f3(qu2)}],""" +
+        s""""embdrift_half_medians":[${f3(ed1)},${f3(ed2)}]}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("stream_ingest_probe.json"), json)
     println(json)

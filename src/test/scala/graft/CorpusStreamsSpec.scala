@@ -97,6 +97,46 @@ class CorpusStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("ingestEmbDriftBatch: batch-1 log equals q143 on the same split; first batch silent; accumulation and replay idempotent") {
+    val S = graft.operators.Similarity
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val standing = e.filter(col("vec_id") % S.SEM_INCR_MOD =!= S.SEM_INCR_MOD - 1)
+    val incoming = e.filter(col("vec_id") % S.SEM_INCR_MOD === S.SEM_INCR_MOD - 1)
+    val dir = freshDir()
+    // batch 0 = the standing slice: no prior state, the log must be
+    // SILENT (q143's inner-join semantics — nothing to compare against)
+    CorpusStreams.ingestEmbDriftBatch(standing, 0L, dir)
+    assert(CorpusStreams.embDriftLog(spark, dir)
+      .filter(col("batch_id") === 0).count() == 0L)
+    // batch 1 = the incoming slice: the log row per label must equal
+    // the batch operator on the SAME split, value for value
+    CorpusStreams.ingestEmbDriftBatch(incoming, 1L, dir)
+    def logRows() = CorpusStreams.embDriftLog(spark, dir)
+      .filter(col("batch_id") === 1)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    val got = logRows()
+    val expected = S.embeddingDrift(e).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == expected && got.nonEmpty,
+      s"stream log != batch q143:\n got $got\n want $expected")
+    // crash replay: the same batch redelivered overwrites itself
+    CorpusStreams.ingestEmbDriftBatch(incoming, 1L, dir)
+    assert(logRows() == expected, "replayed batch must not change the log")
+    // batch 2: standing mass now includes batches 0 AND 1
+    CorpusStreams.ingestEmbDriftBatch(incoming, 2L, dir)
+    val n01 = e.groupBy(col("label")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    CorpusStreams.embDriftLog(spark, dir).filter(col("batch_id") === 2)
+      .collect().foreach { r =>
+        assert(r.getLong(2) == n01(r.getInt(1)),
+          s"batch-2 standing count must accumulate batches 0+1: $r")
+      }
+  }
+
   test("quotaGateStream: cap continues across batches, counts match the batch cap, replays emit once") {
     val sp = spark
     import sp.implicits._
