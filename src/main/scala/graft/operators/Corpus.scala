@@ -43,6 +43,7 @@ object Corpus {
     "q124b_split_repair" -> q124b,
     "q124c_bloom_decon" -> q124c,
     "q136_split_leakage" -> q136,
+    "q144_corpus_delta" -> q144,
     "q125_training_manifest" -> q125,
     "q127_hybrid_rrf" -> q127,
     "q127b_hybrid_rrf_ivf" -> q127b,
@@ -1627,5 +1628,65 @@ object Corpus {
       .agg(max(col("text").contains("\n").cast("int")).as("h"))
       .head().getInt(0) == 1
     datasheetFrom(docs, hasLines, sketchLmScores(docs))
+  }
+
+  /** The q144 fixture's snapshot rules: the OLD snapshot drops
+    * doc_id ≡ 4 (mod 5), the NEW drops ≡ 3 and revises the text of
+    * doc_id ≡ 0 (mod [[DELTA_REV_MOD]]) — so adds, removes, changes
+    * and unchanged docs all exist at every SF, deterministically in
+    * both engines. */
+  val DELTA_SNAP_MOD = 5L
+  val DELTA_REV_MOD = 11L
+
+  /** q144 — corpus snapshot DELTA: the release-to-release diff a
+    * versioned dataset publishes next to its data card (what changed
+    * since v1 — the first table a consumer reads before re-training,
+    * and the denominator behind "X% new tokens" release notes). Per
+    * source: docs added / removed / changed (same doc_id, different
+    * md5(text)) / unchanged, token mass added and removed (added docs
+    * count whole; changed docs contribute their new−old masses to the
+    * respective sides), and the net token delta.
+    *
+    * Exactness: membership and change flags are integer/md5 compares;
+    * token masses are exact BIGINT sums. Scale shape: ONE doc_id-keyed
+    * full-outer equi-join between the snapshots (both sides
+    * co-partition on the key at any size — bucket the snapshots by
+    * doc_id and the join is exchange-free) + ONE keyed agg with
+    * map-side partials. No pairwise stage, no sort, no broadcast
+    * assumption on either snapshot. */
+  def corpusDelta(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    def side(df: DataFrame, suf: String) = df.select(
+      col("doc_id"),
+      col("source").as(s"source$suf"),
+      md5(col("text")).as(s"fp$suf"),
+      size(VectorFns.tokens(col("text"))).cast("long").as(s"tok$suf"))
+    side(oldSnap, "_o").join(side(newSnap, "_n"), Seq("doc_id"), "full")
+      .select(coalesce(col("source_n"), col("source_o")).as("source"),
+        col("fp_o"), col("fp_n"), col("tok_o"), col("tok_n"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("fp_o").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("fp_n").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("fp_o").isNotNull && col("fp_n").isNotNull
+          && col("fp_o") =!= col("fp_n"), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("fp_o") === col("fp_n"), 1L).otherwise(0L))
+          .as("n_unchanged"),
+        sum(when(col("fp_o").isNull, col("tok_n"))
+          .when(col("fp_n").isNotNull && col("fp_o") =!= col("fp_n"),
+            col("tok_n")).otherwise(0L)).as("tok_added"),
+        sum(when(col("fp_n").isNull, col("tok_o"))
+          .when(col("fp_o").isNotNull && col("fp_o") =!= col("fp_n"),
+            col("tok_o")).otherwise(0L)).as("tok_removed"))
+      .withColumn("tok_delta", col("tok_added") - col("tok_removed"))
+  }
+
+  private def q144(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val oldSnap = docs.filter(col("doc_id") % DELTA_SNAP_MOD =!= 4L)
+    val newSnap = docs.filter(col("doc_id") % DELTA_SNAP_MOD =!= 3L)
+      .withColumn("text",
+        when(col("doc_id") % DELTA_REV_MOD === 0L,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    corpusDelta(oldSnap, newSnap)
   }
 }

@@ -679,6 +679,53 @@ object CorpusSql {
     // q136: split-leakage matrix — per-gram split membership flags
     // folded in one keyed agg; pairwise intersections are flag
     // products, the 3-row matrix a UNION ALL (Spark: stack)
+    // q144: corpus snapshot delta — the fixture's two snapshots
+    // rebuilt by the same mod rules, one doc_id-keyed FULL join,
+    // flags from md5 compares, token masses as exact BIGINT sums
+    "q144_corpus_delta" -> {
+      val m = graft.operators.Corpus.DELTA_SNAP_MOD
+      val rv = graft.operators.Corpus.DELTA_REV_MOD
+      s"""WITH oldsnap AS (
+         |  SELECT doc_id, source, md5(text) AS fp_o,
+         |         CAST(len(${tokensSql("lower(trim(text))")}) AS BIGINT) AS tok_o
+         |  FROM documents WHERE doc_id % $m <> 4),
+         |newsnap AS (
+         |  SELECT doc_id, source,
+         |         md5(CASE WHEN doc_id % $rv = 0 THEN text || ' rev2'
+         |                  ELSE text END) AS fp_n,
+         |         CAST(len(${tokensSql(
+                     s"lower(trim(CASE WHEN doc_id % $rv = 0 THEN text || ' rev2' ELSE text END))")})
+         |              AS BIGINT) AS tok_n
+         |  FROM documents WHERE doc_id % $m <> 3),
+         |j AS (
+         |  SELECT COALESCE(n.source, o.source) AS source,
+         |         o.fp_o, n.fp_n, o.tok_o, n.tok_n
+         |  FROM oldsnap o FULL JOIN newsnap n USING (doc_id))
+         |SELECT source,
+         |  CAST(sum(CASE WHEN fp_o IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_added,
+         |  CAST(sum(CASE WHEN fp_n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_removed,
+         |  CAST(sum(CASE WHEN fp_o IS NOT NULL AND fp_n IS NOT NULL
+         |                AND fp_o <> fp_n THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_changed,
+         |  CAST(sum(CASE WHEN fp_o = fp_n THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unchanged,
+         |  CAST(sum(CASE WHEN fp_o IS NULL THEN tok_n
+         |                WHEN fp_n IS NOT NULL AND fp_o <> fp_n THEN tok_n
+         |                ELSE 0 END) AS BIGINT) AS tok_added,
+         |  CAST(sum(CASE WHEN fp_n IS NULL THEN tok_o
+         |                WHEN fp_o IS NOT NULL AND fp_o <> fp_n THEN tok_o
+         |                ELSE 0 END) AS BIGINT) AS tok_removed,
+         |  CAST(sum(CASE WHEN fp_o IS NULL THEN tok_n
+         |                WHEN fp_n IS NOT NULL AND fp_o <> fp_n THEN tok_n
+         |                ELSE 0 END)
+         |     - sum(CASE WHEN fp_n IS NULL THEN tok_o
+         |                WHEN fp_o IS NOT NULL AND fp_o <> fp_n THEN tok_o
+         |                ELSE 0 END) AS BIGINT) AS tok_delta
+         |FROM j GROUP BY 1""".stripMargin
+    },
+
     "q136_split_leakage" ->
       s"""WITH grams AS (
          |  SELECT DISTINCT

@@ -667,6 +667,58 @@ class CorpusSpec extends SparkSuite {
     }
   }
 
+  test("corpusDelta: equals a driver-side brute force over sf0.001; one keyed join, no sort-merge on a broadcast-free plan is not asserted (co-partition join is the intended shape)") {
+    import org.apache.spark.sql.functions._
+    val C = graft.operators.Corpus
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    // per-doc (source, md5, token count) for BOTH snapshot texts, via
+    // the same primitives the operator uses — the logic under test is
+    // the join/flag/aggregate, not the tokenizer (the oracle gate
+    // checks tokenization independently)
+    val base = docs.select(col("doc_id"), col("source"),
+        md5(col("text")).as("fp"),
+        size(graft.functions.VectorFns.tokens(col("text"))).cast("long").as("tok"),
+        md5(concat(col("text"), lit(" rev2"))).as("fp2"),
+        size(graft.functions.VectorFns.tokens(concat(col("text"), lit(" rev2"))))
+          .cast("long").as("tok2"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getString(4), r.getLong(5)))
+      .toMap
+    case class Agg(var add: Long = 0, var rem: Long = 0, var chg: Long = 0,
+                   var unchg: Long = 0, var tokAdd: Long = 0, var tokRem: Long = 0)
+    val exp = scala.collection.mutable.Map[String, Agg]()
+    base.foreach { case (id, (src, fp, tok, fp2, tok2)) =>
+      val inOld = id % C.DELTA_SNAP_MOD != 4
+      val revised = id % C.DELTA_REV_MOD == 0
+      val inNew = id % C.DELTA_SNAP_MOD != 3
+      val (nfp, ntok) = if (revised) (fp2, tok2) else (fp, tok)
+      if (inOld || inNew) {
+        val a = exp.getOrElseUpdate(src, Agg())
+        if (!inOld) { a.add += 1; a.tokAdd += ntok }
+        else if (!inNew) { a.rem += 1; a.tokRem += tok }
+        else if (fp != nfp) { a.chg += 1; a.tokAdd += ntok; a.tokRem += tok }
+        else a.unchg += 1
+      }
+    }
+    val got = graft.SparkEntry.queries("q144_corpus_delta")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(got.keySet == exp.keySet && got.nonEmpty)
+    got.foreach { case (src, (na, nr, nc, nu, ta, tr, td)) =>
+      val e = exp(src)
+      assert((na, nr, nc, nu, ta, tr) ==
+        (e.add, e.rem, e.chg, e.unchg, e.tokAdd, e.tokRem),
+        s"$src delta drifted from brute force")
+      assert(td == ta - tr)
+      // the fixture must exercise every delta class somewhere
+    }
+    assert(exp.values.map(_.add).sum > 0 && exp.values.map(_.rem).sum > 0
+      && exp.values.map(_.chg).sum > 0 && exp.values.map(_.unchg).sum > 0,
+      "fixture degenerate: some delta class is empty at sf0.001")
+  }
+
   test("sketch-LM plan shape: model and scoring joins are broadcast — the bigram-typed stream never sort-merges") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = graft.operators.TextOps.perGramLogpSketch(docs)
