@@ -434,15 +434,20 @@ object TextOps {
     * that grows with corpus VOCABULARY (vocab²-shaped on organic
     * text), decides whether the scoring join can broadcast, and keys
     * the model shuffle (BASELINE §round-12,
-    * `scale_probe_r12_lmgate_{sf01,sf1}.json`): at sf0.1's 931
-    * distinct bigrams the exact chain wins (q142 1.76 s vs the
-    * sketch's 2.37 — the two MG passes are pure overhead when c₁₂ is
-    * dimension-sized), while at the sf1 replica's 9 310 the order
-    * flips (3.49 vs 3.23) and the sketch side holds q142's growth to
-    * 0.14× linear (model build capacity-bounded, scoring join
-    * broadcast by construction — exact's 0.20–0.36× curve bends up
-    * with vocab², the sketch's cannot). The gate flips between the
-    * two measured points, the DIMSUM_MIN_PAIRDOTS discipline. */
+    * `scale_probe_r12_lmgate_{sf01,sf1}.json` + `_insitu_sf1`): at
+    * sf0.1's 931 distinct bigrams the exact chain wins (q142 1.76 s
+    * vs the sketch's 2.37 — the two MG passes are pure overhead when
+    * c₁₂ is dimension-sized); at the sf1 replica's 9 310 the two
+    * sides price inside each other's band (warm floors 3.1–3.3 both
+    * ways — the measured INDIFFERENCE point), and the sketch side's
+    * growth factor reads 0.14× linear vs the exact side's 0.20–0.36×.
+    * The gate flips past the indifference point because the axes
+    * diverge from there: exact's c₁₂ grows vocab²-shaped on organic
+    * text (the synthetic corpus's bounded vocab cannot exhibit it —
+    * the userSimsAuto caveat), while the sketch's model build is
+    * capacity-bounded and its scoring join broadcast by construction.
+    * The DIMSUM_MIN_PAIRDOTS discipline: flip where the measurements
+    * stop favoring exact, never extrapolate wall-clock. */
   val LM_SKETCH_MIN_GRAMS: Long = 4000L
 
   /** [[lmGramsAuto]]'s pure decision rule, exposed so the boundary is
