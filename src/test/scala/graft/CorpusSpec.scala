@@ -719,6 +719,25 @@ class CorpusSpec extends SparkSuite {
       "fixture degenerate: some delta class is empty at sf0.001")
   }
 
+  test("degenerate inputs: the r12 auto-gates survive empty frames") {
+    import org.apache.spark.sql.types._
+    val S = graft.operators.Similarity
+    val emptyDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    // zero docs → zero bigrams → the universe probe reads 0, the gate
+    // resolves exact, and both rollups are empty — no throw anywhere
+    assert(graft.operators.TextOps.lmQualityScores(emptyDocs).count() == 0L)
+    assert(graft.operators.TextOps.minKProb(emptyDocs).count() == 0L)
+    // an empty INCOMING increment emits nothing (and prices nothing)
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val emptyVecs = e.filter(lit(false))
+    assert(S.semanticDedupIncrement(e, emptyVecs,
+      S.IVF_SEEDS, S.SEMDEDUP_TAU).count() == 0L)
+  }
+
   test("sketch-LM plan shape: model and scoring joins are broadcast — the bigram-typed stream never sort-merges") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val plan = graft.operators.TextOps.perGramLogpSketch(docs)
