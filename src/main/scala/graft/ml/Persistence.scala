@@ -38,6 +38,10 @@ private[ml] object GraftMLIO {
       case l: Long => p.name -> (JInt(l): JValue)
       case d: Double => p.name -> (JDouble(d): JValue)
       case s: String => p.name -> (JString(s): JValue)
+      // StringArrayParam (the r12 periodRanges encoding) — a fitted
+      // ranges-mode SequentialRecommenderModel must save, not throw
+      case a: Array[String] =>
+        p.name -> (JArray(a.toList.map(JString(_))): JValue)
       case other => throw new IllegalArgumentException(
         s"unserializable param ${p.name}: ${other.getClass}")
     }
@@ -55,6 +59,10 @@ private[ml] object GraftMLIO {
         case (dp: DoubleParam, JDouble(x)) => m.set(dp, x)
         case (dp: DoubleParam, JInt(x)) => m.set(dp, x.toDouble)
         case (bp: BooleanParam, JBool(x)) => m.set(bp, x)
+        case (ap: StringArrayParam, JArray(xs)) =>
+          m.set(ap, xs.map { case JString(x) => x
+            case o => throw new IllegalArgumentException(
+              s"non-string element in array param $name: $o") }.toArray)
         case (sp, JString(x)) => m.set(sp.asInstanceOf[Param[String]], x)
         case _ => throw new IllegalArgumentException(
           s"cannot restore param $name from $v")

@@ -147,6 +147,39 @@ class PersistenceSpec extends SparkSuite {
       rows(m.recommendDetailed(allUsers)))
   }
 
+  test("a ranges-mode-fitted SequentialRecommenderModel saves and loads (StringArrayParam serialization)") {
+    val s = spark
+    import s.implicits._
+    // the same fixture as above, but entering through period mode 1:
+    // timestamps spread over four weeks, explicit weekly ranges
+    val trans = (for {
+      u <- 1L to 12L
+      p <- 4L to 7L
+      i <- if (u % 2 == 0) Seq(1L, 2L, 3L) else Seq(8L, 9L, 10L)
+    } yield {
+      val day = (p - 3) * 7
+      (u * 10 + p, u,
+        java.sql.Timestamp.valueOf(f"2024-03-$day%02d 00:00:00"), i)
+    }).toDF("t_id", "user_id", "timestamp", "item_id")
+    val ranges = (0L to 3L).map { k =>
+      (k + 4L, f"2024-03-${k * 7 + 1}%02d 00:00:00",
+        f"2024-03-${k * 7 + 8}%02d 00:00:00")
+    }
+    val m = new graft.ml.SequentialRecommender()
+      .setNumClusters(4).setClusterIters(2).setKItems(3)
+      .setPeriodRanges(ranges).fit(trans)
+    val allUsers = trans.select("user_id").distinct()
+    val before = rows(m.transform(allUsers))
+    // the SET array param must serialize (pre-fix: paramsJson threw
+    // 'unserializable param periodRanges') and restore verbatim
+    val path = tmp("seq_ranges")
+    m.write.overwrite().save(path)
+    val loaded = graft.ml.SequentialRecommenderModel.load(path)
+    assert(loaded.getOrDefault(loaded.periodRanges).toSeq ==
+      ranges.map { case (id, st, en) => s"$id|$st|$en" })
+    assert(rows(loaded.transform(allUsers)) == before)
+  }
+
   test("hybrid-of-hybrids loads back (loadChild accepts a nested hybrid)") {
     val s = spark
     import s.implicits._
