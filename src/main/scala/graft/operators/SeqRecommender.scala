@@ -81,9 +81,10 @@ object SeqRecommender {
         Some(acc.fold(when(hit, lit(pid)))(_.when(hit, lit(pid))))
     }.get.otherwise(lit(ranges.last._1))
     // null timestamps DROP — uniformly across all three modes (the
-    // duration/count modes drop them via the window join; without
-    // this filter the when-chain's null predicates would fall through
-    // to the default-to-last arm and pollute the final period). The
+    // duration/count modes filter them before the window dimension is
+    // built, keeping dense ids anchored at 0; without this filter the
+    // when-chain's null predicates would fall through to the
+    // default-to-last arm and pollute the final period). The
     // reference's per-row UDF would throw on null instead; dropping
     // is the deliberate total-function behavior.
     trans.filter(ts.isNotNull).withColumn("period_id", assigned)
@@ -101,7 +102,13 @@ object SeqRecommender {
     * corpus joins back on a broadcast). */
   def assignPeriodsFromDuration(trans: DataFrame, duration: String,
                                 tsCol: String = "timestamp"): DataFrame = {
-    val w = trans.withColumn("_pw", window(col(tsCol).cast("timestamp"), duration))
+    // null timestamps DROP here too (the ranges-mode contract):
+    // without this filter window(null) yields a null _pw that
+    // survives distinct() into the period DIMENSION and — NULLS FIRST
+    // — takes period_id 0, shifting every real window's dense id by
+    // one even though the null ROWS never match the equi-join.
+    val w = trans.filter(col(tsCol).cast("timestamp").isNotNull)
+      .withColumn("_pw", window(col(tsCol).cast("timestamp"), duration))
     val periods = w.select(col("_pw")).distinct()
       .withColumn("period_id",
         row_number().over(Window.orderBy(col("_pw"))).cast("long") - 1L)

@@ -584,15 +584,22 @@ object Similarity {
     * sides of the cell join in different geometries. */
   def semanticDedupIncrement(standing: DataFrame, incoming: DataFrame,
                              seedIds: Seq[Long], tau: Double,
-                             twoLevel: Option[Boolean] = None): DataFrame = {
+                             twoLevel: Option[Boolean] = None,
+                             pinGroup: String = ""): DataFrame = {
     // the codebook cache is a session-CacheManager pin (dimension-
-    // sized — ~N/IVF_SEED_MOD rows); CacheManager plan-dedup collapses
-    // repeated calls over the SAME standing plan to one entry, but a
+    // sized — ~N/IVF_SEED_MOD rows) ROUTED THROUGH GateIndexes, the
+    // same release-capable registry the streaming gates use: a
     // long-lived driver incrementing against a GROWING standing frame
-    // accretes one entry per distinct plan — such drivers should run
-    // the streaming gate (pinned via GateIndexes, releasable per
-    // group) or clear the session cache on compaction.
-    val cents = centsOf(standing, seedIds).cache()
+    // accretes one entry per distinct standing plan, and compaction
+    // retires the superseded one via GateIndexes.release(group).
+    // "" → a fresh never-reused auto group (enumerable via
+    // GateIndexes.liveGroups); CacheManager plan-dedup still
+    // collapses repeated calls over the SAME standing plan to one
+    // storage entry, so auto groups never multiply executor storage.
+    val group =
+      if (pinGroup.isEmpty) graft.streaming.GateIndexes.autoGroup("semdedup-batch")
+      else pinGroup
+    val cents = graft.streaming.GateIndexes.pin(centsOf(standing, seedIds), group)
     val nCells = twoLevel match {
       case Some(false) => 0L // flat path never reads the count
       case _ => cents.count()

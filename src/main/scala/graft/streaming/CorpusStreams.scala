@@ -556,7 +556,12 @@ object CorpusStreams {
                          seedIds: Seq[Long], tau: Double,
                          watermark: String,
                          twoLevel: Option[Boolean] = None,
-                         pinGroup: String = "semdedup"): DataFrame = {
+                         pinGroup: String = ""): DataFrame = {
+    // "" -> fresh never-reused group per gate build (see
+    // neardupGateStream: a shared default across two live gates of
+    // the same kind would let a release of one kill the other's pin)
+    val group =
+      if (pinGroup.isEmpty) GateIndexes.autoGroup("semdedup") else pinGroup
     import graft.operators.Similarity
     import graft.functions.VectorFns.{cosineArr, sqDistArr}
     import graft.functions.Rounding.r6
@@ -629,7 +634,7 @@ object CorpusStreams {
           Similarity.superModOf(cb.length.toLong))
       else Similarity.cellAssign(standing, cents))
       .select(col("cell"), col("vec_id").as("existing_vec_id"),
-        col("v").as("vb")), pinGroup)
+        col("v").as("vb")), group)
     vecs
       .select(col("vec_id"), col("ts"), col("v"))
       .withColumn("cell", assignExpr)

@@ -295,9 +295,16 @@ object EventStreams {
     * never the corpus" posture of the batch twin. */
   def neardupGateStream(docs: DataFrame, standing: DataFrame,
                         watermark: String,
-                        pinGroup: String = "neardup"): DataFrame = {
+                        pinGroup: String = ""): DataFrame = {
     import graft.operators.Dedup
     import graft.functions.Rounding.r4
+    // "" → a fresh never-reused group per gate BUILD: two live
+    // neardup gates sharing a default group would let releasing the
+    // retired one unpersist the live one's standing index. Callers
+    // passing an explicit group own that invariant (and can find
+    // auto groups via GateIndexes.liveGroups).
+    val group =
+      if (pinGroup.isEmpty) GateIndexes.autoGroup("neardup") else pinGroup
     // both static sides PIN for the gate's lifetime (the semdedup
     // gate's index discipline, GateIndexes): a stream-static join's
     // static side re-executes every micro-batch, and re-shingling the
@@ -307,10 +314,10 @@ object EventStreams {
     // release retired pins via CorpusStreams.releaseGateIndexes().
     val standingBands = GateIndexes.pin(Dedup.mapOnlyBands(standing)
       .select(col("doc_id").as("existing_doc_id"),
-        col("band_id"), col("band_hash")), pinGroup)
+        col("band_id"), col("band_hash")), group)
     val standingSets = GateIndexes.pin(Dedup.docShingleSets(standing)
       .select(col("doc_id").as("existing_doc_id"),
-        col("sh_set").as("sh_old"), col("n_sh").as("n_b")), pinGroup)
+        col("sh_set").as("sh_old"), col("n_sh").as("n_b")), group)
     // ONE linear flow on the stream (two derivations of the same
     // stream joined together would be a stream-stream self-join):
     // shingle set, signatures and bands all ride the same rows

@@ -18,15 +18,38 @@ object GateIndexes {
 
   private val pinned =
     new java.util.concurrent.ConcurrentLinkedQueue[(String, DataFrame)]
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** A fresh, never-reused group name (`prefix#N`). Gate builders
+    * call this when the caller does not manage groups itself, so two
+    * concurrently-live gates of the SAME kind can never collide on a
+    * shared default — releasing the retired one must not unpersist
+    * the live gate's standing index (that silently reinstates the
+    * ~34 s/batch re-derivation the pin exists to prevent). */
+  def autoGroup(prefix: String): String =
+    s"$prefix#${seq.incrementAndGet()}"
 
   /** Persist `df` and register it under `group` for [[release]]. Each
-    * gate builder pins under its own group (callers pick a distinct
-    * `pinGroup` per live gate), so retiring ONE gate never unpersists
-    * a concurrently-running gate's index. */
-  def pin(df: DataFrame, group: String = "default"): DataFrame = {
+    * gate build pins under its own group — auto-generated via
+    * [[autoGroup]] unless the caller passes an explicit one — so
+    * retiring ONE gate never unpersists a concurrently-running
+    * gate's index. Callers passing explicit groups own the
+    * one-live-gate-per-group invariant. */
+  def pin(df: DataFrame, group: String): DataFrame = {
     val p = df.persist()
     pinned.add((group, p))
     p
+  }
+
+  /** The groups with at least one live pin, in pin order — lets a
+    * compaction driver that relied on auto-generated groups enumerate
+    * what is retireable. */
+  def liveGroups: Seq[String] = {
+    val b = Seq.newBuilder[String]
+    val it = pinned.iterator()
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    while (it.hasNext) { val g = it.next()._1; if (seen.add(g)) b += g }
+    b.result()
   }
 
   /** Unpersist the standing indexes pinned under `group`. Call after

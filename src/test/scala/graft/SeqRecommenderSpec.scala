@@ -168,6 +168,17 @@ class SeqRecommenderSpec extends SparkSuite {
     assert(byDur(1L) == byDur(3L) && byDur(1L) == 0L)
     assert(byDur(2L) == 1L && byDur(4L) == 2L, s"dense ordered ids: $byDur")
 
+    // a null timestamp must drop WITHOUT shifting the dense ids: an
+    // unfiltered window(null) would enter the period dimension as a
+    // null _pw and (NULLS FIRST) steal period_id 0 from t1/t3
+    val fixNull = fix.union(spark.createDataFrame(Seq(
+      (5L, 3L, Option.empty[java.sql.Timestamp], 14L)))
+      .toDF("t_id", "user_id", "timestamp", "item_id"))
+    val byDurNull = SeqRecommender.assignPeriodsFromDuration(fixNull, "7 days")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("period_id")).toMap
+    assert(byDurNull == byDur,
+      s"null ts must drop without shifting duration-mode ids: $byDurNull")
+
     // mode 3 — target count: span 31 days / n=3 → 10-day windows, and
     // any window past n-1 clamps to n-1 (reference :374-384)
     val byCnt = SeqRecommender.assignPeriodsFromCount(fix, 3)
@@ -175,6 +186,10 @@ class SeqRecommenderSpec extends SparkSuite {
     assert(byCnt.values.max == 2L && byCnt.values.min == 0L,
       s"count mode must span exactly [0, n-1]: $byCnt")
     assert(byCnt(4L) == 2L, "the tail transaction must clamp to the last period")
+    val byCntNull = SeqRecommender.assignPeriodsFromCount(fixNull, 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("period_id")).toMap
+    assert(byCntNull == byCnt,
+      s"null ts must drop without shifting count-mode ids/clamp: $byCntNull")
 
     // the three modes drive the SAME fit: duration-mode fit on the
     // fixture runs end to end and matches its own pre-bucketed twin
