@@ -338,7 +338,7 @@ object TextOps {
     * so a tokenizer change cannot silently diverge the sketch card
     * from the exact card it lower-bounds. Cached: every consumer
     * feeds it to 2-3 aggs plus the scoring join. */
-  private[operators] def bigramStream(docs: DataFrame): DataFrame =
+  private[graft] def bigramStream(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
         VectorFns.tokens(Dedup.normText(col("text"))).as("tk"))

@@ -155,6 +155,77 @@ object ScaleProbe {
     case "build" => build(args(1), args(2), args(3).toInt)
     case "run" => run(args(1), args(2).toInt,
       if (args.length > 3) args.drop(3).toSeq else PROBE_QUERIES)
+    case "lmvocab" => lmVocab(args(1), args(2), args(3).toInt,
+      if (args.length > 4) args.drop(4).map(_.toInt).toSeq else Seq(1, 32, 1024))
+  }
+
+  /** The lm-gate's ORGANIC-VOCAB probe (VERDICT r12 next #4): the
+    * committed 4 000-gram crossover was priced on replicas whose
+    * bigram universe grows only linearly with the copy count (931 →
+    * 9 310 at K=10 — the ¤-mutation keeps each copy's vocab IDENTICAL
+    * to the original's), so the sf1 in-situ reading is an
+    * indifference band, not a sketch win. The gate's actual case is
+    * the VOCAB axis: organic text grows distinct grams much faster
+    * than corpus mass (long-tail vocabulary). This mode grows that
+    * axis directly while holding corpus mass FIXED: every token takes
+    * a `¤(doc_id % V)` class tag, so the corpus splits into V
+    * disjoint vocabulary classes — token/bigram counts per doc are
+    * bit-identical across V (the scan/tokenize work is constant) and
+    * the distinct-gram universe scales ≈ V×. At each V it prices the
+    * exact chain ([[graft.operators.TextOps.perGramLogp]]: c₁₂ model
+    * + scoring via vocab-sized SHUFFLE joins), the sketch chain
+    * (capacity-bounded Misra-Gries model + broadcast scoring join),
+    * and the auto seam, against the SAME per-doc rollup. Caches clear
+    * between V values so each point is self-contained. */
+  def lmVocab(src: String, scratch: String, repeats: Int,
+              vs: Seq[Int]): Unit = {
+    val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s((s.size - 1) / 2) }
+    import graft.operators.TextOps
+    val points = vs.map { v =>
+      val dir = s"$scratch/v$v"
+      val docs0 = spark.read.parquet(s"$src/documents.parquet")
+      (if (v <= 1) docs0 else docs0.withColumn("text",
+        regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1¤"), (col("doc_id") % v).cast("string")))))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val docs = graft.sources.Tables.documents(spark, dir)
+      val grams = TextOps.bigramStream(docs)
+        .select(col("w1"), col("w2")).distinct().count()
+      val sides = Seq[(String, () => org.apache.spark.sql.DataFrame)](
+        "exact" -> (() => TextOps.lmQualityScores(docs,
+          Some(TextOps.perGramLogp(docs)))),
+        "sketch" -> (() => TextOps.lmQualityScores(docs,
+          Some(TextOps.perGramLogpSketch(docs)))),
+        "auto" -> (() => TextOps.lmQualityScores(docs)))
+      val med = sides.map { case (name, mk) =>
+        val walls = (1 to repeats).map { r =>
+          val t0 = System.nanoTime()
+          mk().write.mode("overwrite").format("noop").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(s"[lmvocab] v=$v grams=$grams $name run $r ${f3(dt)}s")
+          dt
+        }
+        name -> median(walls)
+      }
+      // each V's bigram cache is its own plan — drop it so the next
+      // point starts cold and no point pays another's residency
+      spark.catalog.clearCache()
+      (v, grams, med)
+    }
+    val json = "{\"metric\":\"lm_vocab_probe\",\"unit\":\"sec\"," +
+      "\"src\":\"" + src + "\",\"repeats\":" + repeats +
+      ",\"crossover_grams\":" + TextOps.LM_SKETCH_MIN_GRAMS +
+      ",\"points\":[" + points.map { case (v, g, med) =>
+        "{\"v\":" + v + ",\"distinct_grams\":" + g + "," +
+          med.map { case (n, s) => "\"" + n + "\":" + f3(s) }.mkString(",") + "}"
+      }.mkString(",") + "]}"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("scale_probe.json"), json)
+    println(json)
+    spark.stop()
   }
 
   def build(src: String, out: String, copies: Int): Unit = {

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+import graft.streaming.{EventStreams, GateIndexes}
+
+/** The corpus-compaction operational loop END TO END (VERDICT r12
+  * next #5) — the weekly cycle a 100-TB ingest pipeline runs: accept
+  * batches through a live gate → fold accepted batches + standing
+  * snapshot into a NEW snapshot (`Corpus.compactSnapshot`) → audit
+  * the published snapshot with q144's `corpusDelta` against the
+  * ingested mass → rebuild the gate on the new snapshot under a fresh
+  * pin group → retire the old gate's standing index. Every piece
+  * existed by r12; this spec proves they compose. */
+class CompactionSpec extends SparkSuite {
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def persistedIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  test("compaction loop: fold batches last-writer-wins, q144 audits the delta, rebuilt gate matches the batch twin, old pins retire") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    // ---- standing snapshot v1 (full documents schema) ----
+    val standingDir = tmp("graft_compact_standing")
+    val ingestDir = tmp("graft_compact_ingest")
+    val newDir = tmp("graft_compact_new")
+    val standing = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta", "en", "web", 35L),
+      (101L, "completely different standing content here", "en", "web", 43L),
+      (102L, "the quick brown fox jumps over dogs", "en", "books", 35L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    standing.write.mode("overwrite").parquet(standingDir)
+
+    // ---- accepted ingest batches (writeBatchIdempotent layout) ----
+    // batch 0: one brand-new doc + a REVISION of standing doc 102
+    // batch 1: another new doc, plus a second revision of doc 102
+    //          (last writer must win) and a replayed copy of doc 200
+    //          overwriting its own batch dir (idempotent layout)
+    val b0 = Seq(
+      (200L, "novel ingest document number one", "en", "web", 32L),
+      (102L, "the quick brown fox revised edition", "en", "books", 35L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b1 = Seq(
+      (201L, "second fresh arrival with words", "en", "cc", 31L),
+      (102L, "the quick brown fox final edition", "en", "books", 33L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    EventStreams.writeBatchIdempotent(b0, 0L, ingestDir)
+    EventStreams.writeBatchIdempotent(b0, 0L, ingestDir) // replay: overwrite, not append
+    EventStreams.writeBatchIdempotent(b1, 1L, ingestDir)
+
+    // ---- the old gate, live over standing v1 ----
+    val before = persistedIds
+    val mem0 = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val oldGate = EventStreams.neardupGateStream(
+        mem0.toDF().toDF("doc_id", "ts", "text"), sp.read.parquet(standingDir),
+        watermark = "1 hour", pinGroup = "compact-old")
+      .writeStream.format("memory").queryName("compact_old")
+      .outputMode("append").start()
+    try {
+      mem0.addData((300L, ts("2024-06-01 08:00:00"), "alpha beta gamma delta epsilon zeta"))
+      oldGate.processAllAvailable()
+      assert(sp.sql("SELECT * FROM compact_old").count() == 1L,
+        "old gate must flag the standing near-dup before compaction")
+    } finally oldGate.stop()
+    val oldPins = persistedIds -- before
+    assert(oldPins.nonEmpty, "old gate must hold pinned standing indexes")
+
+    // ---- compact: fold ingest into a NEW snapshot directory ----
+    val nFiles = Corpus.compactSnapshot(sp, standingDir, ingestDir, newDir,
+      targetRowsPerFile = 2L)
+    val newSnap = sp.read.parquet(newDir)
+    // 3 standing + 2 new, doc 102 once (batch-1 revision wins)
+    assert(newSnap.count() == 5L)
+    assert(newSnap.filter(col("doc_id") === 102L)
+      .select("text").as[String].collect().toSeq
+      == Seq("the quick brown fox final edition"),
+      "last writer (batch 1) must win for the twice-revised doc")
+    assert(newSnap.filter(col("doc_id") === 100L)
+      .select("text").as[String].head() == "alpha beta gamma delta epsilon zeta",
+      "untouched standing docs survive unchanged")
+    assert(nFiles == 3 && new java.io.File(newDir).listFiles()
+      .count(f => f.getName.startsWith("part-")) == nFiles,
+      "compaction must publish ceil(5/2)=3 files")
+
+    // ---- q144 audits the published snapshot against the ingested mass ----
+    val delta = Corpus.corpusDelta(sp.read.parquet(standingDir), newSnap)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    // (added, removed, changed, unchanged, tok_added, tok_removed)
+    assert(delta("web") == ((1L, 0L, 0L, 2L, 5L, 0L)),
+      s"web: one 5-token add, both standing docs unchanged: ${delta("web")}")
+    assert(delta("cc") == ((1L, 0L, 0L, 0L, 5L, 0L)),
+      s"cc: the batch-1 arrival: ${delta("cc")}")
+    assert(delta("books") == ((0L, 0L, 1L, 0L, 6L, 7L)),
+      s"books: doc 102 changed, new mass 6 replaces old 7: ${delta("books")}")
+
+    // ---- swap: rebuild the gate on the NEW snapshot, fresh group ----
+    val mem1 = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val newGate = EventStreams.neardupGateStream(
+        mem1.toDF().toDF("doc_id", "ts", "text"), newSnap,
+        watermark = "1 hour", pinGroup = "compact-new")
+      .writeStream.format("memory").queryName("compact_new")
+      .outputMode("append").start()
+    try {
+      // retire the OLD gate's standing index now that its query is
+      // stopped and the new gate is live — the surgical release
+      GateIndexes.release("compact-old")
+      assert((persistedIds & oldPins).isEmpty,
+        "retired gate's standing index must leave the cache")
+
+      // replay a batch against the new gate: a near-dup of an
+      // INGESTED doc (invisible to the old snapshot) plus the old
+      // batch's standing near-dup — decisions must be bit-identical
+      // to the batch twin run against the new snapshot
+      val replay = Seq(
+        (300L, ts("2024-06-01 09:00:00"), "alpha beta gamma delta epsilon zeta"),
+        (301L, ts("2024-06-01 09:00:01"), "novel ingest document number one"))
+      mem1.addData(replay: _*)
+      newGate.processAllAvailable()
+      val got = sp.sql("SELECT doc_id, existing_doc_id, jaccard FROM compact_new")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set((300L, 100L, 1.0), (301L, 200L, 1.0)),
+        s"post-compaction gate must flag against the NEW standing state: $got")
+    } finally {
+      newGate.stop()
+      GateIndexes.release("compact-new")
+    }
+    assert((persistedIds -- before).isEmpty,
+      "full retirement must drain every pin this loop took")
+  }
+}
