@@ -44,6 +44,7 @@ object Corpus {
     "q124c_bloom_decon" -> q124c,
     "q136_split_leakage" -> q136,
     "q144_corpus_delta" -> q144,
+    "q145_snapshot_fold" -> q145,
     "q125_training_manifest" -> q125,
     "q127_hybrid_rrf" -> q127,
     "q127b_hybrid_rrf_ivf" -> q127b,
@@ -1718,6 +1719,38 @@ object Corpus {
     * streams through exactly once, shuffle-free on its side, into
     * ⌈rows / targetRowsPerFile⌉ output files (the small-file
     * compaction folded into the same single pass). */
+  /** The compaction FOLD itself — last-writer-wins union of a
+    * doc_id-unique update set over a standing snapshot: untouched
+    * standing docs survive, updated doc_ids take the update's row,
+    * brand-new doc_ids append. ONE `left_anti` equi-join (the
+    * standing side streams through once; AQE broadcasts the
+    * batch-sized touched-key set) + a union — no window, no sort, no
+    * full shuffle of the corpus. Registered under the oracle hash as
+    * q145 on the q144 fixture, so [[compactSnapshot]]'s folding
+    * semantics are gate-checked, not just spec'd. */
+  def snapshotFold(standing: DataFrame, updates: DataFrame): DataFrame =
+    standing
+      .join(updates.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(updates)
+
+  /** q145 — the snapshot fold on the q144 fixture: standing = the
+    * old snapshot (doc_id ≢ 4 mod [[DELTA_SNAP_MOD]]); updates = the
+    * ≡ 4 docs as new arrivals plus the standing ≡ 0 (mod
+    * [[DELTA_REV_MOD]]) docs re-texted as revisions. Emits the folded
+    * snapshot's per-doc digest (fingerprint + exact token count) —
+    * the row a release manifest records per published doc. */
+  private def q145(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.select(col("doc_id"), col("source"), col("text"))
+    val standing = base.filter(col("doc_id") % DELTA_SNAP_MOD =!= 4L)
+    val updates = base.filter(col("doc_id") % DELTA_SNAP_MOD === 4L)
+      .unionByName(standing.filter(col("doc_id") % DELTA_REV_MOD === 0L)
+        .withColumn("text", concat(col("text"), lit(" rev2"))))
+    snapshotFold(standing, updates)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"),
+        size(VectorFns.tokens(col("text"))).cast("long").as("n_tokens"))
+  }
+
   def compactSnapshot(spark: SparkSession, standingDir: String,
       ingestDir: String, outDir: String,
       targetRowsPerFile: Long): Long = {
@@ -1731,9 +1764,7 @@ object Corpus {
           .orderBy(col("batch_id").cast("long").desc)))
       .filter(col("_rk") === 1)
       .select(cols.map(col): _*)
-    val folded = standing
-      .join(latest.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .unionByName(latest)
+    val folded = snapshotFold(standing, latest)
     val rows = folded.count()
     val nFiles = math.max(1L,
       (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt

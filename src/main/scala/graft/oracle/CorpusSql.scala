@@ -726,6 +726,30 @@ object CorpusSql {
          |FROM j GROUP BY 1""".stripMargin
     },
 
+    // q145: the compaction fold on the q144 fixture — last-writer-
+    // wins union (anti-join survivors + updates), digested per doc
+    "q145_snapshot_fold" -> {
+      val m = graft.operators.Corpus.DELTA_SNAP_MOD
+      val rv = graft.operators.Corpus.DELTA_REV_MOD
+      s"""WITH standing AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  WHERE doc_id % $m <> 4),
+         |updates AS (
+         |  SELECT doc_id, source, text FROM documents WHERE doc_id % $m = 4
+         |  UNION ALL
+         |  SELECT doc_id, source, text || ' rev2' FROM documents
+         |  WHERE doc_id % $m <> 4 AND doc_id % $rv = 0),
+         |folded AS (
+         |  SELECT s.doc_id, s.source, s.text FROM standing s
+         |  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.doc_id = s.doc_id)
+         |  UNION ALL
+         |  SELECT doc_id, source, text FROM updates)
+         |SELECT doc_id, source, md5(text) AS fp,
+         |       CAST(len(${tokensSql("lower(trim(text))")}) AS BIGINT)
+         |         AS n_tokens
+         |FROM folded""".stripMargin
+    },
+
     "q136_split_leakage" ->
       s"""WITH grams AS (
          |  SELECT DISTINCT

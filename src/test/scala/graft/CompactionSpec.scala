@@ -20,6 +20,30 @@ class CompactionSpec extends SparkSuite {
   private def persistedIds: Set[Int] =
     spark.sparkContext.getPersistentRDDs.keySet.toSet
 
+  test("q145 snapshot fold: brute-force replay at sf0.001 — untouched docs keep their fingerprint, updates replace, arrivals append") {
+    val sf = "/root/testdata/sf0.001"
+    val Corpus = graft.operators.Corpus
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // driver-side replay of the fold's contract
+    val expected = docs.map { case (id, src, text) =>
+      val revised = id % Corpus.DELTA_SNAP_MOD != 4 && id % Corpus.DELTA_REV_MOD == 0
+      (id, src, if (revised) text + " rev2" else text)
+    }.map { case (id, src, text) =>
+      (id, src, java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    }.toSet
+    val got = graft.SparkEntry.queries("q145_snapshot_fold")(spark, sf)
+      .select(col("doc_id"), col("source"), col("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got.size == docs.length,
+      "fold of arrivals+revisions over the old snapshot covers every doc once")
+    assert(got == expected,
+      s"fold digest drift: only-got=${(got -- expected).take(3)}, " +
+        s"only-exp=${(expected -- got).take(3)}")
+  }
+
   test("compaction loop: fold batches last-writer-wins, q144 audits the delta, rebuilt gate matches the batch twin, old pins retire") {
     val sp = spark
     import sp.implicits._
