@@ -40,7 +40,8 @@ object Similarity {
     "q130_label_separation" -> q130,
     "q143_embedding_drift" -> q143,
     "q132_hard_negatives" -> q132,
-    "q132b_hard_negatives_ivf" -> q132b
+    "q132b_hard_negatives_ivf" -> q132b,
+    "q146_ivfpq_ann" -> q146
   )
 
   /** Salt for the q113 per-cell draw order — decorrelated from every
@@ -822,6 +823,74 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id").as("n_id"),
         r4(col("ad2")).as("approx_d2"), col("rk"))
+  }
+
+  /** Probe sizing and recall floor for the q146 IVF×PQ contract row.
+    * The probe count is SIZED, not fixed (the `itemSimsAuto`
+    * discipline applied to the probe dial): with the corpus-growing
+    * codebook, cells ∝ N, so any FIXED nprobe probes a vanishing
+    * fraction of the corpus and the composed recall collapses at
+    * scale (measured: probes=3 read recall_ok=1 at sf0.1's ~34 cells
+    * but 0 at the sf1 replica's ~305). `probes = max(3, ⌈cells/8⌉)`
+    * holds the probed fraction ≈ constant; per-query candidate work
+    * stays probes · O(IVF_SEED_MOD) constant-occupancy buckets.
+    * The floor (0.10) sits under the measured composed recall at the
+    * gate/bench SFs (sf0.1: 0.158 at probes=5) and, like
+    * [[PQ_RECALL_FLOOR]], catches codebook/LUT/probe-set regressions,
+    * not absolute quality. KNOWN SF-BOUND: at the 10× replica the
+    * composition reads 0.078 FLAT in the probe count (39 → 152
+    * probes of 305 cells — measured, `BASELINE §r13`), i.e. the
+    * limiter there is not probe selection but the 8-byte PQ code's
+    * ranking ceiling on UNIFORM vectors (code collisions grow with
+    * corpus at fixed M·log₂K bits); the dial that restores recall at
+    * scale is bytes-per-vector ([[PQ_M]]/[[PQ_K]]), which production
+    * corpora with real cluster structure need far less of.
+    * AnnRecallSpec keeps the finer-grained curve. */
+  val IVFPQ_MIN_PROBES = 3
+  val IVFPQ_PROBE_DEN = 8L
+  val IVFPQ_RECALL_FLOOR = 0.10
+
+  /** The q146 probe dial as a pure function of the codebook size. */
+  def ivfPqProbes(nCells: Long): Int =
+    math.max(IVFPQ_MIN_PROBES,
+      ((nCells + IVFPQ_PROBE_DEN - 1) / IVFPQ_PROBE_DEN).toInt)
+
+  /** q146 — the COMPOSED IVF×PQ vector index as a contract row (the
+    * q99 posture): run [[ivfPqTopK]] — coarse cells prune the corpus,
+    * residual-free PQ codes ADC-rank inside the probe set — AND the
+    * exact squared-L2 baseline on the same cohort, emit one row of
+    * oracle-recomputable facts plus the `recall_ok` verdict the
+    * DuckDB oracle pins to 1. A regression anywhere in the composed
+    * layout (cell assignment, probe selection, codebooks, LUT join)
+    * now hash-fails the driver row; this is the layout a 100-TB
+    * vector corpus actually ships (IVF partitions + 8-byte codes:
+    * the probe scans byte codes, never floats). */
+  private def q146(spark: SparkSession, dir: String): DataFrame = {
+    // cache scope: the contract reads e for cells, PQ training,
+    // codes, queries and the exact audit; unpersist before returning
+    // (the q99 discipline — bench repeats must not stack residencies)
+    val e = emb(spark, dir).cache()
+    try {
+      val qPred = col("vec_id") % 25 === 0
+      val probes = ivfPqProbes(centsOf(e, IVF_SEEDS).count())
+      val ann = ivfPqTopK(e, IVF_SEEDS, probes, qPred, TOP_K)
+        .select(col("q_id"), col("n_id"))
+      val q = e.filter(qPred).select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id").asc)
+      val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          sqDistArr(col("qv"), col("v")).as("d2"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= TOP_K)
+        .select(col("q_id"), col("n_id"))
+      val hits = exact.join(ann, Seq("q_id", "n_id")).count()
+      val nq = q.count()
+      val nCorpus = e.count()
+      val recall = hits.toDouble / (nq * TOP_K)
+      import spark.implicits._
+      Seq((nq, nCorpus, TOP_K, probes,
+        if (recall >= IVFPQ_RECALL_FLOOR) 1 else 0))
+        .toDF("n_queries", "n_corpus", "k", "probes", "recall_ok")
+    } finally e.unpersist()
   }
 
   /** Query-cohort modulus, id cap and neighbor count for the label

@@ -662,6 +662,26 @@ object SimilaritySql {
     "q99_pq_ann" ->
       """SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 25 = 0) AS n_queries,
         |       (SELECT count(*) FROM embeddings) AS n_corpus,
-        |       10 AS k, 1 AS recall_ok""".stripMargin
+        |       10 AS k, 1 AS recall_ok""".stripMargin,
+
+    // q146 IVF×PQ contract row (q99 posture): cohort/corpus sizes, k
+    // and the SIZED probe count (max(3, ceil(cells/8)) — recomputed
+    // from the same corpus-growing codebook rule) are exact facts;
+    // recall_ok pins to 1 so any regression in the composed layout —
+    // cell assignment, probe sizing, codebooks, LUT join —
+    // hash-fails the row
+    "q146_ivfpq_ann" -> {
+      val s = graft.operators.Similarity
+      s"""WITH $embCte,
+         |$ivfCentsCte
+         |SELECT (SELECT count(*) FROM emb WHERE vec_id % 25 = 0) AS n_queries,
+         |       (SELECT count(*) FROM emb) AS n_corpus,
+         |       10 AS k,
+         |       CAST(greatest(${s.IVFPQ_MIN_PROBES},
+         |              CAST(ceil(CAST((SELECT count(*) FROM cents) AS DOUBLE)
+         |                        / ${s.IVFPQ_PROBE_DEN}.0) AS BIGINT))
+         |            AS INTEGER) AS probes,
+         |       1 AS recall_ok""".stripMargin
+    }
   )
 }

@@ -119,6 +119,18 @@ class AnnRecallSpec extends SparkSuite {
     val p1 = ivfPqTopK(e, IVF_SEEDS, probes = 1, col("vec_id") % 25 === 0, 10)
     // probe-1 returns <= k candidates per query, all from probed cells
     assert(p1.groupBy("q_id").count().agg(max("count")).head.getLong(0) <= 10)
+
+    // the q146 contract row: facts recomputable, verdict green at the
+    // registered probe count (the row the driver oracle pins to 1)
+    val row = graft.SparkEntry.queries("q146_ivfpq_ann")(
+      spark, "/root/testdata/sf0.001").collect()(0)
+    assert(row.getLong(0) == e.filter(col("vec_id") % 25 === 0).count())
+    assert(row.getLong(1) == e.count())
+    assert(row.getInt(2) == 10
+      && row.getInt(3) == graft.operators.Similarity.ivfPqProbes(
+        AnnRecallSpec.cellCount(spark, "/root/testdata/sf0.001")))
+    assert(row.getInt(4) == 1,
+      "composed IVF×PQ recall must clear its contract floor at sf0.001")
     exact.unpersist()
   }
 
