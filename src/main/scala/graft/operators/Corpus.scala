@@ -1712,6 +1712,14 @@ object Corpus {
     * appear at most once per batch (the gates' accept path emits one
     * row per doc — same contract as [[Layout.mergeUpsert]]).
     *
+    * TOMBSTONES: if the ingest batches carry [[Layout.DELETED_COL]]
+    * (`_deleted`), a true row REMOVES the doc from the published
+    * snapshot — the takedown/opt-out path a production corpus is
+    * legally required to honor, with the same last-writer-wins order
+    * (a later batch can revive a tombstoned doc). Tombstones
+    * participate in the delta audit as `n_removed`/`tok_removed`
+    * rows of [[corpusDelta]].
+    *
     * Scale shape: the intra-ingest last-writer window shuffles only
     * the INGEST mass (batches, never the corpus); the standing side
     * pays ONE `left_anti` equi-join against the batch-sized touched-
@@ -1725,12 +1733,16 @@ object Corpus {
     * brand-new doc_ids append. ONE `left_anti` equi-join (the
     * standing side streams through once; AQE broadcasts the
     * batch-sized touched-key set) + a union — no window, no sort, no
-    * full shuffle of the corpus. Registered under the oracle hash as
-    * q145 on the q144 fixture, so [[compactSnapshot]]'s folding
-    * semantics are gate-checked, not just spec'd. */
-  def snapshotFold(standing: DataFrame, updates: DataFrame): DataFrame =
+    * full shuffle of the corpus. `touched` widens the anti-join's key
+    * set beyond the update rows (the tombstone path: a removed doc is
+    * touched but contributes no update). Registered under the oracle
+    * hash as q145 on the q144 fixture, so [[compactSnapshot]]'s
+    * folding semantics are gate-checked, not just spec'd. */
+  def snapshotFold(standing: DataFrame, updates: DataFrame,
+                   touched: Option[DataFrame] = None): DataFrame =
     standing
-      .join(updates.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(touched.getOrElse(updates.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
       .unionByName(updates)
 
   /** q145 — the snapshot fold on the q144 fixture: standing = the
@@ -1758,13 +1770,22 @@ object Corpus {
     val standing = spark.read.parquet(standingDir)
     val cols = standing.columns.toSeq
     val ingested = spark.read.parquet(ingestDir)
-    val latest = ingested
+    val latestAll = ingested
       .withColumn("_rk", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("batch_id").cast("long").desc)))
       .filter(col("_rk") === 1)
-      .select(cols.map(col): _*)
-    val folded = snapshotFold(standing, latest)
+    // a tombstoned doc still counts as TOUCHED (its standing version
+    // must not survive the anti-join) but contributes no update row
+    val latest =
+      (if (latestAll.columns.contains(Layout.DELETED_COL))
+        latestAll.filter(!coalesce(col(Layout.DELETED_COL), lit(false)))
+      else latestAll).select(cols.map(col): _*)
+    // touched = ALL latest keys (tombstoned included): the fold's
+    // anti-join drops every touched standing row, updates re-add the
+    // survivors — q145 gates the same fold with touched = updates
+    val folded = snapshotFold(standing, latest,
+      touched = Some(latestAll.select(col("doc_id"))))
     val rows = folded.count()
     val nFiles = math.max(1L,
       (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt

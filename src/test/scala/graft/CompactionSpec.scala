@@ -44,6 +44,43 @@ class CompactionSpec extends SparkSuite {
         s"only-exp=${(expected -- got).take(3)}")
   }
 
+  test("tombstoned batches: compaction honors takedowns last-writer-wins and q144 reports them as removals") {
+    val sp = spark
+    import sp.implicits._
+    val standingDir = tmp("graft_tomb_standing")
+    val ingestDir = tmp("graft_tomb_ingest")
+    val newDir = tmp("graft_tomb_new")
+    val standing = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta", "en", "web", 35L),
+      (101L, "completely different standing content here", "en", "web", 43L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    standing.write.mode("overwrite").parquet(standingDir)
+    // batch 0 tombstones standing doc 101 (a takedown) and ACCEPTS a
+    // new doc 300; batch 1 then tombstones 300 — the later writer
+    // wins, so 300 must not reach the published snapshot either
+    val b0 = Seq(
+      (101L, "", "en", "web", 0L, true),
+      (300L, "fresh takedown test document", "en", "cc", 28L, false))
+      .toDF("doc_id", "text", "lang", "source", "n_chars",
+        graft.operators.Layout.DELETED_COL)
+    val b1 = Seq(
+      (300L, "", "en", "cc", 0L, true))
+      .toDF("doc_id", "text", "lang", "source", "n_chars",
+        graft.operators.Layout.DELETED_COL)
+    graft.streaming.EventStreams.writeBatchIdempotent(b0, 0L, ingestDir)
+    graft.streaming.EventStreams.writeBatchIdempotent(b1, 1L, ingestDir)
+
+    Corpus.compactSnapshot(sp, standingDir, ingestDir, newDir, 100L)
+    val newSnap = sp.read.parquet(newDir)
+    assert(newSnap.select("doc_id").as[Long].collect().toSet == Set(100L),
+      "101 tombstoned in batch 0; 300 accepted then tombstoned by the later batch")
+    val delta = Corpus.corpusDelta(sp.read.parquet(standingDir), newSnap)
+      .filter(col("source") === "web")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(6))).head
+    assert(delta == ((0L, 1L, 5L)),
+      s"q144 must report the takedown: added=0, removed=1, tok_removed=5: $delta")
+  }
+
   test("compaction loop: fold batches last-writer-wins, q144 audits the delta, rebuilt gate matches the batch twin, old pins retire") {
     val sp = spark
     import sp.implicits._
