@@ -825,6 +825,79 @@ object Similarity {
         r4(col("ad2")).as("approx_d2"), col("rk"))
   }
 
+  /** RESIDUAL-encoded IVF×PQ — the textbook refinement of
+    * [[ivfPqTopK]] (Jégou et al. 2011's IVFADC): PQ codebooks train
+    * on and codes encode the RESIDUAL `v − centroid(cell)` instead of
+    * the raw vector, so the byte codes spend their bits on the
+    * within-cell geometry the coarse quantizer already localized —
+    * on clustered corpora residual magnitudes are far smaller than
+    * vector magnitudes and the same M·log₂K bits quantize much finer.
+    * Query side: the ADC lookup table is built per (query, PROBED
+    * cell) against the query's residual in that cell — LUT rows =
+    * |queries|·probes·M·K (probe-bounded, broadcast), versus the raw
+    * variant's |queries|·M·K; candidates still meet the LUT only
+    * inside their probed cells, so the scan is byte-code arithmetic
+    * either way and the corpus's floats never participate at query
+    * time.
+    *
+    * Scale shape identical to [[ivfPqTopK]]: cells bucket the
+    * candidate work, codebooks/LUT broadcast, one keyed agg per
+    * (query, candidate). The residual subtraction is one zip_with —
+    * pure codegen map work on both sides. */
+  def ivfPqResidualTopK(e: DataFrame, seedIds: Seq[Long], probes: Int,
+                        queryPred: Column, k: Int): DataFrame = {
+    val cents = centsOf(e, seedIds)
+      .select(col("cell").as("ivf_cell"), col("cv"))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("ivf_cell").asc)
+    val ranked = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("ivf_cell"),
+        r6(sqDistArr(col("v"), col("cv"))).as("d2"))
+      .withColumn("crk", row_number().over(wAsg))
+    val corpusCells = ranked.filter(col("crk") === 1)
+      .select(col("vec_id"), col("ivf_cell"))
+    val qProbes = ranked.filter(queryPred && col("crk") <= probes)
+      .select(col("vec_id").as("q_id"), col("ivf_cell"))
+    // residual stream: each corpus vector re-expressed against its
+    // own cell's centroid (zip_with — no shuffle beyond the cell join)
+    val res = e.join(corpusCells, Seq("vec_id"))
+      .join(broadcast(cents), Seq("ivf_cell"))
+      .select(col("vec_id"), col("ivf_cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+    val pqCents = pqTrain(res.select(col("vec_id"), col("v")))
+    val codes = pqCodes(res.select(col("vec_id"), col("v")), pqCents)
+      .join(corpusCells, Seq("vec_id"))
+    // per-(query, probed-cell) residual LUT: the query's residual
+    // against EACH cell it probes, subspace-sliced exactly like the
+    // corpus codes it will meet there
+    val qres = e.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .join(qProbes, Seq("q_id"))
+      .join(broadcast(cents), Seq("ivf_cell"))
+      .select(col("q_id"), col("ivf_cell"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qrv"))
+    val lut = qres
+      .select(col("q_id"), col("ivf_cell"),
+        explode(sequence(lit(0), lit(PQ_M - 1))).as("m"), col("qrv"))
+      .select(col("q_id"), col("ivf_cell"), col("m"),
+        slice(col("qrv"), col("m") * PQ_SUBDIM + 1, lit(PQ_SUBDIM)).as("sv"))
+      .join(pqCents, Seq("m"))
+      .select(col("q_id"), col("ivf_cell"), col("m"), col("cell"),
+        sqDistArr(col("sv"), col("cv")).as("ld2"))
+    val approx = codes
+      .join(broadcast(qProbes), Seq("ivf_cell"))
+      .join(broadcast(lut), Seq("q_id", "ivf_cell", "m", "cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("ld2")).as("ad2"), count(lit(1)).as("nm"))
+      .filter(col("nm") === PQ_M)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ad2").asc, col("vec_id").asc)
+    approx.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        r4(col("ad2")).as("approx_d2"), col("rk"))
+  }
+
   /** Probe sizing and recall floor for the q146 IVF×PQ contract row.
     * The probe count is SIZED, not fixed (the `itemSimsAuto`
     * discipline applied to the probe dial): with the corpus-growing

@@ -134,6 +134,88 @@ class AnnRecallSpec extends SparkSuite {
     exact.unpersist()
   }
 
+  test("residual IVF×PQ (IVFADC): wins where cells capture structure; the uniform corpus inverts it — both measured") {
+    import graft.operators.Similarity
+    val sp = spark
+    import sp.implicits._
+    // ---- clustered fixture (deterministic, no RNG): 16 well-
+    // separated integer centers, 25 members each with ±0.005-scale
+    // hash offsets. Residuals are tiny vs the centers, so PQ bits
+    // spent on residuals quantize the within-cell geometry finely
+    // while raw-vector PQ burns them re-encoding the center.
+    val dim = 64
+    def h(a: Long, b: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$a:$b".getBytes("UTF-8"))
+      ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+    }
+    // %17 keeps all 16 centers distinct (j*5 mod 17 is injective on
+    // 0..15); offsets ±0.5 give the residual codes real within-
+    // cluster geometry to rank, far below the ≥1-per-dim separation
+    def center(j: Int): Array[Double] =
+      Array.tabulate(dim)(d => ((j * 5 + d * 3) % 17 - 8).toDouble)
+    val vecs = (0L until 400L).map { id =>
+      val c = center((id % 16).toInt)
+      (id, Array.tabulate(dim)(d => c(d) + (h(id, d) % 11 - 5) * 0.1).toSeq)
+    }
+    val e = vecs.toDF("vec_id", "v").cache()
+    // one seed per cluster → IVF cells ≈ the true clusters
+    val seeds = (0L until 16L)
+    val qPred = col("vec_id") % 25 === 0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id").asc)
+    val q = e.filter(qPred).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        graft.functions.VectorFns.sqDistArr(col("qv"), col("v")).as("d2"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select(col("q_id"), col("n_id")).cache()
+    val nq = q.count()
+    def recallOf(ann: org.apache.spark.sql.DataFrame): Double =
+      exact.join(ann.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"))
+        .count().toDouble / (nq * 10)
+    val rRes = recallOf(Similarity.ivfPqResidualTopK(e, seeds, 2, qPred, 10))
+    val rRaw = recallOf(Similarity.ivfPqTopK(e, seeds, 2, qPred, 10))
+    info(f"clustered fixture: residual=$rRes%.3f raw=$rRaw%.3f")
+    assert(rRes > rRaw,
+      s"residual codes must beat raw codes on clustered data: $rRes vs $rRaw")
+    assert(rRes >= 0.5,
+      s"residual ADC must rank well above the same-cluster tie baseline: $rRes")
+    // determinism: the whole chain (Lloyd seeds, r6 ties, id breaks)
+    // replays bit-identically
+    val again = Similarity.ivfPqResidualTopK(e, seeds, 2, qPred, 10)
+      .collect().map(_.toSeq).toSet
+    assert(again == Similarity.ivfPqResidualTopK(e, seeds, 2, qPred, 10)
+      .collect().map(_.toSeq).toSet)
+    exact.unpersist(); e.unpersist()
+    // the UNIFORM corpus inverts the advantage (documented in the
+    // operator's BASELINE §r13 note: residuals of near-random
+    // centroids are as wide as the vectors and the pooled codebook
+    // fits them worse — measured raw 0.170 vs residual 0.110 at
+    // sf0.001). Assert the inversion so the honest reading is pinned.
+    val eu = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")).cache()
+    val qu = eu.filter(qPred).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val exactU = eu.join(broadcast(qu), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        graft.functions.VectorFns.sqDistArr(col("qv"), col("v")).as("d2"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select(col("q_id"), col("n_id")).cache()
+    val nqu = qu.count()
+    val uRes = exactU.join(Similarity.ivfPqResidualTopK(eu,
+        graft.operators.Similarity.IVF_SEEDS, 3, qPred, 10)
+        .select(col("q_id"), col("n_id")), Seq("q_id", "n_id"))
+      .count().toDouble / (nqu * 10)
+    val uRaw = exactU.join(Similarity.ivfPqTopK(eu,
+        graft.operators.Similarity.IVF_SEEDS, 3, qPred, 10)
+        .select(col("q_id"), col("n_id")), Seq("q_id", "n_id"))
+      .count().toDouble / (nqu * 10)
+    info(f"uniform corpus: residual=$uRes%.3f raw=$uRaw%.3f (inverted, as documented)")
+    assert(uRaw > uRes, "the uniform synthetic must keep inverting the advantage " +
+      s"(if this flips, update the q146/BASELINE prose): $uRaw vs $uRes")
+    exactU.unpersist(); eu.unpersist()
+  }
+
   test("knnLabelProbe replays a driver-side brute force exactly") {
     import graft.operators.Similarity
     val dir = "/root/testdata/sf0.001"
