@@ -45,6 +45,7 @@ object Corpus {
     "q136_split_leakage" -> q136,
     "q144_corpus_delta" -> q144,
     "q145_snapshot_fold" -> q145,
+    "q147_budget_select" -> q147,
     "q125_training_manifest" -> q125,
     "q127_hybrid_rrf" -> q127,
     "q127b_hybrid_rrf_ivf" -> q127b,
@@ -1689,6 +1690,79 @@ object Corpus {
         when(col("doc_id") % DELTA_REV_MOD === 0L,
           concat(col("text"), lit(" rev2"))).otherwise(col("text")))
     corpusDelta(oldSnap, newSnap)
+  }
+
+  /** q147 budget: keep the top-quality ⌊total/BUDGET_DEN⌋ tokens. */
+  val BUDGET_DEN = 5L
+  /** Docs too short to earn an LM score sort LAST, after every scored
+    * doc (a plain double both engines order identically). */
+  val BUDGET_SENTINEL = -1000000.0
+  /** Order-preserving score-grid buckets for the two-level global
+    * prefix sum (the q119 construction on a SCORE key instead of a
+    * hash key). */
+  val BUDGET_BUCKETS = 4096
+
+  /** q147 — token-budget data selection: rank every document by its
+    * corpus-LM fluency (q94's `avg_logp`, the CCNet/Gopher ordering)
+    * and keep documents best-first until the token budget
+    * ⌊Σ n_tok / [[BUDGET_DEN]]⌋ is exhausted — "train on the most
+    * fluent 20% of tokens", the selection step between quality
+    * scoring and shard planning. Emits the FULL per-doc assignment
+    * (rank, cumulative token mass, kept flag — the q124b/q138
+    * mountable-artifact discipline); the budget boundary admits the
+    * straddling doc (`cum − n_tok < B`, q119's shard-open rule), so
+    * the kept mass overshoots by at most one document.
+    *
+    * Scale shape: a global quality rank + global running token sum
+    * WITHOUT a corpus-wide sort — the q119/q138 two-level
+    * construction generalized from hash keys to a SCORE key: one
+    * scalar agg broadcasts (smin, smax, Σtok); each row maps to an
+    * order-preserving grid bucket (monotone in the score, so equal
+    * scores can never straddle buckets and the composed
+    * (bucket, score desc, doc_id) order IS the flat order); within-
+    * bucket row_number + cumsum windows cap partitions at
+    * corpus/4096; per-bucket (count, tokens) totals fold into
+    * exclusive offsets via one window over ≤4097 dimension rows,
+    * broadcast back. Score side rides [[TextOps.lmQualityScores]] —
+    * the q94 family seam, lm-gate included. */
+  def budgetSelect(docs: DataFrame, scores: DataFrame,
+                   den: Long = BUDGET_DEN): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"),
+      size(VectorFns.tokens(col("text"))).cast("long").as("n_tok"))
+      .join(scores.select(col("doc_id"), col("avg_logp")), Seq("doc_id"), "left")
+      .withColumn("sc",
+        coalesce(col("avg_logp").cast("double"), lit(BUDGET_SENTINEL)))
+    val stats = base.agg(min(col("sc")).as("smin"), max(col("sc")).as("smax"),
+      sum(col("n_tok")).as("ttok"))
+    val bucketed = base.crossJoin(broadcast(stats))
+      .withColumn("bkt",
+        when(col("smax") === col("smin"), lit(0L))
+          .otherwise(floor((col("smax") - col("sc"))
+            / (col("smax") - col("smin")) * lit(BUDGET_BUCKETS))))
+    val wbRank = Window.partitionBy(col("bkt"))
+      .orderBy(col("sc").desc, col("doc_id").asc)
+    val wbCum = wbRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wo = Window.orderBy(col("bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("bcnt"), sum(col("n_tok")).as("btok"))
+      .select(col("bkt"),
+        coalesce(sum(col("bcnt")).over(wo), lit(0L)).as("boff"),
+        coalesce(sum(col("btok")).over(wo), lit(0L)).as("toff"))
+    bucketed
+      .withColumn("brk", row_number().over(wbRank).cast("long"))
+      .withColumn("bcum", sum(col("n_tok")).over(wbCum))
+      .join(broadcast(offsets), Seq("bkt"))
+      .select(col("doc_id"), (col("boff") + col("brk")).as("sel_rank"),
+        col("n_tok"), (col("toff") + col("bcum")).as("cum_tokens"),
+        (col("toff") + col("bcum") - col("n_tok")
+          < expr(s"ttok DIV $den")).cast("int").as("selected"))
+  }
+
+  private def q147(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    budgetSelect(docs, graft.operators.TextOps.lmQualityScores(docs))
   }
 
   /** Corpus COMPACTION — the weekly operational loop of a 100-TB

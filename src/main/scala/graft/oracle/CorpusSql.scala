@@ -676,6 +676,55 @@ object CorpusSql {
     // gates the optimized plan's equivalence
     "q124c_bloom_decon" -> q124Sql,
 
+    // q147: token-budget selection — q94's corpus-LM score CTEs, a
+    // flat (score desc, doc_id) rank + running token sum (the oracle
+    // keeps the single window; the Spark side's two-level construction
+    // is order-identical by the bucket-monotonicity argument), budget
+    // boundary by the q119 shard-open rule
+    "q147_budget_select" -> {
+      val den = graft.operators.Corpus.BUDGET_DEN
+      val sent = graft.operators.Corpus.BUDGET_SENTINEL
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${tokensSql(normTextSql("text"))} AS tk
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+         |  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+         |  WHERE len(tk) >= 2),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w1) AS v FROM bg),
+         |scored AS (
+         |  SELECT bg.doc_id,
+         |         CAST(${graft.functions.Rounding.sql6(
+                     "ln(CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))")}
+         |              AS DECIMAL(20,6)) AS lp
+         |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v),
+         |agg AS (
+         |  SELECT doc_id,
+         |         ${graft.functions.Rounding.sql4(
+                     "CAST(sum(lp) AS DOUBLE) / count(*)")} AS avg_logp
+         |  FROM scored GROUP BY 1),
+         |base AS (
+         |  SELECT d.doc_id,
+         |         CAST(len(${tokensSql("lower(trim(d.text))")}) AS BIGINT)
+         |           AS n_tok,
+         |         coalesce(a.avg_logp, $sent) AS sc
+         |  FROM documents d LEFT JOIN agg a USING (doc_id)),
+         |tot AS (SELECT sum(n_tok) AS ttok FROM base),
+         |ranked AS (
+         |  SELECT doc_id, n_tok,
+         |         CAST(row_number() OVER
+         |           (ORDER BY sc DESC, doc_id ASC) AS BIGINT) AS sel_rank,
+         |         CAST(sum(n_tok) OVER (ORDER BY sc DESC, doc_id ASC
+         |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM base)
+         |SELECT doc_id, sel_rank, n_tok, cum_tokens,
+         |       CAST(cum_tokens - n_tok < (SELECT ttok // $den FROM tot)
+         |            AS INTEGER) AS selected
+         |FROM ranked""".stripMargin
+    },
+
     // q136: split-leakage matrix — per-gram split membership flags
     // folded in one keyed agg; pairwise intersections are flag
     // products, the 3-row matrix a UNION ALL (Spark: stack)

@@ -93,7 +93,7 @@ object StreamIngestProbe {
       val mem = MemoryStream[(Long, java.sql.Timestamp, Seq[Double])]
       val q = graft.streaming.CorpusStreams
         .semdedupGateStream(mem.toDF().toDF("vec_id", "ts", "v"), standing,
-          S.IVF_SEEDS, S.SEMDEDUP_TAU, "1 hour")
+          S.IVF_SEEDS, S.SEMDEDUP_TAU, "1 hour", pinGroup = "probe-sem")
         .writeStream.format("memory").queryName("probe_sem")
         .outputMode("append").start()
       val walls = try (0 until n).map { b =>
@@ -106,7 +106,7 @@ object StreamIngestProbe {
       // phase's cached index (and a processAllAvailable failure must
       // not leak the running query)
       finally {
-        q.stop(); graft.streaming.GateIndexes.release("semdedup")
+        q.stop(); graft.streaming.GateIndexes.release("probe-sem")
       }
       walls
     }
@@ -121,7 +121,7 @@ object StreamIngestProbe {
       val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
       val q = graft.streaming.EventStreams
         .neardupGateStream(mem.toDF().toDF("doc_id", "ts", "text"), standing,
-          watermark = "1 hour")
+          watermark = "1 hour", pinGroup = "probe-nd")
         .writeStream.format("memory").queryName("probe_nd")
         .outputMode("append").start()
       val walls = try (0 until n).map { b =>
@@ -130,7 +130,7 @@ object StreamIngestProbe {
         timed { mem.addData(slice.toSeq: _*); q.processAllAvailable() }
       }
       finally {
-        q.stop(); graft.streaming.GateIndexes.release("neardup")
+        q.stop(); graft.streaming.GateIndexes.release("probe-nd")
       }
       walls
     }
@@ -152,6 +152,52 @@ object StreamIngestProbe {
       }
       finally q.stop()
       walls
+    }
+
+    // ---- the r13 compaction gate-swap (VERDICT r12 next #5), priced:
+    // fold the accepted quarter (as n idempotent batch dirs) into the
+    // standing snapshot, rebuild the neardup gate on the published
+    // snapshot under a FRESH pin group, replay the same batches, and
+    // measure (a) the compaction wall itself, (b) per-batch gate cost
+    // staying flat against the BIGGER post-swap standing state, (c)
+    // the retired group's pins actually leaving the cache.
+    Console.err.println("[probe] phase: compaction gate swap")
+    val (compactSecs, postSwapWalls, pinsDrained) = {
+      val standingDir = s"$base/swap_standing"
+      val ingestDir = s"$base/swap_ingest"
+      val newDir = s"$base/swap_new"
+      docs.filter(col("doc_id") % 4 =!= 3).write.parquet(standingDir)
+      (0 until n).foreach { b =>
+        graft.streaming.EventStreams.writeBatchIdempotent(
+          docs.filter(col("doc_id") % 4 === 3 &&
+            pmod(col("doc_id") / 4, lit(n)) === b), b.toLong, ingestDir)
+      }
+      val tC = timed {
+        graft.operators.Corpus.compactSnapshot(spark, standingDir, ingestDir,
+          newDir, targetRowsPerFile = 1000000L)
+      }
+      Console.err.println(s"[probe] compactSnapshot ${f3(tC)}s")
+      val incoming = docs.filter(col("doc_id") % 4 === 3)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val q = graft.streaming.EventStreams
+        .neardupGateStream(mem.toDF().toDF("doc_id", "ts", "text"),
+          spark.read.parquet(newDir).select(col("doc_id"), col("text")),
+          watermark = "1 hour", pinGroup = "probe-nd2")
+        .writeStream.format("memory").queryName("probe_nd2")
+        .outputMode("append").start()
+      val walls = try (0 until n).map { b =>
+        val slice = incoming.filter(x => (x._1 / 4) % n == b)
+          .map(x => (x._1, new java.sql.Timestamp(t0ms + b * 60000L), x._2))
+        timed { mem.addData(slice.toSeq: _*); q.processAllAvailable() }
+      } finally {
+        q.stop(); graft.streaming.GateIndexes.release("probe-nd2")
+      }
+      val drained = (spark.sparkContext.getPersistentRDDs.keySet.toSet
+        -- before).isEmpty
+      (tC, walls, drained)
     }
 
     Console.err.println("[probe] phase: embdrift")
@@ -180,6 +226,7 @@ object StreamIngestProbe {
     val (nd1, nd2) = halves(neardupWalls)
     val (qu1, qu2) = halves(quotaWalls)
     val (ed1, ed2) = halves(embdrift)
+    val (ps1, ps2) = halves(postSwapWalls)
     val json =
       s"""{"metric":"stream_ingest_probe","sf_dir":"$dir","n_batches":$n,""" +
         s""""manifest_walls":[${manifest.map(f3).mkString(",")}],""" +
@@ -189,6 +236,10 @@ object StreamIngestProbe {
         s""""neardup_walls":[${neardupWalls.map(f3).mkString(",")}],""" +
         s""""quota_walls":[${quotaWalls.map(f3).mkString(",")}],""" +
         s""""embdrift_walls":[${embdrift.map(f3).mkString(",")}],""" +
+        s""""compact_secs":${f3(compactSecs)},""" +
+        s""""post_swap_walls":[${postSwapWalls.map(f3).mkString(",")}],""" +
+        s""""post_swap_half_medians":[${f3(ps1)},${f3(ps2)}],""" +
+        s""""retired_pins_drained":$pinsDrained,""" +
         s""""manifest_half_medians":[${f3(m1)},${f3(m2)}],""" +
         s""""datasheet_half_medians":[${f3(s1)},${f3(s2)}],""" +
         s""""drift_half_medians":[${f3(d1)},${f3(d2)}],""" +

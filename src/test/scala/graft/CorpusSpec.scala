@@ -1374,4 +1374,62 @@ class CorpusSpec extends SparkSuite {
     assert(dflt.forall { case (d, v) => v <= q94(d) + 1e-9 },
       "per-doc sketch score must lower-bound the exact score")
   }
+
+  test("budgetSelect: score-grid two-level equals the naive single window; budget boundary exact; repartition-stable") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // synthetic scores including TIES (three docs share -1.5) so the
+    // bucket-monotonicity argument is exercised where it can break
+    val fix = Seq(
+      (1L, "aa bb cc", -0.5), (2L, "aa bb", -1.5), (3L, "aa bb cc dd", -1.5),
+      (4L, "aa", -1.5), (5L, "aa bb cc dd ee", -3.25), (6L, "aa bb", -0.25),
+      (7L, "aa bb cc", -2.0), (8L, "aa", -0.75))
+    val docs = fix.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
+    val scores = fix.map { case (id, _, sc) => (id, sc) }.toDF("doc_id", "avg_logp")
+    val out = graft.operators.Corpus.budgetSelect(docs, scores, den = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    // naive flat form: one global (score desc, id) window
+    val w = Window.orderBy(col("sc").desc, col("doc_id").asc)
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = docs.select(col("doc_id"),
+      size(graft.functions.VectorFns.tokens(col("text"))).cast("long").as("n_tok"))
+      .join(scores, Seq("doc_id")).withColumn("sc", col("avg_logp"))
+    val ttok = fix.map(_._2.split(" ").length.toLong).sum
+    val naive = base
+      .withColumn("sel_rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tok")).over(wc))
+      .select(col("doc_id"), col("sel_rank"), col("n_tok"), col("cum_tokens"),
+        (col("cum_tokens") - col("n_tok") < lit(ttok / 3)).cast("int")
+          .as("selected"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    assert(out.sortBy(_._1).toSeq == naive.sortBy(_._1).toSeq,
+      s"two-level drifted from the flat window:\n${out.sortBy(_._1).toSeq}\n" +
+        s"${naive.sortBy(_._1).toSeq}")
+    // the selected set is a PREFIX of the rank order and the kept
+    // mass brackets the budget (q119's shard-open overshoot rule)
+    val byRank = out.sortBy(_._2)
+    val m = byRank.count(_._5 == 1)
+    assert(byRank.take(m).forall(_._5 == 1) && byRank.drop(m).forall(_._5 == 0))
+    val keptMass = byRank.take(m).map(_._3).sum
+    assert(keptMass >= ttok / 3 && keptMass - byRank(m - 1)._3 < ttok / 3,
+      s"kept mass $keptMass must first cross the ${ttok / 3} budget at rank $m")
+    // physical order must not matter
+    val again = graft.operators.Corpus
+      .budgetSelect(docs.repartition(5), scores.repartition(3), den = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    // plan shape: bucketed rank+cumsum (fused — same partition/order)
+    // + the <=4097-row offsets window; offsets broadcast back
+    val plan = graft.SparkEntry.queries("q147_budget_select")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    val nWindows = "Window \\[".r.findAllIn(plan).size
+    assert(nWindows == 2, s"expected bucketed + offsets windows, got $nWindows:\n$plan")
+    assert(plan.contains("bkt"), s"windows must key on the score-grid bucket:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast back:\n$plan")
+  }
 }
