@@ -46,6 +46,7 @@ object Corpus {
     "q144_corpus_delta" -> q144,
     "q145_snapshot_fold" -> q145,
     "q147_budget_select" -> q147,
+    "q148_delta_decon" -> q148,
     "q125_training_manifest" -> q125,
     "q127_hybrid_rrf" -> q127,
     "q127b_hybrid_rrf_ivf" -> q127b,
@@ -536,6 +537,46 @@ object Corpus {
 
   private def q81(spark: SparkSession, dir: String): DataFrame =
     decontaminate(Tables.documents(spark, dir))
+
+  /** q148 — INCREMENTAL decontamination: [[decontaminate]]'s
+    * benchmark probe pointed at a snapshot DELTA (the q95/q105b
+    * ingest discipline applied to the q81 stage): only documents that
+    * are NEW or CHANGED in the published snapshot re-run the n-gram
+    * overlap check against the benchmark grams — the weekly
+    * compaction loop's hygiene pass, whose cost scales with the
+    * delta, never the standing corpus (the full q81 stays the
+    * periodic full-audit twin, exactly as q20 backs q95).
+    *
+    * Scale shape: delta membership is ONE doc_id-keyed left join with
+    * an md5 compare (the q144 discipline); shingling then touches
+    * delta+bench docs only, and the bench gram set broadcasts as in
+    * q81. Emits q81's exact per-doc report, restricted to the delta. */
+  def deltaDecontaminate(oldSnap: DataFrame, newSnap: DataFrame,
+                         n: Int = DECON_NGRAM): DataFrame = {
+    val o = oldSnap.select(col("doc_id"), md5(col("text")).as("fp_o"))
+    val deltaDocs = newSnap
+      .join(o, Seq("doc_id"), "left")
+      .filter(col("fp_o").isNull || md5(col("text")) =!= col("fp_o"))
+      .drop("fp_o")
+    val bench = newSnap.filter(benchFlag(col("doc_id")))
+    decontaminate(
+      bench.unionByName(deltaDocs.filter(!benchFlag(col("doc_id")))), n)
+  }
+
+  private def q148(spark: SparkSession, dir: String): DataFrame = {
+    // the q144 snapshot rules with the roles SWAPPED (old drops ≡3,
+    // new drops ≡4): under this assignment the ARRIVING slice
+    // contains benchmark near-dups at every SF (doc 8 at sf0.001,
+    // 413 at sf0.01, the ≡3 cohort at sf0.1), so the incremental
+    // probe is exercised non-vacuously wherever the gate runs
+    val docs = Tables.documents(spark, dir)
+    val oldSnap = docs.filter(col("doc_id") % DELTA_SNAP_MOD =!= 3L)
+    val newSnap = docs.filter(col("doc_id") % DELTA_SNAP_MOD =!= 4L)
+      .withColumn("text",
+        when(col("doc_id") % DELTA_REV_MOD === 0L,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    deltaDecontaminate(oldSnap, newSnap)
+  }
 
   /** q124 — split hygiene: flag every TRAIN-split document sharing a
     * [[DECON_NGRAM]]-gram with the TEST split of the SAME corpus —

@@ -665,6 +665,49 @@ object CorpusSql {
          |       ${sql4("CAST(n_shared AS DOUBLE) / n_grams")} AS shared_frac
          |FROM tot JOIN shared USING (doc_id)""".stripMargin,
 
+    // q148: incremental decontamination — q81's report restricted to
+    // the q144 fixture's snapshot delta (added + changed docs), bench
+    // grams drawn from the NEW snapshot's bench slice
+    "q148_delta_decon" -> {
+      val m = graft.operators.Corpus.DELTA_SNAP_MOD
+      val rv = graft.operators.Corpus.DELTA_REV_MOD
+      s"""WITH newsnap AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % $rv = 0 THEN text || ' rev2'
+         |              ELSE text END AS text
+         |  FROM documents WHERE doc_id % $m <> 4),
+         |oldsnap AS (
+         |  SELECT doc_id, md5(text) AS fp_o FROM documents
+         |  WHERE doc_id % $m <> 3),
+         |delta AS (
+         |  SELECT n.doc_id, n.text FROM newsnap n
+         |  LEFT JOIN oldsnap o USING (doc_id)
+         |  WHERE o.fp_o IS NULL OR md5(n.text) <> o.fp_o),
+         |bench AS (
+         |  SELECT DISTINCT g
+         |  FROM (SELECT doc_id, ${tokensSql(normTextSql("text"))} AS tk
+         |        FROM newsnap
+         |        WHERE ${baseHashSql("CAST(doc_id AS VARCHAR) || '_bench'")}
+         |              % 100 < 5),
+         |       UNNEST(${shinglesSql("tk", 5)}) AS t(g)),
+         |corpus AS (
+         |  SELECT DISTINCT doc_id, g
+         |  FROM (SELECT doc_id, ${tokensSql(normTextSql("text"))} AS tk
+         |        FROM delta
+         |        WHERE ${baseHashSql("CAST(doc_id AS VARCHAR) || '_bench'")}
+         |              % 100 >= 5),
+         |       UNNEST(${shinglesSql("tk", 5)}) AS t(g)),
+         |shared AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM corpus JOIN bench USING (g) GROUP BY 1),
+         |tot AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+         |  FROM corpus GROUP BY 1)
+         |SELECT doc_id, n_grams, n_shared,
+         |       ${sql4("CAST(n_shared AS DOUBLE) / n_grams")} AS shared_frac
+         |FROM tot JOIN shared USING (doc_id)""".stripMargin
+    },
+
     // q124: split hygiene — both engines join on md5(g), so even a
     // hash collision produces the identical verdict; split buckets
     // mirror Corpus.splitAssign (train <80, test >=90)

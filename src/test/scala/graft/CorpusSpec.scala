@@ -1375,6 +1375,33 @@ class CorpusSpec extends SparkSuite {
       "per-doc sketch score must lower-bound the exact score")
   }
 
+  test("deltaDecontaminate: equals the full q81-style audit restricted to the delta; non-vacuous at sf0.001") {
+    import graft.operators.Corpus
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val oldSnap = docs.filter(col("doc_id") % Corpus.DELTA_SNAP_MOD =!= 3L)
+    val newSnap = docs.filter(col("doc_id") % Corpus.DELTA_SNAP_MOD =!= 4L)
+      .withColumn("text",
+        when(col("doc_id") % Corpus.DELTA_REV_MOD === 0L,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    val got = Corpus.deltaDecontaminate(oldSnap, newSnap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty, "the swapped-role fixture must arrive contaminated")
+    // the FULL audit over the whole new snapshot, restricted to the
+    // delta doc_ids, must agree row for row — per-doc reports depend
+    // only on the doc's own grams vs the bench grams
+    val deltaIds = newSnap
+      .join(oldSnap.select(col("doc_id"), md5(col("text")).as("fp_o")),
+        Seq("doc_id"), "left")
+      .filter(col("fp_o").isNull || md5(col("text")) =!= col("fp_o"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = Corpus.decontaminate(newSnap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(r => deltaIds.contains(r._1)).toSet
+    assert(got == full,
+      s"incremental != restricted-full: only-incr=${got -- full}, " +
+        s"only-full=${full -- got}")
+  }
+
   test("budgetSelect: score-grid two-level equals the naive single window; budget boundary exact; repartition-stable") {
     val s = spark
     import s.implicits._
