@@ -27,11 +27,16 @@ class GateLifecycleSpec extends SparkSuite {
     val S = graft.operators.Similarity
     val e = graft.sources.Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // the `> -101L` style markers are numeric no-ops that make each
+    // fixture's PLAN unique across the shared test JVM: CacheManager
+    // dedups by plan, and an identical plan cached by an earlier
+    // suite would make "a new persistent RDD appears" vacuously false
     val standingA = e.filter(col("vec_id") % S.SEM_INCR_MOD =!= S.SEM_INCR_MOD - 1)
+      .filter(col("vec_id") > -101L)
     // the "compacted" second-generation standing corpus: A plus the
     // previously-incoming slice (a strictly different plan, so its
     // codebook is a NEW CacheManager entry — the accretion scenario)
-    val standingB = e
+    val standingB = e.filter(col("vec_id") > -102L)
     val incoming = e.filter(col("vec_id") % S.SEM_INCR_MOD === S.SEM_INCR_MOD - 1)
 
     val before = persistedIds
@@ -71,11 +76,14 @@ class GateLifecycleSpec extends SparkSuite {
     val e = graft.sources.Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val semStanding = e.filter(col("vec_id") % S.SEM_INCR_MOD =!= S.SEM_INCR_MOD - 1)
+      .filter(col("vec_id") > -103L)
     val semIncoming = e.filter(col("vec_id") % S.SEM_INCR_MOD === S.SEM_INCR_MOD - 1)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    // distinct wording: an identical LocalRelation in another suite
+    // would plan-dedup this gate's band/shingle pins away
     val ndStanding = Seq(
-      (100L, "alpha beta gamma delta epsilon zeta"),
-      (101L, "completely different standing content here"))
+      (100L, "lifecycle alpha beta gamma delta epsilon zeta"),
+      (101L, "lifecycle totally different standing content here"))
       .toDF("doc_id", "text")
 
     val before = persistedIds
@@ -96,7 +104,7 @@ class GateLifecycleSpec extends SparkSuite {
       val (semB1, semB2) = semIncoming.splitAt(semIncoming.length / 2)
       semMem.addData(semB1.map(x => (x._1, ts("2024-05-01 10:00:00"), x._2)).toSeq: _*)
       semQ.processAllAvailable()
-      ndMem.addData((1L, ts("2024-05-01 10:00:00"), "alpha beta gamma delta epsilon zeta"))
+      ndMem.addData((1L, ts("2024-05-01 10:00:00"), "lifecycle alpha beta gamma delta epsilon zeta"))
       ndQ.processAllAvailable()
       val afterBoth = persistedIds -- before
       assert(afterBoth.size >= 3,
@@ -118,7 +126,7 @@ class GateLifecycleSpec extends SparkSuite {
       val expected = S
         .semanticDedupIncrement(semStanding,
           e.filter(col("vec_id") % S.SEM_INCR_MOD === S.SEM_INCR_MOD - 1),
-          S.IVF_SEEDS, S.SEMDEDUP_TAU)
+          S.IVF_SEEDS, S.SEMDEDUP_TAU, pinGroup = "lifecycle-expected")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val got = sp.sql("SELECT vec_id, existing_vec_id FROM lc_sem")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -130,6 +138,7 @@ class GateLifecycleSpec extends SparkSuite {
       semQ.stop()
       GateIndexes.release("lifecycle-sem")
       GateIndexes.release("lifecycle-nd")
+      GateIndexes.release("lifecycle-expected")
     }
   }
 
@@ -139,7 +148,7 @@ class GateLifecycleSpec extends SparkSuite {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
-    val standing = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+    val standing = Seq((100L, "autogroup alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")
     val groupsBefore = GateIndexes.liveGroups.toSet
     val mem1 = MemoryStream[(Long, java.sql.Timestamp, String)]
