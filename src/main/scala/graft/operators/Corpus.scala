@@ -1881,9 +1881,29 @@ object Corpus {
   def compactSnapshot(spark: SparkSession, standingDir: String,
       ingestDir: String, outDir: String,
       targetRowsPerFile: Long): Long = {
-    import org.apache.spark.sql.expressions.Window
     val standing = spark.read.parquet(standingDir)
     val cols = standing.columns.toSeq
+    val (latestRaw, touched) = resolveIngest(spark, ingestDir)
+    val latest = latestRaw.select(cols.map(col): _*)
+    // touched = ALL latest keys (tombstoned included): the fold's
+    // anti-join drops every touched standing row, updates re-add the
+    // survivors — q145 gates the same fold with touched = updates
+    val folded = snapshotFold(standing, latest, touched = Some(touched))
+    val rows = folded.count()
+    val nFiles = math.max(1L,
+      (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    folded.repartition(nFiles).write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+
+  /** Shared ingest-batch resolution for the compaction family:
+    * last-writer-wins per doc_id across the `batch_id=N` dirs (one
+    * window over the INGEST mass only), returning the surviving
+    * update rows (tombstones dropped) and the full touched-key set
+    * (tombstones included). */
+  private def resolveIngest(spark: SparkSession,
+      ingestDir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val ingested = spark.read.parquet(ingestDir)
     val latestAll = ingested
       .withColumn("_rk", row_number().over(
@@ -1893,18 +1913,47 @@ object Corpus {
     // a tombstoned doc still counts as TOUCHED (its standing version
     // must not survive the anti-join) but contributes no update row
     val latest =
-      (if (latestAll.columns.contains(Layout.DELETED_COL))
+      if (latestAll.columns.contains(Layout.DELETED_COL))
         latestAll.filter(!coalesce(col(Layout.DELETED_COL), lit(false)))
-      else latestAll).select(cols.map(col): _*)
-    // touched = ALL latest keys (tombstoned included): the fold's
-    // anti-join drops every touched standing row, updates re-add the
-    // survivors — q145 gates the same fold with touched = updates
-    val folded = snapshotFold(standing, latest,
-      touched = Some(latestAll.select(col("doc_id"))))
-    val rows = folded.count()
-    val nFiles = math.max(1L,
-      (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    folded.repartition(nFiles).write.mode("overwrite").parquet(outDir)
-    nFiles
+      else latestAll
+    (latest, latestAll.select(col("doc_id")))
+  }
+
+  /** Persist the standing NEAR-DUP index next to a snapshot: the
+    * shingle sets and band rows the ingest gate probes. Written once
+    * per published snapshot; [[compactNeardupIndex]] maintains it
+    * across compactions so the weekly gate swap never re-shingles
+    * the corpus. */
+  def writeNeardupIndex(docs: DataFrame, dir: String): Unit = {
+    Dedup.docShingleSets(docs).write.mode("overwrite")
+      .parquet(s"$dir/shingle_sets")
+    Dedup.mapOnlyBands(docs).write.mode("overwrite").parquet(s"$dir/bands")
+  }
+
+  /** Read both halves of a persisted near-dup index:
+    * (shingle sets, band rows). */
+  def readNeardupIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/shingle_sets"), spark.read.parquet(s"$dir/bands"))
+
+  /** INDEX MAINTENANCE across a compaction — the piece that makes the
+    * weekly gate swap cost the DELTA instead of the corpus: the
+    * published snapshot's near-dup index is the old index minus every
+    * touched doc's rows plus the surviving updates' freshly-derived
+    * rows (shingling touches only the delta; the [[snapshotFold]]
+    * anti-join shape on both index halves). Bit-identical to deriving
+    * the index from the new snapshot's text (spec-pinned): shingle
+    * sets and band signatures are pure per-doc functions, so an
+    * untouched doc's index rows cannot change. */
+  def compactNeardupIndex(spark: SparkSession, indexDir: String,
+      ingestDir: String, outDir: String): Unit = {
+    val (latest, touched) = resolveIngest(spark, ingestDir)
+    val (oldSets, oldBands) = readNeardupIndex(spark, indexDir)
+    val delta = latest.select(col("doc_id"), col("text"))
+    Dedup.docShingleSets(delta)
+      .unionByName(oldSets.join(touched, Seq("doc_id"), "left_anti"))
+      .write.mode("overwrite").parquet(s"$outDir/shingle_sets")
+    Dedup.mapOnlyBands(delta)
+      .unionByName(oldBands.join(touched, Seq("doc_id"), "left_anti"))
+      .write.mode("overwrite").parquet(s"$outDir/bands")
   }
 }

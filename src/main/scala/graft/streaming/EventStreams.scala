@@ -295,7 +295,24 @@ object EventStreams {
     * never the corpus" posture of the batch twin. */
   def neardupGateStream(docs: DataFrame, standing: DataFrame,
                         watermark: String,
-                        pinGroup: String = ""): DataFrame = {
+                        pinGroup: String = ""): DataFrame =
+    neardupGateStreamIndexed(docs,
+      graft.operators.Dedup.docShingleSets(standing),
+      graft.operators.Dedup.mapOnlyBands(standing), watermark, pinGroup)
+
+  /** [[neardupGateStream]] fed from a PREBUILT standing index — the
+    * `(doc_id, sh_set, n_sh)` shingle sets and `(doc_id, band_id,
+    * band_hash)` band rows [[graft.operators.Corpus.writeNeardupIndex]]
+    * persists next to a snapshot. At 100 TB the difference is the
+    * weekly gate swap's cost: deriving the index from text re-tokenizes
+    * and re-shingles the WHOLE snapshot at every rebuild, while a
+    * maintained index ([[graft.operators.Corpus.compactNeardupIndex]]
+    * folds only the delta's rows) loads as a plain parquet scan. The
+    * decisions are bit-identical either way (CompactionSpec pins the
+    * folded index against the derived one frame-for-frame). */
+  def neardupGateStreamIndexed(docs: DataFrame, standingShingleSets: DataFrame,
+                               standingBandRows: DataFrame, watermark: String,
+                               pinGroup: String = ""): DataFrame = {
     import graft.operators.Dedup
     import graft.functions.Rounding.r4
     // "" → a fresh never-reused group per gate BUILD: two live
@@ -312,10 +329,10 @@ object EventStreams {
     // (flat, but corpus-sized) vs ~1 s pinned
     // (`probes/stream_ingest_probe_r12_prepin.json` → `_r12.json`). Long-lived drivers
     // release retired pins via CorpusStreams.releaseGateIndexes().
-    val standingBands = GateIndexes.pin(Dedup.mapOnlyBands(standing)
+    val standingBands = GateIndexes.pin(standingBandRows
       .select(col("doc_id").as("existing_doc_id"),
         col("band_id"), col("band_hash")), group)
-    val standingSets = GateIndexes.pin(Dedup.docShingleSets(standing)
+    val standingSets = GateIndexes.pin(standingShingleSets
       .select(col("doc_id").as("existing_doc_id"),
         col("sh_set").as("sh_old"), col("n_sh").as("n_b")), group)
     // ONE linear flow on the stream (two derivations of the same

@@ -44,6 +44,85 @@ class CompactionSpec extends SparkSuite {
         s"only-exp=${(expected -- got).take(3)}")
   }
 
+  test("near-dup index maintenance: folding the delta's rows equals deriving from the new snapshot; the indexed gate decides identically") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val standingDir = tmp("graft_ndix_standing")
+    val ingestDir = tmp("graft_ndix_ingest")
+    val snapDir = tmp("graft_ndix_snap")
+    val ix0 = tmp("graft_ndix_ix0")
+    val ix1 = tmp("graft_ndix_ix1")
+    val standing = Seq(
+      (100L, "ndix alpha beta gamma delta epsilon zeta", "en", "web", 40L),
+      (101L, "ndix wholly unrelated standing material words", "en", "web", 45L),
+      (102L, "ndix the quick brown fox jumps over dogs", "en", "books", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    standing.write.mode("overwrite").parquet(standingDir)
+    Corpus.writeNeardupIndex(sp.read.parquet(standingDir), ix0)
+    // batch 0: new doc 400, revision of 102; batch 1: tombstone 101
+    EventStreams.writeBatchIdempotent(Seq(
+      (400L, "ndix novel arrival document with words", "en", "cc", 38L, false),
+      (102L, "ndix the quick brown fox final edition", "en", "books", 38L, false))
+      .toDF("doc_id", "text", "lang", "source", "n_chars",
+        graft.operators.Layout.DELETED_COL), 0L, ingestDir)
+    EventStreams.writeBatchIdempotent(Seq(
+      (101L, "", "en", "web", 0L, true))
+      .toDF("doc_id", "text", "lang", "source", "n_chars",
+        graft.operators.Layout.DELETED_COL), 1L, ingestDir)
+    Corpus.compactSnapshot(sp, standingDir, ingestDir, snapDir, 100L)
+    Corpus.compactNeardupIndex(sp, ix0, ingestDir, ix1)
+
+    // the folded index must equal the index DERIVED from the new
+    // snapshot's text, row for row (both halves)
+    val newSnap = sp.read.parquet(snapDir)
+    val (foldSets, foldBands) = Corpus.readNeardupIndex(sp, ix1)
+    def setRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("sh_set"), col("n_sh"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet, r.getLong(2))).toSet
+    def bandRows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(setRows(foldSets)
+      == setRows(graft.operators.Dedup.docShingleSets(newSnap)),
+      "folded shingle sets must equal derive-from-snapshot")
+    assert(bandRows(foldBands)
+      == bandRows(graft.operators.Dedup.mapOnlyBands(newSnap)),
+      "folded band rows must equal derive-from-snapshot")
+
+    // the gate fed from the maintained index decides exactly like the
+    // derive-from-text gate on the same replay batch
+    val probe = Seq(
+      (900L, ts("2024-06-02 08:00:00"), "ndix novel arrival document with words"),
+      (901L, ts("2024-06-02 08:00:01"), "ndix wholly unrelated standing material words"))
+    def decisions(queryName: String,
+                  mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                  group: String): Set[(Long, Long, Double)] = {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val q = mk(mem.toDF().toDF("doc_id", "ts", "text"))
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("append").start()
+      try {
+        mem.addData(probe: _*); q.processAllAvailable()
+        sp.sql(s"SELECT doc_id, existing_doc_id, jaccard FROM $queryName")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      } finally { q.stop(); GateIndexes.release(group) }
+    }
+    val viaIndex = decisions("ndix_ix", s =>
+      EventStreams.neardupGateStreamIndexed(s, foldSets, foldBands,
+        "1 hour", pinGroup = "ndix-ix"), "ndix-ix")
+    val viaText = decisions("ndix_tx", s =>
+      EventStreams.neardupGateStream(s, newSnap, "1 hour",
+        pinGroup = "ndix-tx"), "ndix-tx")
+    assert(viaIndex == viaText,
+      s"indexed gate diverged: ix-only=${viaIndex -- viaText}, tx-only=${viaText -- viaIndex}")
+    // 900 dups the ingested doc 400 (visible); 901 dups the
+    // TOMBSTONED doc 101, which must be GONE from the index
+    assert(viaIndex.map(x => (x._1, x._2)) == Set((900L, 400L)),
+      s"exactly the ingested dup, never the tombstoned one: $viaIndex")
+  }
+
   test("tombstoned batches: compaction honors takedowns last-writer-wins and q144 reports them as removals") {
     val sp = spark
     import sp.implicits._
