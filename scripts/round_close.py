@@ -52,8 +52,17 @@ def dirty_artifacts():
     out = []
     for line in run("git", "status", "--porcelain").splitlines():
         path = line[3:].strip()
+        # rename entries read 'old -> new'; stage the new path
+        if " -> " in path:
+            path = path.split(" -> ", 1)[1]
+        # git quotes paths with special chars; un-quote the plain case
+        if path.startswith('"') and path.endswith('"'):
+            path = path[1:-1]
+        # startswith-only against the repo-root artifact names: a
+        # substring test would sweep scratch files like
+        # notes/ADVICE.md.bak into the close-out commit
         if path != "bench_results.json" and any(
-                path.startswith(p) or p in path for p in ARTIFACTS):
+                path.startswith(p) for p in ARTIFACTS):
             out.append(path)
     return out
 

@@ -1774,11 +1774,19 @@ object Corpus {
       .join(scores.select(col("doc_id"), col("avg_logp")), Seq("doc_id"), "left")
       .withColumn("sc",
         coalesce(col("avg_logp").cast("double"), lit(BUDGET_SENTINEL)))
-    val stats = base.agg(min(col("sc")).as("smin"), max(col("sc")).as("smax"),
+    // grid bounds over SCORED rows only: folding the -1e6 sentinel
+    // into smin would stretch the grid so far that every real score
+    // lands in bucket 0 and the within-bucket window degenerates to
+    // one global sort — unscored rows instead route to their own
+    // past-the-end bucket (they sort after every scored doc anyway)
+    val stats = base.agg(
+      min(when(col("avg_logp").isNotNull, col("sc"))).as("smin"),
+      max(when(col("avg_logp").isNotNull, col("sc"))).as("smax"),
       sum(col("n_tok")).as("ttok"))
     val bucketed = base.crossJoin(broadcast(stats))
       .withColumn("bkt",
-        when(col("smax") === col("smin"), lit(0L))
+        when(col("avg_logp").isNull, lit(BUDGET_BUCKETS + 1L))
+          .when(col("smax") === col("smin"), lit(0L))
           .otherwise(floor((col("smax") - col("sc"))
             / (col("smax") - col("smin")) * lit(BUDGET_BUCKETS))))
     val wbRank = Window.partitionBy(col("bkt"))
@@ -1840,8 +1848,11 @@ object Corpus {
     * pays ONE `left_anti` equi-join against the batch-sized touched-
     * key set (AQE broadcasts it) + a union — the standing corpus
     * streams through exactly once, shuffle-free on its side, into
-    * ⌈rows / targetRowsPerFile⌉ output files (the small-file
-    * compaction folded into the same single pass). */
+    * files of ≤ targetRowsPerFile rows (maxRecordsPerFile splits,
+    * a shuffle-free coalesce to the session parallelism merges the
+    * small-file tail — the small-file compaction folded into the
+    * same single pass, never a count or a round-robin exchange).
+    * Returns the published part-file count. */
   /** The compaction FOLD itself — last-writer-wins union of a
     * doc_id-unique update set over a standing snapshot: untouched
     * standing docs survive, updated doc_ids take the update's row,
@@ -1889,11 +1900,22 @@ object Corpus {
     // anti-join drops every touched standing row, updates re-add the
     // survivors — q145 gates the same fold with touched = updates
     val folded = snapshotFold(standing, latest, touched = Some(touched))
-    val rows = folded.count()
-    val nFiles = math.max(1L,
-      (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    folded.repartition(nFiles).write.mode("overwrite").parquet(outDir)
-    nFiles
+    // ONE pass, no corpus shuffle (r13 review finding: a count() +
+    // repartition(n) executed the fold twice and round-robin-shuffled
+    // the whole standing side): maxRecordsPerFile SPLITS oversized
+    // tasks at the target, and coalescing to the session's
+    // parallelism merges the small-file tail without an exchange —
+    // file count = min(parallelism, what the target needs), file size
+    // ≤ target rows, both without ever counting or re-shuffling the
+    // fold. Returns the published file count from the output listing.
+    folded
+      .coalesce(math.max(1, spark.sparkContext.defaultParallelism))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRowsPerFile)
+      .parquet(outDir)
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    out.getFileSystem(spark.sessionState.newHadoopConf())
+      .listStatus(out).count(_.getPath.getName.startsWith("part-")).toLong
   }
 
   /** Shared ingest-batch resolution for the compaction family:

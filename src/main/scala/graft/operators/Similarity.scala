@@ -622,10 +622,12 @@ object Similarity {
 
   private def q105b(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
+    // fixed group + pin()'s same-plan dedup: one registry entry no
+    // matter how many bench repeats re-invoke this query
     semanticDedupIncrement(
       e.filter(col("vec_id") % SEM_INCR_MOD =!= SEM_INCR_MOD - 1),
       e.filter(col("vec_id") % SEM_INCR_MOD === SEM_INCR_MOD - 1),
-      IVF_SEEDS, SEMDEDUP_TAU)
+      IVF_SEEDS, SEMDEDUP_TAU, pinGroup = "q105b-codebook")
   }
 
   /** q105c — the incremental semantic dedup with BOTH sides assigned
@@ -638,7 +640,8 @@ object Similarity {
     semanticDedupIncrement(
       e.filter(col("vec_id") % SEM_INCR_MOD =!= SEM_INCR_MOD - 1),
       e.filter(col("vec_id") % SEM_INCR_MOD === SEM_INCR_MOD - 1),
-      IVF_SEEDS, SEMDEDUP_TAU, twoLevel = Some(true))
+      IVF_SEEDS, SEMDEDUP_TAU, twoLevel = Some(true),
+      pinGroup = "q105c-codebook")
   }
 
   /** PQ geometry: 64-dim embeddings → [[PQ_M]] subspaces of
@@ -787,8 +790,13 @@ object Similarity {
     * scan is LUT arithmetic over 8-byte codes. Both halves keep their
     * standalone recall specs; composition recall = what IVF's probe
     * set retains of PQ's ranking. */
-  def ivfPqTopK(e: DataFrame, seedIds: Seq[Long], probes: Int,
-                queryPred: Column, k: Int): DataFrame = {
+  /** Shared coarse-quantizer stage of both IVF×PQ variants: the
+    * corpus's nearest-cell assignment and each query's `probes`
+    * nearest cells, from ONE ranked broadcast-codebook argmin — a
+    * tie-break or rounding change here changes both variants
+    * together, never one silently. */
+  private def coarseAssign(e: DataFrame, seedIds: Seq[Long], probes: Int,
+      queryPred: Column): (DataFrame, DataFrame, DataFrame) = {
     val cents = centsOf(e, seedIds)
       .select(col("cell").as("ivf_cell"), col("cv"))
     val wAsg = Window.partitionBy(col("vec_id"))
@@ -797,10 +805,30 @@ object Similarity {
       .select(col("vec_id"), col("ivf_cell"),
         r6(sqDistArr(col("v"), col("cv"))).as("d2"))
       .withColumn("crk", row_number().over(wAsg))
-    val corpusCells = ranked.filter(col("crk") === 1)
-      .select(col("vec_id"), col("ivf_cell"))
-    val qProbes = ranked.filter(queryPred && col("crk") <= probes)
-      .select(col("vec_id").as("q_id"), col("ivf_cell"))
+    (cents,
+      ranked.filter(col("crk") === 1).select(col("vec_id"), col("ivf_cell")),
+      ranked.filter(queryPred && col("crk") <= probes)
+        .select(col("vec_id").as("q_id"), col("ivf_cell")))
+  }
+
+  /** Shared ADC ranking tail: sum the per-(query, candidate) LUT
+    * terms, keep complete code coverage, rank ascending with id
+    * tie-breaks. */
+  private def adcTopK(approx: DataFrame, k: Int): DataFrame = {
+    val ranked = approx
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("ld2")).as("ad2"), count(lit(1)).as("nm"))
+      .filter(col("nm") === PQ_M)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ad2").asc, col("vec_id").asc)
+    ranked.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        r4(col("ad2")).as("approx_d2"), col("rk"))
+  }
+
+  def ivfPqTopK(e: DataFrame, seedIds: Seq[Long], probes: Int,
+                queryPred: Column, k: Int): DataFrame = {
+    val (cents, corpusCells, qProbes) = coarseAssign(e, seedIds, probes, queryPred)
     val pqCents = pqTrain(e)
     val codes = pqCodes(e, pqCents)
       .join(corpusCells, Seq("vec_id"))
@@ -811,18 +839,10 @@ object Similarity {
       .join(pqCents, Seq("m"))
       .select(col("q_id"), col("m"), col("cell"),
         sqDistArr(col("qv"), col("cv")).as("ld2"))
-    val approx = codes
+    adcTopK(codes
       .join(broadcast(qProbes), Seq("ivf_cell"))
       .join(broadcast(lut), Seq("q_id", "m", "cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("ld2")).as("ad2"), count(lit(1)).as("nm"))
-      .filter(col("nm") === PQ_M)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("ad2").asc, col("vec_id").asc)
-    approx.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        r4(col("ad2")).as("approx_d2"), col("rk"))
+      .filter(col("vec_id") =!= col("q_id")), k)
   }
 
   /** RESIDUAL-encoded IVF×PQ — the textbook refinement of
@@ -846,18 +866,7 @@ object Similarity {
     * pure codegen map work on both sides. */
   def ivfPqResidualTopK(e: DataFrame, seedIds: Seq[Long], probes: Int,
                         queryPred: Column, k: Int): DataFrame = {
-    val cents = centsOf(e, seedIds)
-      .select(col("cell").as("ivf_cell"), col("cv"))
-    val wAsg = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2").asc, col("ivf_cell").asc)
-    val ranked = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("ivf_cell"),
-        r6(sqDistArr(col("v"), col("cv"))).as("d2"))
-      .withColumn("crk", row_number().over(wAsg))
-    val corpusCells = ranked.filter(col("crk") === 1)
-      .select(col("vec_id"), col("ivf_cell"))
-    val qProbes = ranked.filter(queryPred && col("crk") <= probes)
-      .select(col("vec_id").as("q_id"), col("ivf_cell"))
+    val (cents, corpusCells, qProbes) = coarseAssign(e, seedIds, probes, queryPred)
     // residual stream: each corpus vector re-expressed against its
     // own cell's centroid (zip_with — no shuffle beyond the cell join)
     val res = e.join(corpusCells, Seq("vec_id"))
@@ -884,18 +893,10 @@ object Similarity {
       .join(pqCents, Seq("m"))
       .select(col("q_id"), col("ivf_cell"), col("m"), col("cell"),
         sqDistArr(col("sv"), col("cv")).as("ld2"))
-    val approx = codes
+    adcTopK(codes
       .join(broadcast(qProbes), Seq("ivf_cell"))
       .join(broadcast(lut), Seq("q_id", "ivf_cell", "m", "cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("ld2")).as("ad2"), count(lit(1)).as("nm"))
-      .filter(col("nm") === PQ_M)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("ad2").asc, col("vec_id").asc)
-    approx.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        r4(col("ad2")).as("approx_d2"), col("rk"))
+      .filter(col("vec_id") =!= col("q_id")), k)
   }
 
   /** Probe sizing and recall floor for the q146 IVF×PQ contract row.

@@ -34,8 +34,22 @@ object GateIndexes {
     * [[autoGroup]] unless the caller passes an explicit one — so
     * retiring ONE gate never unpersists a concurrently-running
     * gate's index. Callers passing explicit groups own the
-    * one-live-gate-per-group invariant. */
+    * one-live-gate-per-group invariant.
+    *
+    * Re-pinning the SAME plan under the SAME group returns the
+    * existing handle instead of appending — a fixed-group caller
+    * invoked once per bench repeat (q105b's codebook) keeps ONE
+    * registry entry, matching the one storage entry CacheManager's
+    * plan-dedup keeps. Distinct groups never coalesce, so the
+    * release-isolation contract is untouched. */
   def pin(df: DataFrame, group: String): DataFrame = {
+    val it = pinned.iterator()
+    while (it.hasNext) {
+      val (g, existing) = it.next()
+      if (g == group && existing.queryExecution.analyzed
+            .sameResult(df.queryExecution.analyzed))
+        return existing
+    }
     val p = df.persist()
     pinned.add((group, p))
     p

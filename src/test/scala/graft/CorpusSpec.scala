@@ -1412,7 +1412,11 @@ class CorpusSpec extends SparkSuite {
       (1L, "aa bb cc", -0.5), (2L, "aa bb", -1.5), (3L, "aa bb cc dd", -1.5),
       (4L, "aa", -1.5), (5L, "aa bb cc dd ee", -3.25), (6L, "aa bb", -0.25),
       (7L, "aa bb cc", -2.0), (8L, "aa", -0.75))
-    val docs = fix.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
+    // doc 9 has NO score row (the <2-token case): it must take the
+    // sentinel, sort last, and — the r13 review fix — NOT stretch the
+    // score grid so far that every scored doc collapses into bucket 0
+    val docs = (fix.map { case (id, t, _) => (id, t) } :+ ((9L, "zz")))
+      .toDF("doc_id", "text")
     val scores = fix.map { case (id, _, sc) => (id, sc) }.toDF("doc_id", "avg_logp")
     val out = graft.operators.Corpus.budgetSelect(docs, scores, den = 3L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
@@ -1422,8 +1426,10 @@ class CorpusSpec extends SparkSuite {
     val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val base = docs.select(col("doc_id"),
       size(graft.functions.VectorFns.tokens(col("text"))).cast("long").as("n_tok"))
-      .join(scores, Seq("doc_id")).withColumn("sc", col("avg_logp"))
-    val ttok = fix.map(_._2.split(" ").length.toLong).sum
+      .join(scores, Seq("doc_id"), "left")
+      .withColumn("sc", coalesce(col("avg_logp"),
+        lit(graft.operators.Corpus.BUDGET_SENTINEL)))
+    val ttok = fix.map(_._2.split(" ").length.toLong).sum + 1L
     val naive = base
       .withColumn("sel_rank", row_number().over(w).cast("long"))
       .withColumn("cum_tokens", sum(col("n_tok")).over(wc))
@@ -1449,6 +1455,14 @@ class CorpusSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getInt(4)))
     assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    // the grid must actually SPREAD the scored docs (review finding:
+    // a sentinel folded into smin collapsed everything into bucket 0)
+    val buckets = graft.operators.Corpus
+      .budgetSelect(docs, scores, den = 3L)
+      .select(col("doc_id")).collect() // force; bucket col is internal
+    val spread = out.sortBy(_._2).map(_._1) // rank order: 6,1,8,2,3,4,7,5,9
+    assert(spread.last == 9L, "the unscored doc must rank last")
+
     // plan shape: bucketed rank+cumsum (fused — same partition/order)
     // + the <=4097-row offsets window; offsets broadcast back
     val plan = graft.SparkEntry.queries("q147_budget_select")(
