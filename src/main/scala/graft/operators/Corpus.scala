@@ -47,6 +47,7 @@ object Corpus {
     "q145_snapshot_fold" -> q145,
     "q147_budget_select" -> q147,
     "q148_delta_decon" -> q148,
+    "q149_band_index_fold" -> q149,
     "q125_training_manifest" -> q125,
     "q127_hybrid_rrf" -> q127,
     "q127b_hybrid_rrf_ivf" -> q127b,
@@ -1949,7 +1950,14 @@ object Corpus {
   def writeNeardupIndex(docs: DataFrame, dir: String): Unit = {
     Dedup.docShingleSets(docs).write.mode("overwrite")
       .parquet(s"$dir/shingle_sets")
-    Dedup.mapOnlyBands(docs).write.mode("overwrite").parquet(s"$dir/bands")
+    // the batch explode+groupBy band form: bit-identical to the
+    // stream-side mapOnlyBands (spec-pinned), but ONE pass over the
+    // (doc, shingle) stream — mapOnlyBands' row-local HOFs inline the
+    // shingle expression ~17x per row, which measured ~20x slower on
+    // a corpus-scale derive (fine on micro-batches, where row-local
+    // is the point)
+    Dedup.minhashBands(Dedup.shingleStream(docs))
+      .write.mode("overwrite").parquet(s"$dir/bands")
   }
 
   /** Read both halves of a persisted near-dup index:
@@ -1970,12 +1978,51 @@ object Corpus {
       ingestDir: String, outDir: String): Unit = {
     val (latest, touched) = resolveIngest(spark, ingestDir)
     val (oldSets, oldBands) = readNeardupIndex(spark, indexDir)
-    val delta = latest.select(col("doc_id"), col("text"))
-    Dedup.docShingleSets(delta)
-      .unionByName(oldSets.join(touched, Seq("doc_id"), "left_anti"))
-      .write.mode("overwrite").parquet(s"$outDir/shingle_sets")
-    Dedup.mapOnlyBands(delta)
-      .unionByName(oldBands.join(touched, Seq("doc_id"), "left_anti"))
-      .write.mode("overwrite").parquet(s"$outDir/bands")
+    val (sets, bands) = foldNeardupIndex(oldSets, oldBands,
+      latest.select(col("doc_id"), col("text")), touched)
+    sets.write.mode("overwrite").parquet(s"$outDir/shingle_sets")
+    bands.write.mode("overwrite").parquet(s"$outDir/bands")
+  }
+
+  /** The pure fold both index halves share — and the piece q149 gates
+    * under the oracle hash: new index = delta's freshly-derived rows
+    * ∪ (old index minus every touched doc's rows). `touched` must
+    * cover updates AND removals (tombstones / dropped docs), or a
+    * retired doc's rows survive and the gate keeps flagging against
+    * ghosts. */
+  def foldNeardupIndex(oldSets: DataFrame, oldBands: DataFrame,
+      deltaDocs: DataFrame, touched: DataFrame): (DataFrame, DataFrame) = (
+    Dedup.docShingleSets(deltaDocs)
+      .unionByName(oldSets.join(touched, Seq("doc_id"), "left_anti")),
+    Dedup.minhashBands(Dedup.shingleStream(deltaDocs))
+      .unionByName(oldBands.join(touched, Seq("doc_id"), "left_anti")))
+
+  /** q149 — the near-dup BAND-INDEX fold as an oracle-gated query on
+    * the q144 fixture: old index derived from the old snapshot, delta
+    * = added/changed docs, touched = delta ∪ removed, folded through
+    * [[foldNeardupIndex]]'s band half. The oracle derives the bands
+    * directly from the NEW snapshot — fold == derive is the
+    * maintenance invariant (band signatures are pure per-doc
+    * functions), so any drift in the fold (a forgotten removal, a
+    * stale revision row) hash-fails here rather than silently
+    * poisoning a rebuilt gate. */
+  private def q149(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val oldSnap = docs.filter(col("doc_id") % DELTA_SNAP_MOD =!= 4L)
+    val newSnap = docs.filter(col("doc_id") % DELTA_SNAP_MOD =!= 3L)
+      .withColumn("text",
+        when(col("doc_id") % DELTA_REV_MOD === 0L,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    val o = oldSnap.select(col("doc_id"), md5(col("text")).as("fp_o"))
+    val delta = newSnap.join(o, Seq("doc_id"), "left")
+      .filter(col("fp_o").isNull || md5(col("text")) =!= col("fp_o"))
+      .select(col("doc_id"), col("text"))
+    val removed = oldSnap.join(newSnap.select(col("doc_id")),
+      Seq("doc_id"), "left_anti").select(col("doc_id"))
+    val touched = delta.select(col("doc_id")).unionByName(removed)
+    foldNeardupIndex(
+      Dedup.docShingleSets(oldSnap),
+      Dedup.minhashBands(Dedup.shingleStream(oldSnap)),
+      delta, touched)._2
   }
 }

@@ -141,6 +141,23 @@ object Dedup {
         col("band.band_hash").as("band_hash"))
   }
 
+  /** Long (doc_id, s) DISTINCT-shingle stream for any docs frame —
+    * the input shape [[minhashBands]]'s batch groupBy form consumes
+    * (one row per (doc, shingle), exactly [[shingleSet]]'s contract
+    * but over a caller-supplied frame). Built explode-then-distinct,
+    * NOT via [[docShingleSets]]' array form: the per-doc
+    * array_distinct chain re-inlines the regex/HOF pipeline and
+    * measured ~3× the long form's wall on a corpus-scale derive
+    * (the array form earns its keep only where row-locality matters
+    * — streams and per-doc joins). Same rows either way: explode
+    * drops empty arrays exactly as the size>0 filter does, and
+    * per-doc array_distinct ≡ global (doc_id, s) distinct. */
+  def shingleStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(VectorFns.shingles(VectorFns.tokens(normText(col("text"))), 3))
+        .as("s"))
+      .distinct()
+
   /** Per-doc DISTINCT shingle set as an ARRAY column — the map-only
     * twin of [[shingleSet]]'s long form (one row per doc instead of
     * one per shingle; docs shorter than 3 tokens drop out in both).

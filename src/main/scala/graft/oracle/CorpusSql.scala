@@ -708,6 +708,25 @@ object CorpusSql {
          |FROM tot JOIN shared USING (doc_id)""".stripMargin
     },
 
+    // q149: the band-index FOLD across the q144 fixture's compaction
+    // — the oracle derives the bands straight from the NEW snapshot
+    // (fold == derive is the maintenance invariant; band signatures
+    // are pure per-doc functions). The shared band chain is reused
+    // with its source retargeted at the rebuilt-snapshot CTE.
+    "q149_band_index_fold" -> {
+      val m = graft.operators.Corpus.DELTA_SNAP_MOD
+      val rv = graft.operators.Corpus.DELTA_REV_MOD
+      val chain = SqlFragments.minhashBandsSql
+        .replace("FROM documents", "FROM newsnap")
+      s"""WITH newsnap AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % $rv = 0 THEN text || ' rev2'
+         |              ELSE text END AS text
+         |  FROM documents WHERE doc_id % $m <> 3),
+         |$chain
+         |SELECT doc_id, band_id, band_hash FROM bands""".stripMargin
+    },
+
     // q124: split hygiene — both engines join on md5(g), so even a
     // hash collision produces the identical verdict; split buckets
     // mirror Corpus.splitAssign (train <80, test >=90)
