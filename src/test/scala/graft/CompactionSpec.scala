@@ -123,6 +123,38 @@ class CompactionSpec extends SparkSuite {
       s"exactly the ingested dup, never the tombstoned one: $viaIndex")
   }
 
+  test("plan shapes: the fold's anti-join broadcasts the touched keys at batch scale; delta-decon broadcasts the bench grams") {
+    // q145: the LEFT_ANTI's build side is the batch-sized update-key
+    // set — AQE must pick a broadcast once it sees the runtime size
+    // (the standing side streams through without an exchange of its
+    // own rows). Inspect the FINAL adaptive plan, post-execution.
+    val q145 = graft.SparkEntry.queries("q145_snapshot_fold")(
+      spark, "/root/testdata/sf0.001")
+    q145.collect()
+    val p145 = q145.queryExecution.executedPlan.toString
+    assert(p145.contains("BroadcastHashJoin") && p145.contains("LeftAnti"),
+      s"fold anti-join must broadcast the touched-key side:\n$p145")
+
+    // q148: the bench gram set rides an explicit broadcast() (the q81
+    // posture) — visible statically, no execution needed
+    val p148 = graft.SparkEntry.queries("q148_delta_decon")(
+      spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan.toString
+    assert(p148.contains("BroadcastHashJoin"),
+      s"delta-decon must broadcast the bench grams:\n$p148")
+
+    // q149: the fold's left_anti against touched keys + the union of
+    // freshly-derived delta bands — no corpus-wide sort anywhere
+    val q149 = graft.SparkEntry.queries("q149_band_index_fold")(
+      spark, "/root/testdata/sf0.001")
+    q149.collect()
+    val p149 = q149.queryExecution.executedPlan.toString
+    assert(p149.contains("LeftAnti"), s"index fold must anti-join touched:\n$p149")
+    assert(!p149.contains("GlobalLimit 2147483647") && !p149.toLowerCase
+      .split('\n').exists(l => l.contains("sort ") && l.contains("global=true")),
+      s"no global sort in the index fold:\n$p149")
+  }
+
   test("tombstoned batches: compaction honors takedowns last-writer-wins and q144 reports them as removals") {
     val sp = spark
     import sp.implicits._
