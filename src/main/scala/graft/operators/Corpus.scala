@@ -1924,13 +1924,13 @@ object Corpus {
     * window over the INGEST mass only), returning the surviving
     * update rows (tombstones dropped) and the full touched-key set
     * (tombstones included). */
-  private def resolveIngest(spark: SparkSession,
-      ingestDir: String): (DataFrame, DataFrame) = {
+  private def resolveIngest(spark: SparkSession, ingestDir: String,
+      key: String = "doc_id"): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val ingested = spark.read.parquet(ingestDir)
     val latestAll = ingested
       .withColumn("_rk", row_number().over(
-        Window.partitionBy(col("doc_id"))
+        Window.partitionBy(col(key))
           .orderBy(col("batch_id").cast("long").desc)))
       .filter(col("_rk") === 1)
     // a tombstoned doc still counts as TOUCHED (its standing version
@@ -1939,7 +1939,7 @@ object Corpus {
       if (latestAll.columns.contains(Layout.DELETED_COL))
         latestAll.filter(!coalesce(col(Layout.DELETED_COL), lit(false)))
       else latestAll
-    (latest, latestAll.select(col("doc_id")))
+    (latest, latestAll.select(col(key)))
   }
 
   /** Persist the standing NEAR-DUP index next to a snapshot: the
@@ -2024,5 +2024,49 @@ object Corpus {
       Dedup.docShingleSets(oldSnap),
       Dedup.minhashBands(Dedup.shingleStream(oldSnap)),
       delta, touched)._2
+  }
+
+  /** Persist the standing SEMANTIC-DEDUP index next to a snapshot —
+    * the embedding-side twin of [[writeNeardupIndex]] (VERDICT r13
+    * next #1): the corpus-growing codebook and the flat cell
+    * assignment (WITH each vector's argmin d2, the column
+    * [[compactSemdedupIndex]]'s exact challenge replays against).
+    * Written once per published snapshot; with the index standing,
+    * the flat assignment's O(N·cells) derive is paid ONCE — every
+    * later compaction folds the delta through
+    * `Similarity.foldCellIndex` instead, which is what makes exact
+    * flat assignment affordable at corpus scale (the two-level
+    * approximation exists to cheapen the derive; the fold makes the
+    * derive rare). */
+  def writeSemdedupIndex(e: DataFrame, seedIds: Seq[Long],
+      dir: String): Unit = {
+    val cents = Similarity.centsOf(e, seedIds)
+    cents.write.mode("overwrite").parquet(s"$dir/cells")
+    Similarity.cellAssignD(e, cents)
+      .write.mode("overwrite").parquet(s"$dir/assign")
+  }
+
+  /** Read both halves of a persisted semdedup index:
+    * (codebook cells, flat assignments with d2). */
+  def readSemdedupIndex(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/cells"), spark.read.parquet(s"$dir/assign"))
+
+  /** INDEX MAINTENANCE across a compaction, embedding side: fold the
+    * ingest batches' surviving vectors and tombstones through
+    * `Similarity.foldCellIndex` — EXACT even when the codebook
+    * gains/loses cells (see the fold's doc; q150 gates fold==derive
+    * under the oracle hash), so the weekly gate swap costs
+    * O(N·|added cells| + |delta|·|cells|), never the O(N·|cells|)
+    * re-derive. Ingest rows are (vec_id, v[, _deleted], batch_id=N)
+    * dirs, resolved last-writer-wins like the document side. */
+  def compactSemdedupIndex(spark: SparkSession, indexDir: String,
+      ingestDir: String, outDir: String, seedIds: Seq[Long]): Unit = {
+    val (latest, touched) = resolveIngest(spark, ingestDir, key = "vec_id")
+    val (oldCents, oldAssign) = readSemdedupIndex(spark, indexDir)
+    val (cents, assign) = Similarity.foldCellIndex(oldCents, oldAssign,
+      latest.select(col("vec_id"), col("v")), touched, seedIds)
+    cents.write.mode("overwrite").parquet(s"$outDir/cells")
+    assign.write.mode("overwrite").parquet(s"$outDir/assign")
   }
 }

@@ -42,7 +42,7 @@ object GateIndexes {
     * registry entry, matching the one storage entry CacheManager's
     * plan-dedup keeps. Distinct groups never coalesce, so the
     * release-isolation contract is untouched. */
-  def pin(df: DataFrame, group: String): DataFrame = {
+  def pin(df: DataFrame, group: String): DataFrame = synchronized {
     val it = pinned.iterator()
     while (it.hasNext) {
       val (g, existing) = it.next()
@@ -69,12 +69,34 @@ object GateIndexes {
   /** Unpersist the standing indexes pinned under `group`. Call after
     * stopping that gate's streaming query (e.g. on corpus compaction,
     * before building the replacement gate). Blocking=false: the
-    * release is async and safe while executors still hold blocks. */
-  def release(group: String): Unit = {
+    * release is async and safe while executors still hold blocks.
+    *
+    * Shared-plan guard (effective ref-count): CacheManager dedups
+    * persisted plans by `sameResult`, so two gates pinning the SAME
+    * standing plan under different groups share ONE storage entry —
+    * a naive unpersist here would evict it for BOTH, silently
+    * reinstating the per-batch re-derive the pin exists to prevent.
+    * An entry is only unpersisted when no pin in another live group
+    * resolves to the same plan; otherwise it just leaves the
+    * registry and the survivor keeps the cache entry. */
+  def release(group: String): Unit = synchronized {
     val it = pinned.iterator()
     while (it.hasNext) {
       val (g, df) = it.next()
-      if (g == group) { df.unpersist(blocking = false); it.remove() }
+      if (g == group) {
+        it.remove()
+        val sharedElsewhere = {
+          val it2 = pinned.iterator()
+          var shared = false
+          while (!shared && it2.hasNext) {
+            val (g2, df2) = it2.next()
+            if (g2 != group && df2.queryExecution.analyzed
+                  .sameResult(df.queryExecution.analyzed)) shared = true
+          }
+          shared
+        }
+        if (!sharedElsewhere) df.unpersist(blocking = false)
+      }
     }
   }
 

@@ -162,7 +162,7 @@ object StreamIngestProbe {
     // staying flat against the BIGGER post-swap standing state, (c)
     // the retired group's pins actually leaving the cache.
     Console.err.println("[probe] phase: compaction gate swap")
-    val (compactSecs, postSwapWalls, pinsDrained) = {
+    val (compactSecs, postSwapWalls, pinsDrained, swapRowsFolded) = {
       val standingDir = s"$base/swap_standing"
       val ingestDir = s"$base/swap_ingest"
       val newDir = s"$base/swap_new"
@@ -170,13 +170,25 @@ object StreamIngestProbe {
       (0 until n).foreach { b =>
         graft.streaming.EventStreams.writeBatchIdempotent(
           docs.filter(col("doc_id") % 4 === 3 &&
-            pmod(col("doc_id") / 4, lit(n)) === b), b.toLong, ingestDir)
+            // integer division: Column `/` is float division, and
+            // pmod of a fractional quotient never equals an integer
+            // batch id — that wrote all n batch dirs EMPTY (r13
+            // probe bug; the compaction phase priced a no-op)
+            pmod(expr("doc_id div 4"), lit(n)) === b), b.toLong, ingestDir)
       }
       val tC = timed {
         graft.operators.Corpus.compactSnapshot(spark, standingDir, ingestDir,
           newDir, targetRowsPerFile = 1000000L)
       }
       Console.err.println(s"[probe] compactSnapshot ${f3(tC)}s")
+      // fold must actually fold: standing (3/4) + accepted batches
+      // (1/4, disjoint ids) == the full corpus. Asserted loudly so a
+      // batch-split bug can never again price a no-op compaction.
+      val foldedRows = spark.read.parquet(newDir).count()
+      val expectRows = docs.count()
+      require(foldedRows == expectRows,
+        s"compaction folded $foldedRows rows, expected $expectRows — " +
+          "ingest batch split wrote empty/partial dirs")
       val incoming = docs.filter(col("doc_id") % 4 === 3)
         .select(col("doc_id"), col("text")).collect()
         .map(r => (r.getLong(0), r.getString(1)))
@@ -197,7 +209,64 @@ object StreamIngestProbe {
       }
       val drained = (spark.sparkContext.getPersistentRDDs.keySet.toSet
         -- before).isEmpty
-      (tC, walls, drained)
+      (tC, walls, drained, foldedRows)
+    }
+
+    // ---- the r14 semdedup index swap (VERDICT r13 next #1), priced:
+    // persist the standing cell index once, fold the accepted
+    // embedding quarter through compactSemdedupIndex (exact — q150),
+    // rebuild the gate FROM THE FOLDED INDEX, replay the batches, and
+    // measure (a) the one-time index write, (b) the fold itself, (c)
+    // per-batch indexed-gate cost, (d) pins draining on release.
+    Console.err.println("[probe] phase: semdedup index swap")
+    val (semWriteSecs, semFoldSecs, semixWalls, semixDrained) = {
+      val eAll = graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .cache()
+      eAll.count()
+      val standingDir = s"$base/semix_standing"
+      val ingestDir = s"$base/semix_ingest"
+      val ix0 = s"$base/semix_ix0"
+      val ix1 = s"$base/semix_ix1"
+      eAll.filter(col("vec_id") % 4 =!= 3).write.parquet(standingDir)
+      val tW = timed {
+        graft.operators.Corpus.writeSemdedupIndex(
+          spark.read.parquet(standingDir), S.IVF_SEEDS, ix0)
+      }
+      Console.err.println(s"[probe] writeSemdedupIndex ${f3(tW)}s")
+      (0 until n).foreach { b =>
+        graft.streaming.EventStreams.writeBatchIdempotent(
+          eAll.filter(col("vec_id") % 4 === 3 &&
+            pmod(expr("vec_id div 4"), lit(n)) === b)
+            .withColumn(graft.operators.Layout.DELETED_COL, lit(false)),
+          b.toLong, ingestDir)
+      }
+      val tF = timed {
+        graft.operators.Corpus.compactSemdedupIndex(spark, ix0, ingestDir,
+          ix1, S.IVF_SEEDS)
+      }
+      Console.err.println(s"[probe] compactSemdedupIndex ${f3(tF)}s")
+      val incoming = eAll.filter(col("vec_id") % 4 === 3)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      val (cents, assign) = graft.operators.Corpus.readSemdedupIndex(spark, ix1)
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Seq[Double])]
+      val q = graft.streaming.CorpusStreams
+        .semdedupGateStreamIndexed(mem.toDF().toDF("vec_id", "ts", "v"),
+          cents, assign, S.SEMDEDUP_TAU, "1 hour", pinGroup = "probe-semix")
+        .writeStream.format("memory").queryName("probe_semix")
+        .outputMode("append").start()
+      val walls = try (0 until n).map { b =>
+        val slice = incoming.filter(x => (x._1 / 4) % n == b)
+          .map(x => (x._1, new java.sql.Timestamp(t0ms + b * 60000L), x._2))
+        timed { mem.addData(slice.toSeq: _*); q.processAllAvailable() }
+      } finally {
+        q.stop(); graft.streaming.GateIndexes.release("probe-semix")
+      }
+      val drained = (spark.sparkContext.getPersistentRDDs.keySet.toSet
+        -- before).isEmpty
+      eAll.unpersist()
+      (tW, tF, walls, drained)
     }
 
     Console.err.println("[probe] phase: embdrift")
@@ -237,6 +306,13 @@ object StreamIngestProbe {
         s""""quota_walls":[${quotaWalls.map(f3).mkString(",")}],""" +
         s""""embdrift_walls":[${embdrift.map(f3).mkString(",")}],""" +
         s""""compact_secs":${f3(compactSecs)},""" +
+        s""""swap_rows_folded":$swapRowsFolded,""" +
+        s""""sem_index_write_secs":${f3(semWriteSecs)},""" +
+        s""""sem_index_fold_secs":${f3(semFoldSecs)},""" +
+        s""""semix_walls":[${semixWalls.map(f3).mkString(",")}],""" +
+        s""""semix_half_medians":[${f3(median(semixWalls.take(n / 2)))},${
+          f3(median(semixWalls.drop(n / 2)))}],""" +
+        s""""semix_pins_drained":$semixDrained,""" +
         s""""post_swap_walls":[${postSwapWalls.map(f3).mkString(",")}],""" +
         s""""post_swap_half_medians":[${f3(ps1)},${f3(ps2)}],""" +
         s""""retired_pins_drained":$pinsDrained,""" +

@@ -123,6 +123,104 @@ class CompactionSpec extends SparkSuite {
       s"exactly the ingested dup, never the tombstoned one: $viaIndex")
   }
 
+  test("semdedup index maintenance: exact fold (challenge + orphans) equals derive from the new snapshot; the indexed gate decides identically") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val S = graft.operators.Similarity
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val sf = "/root/testdata/sf0.001"
+    val standingDir = tmp("graft_semix_standing")
+    val ingestDir = tmp("graft_semix_ingest")
+    val ix0 = tmp("graft_semix_ix0")
+    val ix1 = tmp("graft_semix_ix1")
+    val e = graft.sources.Tables.embeddings(sp, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val sm = Corpus.DELTA_SNAP_MOD
+    val rm = Corpus.DELTA_REV_MOD
+    // the q150 fixture end-to-end THROUGH PARQUET: old snapshot lacks
+    // ≡3, the compaction adds them, negation-revises ≡0 (mod rm) and
+    // tombstones ≡4 — so the codebook gains, loses and re-centers
+    // cells and all three fold branches run
+    e.filter(col("vec_id") % sm =!= 3L)
+      .write.mode("overwrite").parquet(standingDir)
+    Corpus.writeSemdedupIndex(sp.read.parquet(standingDir), S.IVF_SEEDS, ix0)
+    val rev = transform(col("v"), x => -x)
+    EventStreams.writeBatchIdempotent(
+      e.filter(col("vec_id") % sm =!= 4L)
+        .filter(col("vec_id") % sm === 3L || col("vec_id") % rm === 0L)
+        .withColumn("v", when(col("vec_id") % rm === 0L, rev).otherwise(col("v")))
+        .withColumn(graft.operators.Layout.DELETED_COL, lit(false)),
+      0L, ingestDir)
+    EventStreams.writeBatchIdempotent(
+      e.filter(col("vec_id") % sm === 4L)
+        .withColumn(graft.operators.Layout.DELETED_COL, lit(true)),
+      1L, ingestDir)
+    Corpus.compactSemdedupIndex(sp, ix0, ingestDir, ix1, S.IVF_SEEDS)
+
+    val newSnap = e.filter(col("vec_id") % sm =!= 4L)
+      .withColumn("v", when(col("vec_id") % rm === 0L, rev).otherwise(col("v")))
+    val (foldCents, foldAssign) = Corpus.readSemdedupIndex(sp, ix1)
+    val derCents = S.centsOf(newSnap, S.IVF_SEEDS)
+    def centRows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Int]("cell"),
+        r.getAs[Seq[Double]]("cv"))).toSet
+    def asgRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("cell"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(centRows(foldCents) == centRows(derCents),
+      "folded codebook must equal predicate-filter of the new snapshot")
+    val derAssign = asgRows(S.cellAssignD(newSnap, derCents))
+    val gotAssign = asgRows(foldAssign)
+    assert(gotAssign == derAssign,
+      s"fold != derive: fold-only=${(gotAssign -- derAssign).take(3)}, " +
+        s"derive-only=${(derAssign -- gotAssign).take(3)}")
+
+    // non-vacuity: the fixture must actually exercise every branch
+    val (oldCents, oldAssign) = Corpus.readSemdedupIndex(sp, ix0)
+    val oldCellIds = oldCents.collect().map(_.getAs[Int]("cell")).toSet
+    val newCellIds = derCents.collect().map(_.getAs[Int]("cell")).toSet
+    assert((newCellIds -- oldCellIds).nonEmpty, "fixture must ADD cells")
+    assert((oldCellIds -- newCellIds).nonEmpty, "fixture must REMOVE cells")
+    val orphanCount = oldAssign
+      .filter(col("vec_id") % sm =!= 4L && col("vec_id") % rm =!= 0L)
+      .filter(col("cell").isin((oldCellIds -- newCellIds).toSeq: _*))
+      .count()
+    assert(orphanCount > 0, "fixture must orphan some untouched vectors")
+
+    // the gate fed from the folded index decides exactly like the
+    // derive-from-corpus gate on the same replay batch
+    val probeVecs = e.filter(col("vec_id") % 97 === 0)
+      .collect().map(r => (r.getLong(0) + 10000L,
+        ts("2024-06-02 08:00:00"), r.getSeq[Double](1)))
+    def decisions(queryName: String,
+                  mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                  group: String): Set[(Long, Long, Double)] = {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Seq[Double])]
+      val q = mk(mem.toDF().toDF("vec_id", "ts", "v"))
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("append").start()
+      try {
+        mem.addData(probeVecs.toSeq: _*); q.processAllAvailable()
+        sp.sql(s"SELECT vec_id, existing_vec_id, cos FROM $queryName")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      } finally { q.stop(); GateIndexes.release(group) }
+    }
+    val viaIndex = decisions("semix_ix", s =>
+      graft.streaming.CorpusStreams.semdedupGateStreamIndexed(s, foldCents,
+        foldAssign, S.SEMDEDUP_TAU, "1 hour", pinGroup = "semix-ix"), "semix-ix")
+    val viaCorpus = decisions("semix_tx", s =>
+      graft.streaming.CorpusStreams.semdedupGateStream(s, newSnap,
+        S.IVF_SEEDS, S.SEMDEDUP_TAU, "1 hour", twoLevel = Some(false),
+        pinGroup = "semix-tx"), "semix-tx")
+    assert(viaIndex == viaCorpus,
+      s"indexed gate diverged: ix-only=${(viaIndex -- viaCorpus).take(3)}, " +
+        s"corpus-only=${(viaCorpus -- viaIndex).take(3)}")
+    assert(viaIndex.nonEmpty,
+      "probe cohort must trip the gate at τ (vacuous parity otherwise)")
+  }
+
   test("plan shapes: the fold's anti-join broadcasts the touched keys at batch scale; delta-decon broadcasts the bench grams") {
     // q145: the LEFT_ANTI's build side is the batch-sized update-key
     // set — AQE must pick a broadcast once it sees the runtime size

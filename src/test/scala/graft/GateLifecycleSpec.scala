@@ -142,6 +142,28 @@ class GateLifecycleSpec extends SparkSuite {
     }
   }
 
+  test("shared-plan pins are ref-counted: releasing one of two groups pinning the SAME plan keeps the cache entry until the last release") {
+    val sp = spark
+    import sp.implicits._
+    // CacheManager dedups persisted plans by sameResult, so both
+    // groups' pins resolve to ONE storage entry; release() must not
+    // evict it while the other group is still live (ADVICE r13)
+    val shared = Seq((1L, "refcount"), (2L, "refcount two"))
+      .toDF("doc_id", "text").filter(col("doc_id") > -104L)
+    val before = persistedIds
+    GateIndexes.pin(shared, "refcount-A")
+    GateIndexes.pin(shared, "refcount-B")
+    shared.count()
+    val ids = persistedIds -- before
+    assert(ids.nonEmpty, "the shared plan must register a persistent RDD")
+    GateIndexes.release("refcount-A")
+    assert(ids.subsetOf(persistedIds),
+      "releasing group A must NOT evict the entry group B still pins")
+    GateIndexes.release("refcount-B")
+    assert((persistedIds & ids).isEmpty,
+      "the last release must actually drain the shared entry")
+  }
+
   test("default pinGroups are never shared: two gates of the same kind auto-pin under distinct fresh groups") {
     val sp = spark
     import sp.implicits._
