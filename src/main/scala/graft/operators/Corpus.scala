@@ -48,6 +48,7 @@ object Corpus {
     "q147_budget_select" -> q147,
     "q148_delta_decon" -> q148,
     "q149_band_index_fold" -> q149,
+    "q149b_band_index_fold_ix" -> q149b,
     "q125_training_manifest" -> q125,
     "q127_hybrid_rrf" -> q127,
     "q127b_hybrid_rrf_ivf" -> q127b,
@@ -1892,7 +1893,8 @@ object Corpus {
 
   def compactSnapshot(spark: SparkSession, standingDir: String,
       ingestDir: String, outDir: String,
-      targetRowsPerFile: Long): Long = {
+      targetRowsPerFile: Long,
+      zorderBy: Option[(String, String)] = None): Long = {
     val standing = spark.read.parquet(standingDir)
     val cols = standing.columns.toSeq
     val (latestRaw, touched) = resolveIngest(spark, ingestDir)
@@ -1909,8 +1911,29 @@ object Corpus {
     // file count = min(parallelism, what the target needs), file size
     // ≤ target rows, both without ever counting or re-shuffling the
     // fold. Returns the published file count from the output listing.
-    folded
-      .coalesce(math.max(1, spark.sparkContext.defaultParallelism))
+    //
+    // zorderBy = Some((cx, cy)) preserves a Layout.zcluster'd
+    // snapshot's file-skipping across the fold (VERDICT r13 next #4):
+    // the one extra exchange is the DECLARED z-range partition
+    // (clustering is a sort; there is no shuffle-free version), and
+    // the bounding box comes from a 2-column pruned scan of standing
+    // ∪ the batch-sized delta — a superset of the fold's rows, so the
+    // fold plan itself still executes exactly once, in the write.
+    val arranged = zorderBy match {
+      case Some((cx, cy)) =>
+        val b = standing.select(col(cx).cast("double").as("x"),
+            col(cy).cast("double").as("y"))
+          .unionByName(latest.select(col(cx).cast("double").as("x"),
+            col(cy).cast("double").as("y")))
+          .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y")))
+          .head()
+        Layout.zclusterBounded(folded, cx, cy,
+          math.max(1, spark.sparkContext.defaultParallelism),
+          b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+      case None =>
+        folded.coalesce(math.max(1, spark.sparkContext.defaultParallelism))
+    }
+    arranged
       .write.mode("overwrite")
       .option("maxRecordsPerFile", targetRowsPerFile)
       .parquet(outDir)
@@ -2024,6 +2047,44 @@ object Corpus {
       Dedup.docShingleSets(oldSnap),
       Dedup.minhashBands(Dedup.shingleStream(oldSnap)),
       delta, touched)._2
+  }
+
+  /** q149b — q149's fold with the old index arriving FROM PARQUET
+    * (`readNeardupIndex`), the production maintenance path (VERDICT
+    * r13 next #5): q149's bench floor prices deriving the old index
+    * in-query (parity with one q19 pass — honest for the fixture,
+    * not for production, where the index stands on disk from the
+    * previous compaction). Here the old snapshot's index is
+    * materialized once per JVM session into a temp dir and every
+    * invocation loads + folds — so the bench median prices
+    * load-vs-derive, the number a weekly swap actually costs. Same
+    * oracle SQL as q149: fold == derive regardless of where the old
+    * index came from. */
+  private val q149bIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q149b(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val oldSnap = docs.filter(col("doc_id") % DELTA_SNAP_MOD =!= 4L)
+      .select(col("doc_id"), col("text"))
+    val ixDir = q149bIndexDirs.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_q149b_ix").toString
+      writeNeardupIndex(oldSnap, p)
+      p
+    })
+    val (oldSets, oldBands) = readNeardupIndex(spark, ixDir)
+    val newSnap = docs.filter(col("doc_id") % DELTA_SNAP_MOD =!= 3L)
+      .withColumn("text",
+        when(col("doc_id") % DELTA_REV_MOD === 0L,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    val o = oldSnap.select(col("doc_id"), md5(col("text")).as("fp_o"))
+    val delta = newSnap.join(o, Seq("doc_id"), "left")
+      .filter(col("fp_o").isNull || md5(col("text")) =!= col("fp_o"))
+      .select(col("doc_id"), col("text"))
+    val removed = oldSnap.join(newSnap.select(col("doc_id")),
+      Seq("doc_id"), "left_anti").select(col("doc_id"))
+    val touched = delta.select(col("doc_id")).unionByName(removed)
+    foldNeardupIndex(oldSets, oldBands, delta, touched)._2
   }
 
   /** Persist the standing SEMANTIC-DEDUP index next to a snapshot —

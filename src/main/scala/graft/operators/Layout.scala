@@ -67,6 +67,25 @@ object Layout {
       .drop("__z", "xmin", "xmax", "ymin", "ymax")
   }
 
+  /** [[zcluster]] with caller-supplied bounds — for callers whose
+    * frame is expensive to execute (a compaction fold): [[zcluster]]
+    * derives the bounding box from `df` itself, which re-executes the
+    * plan once for the stats agg; here the caller computes bounds
+    * from the CHEAP sides (a 2-column pruned scan of the standing
+    * snapshot ∪ the batch-sized delta bounds the fold's rows from
+    * above, since a fold only removes rows) and the big plan executes
+    * exactly once, in the write. A superset bounding box only
+    * coarsens cell granularity at the margins; z-ordering and range
+    * contiguity are unaffected. */
+  def zclusterBounded(df: DataFrame, cx: String, cy: String, numFiles: Int,
+      xmin: Double, xmax: Double, ymin: Double, ymax: Double): DataFrame =
+    df.withColumn("__z", interleaveBits(
+        scaled(col(cx), lit(xmin), lit(xmax), Z_BITS),
+        scaled(col(cy), lit(ymin), lit(ymax), Z_BITS), Z_BITS))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+
   /** Small-file compaction — the maintenance pass every long-lived
     * 100-TB table needs: streaming/incremental writers leave thousands
     * of KB-scale files whose per-file open/footer cost dominates scan

@@ -217,6 +217,25 @@ object CorpusSql {
   // Shared by q124 and its Bloom-prefiltered twin q124c: the Spark
   // plans differ (q124c prunes the train side through the sketch
   // before the shuffle join) but the emitted relation is identical.
+  // q149/q149b: the band-index FOLD across the q144 fixture's
+  // compaction — the oracle derives the bands straight from the NEW
+  // snapshot (fold == derive is the maintenance invariant; band
+  // signatures are pure per-doc functions). The shared band chain is
+  // reused with its source retargeted at the rebuilt-snapshot CTE.
+  private val q149Sql: String = {
+    val m = graft.operators.Corpus.DELTA_SNAP_MOD
+    val rv = graft.operators.Corpus.DELTA_REV_MOD
+    val chain = SqlFragments.minhashBandsSql
+      .replace("FROM documents", "FROM newsnap")
+    s"""WITH newsnap AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % $rv = 0 THEN text || ' rev2'
+       |              ELSE text END AS text
+       |  FROM documents WHERE doc_id % $m <> 3),
+       |$chain
+       |SELECT doc_id, band_id, band_hash FROM bands""".stripMargin
+  }
+
   private val q124Sql: String =
     s"""WITH toks AS (
        |  SELECT doc_id,
@@ -713,19 +732,13 @@ object CorpusSql {
     // (fold == derive is the maintenance invariant; band signatures
     // are pure per-doc functions). The shared band chain is reused
     // with its source retargeted at the rebuilt-snapshot CTE.
-    "q149_band_index_fold" -> {
-      val m = graft.operators.Corpus.DELTA_SNAP_MOD
-      val rv = graft.operators.Corpus.DELTA_REV_MOD
-      val chain = SqlFragments.minhashBandsSql
-        .replace("FROM documents", "FROM newsnap")
-      s"""WITH newsnap AS (
-         |  SELECT doc_id,
-         |         CASE WHEN doc_id % $rv = 0 THEN text || ' rev2'
-         |              ELSE text END AS text
-         |  FROM documents WHERE doc_id % $m <> 3),
-         |$chain
-         |SELECT doc_id, band_id, band_hash FROM bands""".stripMargin
-    },
+    "q149_band_index_fold" -> q149Sql,
+
+    // q149b: the SAME fold with the old index loaded from parquet —
+    // fold == derive regardless of where the old index came from, so
+    // the identical derive-from-new-snapshot SQL gates it; what
+    // changes is only the bench floor (load-vs-derive)
+    "q149b_band_index_fold_ix" -> q149Sql,
 
     // q124: split hygiene — both engines join on md5(g), so even a
     // hash collision produces the identical verdict; split buckets
