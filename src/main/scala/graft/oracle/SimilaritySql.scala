@@ -670,6 +670,27 @@ object SimilaritySql {
     // recall_ok pins to 1 so any regression in the composed layout —
     // cell assignment, probe sizing, codebooks, LUT join —
     // hash-fails the row
+    // q151: residual IVFADC vs raw IVF×PQ on the clustered fixture —
+    // cohort/corpus/probe facts are exact (the cents predicate is on
+    // vec_id only, so amplification changes no count); residual_wins
+    // pins to 1: on clustered data the residual chain must strictly
+    // beat raw codes, so a regression in re-expression/LUT/ADC flips
+    // the bit and hash-fails the row (the uniform-table inversion
+    // stays spec-pinned in AnnRecallSpec as the honest negative)
+    "q151_residual_ann" -> {
+      val s = graft.operators.Similarity
+      s"""WITH $embCte,
+         |$ivfCentsCte
+         |SELECT (SELECT count(*) FROM emb WHERE vec_id % 25 = 0) AS n_queries,
+         |       (SELECT count(*) FROM emb) AS n_corpus,
+         |       10 AS k,
+         |       CAST(greatest(${s.IVFPQ_MIN_PROBES},
+         |              CAST(ceil(CAST((SELECT count(*) FROM cents) AS DOUBLE)
+         |                        / ${s.IVFPQ_PROBE_DEN}.0) AS BIGINT))
+         |            AS INTEGER) AS probes,
+         |       1 AS residual_wins""".stripMargin
+    },
+
     // q150: the semdedup cell-index FOLD across the embedding-side
     // q144 fixture (adds ≡3, removes ≡4 mod DELTA_SNAP_MOD, negation
     // revisions ≡0 mod DELTA_REV_MOD). The oracle ignores the fold

@@ -157,6 +157,60 @@ object ScaleProbe {
       if (args.length > 3) args.drop(3).toSeq else PROBE_QUERIES)
     case "lmvocab" => lmVocab(args(1), args(2), args(3).toInt,
       if (args.length > 4) args.drop(4).map(_.toInt).toSeq else Seq(1, 32, 1024))
+    case "resann" => resAnn(args(1))
+  }
+
+  /** Residual-vs-raw ANN recall levels (VERDICT r13 next #3): runs
+    * both composed PQ pipelines plus the exact baseline on (a) the
+    * table as-is and (b) the `Similarity.clusteredEmb` label-
+    * amplified fixture, at the q146 probe sizing, and emits one JSON
+    * line of recalls — the absolute-level evidence behind q151's
+    * comparative `residual_wins` contract (the uniform arm documents
+    * the inversion; the clustered arm documents the win; run on the
+    * replica to read both at 10×). */
+  def resAnn(dir: String): Unit = {
+    val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    val S = graft.operators.Similarity
+    val e0 = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val arms = Seq(
+      "uniform" -> e0.select(col("vec_id"), col("v")),
+      "clustered" -> S.clusteredEmb(e0))
+    val readouts = arms.map { case (tag, eArm) =>
+      val e = eArm.cache(); e.count()
+      val qPred = col("vec_id") % 25 === 0
+      val nCells = S.centsOf(e, S.IVF_SEEDS).count()
+      val probes = S.ivfPqProbes(nCells)
+      val q = e.filter(qPred).select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id").asc)
+      val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          graft.functions.VectorFns.sqDistArr(col("qv"), col("v")).as("d2"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .select(col("q_id"), col("n_id")).cache()
+      val nq = q.count()
+      def recallOf(ann: DataFrame): Double =
+        exact.join(ann.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"))
+          .count().toDouble / (nq * 10)
+      val rRes = recallOf(S.ivfPqResidualTopK(e, S.IVF_SEEDS, probes, qPred, 10))
+      val rRaw = recallOf(S.ivfPqTopK(e, S.IVF_SEEDS, probes, qPred, 10))
+      Console.err.println(s"[resann] $tag cells=$nCells probes=$probes " +
+        s"res=${f3(rRes)} raw=${f3(rRaw)}")
+      e.unpersist(); exact.unpersist()
+      s""""$tag":{"cells":$nCells,"probes":$probes,"nq":$nq,""" +
+        s""""recall_residual":${f3(rRes)},"recall_raw":${f3(rRaw)}}"""
+    }
+    val json = s"""{"metric":"resann","sf_dir":"$dir","amp":${S.CLUSTER_AMP},""" +
+      s"""${readouts.mkString(",")}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("scale_probe.json"), json)
+    println(json)
+    spark.stop()
   }
 
   /** The lm-gate's ORGANIC-VOCAB probe (VERDICT r12 next #4): the
