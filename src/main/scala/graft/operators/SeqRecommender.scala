@@ -176,9 +176,17 @@ object SeqRecommender {
         .select(col("t_id"), col("cluster"),
           r6(col("n").cast("double") + col("sqn")
             - lit(2.0) * coalesce(col("dot"), lit(0.0))).as("d2"))
-      val w = Window.partitionBy(col("t_id")).orderBy(col("d2").asc, col("cluster").asc)
-      grid.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("t_id"), col("cluster"))
+      // argmin as a hash aggregation, not a sort window: min over
+      // (d2, cluster) structs is the same lexicographic (d2 asc,
+      // cluster asc) winner row_number picked, but it partial-
+      // aggregates map-side — the shuffle carries one combined row
+      // per t_id instead of sorting the full t × cluster grid. At
+      // sf0.1 the stage is join-bound so the wall is unchanged
+      // (Q58Profile r14); the win is the shuffle SHAPE at 100×
+      // (no sort buffer over the widest intermediate in the fit)
+      grid.groupBy(col("t_id"))
+        .agg(min(struct(col("d2"), col("cluster"))).as("b"))
+        .select(col("t_id"), col("b").getField("cluster").as("cluster"))
     }
     def recenter(assigned: DataFrame): DataFrame = {
       val nc = assigned.groupBy("cluster").agg(count(lit(1)).as("nc"))

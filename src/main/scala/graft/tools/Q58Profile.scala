@@ -51,9 +51,9 @@ object Q58Profile {
         .select(col("t_id"), col("cluster"),
           r6(col("n").cast("double") + col("sqn")
             - lit(2.0) * coalesce(col("dot"), lit(0.0))).as("d2"))
-      val w = Window.partitionBy(col("t_id")).orderBy(col("d2").asc, col("cluster").asc)
-      grid.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("t_id"), col("cluster"))
+      grid.groupBy(col("t_id"))
+        .agg(min(struct(col("d2"), col("cluster"))).as("b"))
+        .select(col("t_id"), col("b").getField("cluster").as("cluster"))
     }
     def recenter(assigned: org.apache.spark.sql.DataFrame) = {
       val nc = assigned.groupBy("cluster").agg(count(lit(1)).as("nc"))

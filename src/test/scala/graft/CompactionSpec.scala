@@ -219,6 +219,34 @@ class CompactionSpec extends SparkSuite {
         s"corpus-only=${(viaCorpus -- viaIndex).take(3)}")
     assert(viaIndex.nonEmpty,
       "probe cohort must trip the gate at τ (vacuous parity otherwise)")
+
+    // SECOND weekly cycle: fold of a fold must still equal derive —
+    // the index never drifts across successive compactions (the
+    // production invariant; a single-cycle pin would miss stale-d2 or
+    // ghost-cell errors that only compound on the next fold)
+    val ingest2 = tmp("graft_semix_ingest2")
+    val ix2 = tmp("graft_semix_ix2")
+    EventStreams.writeBatchIdempotent(
+      newSnap.filter(col("vec_id") % sm === 3L && col("vec_id") % 2L === 0L)
+        .withColumn("v", transform(col("v"), x => x * lit(2.0)))
+        .withColumn(graft.operators.Layout.DELETED_COL, lit(false)),
+      0L, ingest2)
+    EventStreams.writeBatchIdempotent(
+      newSnap.filter(col("vec_id") % sm === 0L && col("vec_id") % 7L === 0L)
+        .withColumn(graft.operators.Layout.DELETED_COL, lit(true)),
+      1L, ingest2)
+    Corpus.compactSemdedupIndex(sp, ix1, ingest2, ix2, S.IVF_SEEDS)
+    val snap2 = newSnap
+      .filter(!(col("vec_id") % sm === 0L && col("vec_id") % 7L === 0L))
+      .withColumn("v",
+        when(col("vec_id") % sm === 3L && col("vec_id") % 2L === 0L,
+          transform(col("v"), x => x * lit(2.0))).otherwise(col("v")))
+    val (cents2, assign2) = Corpus.readSemdedupIndex(sp, ix2)
+    val derCents2 = S.centsOf(snap2, S.IVF_SEEDS)
+    assert(centRows(cents2) == centRows(derCents2),
+      "cycle-2 folded codebook must equal derive")
+    assert(asgRows(assign2) == asgRows(S.cellAssignD(snap2, derCents2)),
+      "cycle-2 fold-of-fold must equal derive — no drift across compactions")
   }
 
   test("plan shapes: the fold's anti-join broadcasts the touched keys at batch scale; delta-decon broadcasts the bench grams") {
