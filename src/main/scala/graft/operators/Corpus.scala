@@ -49,6 +49,8 @@ object Corpus {
     "q148_delta_decon" -> q148,
     "q149_band_index_fold" -> q149,
     "q149b_band_index_fold_ix" -> q149b,
+    "q152_lm_index_fold" -> q152,
+    "q152b_lm_index_fold_ix" -> q152b,
     "q125_training_manifest" -> q125,
     "q127_hybrid_rrf" -> q127,
     "q127b_hybrid_rrf_ivf" -> q127b,
@@ -2085,6 +2087,163 @@ object Corpus {
       Seq("doc_id"), "left_anti").select(col("doc_id"))
     val touched = delta.select(col("doc_id")).unionByName(removed)
     foldNeardupIndex(oldSets, oldBands, delta, touched)._2
+  }
+
+  /** Persist the standing CORPUS-LM index next to a snapshot — the
+    * third member of the index-fold family (bands: per-doc pure rows;
+    * cells: argmin; here: ADDITIVE COUNTERS). Three halves: the
+    * per-doc bigram counts (`TextOps.docGramCounts` — the persistable
+    * form of the expensive normText/tokenize/explode pass) and the
+    * aggregated `c12`/`c1` model tables q94's add-one LM is algebra
+    * over (V = |c1| derives by counting rows; never stored). The LM
+    * family (q94/q106/q131/q142/q147) is the costliest corpus stage
+    * by floor mass — with the index standing, a compaction folds the
+    * model in O(delta grams + vocab) instead of re-tokenizing the
+    * corpus. */
+  def writeLmIndex(docs: DataFrame, dir: String): Unit = {
+    val dg = TextOps.docGramCounts(docs)
+    dg.write.mode("overwrite").parquet(s"$dir/doc_grams")
+    dg.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c12"))
+      .write.mode("overwrite").parquet(s"$dir/c12")
+    dg.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
+      .write.mode("overwrite").parquet(s"$dir/c1")
+  }
+
+  /** Read the three halves of a persisted LM index:
+    * (per-doc gram counts, c12 model table, c1 model table). */
+  def readLmIndex(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/doc_grams"),
+      spark.read.parquet(s"$dir/c12"),
+      spark.read.parquet(s"$dir/c1"))
+
+  /** The counter fold itself — and the algebra q152 gates: bigram
+    * counts are sums over per-doc contributions, so the folded model
+    * is old ∪ (+delta contributions) ∪ (−touched docs' contributions)
+    * summed per gram, zero rows dropped (a gram whose last occurrence
+    * left the corpus leaves the model). Exact integer arithmetic —
+    * fold == derive unconditionally. The per-doc half folds by the
+    * band-index shape (anti-join touched ∪ delta's fresh rows); the
+    * touched docs' OLD contributions come from that same per-doc
+    * half, which is why it is persisted — no old-snapshot text is
+    * ever needed at fold time. Cost: O(|delta grams| + |vocab|);
+    * the standing per-doc side streams through the anti-join once. */
+  def foldLmIndex(oldDocGrams: DataFrame, oldC12: DataFrame,
+      oldC1: DataFrame, deltaDocs: DataFrame,
+      touched: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val removed = oldDocGrams.join(touched, Seq("doc_id"), "left_semi")
+    val added = TextOps.docGramCounts(deltaDocs)
+    val docGrams = oldDocGrams.join(touched, Seq("doc_id"), "left_anti")
+      .unionByName(added)
+    def foldCounts(old: DataFrame, cName: String,
+                   keys: Seq[String]): DataFrame = {
+      val kc = keys.map(col)
+      old.select(kc :+ col(cName).as("d"): _*)
+        .unionByName(added.groupBy(kc: _*).agg(sum(col("c")).as("d")))
+        .unionByName(removed.groupBy(kc: _*)
+          .agg((sum(col("c")) * -1).as("d")))
+        .groupBy(kc: _*).agg(sum(col("d")).as(cName))
+        .filter(col(cName) > 0)
+    }
+    (docGrams,
+      foldCounts(oldC12, "c12", Seq("w1", "w2")),
+      foldCounts(oldC1, "c1", Seq("w1")))
+  }
+
+  /** INDEX MAINTENANCE across a compaction, LM side: resolve the
+    * ingest batches last-writer-wins and fold through [[foldLmIndex]]
+    * — the weekly swap re-tokenizes only the delta. */
+  def compactLmIndex(spark: SparkSession, indexDir: String,
+      ingestDir: String, outDir: String): Unit = {
+    val (latest, touched) = resolveIngest(spark, ingestDir)
+    val (dg0, c120, c10) = readLmIndex(spark, indexDir)
+    val (dg, c12, c1) = foldLmIndex(dg0, c120, c10,
+      latest.select(col("doc_id"), col("text")), touched)
+    dg.write.mode("overwrite").parquet(s"$outDir/doc_grams")
+    c12.write.mode("overwrite").parquet(s"$outDir/c12")
+    c1.write.mode("overwrite").parquet(s"$outDir/c1")
+  }
+
+  /** q152 — the corpus-LM COUNTER fold as an oracle-gated query on
+    * the q144/q149 fixture: old model derived from the old snapshot,
+    * delta = added/changed docs (the " rev2" revisions shift real
+    * bigram mass: new (w, rev2) grams appear and none vanish-to-zero
+    * trivially), removed = the retired cohort. Emits the folded
+    * add-one model table itself — (w1, w2, c12, c1, lp) with
+    * lp = r6(ln((c12+1)/(c1+V))) over the folded V — while the
+    * oracle derives the same table from the NEW snapshot's text:
+    * fold == derive is exact because counts are additive, so a
+    * leaked contribution (a tombstoned doc's grams surviving, a
+    * revision double-counted) shifts an integer and hash-fails. */
+  private def q152(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.r6
+    val docs = Tables.documents(spark, dir)
+    val oldSnap = docs.filter(col("doc_id") % DELTA_SNAP_MOD =!= 4L)
+      .select(col("doc_id"), col("text"))
+    val newSnap = docs.filter(col("doc_id") % DELTA_SNAP_MOD =!= 3L)
+      .withColumn("text",
+        when(col("doc_id") % DELTA_REV_MOD === 0L,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    val o = oldSnap.select(col("doc_id"), md5(col("text")).as("fp_o"))
+    val delta = newSnap.join(o, Seq("doc_id"), "left")
+      .filter(col("fp_o").isNull || md5(col("text")) =!= col("fp_o"))
+      .select(col("doc_id"), col("text"))
+    val removed = oldSnap.join(newSnap.select(col("doc_id")),
+      Seq("doc_id"), "left_anti").select(col("doc_id"))
+    val touched = delta.select(col("doc_id")).unionByName(removed)
+    val oldDg = TextOps.docGramCounts(oldSnap)
+    val (_, c12, c1) = foldLmIndex(oldDg,
+      oldDg.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c12")),
+      oldDg.groupBy(col("w1")).agg(sum(col("c")).as("c1")),
+      delta, touched)
+    val vdim = c1.agg(count(lit(1)).as("v"))
+    c12.join(c1, Seq("w1")).crossJoin(broadcast(vdim))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        r6(log((col("c12") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")))
+          .cast("decimal(20,6)").as("lp"))
+  }
+
+  /** q152b — q152's fold with the old LM index arriving FROM PARQUET
+    * (the q149b posture): the old snapshot's per-doc gram counts and
+    * model tables are materialized once per JVM, every invocation
+    * loads + folds + scores — the bench floor prices the production
+    * maintenance op (tokenize only the delta) instead of the
+    * fixture's in-query derive of the old index. Same oracle SQL:
+    * counts are additive, so fold == derive regardless of where the
+    * old counters came from. */
+  private val q152bIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q152b(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Rounding.r6
+    val docs = Tables.documents(spark, dir)
+    val oldSnap = docs.filter(col("doc_id") % DELTA_SNAP_MOD =!= 4L)
+      .select(col("doc_id"), col("text"))
+    val ixDir = q152bIndexDirs.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_q152b_ix").toString
+      writeLmIndex(oldSnap, p)
+      p
+    })
+    val (dg0, c120, c10) = readLmIndex(spark, ixDir)
+    val newSnap = docs.filter(col("doc_id") % DELTA_SNAP_MOD =!= 3L)
+      .withColumn("text",
+        when(col("doc_id") % DELTA_REV_MOD === 0L,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    val o = oldSnap.select(col("doc_id"), md5(col("text")).as("fp_o"))
+    val delta = newSnap.join(o, Seq("doc_id"), "left")
+      .filter(col("fp_o").isNull || md5(col("text")) =!= col("fp_o"))
+      .select(col("doc_id"), col("text"))
+    val removed = oldSnap.join(newSnap.select(col("doc_id")),
+      Seq("doc_id"), "left_anti").select(col("doc_id"))
+    val touched = delta.select(col("doc_id")).unionByName(removed)
+    val (_, c12, c1) = foldLmIndex(dg0, c120, c10, delta, touched)
+    val vdim = c1.agg(count(lit(1)).as("v"))
+    c12.join(c1, Seq("w1")).crossJoin(broadcast(vdim))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        r6(log((col("c12") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double")))
+          .cast("decimal(20,6)").as("lp"))
   }
 
   /** Persist the standing SEMANTIC-DEDUP index next to a snapshot —

@@ -350,6 +350,18 @@ object TextOps {
         element_at(col("tk"), col("i") + 1).as("w2"))
       .cache()
 
+  /** Per-doc bigram COUNTS `(doc_id, w1, w2, c)` — [[bigramStream]]
+    * collapsed to one row per (doc, gram). This is the persistable
+    * per-doc form of the corpus LM: counts are additive over docs, so
+    * a compaction folds the model by subtracting touched docs' rows
+    * and adding the delta's (`Corpus.foldLmIndex`), and the expensive
+    * normText/tokenize/explode work is never re-paid for an untouched
+    * document. */
+  private[graft] def docGramCounts(docs: DataFrame): DataFrame =
+    bigramStream(docs)
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+
   /** The per-gram r6-quantized log-prob stream `(doc_id, lp)` under
     * the corpus's add-one bigram LM — q94's scoring join before its
     * per-doc rollup, extracted so the Min-K% probe (q142) scores the

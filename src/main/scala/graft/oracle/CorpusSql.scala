@@ -236,6 +236,36 @@ object CorpusSql {
        |SELECT doc_id, band_id, band_hash FROM bands""".stripMargin
   }
 
+  // q152/q152b: the LM counter fold across the q144/q149 compaction
+  // — the oracle ignores the fold and derives the add-one bigram
+  // model straight from the NEW snapshot (counts are additive over
+  // docs, so fold == derive exactly wherever the old counters came
+  // from; q94's CTE blocks on the rebuilt-snapshot CTE)
+  private val q152Sql: String = {
+    val m = graft.operators.Corpus.DELTA_SNAP_MOD
+    val rv = graft.operators.Corpus.DELTA_REV_MOD
+    s"""WITH newsnap AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % $rv = 0 THEN text || ' rev2'
+       |              ELSE text END AS text
+       |  FROM documents WHERE doc_id % $m <> 3),
+       |toks AS (
+       |  SELECT doc_id, ${tokensSql(normTextSql("text"))} AS tk
+       |  FROM newsnap),
+       |bg AS (
+       |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+       |  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+       |  WHERE len(tk) >= 2),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+       |v AS (SELECT count(*) AS v FROM c1)
+       |SELECT w1, w2, c12, c1,
+       |       CAST(${graft.functions.Rounding.sql6(
+                 "ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v.v AS DOUBLE))")}
+       |            AS DECIMAL(20,6)) AS lp
+       |FROM c12 JOIN c1 USING (w1), v""".stripMargin
+  }
+
   private val q124Sql: String =
     s"""WITH toks AS (
        |  SELECT doc_id,
@@ -739,6 +769,19 @@ object CorpusSql {
     // the identical derive-from-new-snapshot SQL gates it; what
     // changes is only the bench floor (load-vs-derive)
     "q149b_band_index_fold_ix" -> q149Sql,
+
+    // q152: the LM counter fold across the q144/q149 compaction —
+    // the oracle ignores the fold and derives the add-one bigram
+    // model straight from the NEW snapshot (counts are additive over
+    // docs, so fold == derive exactly; q94's CTE blocks on the
+    // rebuilt-snapshot CTE)
+    "q152_lm_index_fold" -> q152Sql,
+
+    // q152b: the SAME counter fold with the old index loaded from
+    // parquet — additive counts make fold == derive wherever the old
+    // counters came from, so the identical SQL gates it; only the
+    // bench floor changes (tokenize-the-delta vs derive-the-corpus)
+    "q152b_lm_index_fold_ix" -> q152Sql,
 
     // q124: split hygiene — both engines join on md5(g), so even a
     // hash collision produces the identical verdict; split buckets

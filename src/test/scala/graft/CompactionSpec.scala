@@ -249,6 +249,65 @@ class CompactionSpec extends SparkSuite {
       "cycle-2 fold-of-fold must equal derive — no drift across compactions")
   }
 
+  test("LM index maintenance: the counter fold equals derive from the new snapshot through parquet batch dirs and tombstones") {
+    val sp = spark
+    import sp.implicits._
+    val T = graft.operators.TextOps
+    val standingDir = tmp("graft_lmix_standing")
+    val ingestDir = tmp("graft_lmix_ingest")
+    val ix0 = tmp("graft_lmix_ix0")
+    val ix1 = tmp("graft_lmix_ix1")
+    // small controlled corpus: shared grams across docs so removals
+    // decrement counts without zeroing them, plus a gram whose ONLY
+    // doc is tombstoned (must leave the model entirely)
+    Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "the quick red fox runs past the lazy cat"),
+      (102L, "unique solitary phrase lives here only"),
+      (103L, "the lazy dog sleeps all day long"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(standingDir)
+    Corpus.writeLmIndex(sp.read.parquet(standingDir), ix0)
+    // batch 0: revision of 101 (drops 'red fox', adds 'blue wolf'),
+    // arrival 400; batch 1: tombstone 102 (sole owner of its grams)
+    EventStreams.writeBatchIdempotent(Seq(
+      (101L, "the quick blue wolf runs past the lazy cat", false),
+      (400L, "a brand new document with the quick fox", false))
+      .toDF("doc_id", "text", graft.operators.Layout.DELETED_COL), 0L, ingestDir)
+    EventStreams.writeBatchIdempotent(Seq(
+      (102L, "", true))
+      .toDF("doc_id", "text", graft.operators.Layout.DELETED_COL), 1L, ingestDir)
+    Corpus.compactLmIndex(sp, ix0, ingestDir, ix1)
+
+    val newSnap = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "the quick blue wolf runs past the lazy cat"),
+      (103L, "the lazy dog sleeps all day long"),
+      (400L, "a brand new document with the quick fox"))
+      .toDF("doc_id", "text")
+    val (dg, c12, c1) = Corpus.readLmIndex(sp, ix1)
+    def dgRows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    def c12Rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    def c1Rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val derDg = T.docGramCounts(newSnap)
+    assert(dgRows(dg) == dgRows(derDg), "per-doc half must fold exactly")
+    val derC12 = derDg.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c12"))
+    val derC1 = derDg.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
+    assert(c12Rows(c12) == c12Rows(derC12),
+      s"c12 fold drift: fold-only=${c12Rows(c12) -- c12Rows(derC12)}, " +
+        s"derive-only=${c12Rows(derC12) -- c12Rows(c12)}")
+    assert(c1Rows(c1) == c1Rows(derC1), "c1 fold must equal derive")
+    // the tombstoned doc's exclusive grams must be GONE (zero rows
+    // dropped), and a revision-removed gram must decrement, not ghost
+    assert(!c1Rows(c1).exists(_._1 == "solitary"),
+      "sole-owner grams of a tombstoned doc must leave the model")
+    assert(!c12Rows(c12).exists(p => p._1 == "red" && p._2 == "fox"),
+      "a gram removed by revision must leave when its count hits zero")
+  }
+
   test("plan shapes: the fold's anti-join broadcasts the touched keys at batch scale; delta-decon broadcasts the bench grams") {
     // q145: the LEFT_ANTI's build side is the batch-sized update-key
     // set — AQE must pick a broadcast once it sees the runtime size
