@@ -51,6 +51,7 @@ object Corpus {
     "q149b_band_index_fold_ix" -> q149b,
     "q152_lm_index_fold" -> q152,
     "q152b_lm_index_fold_ix" -> q152b,
+    "q153_delta_lm_score" -> q153,
     "q125_training_manifest" -> q125,
     "q127_hybrid_rrf" -> q127,
     "q127b_hybrid_rrf_ivf" -> q127b,
@@ -2244,6 +2245,39 @@ object Corpus {
         r6(log((col("c12") + 1).cast("double") /
           (col("c1") + col("v")).cast("double")))
           .cast("decimal(20,6)").as("lp"))
+  }
+
+  /** q153 — DELTA LM quality scoring against the standing model: the
+    * ingest-side member of the incremental family (q148 delta-decon,
+    * q95/q105b incremental dedup — now quality too). Arriving/changed
+    * docs are scored under the STANDING corpus's bigram LM
+    * (`TextOps.lmScoreAgainst`; in production the model tables come
+    * from `readLmIndex`'s folded index, so the weekly cycle is: fold
+    * the model (q152b) → score only the delta against it (this) —
+    * neither step re-reads standing text). Unseen grams back off
+    * add-one style and score strictly lower — exactly the gate
+    * semantics: a batch full of vocabulary the corpus has never seen
+    * reads as low quality until a compaction admits it into the
+    * model. Fixture: the q152 snapshot rules; output is q94's shape
+    * restricted to the delta. */
+  private def q153(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val oldSnap = docs.filter(col("doc_id") % DELTA_SNAP_MOD =!= 4L)
+      .select(col("doc_id"), col("text"))
+    val newSnap = docs.filter(col("doc_id") % DELTA_SNAP_MOD =!= 3L)
+      .withColumn("text",
+        when(col("doc_id") % DELTA_REV_MOD === 0L,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    val o = oldSnap.select(col("doc_id"), md5(col("text")).as("fp_o"))
+    val delta = newSnap.join(o, Seq("doc_id"), "left")
+      .filter(col("fp_o").isNull || md5(col("text")) =!= col("fp_o"))
+      .select(col("doc_id"), col("text"))
+    val dg = TextOps.docGramCounts(oldSnap)
+    TextOps.lmScoreAgainst(delta,
+        dg.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c12")),
+        dg.groupBy(col("w1")).agg(sum(col("c")).as("c1")))
+      .withColumn("flagged",
+        (col("avg_logp") < TextOps.LM_FLAG_THRESH).cast("int"))
   }
 
   /** Persist the standing SEMANTIC-DEDUP index next to a snapshot —

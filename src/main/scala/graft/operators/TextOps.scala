@@ -508,6 +508,37 @@ object TextOps {
                       lmGrams: Option[DataFrame] = None): DataFrame =
     lmRollup(lmGrams.getOrElse(lmGramsAuto(docs)))
 
+  /** Score `docs` against a PRECOMPUTED standing model — the
+    * ingest-side LM quality gate: an arriving batch is scored under
+    * the STANDING corpus's add-one bigram LM (the `c12`/`c1` tables a
+    * persisted LM index holds — in production,
+    * `Corpus.readLmIndex`'s folded model) instead of a model derived
+    * from the batch itself, which at batch sizes is statistically
+    * meaningless. Grams the standing model has never seen back off
+    * add-one style (c12 → 0, c1 → 0 ⇒ lp = ln(1/V)-shaped), scoring
+    * strictly lower — the [[perGramLogpSketch]] out-of-model
+    * discipline, so unseen-gram-heavy docs read as low quality, which
+    * is the gate's point. V = |c1| (the standing vocabulary).
+    *
+    * Scale shape: the batch-side bigram stream joins the index-sized
+    * model tables on the gram key (left joins — AQE broadcasts the
+    * model when it is small, shuffles batch-bounded rows when not);
+    * V rides a 1-row broadcast; cost scales with the batch, never
+    * the standing corpus. */
+  def lmScoreAgainst(docs: DataFrame, c12: DataFrame,
+                     c1: DataFrame): DataFrame = {
+    import graft.functions.Rounding.r6
+    val vdim = c1.agg(count(lit(1)).as("v"))
+    lmRollup(bigramStream(docs)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vdim))
+      .select(col("doc_id"),
+        r6(log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")))
+          .cast("decimal(20,6)").as("lp")))
+  }
+
   /** Min-K% tail denominator: k = ⌈n/5⌉ (the published 20% setting) —
     * INTEGER ceil division, so both engines pick the identical k with
     * no 0.2-is-not-binary float hazard. */

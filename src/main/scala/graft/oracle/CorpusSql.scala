@@ -783,6 +783,60 @@ object CorpusSql {
     // bench floor changes (tokenize-the-delta vs derive-the-corpus)
     "q152b_lm_index_fold_ix" -> q152Sql,
 
+    // q153: delta docs scored against the STANDING model — the
+    // oracle rebuilds both sides from text (model CTEs over the old
+    // snapshot, bigram stream over the delta, LEFT joins + add-one
+    // backoff for unseen grams, V = standing vocabulary)
+    "q153_delta_lm_score" -> {
+      val m = graft.operators.Corpus.DELTA_SNAP_MOD
+      val rv = graft.operators.Corpus.DELTA_REV_MOD
+      s"""WITH oldsnap AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % $m <> 4),
+         |newsnap AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % $rv = 0 THEN text || ' rev2'
+         |              ELSE text END AS text
+         |  FROM documents WHERE doc_id % $m <> 3),
+         |delta AS (
+         |  SELECT n.doc_id, n.text FROM newsnap n
+         |  LEFT JOIN oldsnap o USING (doc_id)
+         |  WHERE o.text IS NULL OR o.text <> n.text),
+         |toks_m AS (
+         |  SELECT doc_id, ${tokensSql(normTextSql("text"))} AS tk
+         |  FROM oldsnap),
+         |bg_m AS (
+         |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+         |  FROM toks_m, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+         |  WHERE len(tk) >= 2),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg_m GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bg_m GROUP BY 1),
+         |v AS (SELECT count(*) AS v FROM c1),
+         |toks_d AS (
+         |  SELECT doc_id, ${tokensSql(normTextSql("text"))} AS tk
+         |  FROM delta),
+         |bg_d AS (
+         |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+         |  FROM toks_d, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+         |  WHERE len(tk) >= 2),
+         |scored AS (
+         |  SELECT b.doc_id,
+         |         CAST(${graft.functions.Rounding.sql6(
+                     "ln(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE) / " +
+                       "CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE))")}
+         |              AS DECIMAL(20,6)) AS lp
+         |  FROM bg_d b
+         |  LEFT JOIN c12 USING (w1, w2)
+         |  LEFT JOIN c1 USING (w1), v),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS slp
+         |  FROM scored GROUP BY 1)
+         |SELECT doc_id, n_bigrams,
+         |       ${graft.functions.Rounding.sql4("CAST(slp AS DOUBLE) / n_bigrams")} AS avg_logp,
+         |       CAST(${graft.functions.Rounding.sql4("CAST(slp AS DOUBLE) / n_bigrams")}
+         |            < ${graft.operators.TextOps.LM_FLAG_THRESH} AS INTEGER) AS flagged
+         |FROM agg""".stripMargin
+    },
+
     // q124: split hygiene — both engines join on md5(g), so even a
     // hash collision produces the identical verdict; split buckets
     // mirror Corpus.splitAssign (train <80, test >=90)
