@@ -338,6 +338,34 @@ class CompactionSpec extends SparkSuite {
     assert(!p149.contains("GlobalLimit 2147483647") && !p149.toLowerCase
       .split('\n').exists(l => l.contains("sort ") && l.contains("global=true")),
       s"no global sort in the index fold:\n$p149")
+
+    // foldCellIndex, PRODUCTION shape (index from parquet): the
+    // standing majority (settled survivors) must ride ONLY broadcasts
+    // — anti-join touched, anti-join removed cells, one broadcast
+    // array row of added cells — so the only shuffle exchanges in the
+    // whole fold are the SMALL sides (orphan argmin window, delta
+    // argmin window, the added-cells single-row agg). A corpus-sized
+    // exchange appearing here is exactly the regression this pins.
+    val S = graft.operators.Similarity
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val ix = tmp("graft_planaudit_ix")
+    graft.operators.Corpus.writeSemdedupIndex(
+      e.filter(col("vec_id") % 5 =!= 3L), S.IVF_SEEDS, ix)
+    val (oc, oa) = graft.operators.Corpus.readSemdedupIndex(spark, ix)
+    val delta = e.filter(col("vec_id") % 5 === 3L)
+    val folded = S.foldCellIndex(oc, oa, delta,
+      delta.select(col("vec_id")), S.IVF_SEEDS)._2
+    folded.write.format("noop").mode("overwrite").save()
+    val pFold = folded.queryExecution.executedPlan.toString
+    val shuffles = pFold.split('\n')
+      .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles <= 3,
+      s"cell-index fold must not shuffle the standing side " +
+        s"($shuffles non-broadcast exchanges):\n$pFold")
+    assert(pFold.contains("BroadcastNestedLoopJoin") ||
+        pFold.contains("BroadcastHashJoin"),
+      s"the added-cells challenge must ride a broadcast:\n$pFold")
   }
 
   test("tombstoned batches: compaction honors takedowns last-writer-wins and q144 reports them as removals") {
