@@ -694,6 +694,52 @@ object CorpusStreams {
     semdedupGateCore(vecs, flatAssignExpr(cb), standingCells, tau, watermark)
   }
 
+  /** Per-batch LM quality scoring on ingest — q153
+    * (`TextOps.lmScoreAgainst`) as a `foreachBatch` stage: each
+    * arriving batch scores against the PINNED standing bigram model
+    * and the per-doc verdicts land as idempotent `batch_id=N`
+    * partitions (the manifest/datasheet replay discipline: overwrite
+    * by batch id, so a crash-replayed batch rewrites its own
+    * partition bit-identically). The model tables are the persisted
+    * LM index's `c12`/`c1` halves (`Corpus.readLmIndex` — folded
+    * across compactions by q152's counter algebra); standing-unseen
+    * grams back off add-one and score strictly lower, so a batch of
+    * never-seen vocabulary is flagged until a compaction admits it
+    * into the model. Stateless beyond the pinned static model:
+    * per-batch cost scales with the batch, never the corpus. */
+  def ingestLmScoreBatch(batch: DataFrame, batchId: Long, outDir: String,
+                         c12: DataFrame, c1: DataFrame): Unit = {
+    import graft.operators.TextOps
+    EventStreams.writeBatchIdempotent(
+      TextOps.lmScoreAgainst(batch.select(col("doc_id"), col("text")),
+          c12, c1)
+        .withColumn("flagged",
+          (col("avg_logp") < TextOps.LM_FLAG_THRESH).cast("int")),
+      batchId, outDir)
+  }
+
+  /** The q153 gate wired as a streaming sink: `foreachBatch` over a
+    * `(doc_id, text, ...)` stream, verdicts under `outDir`. Pins the
+    * model tables under `pinGroup` for the gate's lifetime (the
+    * static side of every per-batch score re-executes otherwise —
+    * the GateIndexes discipline); release the group after stopping
+    * the query, e.g. when a compaction publishes a folded model and
+    * the gate rebuilds on it. */
+  def lmGateStream(docs: DataFrame, c12: DataFrame, c1: DataFrame,
+                   outDir: String, checkpointDir: String,
+                   pinGroup: String = "")
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val group =
+      if (pinGroup.isEmpty) GateIndexes.autoGroup("lmgate") else pinGroup
+    val c12p = GateIndexes.pin(c12, group)
+    val c1p = GateIndexes.pin(c1, group)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, id: Long) =>
+        ingestLmScoreBatch(b, id, outDir, c12p, c1p))
+      .start()
+  }
+
   /** Streaming per-source quota ADMISSION GATE — q138's per-domain
     * cap on ingest: each source admits its first `quota` documents and
     * rejects everything after, emitting one row per ADMITTED doc (the

@@ -473,4 +473,66 @@ class CorpusStreamsSpec extends SparkSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out2/sheet_docs")),
       "hook off must not retain corpus text")
   }
+
+  test("lmGateStream: batch verdicts equal q153-style scoring against the standing index; unseen grams back off; replay and release clean") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val T = graft.operators.TextOps
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val standing = docs.filter(col("doc_id") % 5 =!= 3L)
+    val arriving = docs.filter(col("doc_id") % 5 === 3L)
+      .withColumn("text",
+        concat(col("text"), lit(" zzunseen" ), (col("doc_id") % 7).cast("string")))
+    val ix = freshDir()
+    graft.operators.Corpus.writeLmIndex(standing, ix)
+    val (_, c12, c1) = graft.operators.Corpus.readLmIndex(sp, ix)
+    val out = freshDir(); val ckpt = freshDir()
+    val rows = arriving.collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusStreams.lmGateStream(mem.toDF().toDF("doc_id", "text"),
+      c12, c1, out, ckpt, pinGroup = "lmgate-spec")
+    try {
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+    } finally q.stop()
+    assert((spark.sparkContext.getPersistentRDDs.keySet.toSet -- before)
+      .nonEmpty, "the gate must pin the standing model")
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logp"), col("flagged"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getInt(3))))
+      .toMap
+    val streamed = verdicts(sp.read.parquet(out))
+    val batch = verdicts(T.lmScoreAgainst(arriving, c12, c1)
+      .withColumn("flagged",
+        (col("avg_logp") < T.LM_FLAG_THRESH).cast("int")))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream != batch: only-stream=${(streamed.toSet -- batch.toSet).take(3)}, " +
+        s"only-batch=${(batch.toSet -- streamed.toSet).take(3)}")
+    // the appended zzunseen tokens are standing-absent by construction:
+    // the backoff path must have actually scored (strictly lower than a
+    // doc's standing-gram average would allow everywhere); weak but
+    // non-vacuous check: at least one arriving doc is flagged
+    assert(streamed.values.exists(_._3 == 1),
+      "unseen-gram backoff should flag at least one arriving doc")
+    // replayed batch rewrites its own partition bit-identically
+    CorpusStreams.ingestLmScoreBatch(
+      arriving.filter(col("doc_id").isin(b1.map(_._1).toSeq: _*)),
+      0L, out, c12, c1)
+    assert(verdicts(sp.read.parquet(out)) == streamed,
+      "a replayed batch must not change the verdict table")
+    // release drains exactly the gate's two pins (c12 + c1); the
+    // bigramStream self-caches are library residency, not gate pins
+    val afterRun = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    graft.streaming.GateIndexes.release("lmgate-spec")
+    val afterRelease = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    assert(afterRelease.size <= afterRun.size - 2,
+      s"released gate pins (c12+c1) must drain: $afterRun -> $afterRelease")
+  }
 }
