@@ -339,6 +339,16 @@ object TextOps {
     * from the exact card it lower-bounds. Cached: every consumer
     * feeds it to 2-3 aggs plus the scoring join. */
   private[graft] def bigramStream(docs: DataFrame): DataFrame =
+    bigramStreamRaw(docs).cache()
+
+  /** [[bigramStream]] WITHOUT the session cache — for per-micro-batch
+    * callers ([[lmScoreAgainst]] inside `lmGateStream`): each batch's
+    * plan is distinct, so the cached form would register one
+    * never-released CacheManager entry per micro-batch — unbounded
+    * residency growth in a long-running gate (caught by the r14
+    * ingest probe's pin-drain check). Single-consumer chains don't
+    * benefit from the cache anyway. */
+  private[graft] def bigramStreamRaw(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
         VectorFns.tokens(Dedup.normText(col("text"))).as("tk"))
@@ -348,7 +358,6 @@ object TextOps {
       .select(col("doc_id"),
         element_at(col("tk"), col("i")).as("w1"),
         element_at(col("tk"), col("i") + 1).as("w2"))
-      .cache()
 
   /** Per-doc bigram COUNTS `(doc_id, w1, w2, c)` — [[bigramStream]]
     * collapsed to one row per (doc, gram). This is the persistable
@@ -358,7 +367,7 @@ object TextOps {
     * normText/tokenize/explode work is never re-paid for an untouched
     * document. */
   private[graft] def docGramCounts(docs: DataFrame): DataFrame =
-    bigramStream(docs)
+    bigramStreamRaw(docs)
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c"))
 
@@ -529,7 +538,10 @@ object TextOps {
                      c1: DataFrame): DataFrame = {
     import graft.functions.Rounding.r6
     val vdim = c1.agg(count(lit(1)).as("v"))
-    lmRollup(bigramStream(docs)
+    // raw (uncached) gram stream: inside the streaming gate this runs
+    // once per micro-batch with a distinct plan — the cached form
+    // leaks one CacheManager entry per batch (probe-caught, r14)
+    lmRollup(bigramStreamRaw(docs)
       .join(c12, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(vdim))

@@ -269,6 +269,54 @@ object StreamIngestProbe {
       (tW, tF, walls, drained)
     }
 
+    // ---- the r14 LM quality gate (q153/lmGateStream), priced: write
+    // the standing LM index once, score n arriving batches against
+    // the PINNED model via the foreachBatch gate, measure per-batch
+    // walls flat (batch-bounded scoring; the model is static), fold
+    // the index across a compaction (additive counters) and verify
+    // the retired pins drain.
+    Console.err.println("[probe] phase: lm gate")
+    val (lmWriteSecs, lmFoldSecs, lmWalls, lmDrained) = {
+      val standingDocs = docs.filter(col("doc_id") % 4 =!= 3)
+        .select(col("doc_id"), col("text"))
+      val ix0 = s"$base/lm_ix0"
+      val ix1 = s"$base/lm_ix1"
+      val ingestDir = s"$base/lm_ingest"
+      val tW = timed { graft.operators.Corpus.writeLmIndex(standingDocs, ix0) }
+      Console.err.println(s"[probe] writeLmIndex ${f3(tW)}s")
+      val (_, c12, c1) = graft.operators.Corpus.readLmIndex(spark, ix0)
+      val arriving = docs.filter(col("doc_id") % 4 === 3)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.CorpusStreams.lmGateStream(
+        mem.toDF().toDF("doc_id", "text"), c12, c1,
+        s"$base/lm_out", s"$base/lm_ckpt", pinGroup = "probe-lm")
+      val walls = try (0 until n).map { b =>
+        val slice = arriving.filter(x => (x._1 / 4) % n == b)
+        timed { mem.addData(slice.toSeq: _*); q.processAllAvailable() }
+      } finally {
+        q.stop(); graft.streaming.GateIndexes.release("probe-lm")
+      }
+      val drained = (spark.sparkContext.getPersistentRDDs.keySet.toSet
+        -- before).isEmpty
+      // the weekly fold: accepted quarter as batch dirs → compactLmIndex
+      (0 until n).foreach { b =>
+        graft.streaming.EventStreams.writeBatchIdempotent(
+          docs.filter(col("doc_id") % 4 === 3 &&
+            pmod(expr("doc_id div 4"), lit(n)) === b)
+            .select(col("doc_id"), col("text"))
+            .withColumn(graft.operators.Layout.DELETED_COL, lit(false)),
+          b.toLong, ingestDir)
+      }
+      val tF = timed {
+        graft.operators.Corpus.compactLmIndex(spark, ix0, ingestDir, ix1)
+      }
+      Console.err.println(s"[probe] compactLmIndex ${f3(tF)}s")
+      (tW, tF, walls, drained)
+    }
+
     Console.err.println("[probe] phase: embdrift")
     val embdrift = {
       val e = graft.sources.Tables.embeddings(spark, dir)
@@ -313,6 +361,12 @@ object StreamIngestProbe {
         s""""semix_half_medians":[${f3(median(semixWalls.take(n / 2)))},${
           f3(median(semixWalls.drop(n / 2)))}],""" +
         s""""semix_pins_drained":$semixDrained,""" +
+        s""""lm_index_write_secs":${f3(lmWriteSecs)},""" +
+        s""""lm_index_fold_secs":${f3(lmFoldSecs)},""" +
+        s""""lmgate_walls":[${lmWalls.map(f3).mkString(",")}],""" +
+        s""""lmgate_half_medians":[${f3(median(lmWalls.take(n / 2)))},${
+          f3(median(lmWalls.drop(n / 2)))}],""" +
+        s""""lmgate_pins_drained":$lmDrained,""" +
         s""""post_swap_walls":[${postSwapWalls.map(f3).mkString(",")}],""" +
         s""""post_swap_half_medians":[${f3(ps1)},${f3(ps2)}],""" +
         s""""retired_pins_drained":$pinsDrained,""" +
