@@ -43,6 +43,7 @@ object Similarity {
     "q132b_hard_negatives_ivf" -> q132b,
     "q146_ivfpq_ann" -> q146,
     "q150_cell_index_fold" -> q150,
+    "q150b_cell_index_fold_ix" -> q150b,
     "q151_residual_ann" -> q151
   )
 
@@ -728,6 +729,38 @@ object Similarity {
     val oldCents = centsOf(oldSnap, IVF_SEEDS)
     foldCellIndex(oldCents, cellAssignD(oldSnap, oldCents),
       delta, touched, IVF_SEEDS)._2
+      .select(col("vec_id"), col("cell"), col("d2"))
+  }
+
+  /** q150b — q150's fold with the old cell index arriving FROM
+    * PARQUET (the q149b/q152b posture): the old snapshot's codebook
+    * and d2-carrying assignments are materialized once per JVM via
+    * `Corpus.writeSemdedupIndex`; every invocation loads + folds, so
+    * the bench floor prices the production maintenance op (challenge
+    * + orphans + delta against loaded state) instead of the fixture's
+    * in-query derive of the old index. Same oracle SQL: the fold is
+    * exact wherever the old index came from. */
+  private val q150bIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q150b(spark: SparkSession, dir: String): DataFrame = {
+    val sm = Corpus.DELTA_SNAP_MOD
+    val rm = Corpus.DELTA_REV_MOD
+    val e = emb(spark, dir)
+    val rev = transform(col("v"), x => -x)
+    val oldSnap = e.filter(col("vec_id") % sm =!= 3L)
+    val ixDir = q150bIndexDirs.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_q150b_ix").toString
+      Corpus.writeSemdedupIndex(oldSnap, IVF_SEEDS, p)
+      p
+    })
+    val (oldCents, oldAssign) = Corpus.readSemdedupIndex(spark, ixDir)
+    val delta = e.filter(col("vec_id") % sm =!= 4L)
+      .filter(col("vec_id") % sm === 3L || col("vec_id") % rm === 0L)
+      .withColumn("v", when(col("vec_id") % rm === 0L, rev).otherwise(col("v")))
+    val removed = e.filter(col("vec_id") % sm === 4L).select(col("vec_id"))
+    val touched = delta.select(col("vec_id")).unionByName(removed)
+    foldCellIndex(oldCents, oldAssign, delta, touched, IVF_SEEDS)._2
       .select(col("vec_id"), col("cell"), col("d2"))
   }
 

@@ -25,6 +25,34 @@ object SimilaritySql {
        |        % ${s.IVF_SEED_MOD} = 0)""".stripMargin
   }
 
+  private val q150Sql: String = {
+      val s = graft.operators.Similarity
+      val sm = graft.operators.Corpus.DELTA_SNAP_MOD
+      val rm = graft.operators.Corpus.DELTA_REV_MOD
+      s"""WITH $embCte,
+         |news AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % $rm = 0
+         |              THEN list_transform(v, x -> -x) ELSE v END AS v
+         |  FROM emb WHERE vec_id % $sm <> 4),
+         |cents AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv FROM news
+         |  WHERE vec_id IN (${s.IVF_SEEDS.mkString(", ")})
+         |     OR ${SqlFragments.baseHashSql(
+                s"'${s.IVF_SEED_SALT}' || CAST(vec_id AS VARCHAR)")}
+         |        % ${s.IVF_SEED_MOD} = 0)
+         |SELECT vec_id, cell, d2 FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rk
+         |  FROM (
+         |    SELECT e.vec_id, c.cell,
+         |           floor(list_sum(list_transform(list_zip(e.v, c.cv),
+         |                   z -> (z[1]-z[2])*(z[1]-z[2])))
+         |                 * 1000000.0 + 0.5) / 1000000.0 AS d2
+         |    FROM news e CROSS JOIN cents c))
+         |WHERE rk = 1""".stripMargin
+    }
+
   val oracle: Map[String, String] = Map(
     "q62_embed_quantize" ->
       """WITH e AS (
@@ -697,33 +725,13 @@ object SimilaritySql {
     // entirely and derives the flat assignment from the NEW snapshot
     // — fold == derive is the maintenance invariant foldCellIndex
     // proves exactly (challenge vs added cells, orphan reassignment)
-    "q150_cell_index_fold" -> {
-      val s = graft.operators.Similarity
-      val sm = graft.operators.Corpus.DELTA_SNAP_MOD
-      val rm = graft.operators.Corpus.DELTA_REV_MOD
-      s"""WITH $embCte,
-         |news AS (
-         |  SELECT vec_id,
-         |         CASE WHEN vec_id % $rm = 0
-         |              THEN list_transform(v, x -> -x) ELSE v END AS v
-         |  FROM emb WHERE vec_id % $sm <> 4),
-         |cents AS (
-         |  SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv FROM news
-         |  WHERE vec_id IN (${s.IVF_SEEDS.mkString(", ")})
-         |     OR ${SqlFragments.baseHashSql(
-                s"'${s.IVF_SEED_SALT}' || CAST(vec_id AS VARCHAR)")}
-         |        % ${s.IVF_SEED_MOD} = 0)
-         |SELECT vec_id, cell, d2 FROM (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rk
-         |  FROM (
-         |    SELECT e.vec_id, c.cell,
-         |           floor(list_sum(list_transform(list_zip(e.v, c.cv),
-         |                   z -> (z[1]-z[2])*(z[1]-z[2])))
-         |                 * 1000000.0 + 0.5) / 1000000.0 AS d2
-         |    FROM news e CROSS JOIN cents c))
-         |WHERE rk = 1""".stripMargin
-    },
+    "q150_cell_index_fold" -> q150Sql,
+
+    // q150b: the SAME fold with the old index loaded from parquet —
+    // the fold is exact wherever the old index came from, so the
+    // identical SQL gates it; only the bench floor changes
+    // (load-vs-derive)
+    "q150b_cell_index_fold_ix" -> q150Sql,
 
     "q146_ivfpq_ann" -> {
       val s = graft.operators.Similarity
