@@ -306,6 +306,33 @@ class CompactionSpec extends SparkSuite {
       "sole-owner grams of a tombstoned doc must leave the model")
     assert(!c12Rows(c12).exists(p => p._1 == "red" && p._2 == "fox"),
       "a gram removed by revision must leave when its count hits zero")
+
+    // SECOND weekly cycle: counter fold of a fold must still equal
+    // derive (a leaked contribution or double-subtraction would
+    // compound) — revision of the revised doc, tombstone of 103
+    val ingest2 = tmp("graft_lmix_ingest2")
+    val ix2 = tmp("graft_lmix_ix2")
+    EventStreams.writeBatchIdempotent(Seq(
+      (101L, "the quick blue wolf sits beside the lazy cat", false))
+      .toDF("doc_id", "text", graft.operators.Layout.DELETED_COL), 0L, ingest2)
+    EventStreams.writeBatchIdempotent(Seq(
+      (103L, "", true))
+      .toDF("doc_id", "text", graft.operators.Layout.DELETED_COL), 1L, ingest2)
+    Corpus.compactLmIndex(sp, ix1, ingest2, ix2)
+    val snap2 = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "the quick blue wolf sits beside the lazy cat"),
+      (400L, "a brand new document with the quick fox"))
+      .toDF("doc_id", "text")
+    val (dg2, c12b, c1b) = Corpus.readLmIndex(sp, ix2)
+    val derDg2 = T.docGramCounts(snap2)
+    assert(dgRows(dg2) == dgRows(derDg2), "cycle-2 per-doc half must fold exactly")
+    assert(c12Rows(c12b) == c12Rows(
+      derDg2.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c12"))),
+      "cycle-2 c12 fold-of-fold must equal derive")
+    assert(c1Rows(c1b) == c1Rows(
+      derDg2.groupBy(col("w1")).agg(sum(col("c")).as("c1"))),
+      "cycle-2 c1 fold-of-fold must equal derive")
   }
 
   test("plan shapes: the fold's anti-join broadcasts the touched keys at batch scale; delta-decon broadcasts the bench grams") {
