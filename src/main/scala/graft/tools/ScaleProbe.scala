@@ -158,6 +158,93 @@ object ScaleProbe {
     case "lmvocab" => lmVocab(args(1), args(2), args(3).toInt,
       if (args.length > 4) args.drop(4).map(_.toInt).toSeq else Seq(1, 32, 1024))
     case "resann" => resAnn(args(1))
+    case "foldsweep" => foldSweep(args(1))
+  }
+
+  /** Fold-vs-rebuild sensitivity: at what DELTA FRACTION does index
+    * maintenance stop beating a rebuild? For each fraction f ∈
+    * {1/16, 1/4, 1/2} of the corpus arriving as the delta, measure
+    * (a) the LM counter fold (`Corpus.foldLmIndex` from parquet) vs
+    * re-deriving the model from the new snapshot's text, and (b) the
+    * semdedup cell fold (`Similarity.foldCellIndex` from parquet) vs
+    * re-deriving the flat assignment. The standing index is written
+    * once per fraction (priced separately); walls are medians of 3.
+    * The expected shape: fold cost grows with f while rebuild is
+    * ~flat, so the curves cross somewhere past ordinary weekly
+    * deltas — the number that justifies "fold weekly, rebuild
+    * rarely". */
+  def foldSweep(dir: String): Unit = {
+    val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    val S = graft.operators.Similarity
+    val T = graft.operators.TextOps
+    val C = graft.operators.Corpus
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def med3(f: => Unit): Double = {
+      val ws = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      ws.sorted.apply(1)
+    }
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_foldsweep").toString
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).cache()
+    docs.count()
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .cache()
+    e.count()
+    val points = Seq(1, 4, 8).map { k => // k/16 of the corpus as delta
+      val frac = k / 16.0
+      // LM side
+      val oldDocs = docs.filter(col("doc_id") % 16 >= k)
+      val deltaDocs = docs.filter(col("doc_id") % 16 < k)
+      val lmIx = s"$base/lm_$k"
+      C.writeLmIndex(oldDocs, lmIx)
+      val (dg0, c120, c10) = C.readLmIndex(spark, lmIx)
+      val lmFold = med3 {
+        val (dg, c12, c1) = C.foldLmIndex(dg0, c120, c10, deltaDocs,
+          deltaDocs.select(col("doc_id")))
+        dg.write.format("noop").mode("overwrite").save()
+        c12.write.format("noop").mode("overwrite").save()
+        c1.write.format("noop").mode("overwrite").save()
+      }
+      val lmRebuild = med3 {
+        val dg = T.docGramCounts(docs)
+        dg.write.format("noop").mode("overwrite").save()
+        dg.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c12"))
+          .write.format("noop").mode("overwrite").save()
+        dg.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      // cell side
+      val oldVecs = e.filter(col("vec_id") % 16 >= k)
+      val deltaVecs = e.filter(col("vec_id") % 16 < k)
+      val cellIx = s"$base/cell_$k"
+      C.writeSemdedupIndex(oldVecs, S.IVF_SEEDS, cellIx)
+      val (oc, oa) = C.readSemdedupIndex(spark, cellIx)
+      val cellFold = med3 {
+        S.foldCellIndex(oc, oa, deltaVecs,
+          deltaVecs.select(col("vec_id")), S.IVF_SEEDS)._2
+          .write.format("noop").mode("overwrite").save()
+      }
+      val cellRebuild = med3 {
+        S.cellAssignD(e, S.centsOf(e, S.IVF_SEEDS))
+          .write.format("noop").mode("overwrite").save()
+      }
+      Console.err.println(s"[foldsweep] f=$frac lm fold=${f3(lmFold)} " +
+        s"rebuild=${f3(lmRebuild)} | cell fold=${f3(cellFold)} " +
+        s"rebuild=${f3(cellRebuild)}")
+      s"""{"frac":$frac,"lm_fold":${f3(lmFold)},"lm_rebuild":${f3(lmRebuild)},""" +
+        s""""cell_fold":${f3(cellFold)},"cell_rebuild":${f3(cellRebuild)}}"""
+    }
+    val json = s"""{"metric":"foldsweep","sf_dir":"$dir",""" +
+      s""""points":[${points.mkString(",")}]}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("scale_probe.json"), json)
+    println(json)
+    spark.stop()
   }
 
   /** Residual-vs-raw ANN recall levels (VERDICT r13 next #3): runs
