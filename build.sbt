@@ -37,4 +37,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // sims from scratch (measured 71s vs 29s for q17). 48g leaves
   // headroom for the OS page cache over the parquet inputs.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 178 queries × dozens of Janino-generated classes per repeat blow
+  // through the JVM's default 240 MB code cache; once full the JIT
+  // stops compiling (or flushes hot methods) and compute-heavy queries
+  // run interpreted at ~3× own-CPU (r14 measured: q17 205 s warm vs
+  // 589 s in the full suite). Scale-neutral: any long-lived driver
+  // running a large query corpus needs a code cache sized to it.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
 )

@@ -180,6 +180,15 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // static conf, must be set before the context exists. Default 100
+      // is pathological for a 178-query suite: each query compiles
+      // dozens of generated classes, so the cache thrashes and EVERY
+      // repeat regenerates + re-JITs fresh classes — hot aggregations
+      // then run cold-interpreted each time (measured: q17 own-CPU
+      // 589 s vs 205 s warm). Scale-neutral: any long-lived session
+      // running many distinct plans wants this above the plan count.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "20000"))
       // a 48g heap sees almost no GC, so ContextCleaner never learns
       // that early queries' RDDs died — shuffle files from 100+
       // queries pile up on local disk and the late heavy joins go
