@@ -523,16 +523,44 @@ object Corpus {
     * second corpus), so its distinct grams ride a broadcast hash join
     * — the 100-TB training side never shuffles on the gram key; the
     * per-doc recount is one more keyed agg. */
-  def decontaminate(docs: DataFrame, n: Int = DECON_NGRAM): DataFrame = {
-    val grams = docs
+  def decontaminate(docs: DataFrame, n: Int = DECON_NGRAM): DataFrame =
+    decontaminateGrams(docGrams(docs, n))
+
+  /** Distinct (doc_id, h = md5(gram)) [[DECON_NGRAM]]-gram stream of a
+    * docs frame — the ONE tokenize + explode + distinct pass the whole
+    * decontamination family (q81/q100's benchmark probe, the q124
+    * split-hygiene trio, q125b's manifest stage, q136's matrix) is
+    * algebra over. Grams travel as their 32-hex md5, never text: the
+    * q124 engine-parity discipline (both engines key on the hash, so
+    * per-doc distinct counts and join verdicts are identical either
+    * way), and the narrow fixed-width key is what the stream shuffles
+    * and caches. */
+  def docGrams(docs: DataFrame, n: Int): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(VectorFns.shingles(VectorFns.tokens(
           Dedup.normText(col("text"))), n)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
       .distinct()
+
+  /** Session-cached [[docGrams]] over the corpus table — r14: the six
+    * decontamination-family queries each re-derived this stream per
+    * query (q81's own plan ran the explode+distinct THREE times:
+    * corpus recount, shared-gram join side, bench side — see
+    * plans/r14/q81_decontaminate_before.txt), so one CacheManager pin
+    * (the itemSimsCached pattern) replaces ~14 corpus tokenize passes
+    * per bench repeat with one build + cache scans. ~|corpus tokens|
+    * rows of (long, 32-hex) — dimension-sized, never wider than the
+    * token stream. */
+  private[graft] def deconGramsCached(spark: SparkSession, dir: String): DataFrame =
+    docGrams(Tables.documents(spark, dir), DECON_NGRAM).cache()
+
+  /** [[decontaminate]] over a pre-built [[docGrams]] stream. */
+  private def decontaminateGrams(grams: DataFrame): DataFrame = {
     val benchGrams = grams.filter(benchFlag(col("doc_id")))
-      .select(col("g")).distinct()
+      .select(col("h")).distinct()
     val corpus = grams.filter(!benchFlag(col("doc_id")))
-    corpus.join(broadcast(benchGrams), "g")
+    corpus.join(broadcast(benchGrams), "h")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
       .join(corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams")),
         "doc_id")
@@ -541,7 +569,7 @@ object Corpus {
   }
 
   private def q81(spark: SparkSession, dir: String): DataFrame =
-    decontaminate(Tables.documents(spark, dir))
+    decontaminateGrams(deconGramsCached(spark, dir))
 
   /** q148 — INCREMENTAL decontamination: [[decontaminate]]'s
     * benchmark probe pointed at a snapshot DELTA (the q95/q105b
@@ -599,27 +627,27 @@ object Corpus {
     * pre-deduped ((doc, h) / (h) distinct). No broadcast assumption
     * anywhere. Engine parity: both engines join on md5(g), so even a
     * hash collision produces the identical verdict. */
-  def splitContamination(docs: DataFrame, n: Int = DECON_NGRAM): DataFrame = {
-    val (train, testGrams) = splitGramSides(docs, n)
+  def splitContamination(docs: DataFrame, n: Int = DECON_NGRAM): DataFrame =
+    splitContaminationGrams(docGrams(docs, n))
+
+  /** [[splitContamination]] over a pre-built [[docGrams]] stream (r14:
+    * the q124 trio and q125b all consume [[deconGramsCached]]). */
+  private def splitContaminationGrams(grams: DataFrame): DataFrame = {
+    val (train, testGrams) = splitGramSides(grams)
     val shared = train.join(testGrams, "h")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
     contaminationReport(train, shared)
   }
 
-  /** Shared gram prep for the q124 family: distinct (doc, split, gram
-    * md5) rows for the train/test splits, returned as the two join
-    * sides ((doc_id, h) train rows; distinct test h). */
-  private def splitGramSides(docs: DataFrame, n: Int): (DataFrame, DataFrame) = {
-    val grams = docs
-      .withColumn("split", splitAssign(col("doc_id")))
-      .filter(col("split") =!= "val")
-      .select(col("doc_id"), col("split"),
-        explode(VectorFns.shingles(VectorFns.tokens(
-          Dedup.normText(col("text"))), n)).as("g"))
-      .select(col("doc_id"), col("split"), md5(col("g")).as("h"))
-      .distinct()
-    (grams.filter(col("split") === "train").select(col("doc_id"), col("h")),
-      grams.filter(col("split") === "test").select(col("h")).distinct())
+  /** Shared gram prep for the q124 family over a [[docGrams]] stream:
+    * the two join sides ((doc_id, h) train rows; distinct test h).
+    * `split` is a pure function of doc_id ([[splitAssign]]), so
+    * re-deriving it row-locally from the shared (doc_id, h)-distinct
+    * stream is exactly the old per-split distinct. */
+  private def splitGramSides(grams: DataFrame): (DataFrame, DataFrame) = {
+    val g = grams.withColumn("split", splitAssign(col("doc_id")))
+    (g.filter(col("split") === "train").select(col("doc_id"), col("h")),
+      g.filter(col("split") === "test").select(col("h")).distinct())
   }
 
   /** The q124 report tail: per-doc totals joined to shared counts. */
@@ -649,8 +677,13 @@ object Corpus {
     * a false positive, which the exact join then drops. */
   def splitContaminationBloom(docs: DataFrame, n: Int = DECON_NGRAM,
                               expectedItems: Long = 1000000L,
-                              numBits: Long = 8388608L): DataFrame = {
-    val (train, testGrams) = splitGramSides(docs, n)
+                              numBits: Long = 8388608L): DataFrame =
+    splitContaminationBloomGrams(docGrams(docs, n), expectedItems, numBits)
+
+  private def splitContaminationBloomGrams(grams: DataFrame,
+                                           expectedItems: Long = 1000000L,
+                                           numBits: Long = 8388608L): DataFrame = {
+    val (train, testGrams) = splitGramSides(grams)
     val trainHx = train.withColumn("hx", xxhash64(col("h")))
     val testHx = testGrams.select(xxhash64(col("h")).as("hx"))
     val candidates = graft.operators.Skew
@@ -662,7 +695,7 @@ object Corpus {
   }
 
   private def q124(spark: SparkSession, dir: String): DataFrame =
-    splitContamination(Tables.documents(spark, dir))
+    splitContaminationGrams(deconGramsCached(spark, dir))
 
   /** q124b — the FIX to q124's report: split REPAIR. Every document
     * keeps its q66 hash split except train docs whose shared-5-gram
@@ -677,8 +710,13 @@ object Corpus {
     * corpus/10) plus one left join of the flagged SET (far smaller
     * than the corpus) back onto the doc dim. */
   def splitRepair(docs: DataFrame, n: Int = DECON_NGRAM,
-                  maxSharedFrac: Double = CONTAM_FRAC): DataFrame = {
-    val flagged = splitContamination(docs, n)
+                  maxSharedFrac: Double = CONTAM_FRAC): DataFrame =
+    splitRepairGrams(docs, docGrams(docs, n), maxSharedFrac)
+
+  /** [[splitRepair]] with the gram stream supplied by the caller. */
+  private def splitRepairGrams(docs: DataFrame, grams: DataFrame,
+                               maxSharedFrac: Double = CONTAM_FRAC): DataFrame = {
+    val flagged = splitContaminationGrams(grams)
       .filter(col("shared_frac") > maxSharedFrac)
       .select(col("doc_id"), lit(1).as("contaminated"))
     docs.select(col("doc_id"), splitAssign(col("doc_id")).as("split"))
@@ -689,10 +727,11 @@ object Corpus {
   }
 
   private def q124b(spark: SparkSession, dir: String): DataFrame =
-    splitRepair(Tables.documents(spark, dir))
+    splitRepairGrams(Tables.documents(spark, dir),
+      deconGramsCached(spark, dir))
 
   private def q124c(spark: SparkSession, dir: String): DataFrame =
-    splitContaminationBloom(Tables.documents(spark, dir))
+    splitContaminationBloomGrams(deconGramsCached(spark, dir))
 
   /** q136 — split-leakage MATRIX: the split-level rollup of the q124
     * family. For every unordered split pair, the distinct-gram counts
@@ -708,13 +747,16 @@ object Corpus {
     * rows) → one global sum → a 3-row stack. No join at all — the
     * pairwise intersection counts are products of the membership
     * flags, so the whole matrix costs one aggregation pass. */
-  def splitLeakageMatrix(docs: DataFrame, n: Int = DECON_NGRAM): DataFrame = {
-    val flags = docs
-      .withColumn("split", splitAssign(col("doc_id")))
-      .select(col("split"),
-        explode(VectorFns.shingles(VectorFns.tokens(
-          Dedup.normText(col("text"))), n)).as("g"))
-      .select(col("split"), md5(col("g")).as("h"))
+  def splitLeakageMatrix(docs: DataFrame, n: Int = DECON_NGRAM): DataFrame =
+    splitLeakageMatrixGrams(docGrams(docs, n))
+
+  /** [[splitLeakageMatrix]] over a pre-built [[docGrams]] stream:
+    * (split, h) distinct derived row-locally from the shared
+    * (doc_id, h)-distinct stream — identical set, since split is a
+    * pure function of doc_id. */
+  private def splitLeakageMatrixGrams(grams: DataFrame): DataFrame = {
+    val flags = grams
+      .select(splitAssign(col("doc_id")).as("split"), col("h"))
       .distinct()
       .groupBy(col("h")).agg(
         max(when(col("split") === "train", 1L).otherwise(0L)).as("tr"),
@@ -743,7 +785,7 @@ object Corpus {
   }
 
   private def q136(spark: SparkSession, dir: String): DataFrame =
-    splitLeakageMatrix(Tables.documents(spark, dir))
+    splitLeakageMatrixGrams(deconGramsCached(spark, dir))
 
   /** q125 — the end-to-end TRAINING MANIFEST: the write-side capstone
     * that chains the pipeline a trainer actually ships —
@@ -766,7 +808,8 @@ object Corpus {
                        target: Long = graft.operators.Analytics.SHARD_TOKENS,
                        minStops: Long = graft.operators.TextOps.GOPHER_MIN_STOPS,
                        scheduleOut: Option[String] = None,
-                       decontaminate: Boolean = false): DataFrame = {
+                       decontaminate: Boolean = false,
+                       gramsSource: Option[DataFrame] = None): DataFrame = {
     val keyed = docs.withColumn("h", md5(Dedup.normText(col("text"))))
     val canon = keyed.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
     val deduped = keyed.join(canon, Seq("h", "doc_id"), "left_semi")
@@ -785,7 +828,9 @@ object Corpus {
     val train0 =
       if (decontaminate)
         trainKept.join(
-          splitContamination(docs).filter(col("shared_frac") > CONTAM_FRAC)
+          splitContaminationGrams(
+            gramsSource.getOrElse(docGrams(docs, DECON_NGRAM)))
+            .filter(col("shared_frac") > CONTAM_FRAC)
             .select(col("doc_id")),
           Seq("doc_id"), "left_anti")
       else trainKept
@@ -829,7 +874,8 @@ object Corpus {
       .agg(max(col("text").contains("\n").cast("int")).as("h"))
       .head().getInt(0) == 1
     trainingManifest(docs, hasLines, minStops = Q125_MIN_STOPS,
-      decontaminate = true)
+      decontaminate = true,
+      gramsSource = Some(deconGramsCached(spark, dir)))
   }
 
   /** Top terms per document for q84. */
@@ -945,7 +991,7 @@ object Corpus {
     val lm = TextOps.lmQualityScores(docs)
       .filter(col("avg_logp") < TextOps.LM_FLAG_THRESH)
       .select(col("doc_id"), lit(1).as("f_lm"))
-    val contam = decontaminate(docs)
+    val contam = decontaminateGrams(deconGramsCached(spark, dir))
       .filter(col("shared_frac") > CONTAM_FRAC)
       .select(col("doc_id"), lit(1).as("f_cont"))
 
