@@ -189,6 +189,10 @@ object Bench {
       // running many distinct plans wants this above the plan count.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "20000"))
+      // A/B'd r14: adaptive.coalescePartitions.parallelismFirst=false
+      // (the docs-recommended setting) hurts 3× on the heavy kernels
+      // at this scale (q16 5.4→16.9 s, q29 3.4→11.0 s) and buys the
+      // stage-latency tail <0.2 s — kept at the default (true).
       // a 48g heap sees almost no GC, so ContextCleaner never learns
       // that early queries' RDDs died — shuffle files from 100+
       // queries pile up on local disk and the late heavy joins go

@@ -1063,19 +1063,27 @@ object Recommender {
     * Pairs whose denominator is exactly 0 drop out, mirroring the
     * reference's empty-neighbor guard. */
   private def q31(spark: SparkSession, dir: String): DataFrame =
+    // r14: ride the session-shared mirrored sims table instead of
+    // rebuilding a cohort-restricted pair shuffle — the cohort's items
+    // cover most of the catalog at every SF, so the "restricted" build
+    // was ~a full pair stage per query. Same cosine expression
+    // (dot / (√Σr² · √Σr²), r6) over a superset pair table; the
+    // neighbor inner join selects exactly the old rows (oracle-gated).
     itemPredictRatings(Tables.ratingsCached(spark, dir),
-      col("user_id") % 23 === 5, K_ITEM_NEIGHBORS)
+      col("user_id") % 23 === 5, K_ITEM_NEIGHBORS,
+      simsSource = Some(itemSimsCached(spark, dir)))
 
   /** Reusable library surface: item-based rating prediction for the
     * (user, item) pairs selected by `heldOut`. The item-pair dot is
     * keyed on user_id with one side pre-filtered to cohort items. */
   def itemPredictRatings(ratings: DataFrame, heldOut: Column,
-                         kNeighbors: Int): DataFrame =
+                         kNeighbors: Int,
+                         simsSource: Option[DataFrame] = None): DataFrame =
     itemPredictOn(ratings,
       ratings.filter(heldOut)
         .select(col("user_id").as("u"), col("item_id").as("i"),
           col("rating").as("actual")),
-      kNeighbors)
+      kNeighbors, simsSource = simsSource)
 
   /** True train/test form of the item-based predictor: cohort pairs
     * `(u, i, actual)` need not appear in the training ratings. Pairs

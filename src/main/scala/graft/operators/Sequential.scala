@@ -55,6 +55,19 @@ object Sequential {
   def userBaskets(ratings: DataFrame): DataFrame =
     ratings.groupBy("user_id").agg(collect_set(col("item_id")).as("items"))
 
+  /** Session-cached [[userBaskets]] over the shared ratings view —
+    * q29/q35/q36 each re-ran the basket groupBy per query (r14; the
+    * itemSimsCached pattern). */
+  private[graft] def userBasketsCached(spark: SparkSession, dir: String): DataFrame =
+    userBaskets(Tables.ratingsCached(spark, dir)).cache()
+
+  /** Session-cached [[pairRules]] over the shared ratings/baskets —
+    * q29 emits it and q36 scores against it; one pair shuffle +
+    * recount per session instead of one per query (r14). */
+  private[graft] def pairRulesCached(spark: SparkSession, dir: String): DataFrame =
+    pairRules(Tables.ratingsCached(spark, dir),
+      userBasketsCached(spark, dir)).cache()
+
   /** W2: split the full order-date span into 8 equal-width periods
     * (width = ceil((span+1)/8) days) and clamp the tail — assignment is
     * pure integer arithmetic against a 1-row broadcast bounds
@@ -84,7 +97,7 @@ object Sequential {
     * are small and ride the broadcast; baskets never leave their
     * partitions. */
   private def q29(spark: SparkSession, dir: String): DataFrame =
-    pairRules(Tables.ratingsCached(spark, dir))
+    pairRulesCached(spark, dir)
 
   /** Reusable library surface: mine single-item→single-item rules with
     * recounted support/confidence over long-form `(user_id, item_id)`
@@ -223,7 +236,7 @@ object Sequential {
     * is "frequent" ⇒ exponential enumeration). */
   private def q35(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.ratingsCached(spark, dir)
-    val baskets = userBaskets(r)
+    val baskets = userBasketsCached(spark, dir)
     // n_baskets = distinct users, read off the shared ratings cache —
     // the basket-build groupBy itself runs exactly once (inside fit)
     val n = math.max(r.select("user_id").distinct().count(), 1L) // 4.0/0 = Inf fails param validation
@@ -285,9 +298,8 @@ object Sequential {
     * user's recommended item. Rules are tiny and broadcast; baskets
     * never leave their partitions — the same shape as q29's recount. */
   private def q36(spark: SparkSession, dir: String): DataFrame = {
-    val r = Tables.ratingsCached(spark, dir)
-    val baskets = userBaskets(r)
-    val rules = pairRules(r, baskets)
+    val baskets = userBasketsCached(spark, dir)
+    val rules = pairRulesCached(spark, dir)
     val fired = baskets.join(rules.hint("broadcast"),
         array_contains(col("items"), col("antecedent")) &&
           !array_contains(col("items"), col("consequent")))
