@@ -614,13 +614,30 @@ object Dedup {
     * string; islands use integer lag/sum windows ordered by the
     * (unique within doc) position, so there is no tie ambiguity. */
   def dupSpans(docs: DataFrame, n: Int = SPAN_N): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+    val toks = spanToks(docs)
+    dupSpansOn(toks, spanGrams(toks, n), n)
+  }
+
+  /** The q117-family shared stages: per-doc token arrays and the
+    * positional n-gram stream, extracted so q117 and q117b (which
+    * repeat both verbatim) can ride one session cache each (r14). */
+  private def spanToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       VectorFns.tokens(normText(col("text"))).as("tk"))
+
+  private def spanGrams(toks: DataFrame, n: Int): DataFrame =
+    toks.select(col("doc_id"), posexplode(VectorFns.shingles(col("tk"), n)))
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("g"))
+
+  private[graft] def spanToksCached(spark: SparkSession, dir: String): DataFrame =
+    spanToks(Tables.documents(spark, dir)).cache()
+
+  private[graft] def spanGramsCached(spark: SparkSession, dir: String): DataFrame =
+    spanGrams(spanToksCached(spark, dir), SPAN_N).cache()
+
+  private def dupSpansOn(toks: DataFrame, grams: DataFrame, n: Int): DataFrame = {
     val perDoc = toks.select(col("doc_id"),
       size(col("tk")).cast("long").as("n_tokens"))
-    val grams = toks
-      .select(col("doc_id"), posexplode(VectorFns.shingles(col("tk"), n)))
-      .select(col("doc_id"), col("pos"), md5(col("col")).as("g"))
     val dup = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
@@ -653,7 +670,7 @@ object Dedup {
 
   /** q117: ExactSubstr-style duplicated 8-gram spans over `documents`. */
   private def q117(spark: SparkSession, dir: String): DataFrame =
-    dupSpans(Tables.documents(spark, dir))
+    dupSpansOn(spanToksCached(spark, dir), spanGramsCached(spark, dir), SPAN_N)
 
   /** Occurrence-key base for the q117b canonical pick: doc_id·2²⁰ +
     * pos must be unique and order-preserving, so docs are capped at
@@ -682,11 +699,11 @@ object Dedup {
     * rewrite cost is proportional to the duplicated slice. Per-group
     * rebuild state is bounded by the document's own length. */
   def spanScrub(docs: DataFrame, n: Int = SPAN_N): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      VectorFns.tokens(normText(col("text"))).as("tk"))
-    val grams = toks
-      .select(col("doc_id"), posexplode(VectorFns.shingles(col("tk"), n)))
-      .select(col("doc_id"), col("pos"), md5(col("col")).as("g"))
+    val toks = spanToks(docs)
+    spanScrubOn(toks, spanGrams(toks, n), n)
+  }
+
+  private def spanScrubOn(toks: DataFrame, grams: DataFrame, n: Int): DataFrame = {
     val occKey = col("doc_id") * SCRUB_POS_BASE + col("pos")
     val dup = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("cnt"), min(occKey).as("canon_key"))
@@ -730,5 +747,5 @@ object Dedup {
 
   /** q117b: ExactSubstr scrub rewrite over `documents`. */
   private def q117b(spark: SparkSession, dir: String): DataFrame =
-    spanScrub(Tables.documents(spark, dir))
+    spanScrubOn(spanToksCached(spark, dir), spanGramsCached(spark, dir), SPAN_N)
 }
