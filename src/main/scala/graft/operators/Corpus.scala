@@ -985,10 +985,14 @@ object Corpus {
       .filter(col("doc_id") =!= col("label"))
       .select(col("doc_id"), lit(1).as("f_near"))
 
-    val rep = TextOps.repetitionStats(docs)
+    // rep/lm read the UNPROJECTED table: a projected input would be a
+    // sameResult mismatch against q61/q94/q147's plans, so the cached
+    // bigram stream could not be shared (r14; both stages only touch
+    // doc_id/text, so the result is identical)
+    val rep = TextOps.repetitionStats(Tables.documents(spark, dir))
       .select(col("doc_id"), col("n_words"),
         coalesce(col("repetitive"), lit(false)).as("f_rep"))
-    val lm = TextOps.lmQualityScores(docs)
+    val lm = TextOps.lmQualityScores(Tables.documents(spark, dir))
       .filter(col("avg_logp") < TextOps.LM_FLAG_THRESH)
       .select(col("doc_id"), lit(1).as("f_lm"))
     val contam = decontaminateGrams(deconGramsCached(spark, dir))

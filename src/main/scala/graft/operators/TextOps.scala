@@ -325,9 +325,20 @@ object TextOps {
     * scoring is the same exploded-bigram stream joined back; V rides
     * a 1-row broadcast. */
   private def q94(spark: SparkSession, dir: String): DataFrame =
-    lmQualityScores(Tables.documents(spark, dir))
+    lmScoresCached(spark, dir)
       .withColumn("flagged",
         (col("avg_logp") < LM_FLAG_THRESH).cast("int"))
+
+  /** Session-cached [[lmQualityScores]] over the bare corpus table —
+    * the per-doc (doc_id, n_bigrams, avg_logp) rollup that q94, q100's
+    * LM stage, q106/q106b, q131's datasheet, q134's sweep and q147's
+    * budget selection all derive identically (r14). Registered here;
+    * every OTHER identical lmQualityScores(Tables.documents) subtree
+    * hits the entry via CacheManager plan-dedup without code changes.
+    * The per-micro-batch gate paths keep [[bigramStreamRaw]] —
+    * distinct plans must never register cache entries (r14 probe). */
+  private[graft] def lmScoresCached(spark: SparkSession, dir: String): DataFrame =
+    lmQualityScores(Tables.documents(spark, dir)).cache()
 
   /** Library surface of [[q94]]: `(doc_id, text)` → per-doc
     * `(doc_id, n_bigrams, avg_logp)` under the corpus's own add-one
