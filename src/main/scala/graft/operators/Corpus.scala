@@ -2263,11 +2263,15 @@ object Corpus {
       oldDg.groupBy(col("w1")).agg(sum(col("c")).as("c1")),
       delta, touched)
     val vdim = c1.agg(count(lit(1)).as("v"))
+    // lp stays DOUBLE: r6's floor arithmetic is bit-identical across
+    // engines, while a final-schema DECIMAL(20,6) is unique in the
+    // suite and trips readers that surface wide decimals as
+    // decimal.Decimal on one side and float on the other (the r14
+    // q152 hash-red: values equal, representations not)
     c12.join(c1, Seq("w1")).crossJoin(broadcast(vdim))
       .select(col("w1"), col("w2"), col("c12"), col("c1"),
         r6(log((col("c12") + 1).cast("double") /
-          (col("c1") + col("v")).cast("double")))
-          .cast("decimal(20,6)").as("lp"))
+          (col("c1") + col("v")).cast("double"))).as("lp"))
   }
 
   /** q152b — q152's fold with the old LM index arriving FROM PARQUET
@@ -2305,11 +2309,11 @@ object Corpus {
     val touched = delta.select(col("doc_id")).unionByName(removed)
     val (_, c12, c1) = foldLmIndex(dg0, c120, c10, delta, touched)
     val vdim = c1.agg(count(lit(1)).as("v"))
+    // lp DOUBLE, not DECIMAL — see q152's note
     c12.join(c1, Seq("w1")).crossJoin(broadcast(vdim))
       .select(col("w1"), col("w2"), col("c12"), col("c1"),
         r6(log((col("c12") + 1).cast("double") /
-          (col("c1") + col("v")).cast("double")))
-          .cast("decimal(20,6)").as("lp"))
+          (col("c1") + col("v")).cast("double"))).as("lp"))
   }
 
   /** q153 — DELTA LM quality scoring against the standing model: the

@@ -260,9 +260,9 @@ object CorpusSql {
        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
        |v AS (SELECT count(*) AS v FROM c1)
        |SELECT w1, w2, c12, c1,
-       |       CAST(${graft.functions.Rounding.sql6(
+       |       ${graft.functions.Rounding.sql6(
                  "ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v.v AS DOUBLE))")}
-       |            AS DECIMAL(20,6)) AS lp
+       |         AS lp
        |FROM c12 JOIN c1 USING (w1), v""".stripMargin
   }
 
