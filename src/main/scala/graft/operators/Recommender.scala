@@ -741,24 +741,40 @@ object Recommender {
     val r = ratings
     val sims = simsSource.getOrElse(itemSims(r, kernel, maxItemsPerUser, catalogSize))
 
-    // target cohort's rated items feed the neighbor join on j
+    // target cohort's rated items feed the neighbor join on j. The
+    // cohort side is |targets|·profile rows (the documented
+    // cohort-scoped contract, same posture as userKnn's nbSide hint) —
+    // broadcast it so the SIMS table, the big side, never shuffles on
+    // j: with an exchange-based join every invocation re-shuffles the
+    // full mirrored pair table (25M rows at sf0.1) even when it is
+    // session-cached (r15, guide §3.1).
     val tgt = narrow(r)
       .select(col("user_id").as("u"), col("item_id").as("j"), col("rating").as("r_uj"))
-    val cand = tgt.join(sims, Seq("j"))
+    val cand = sims.join(tgt.hint("broadcast"), Seq("j"))
       .select(col("u"), col("i"), col("j"), col("sim"), col("r_uj"))
 
-    val rated = r.select(col("user_id").as("u"), col("item_id").as("i"))
-    val unseen = cand.join(rated, Seq("u", "i"), "left_anti")
-
+    // neighbor rank + score BEFORE the rated anti-join: the anti-join
+    // only ever removes whole (u, i) groups (candidate items the user
+    // already rated), never an individual neighbor row, so ranking
+    // first is exact — identical rows per surviving group, identical
+    // (sim desc, j asc) accumulation order, identical sums. It moves
+    // the left-anti off the exploded candidate stream (39M rows at
+    // sf0.1 — previously a second full-width shuffle + two sorts) onto
+    // the one-row-per-(u,i) aggregate, whose groupBy partitioning the
+    // anti-join then reuses with no new exchange (r15, guide §2.4;
+    // the same order userKnnTopK has always used).
     val wNb = Window.partitionBy(col("u"), col("i"))
       .orderBy(col("sim").desc, col("j").asc)
-    val scored = unseen.withColumn("nrk", row_number().over(wNb))
+    val scored = cand.withColumn("nrk", row_number().over(wNb))
       .filter(col("nrk") <= kNeighbors)
       .groupBy(col("u"), col("i"))
       .agg(r4(sum(col("sim") * col("r_uj")) / sum(abs(col("sim")))).as("score"))
 
+    val rated = r.select(col("user_id").as("u"), col("item_id").as("i"))
+    val unseen = scored.join(rated, Seq("u", "i"), "left_anti")
+
     val wTop = Window.partitionBy(col("u")).orderBy(col("score").desc, col("i").asc)
-    scored.withColumn("rk", row_number().over(wTop))
+    unseen.withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= kItems)
       .select(col("u").as("user_id"), col("i").as("item_id"), col("score"), col("rk"))
   }
