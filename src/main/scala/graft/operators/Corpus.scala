@@ -1922,8 +1922,8 @@ object Corpus {
   def snapshotFold(standing: DataFrame, updates: DataFrame,
                    touched: Option[DataFrame] = None): DataFrame =
     standing
-      .join(touched.getOrElse(updates.select(col("doc_id"))),
-        Seq("doc_id"), "left_anti")
+      .join(touched.getOrElse(updates.select(col("doc_id")))
+        .hint("broadcast"), Seq("doc_id"), "left_anti")
       .unionByName(updates)
 
   /** q145 — the snapshot fold on the q144 fixture: standing = the
@@ -2067,11 +2067,17 @@ object Corpus {
     * retired doc's rows survive and the gate keeps flagging against
     * ghosts. */
   def foldNeardupIndex(oldSets: DataFrame, oldBands: DataFrame,
-      deltaDocs: DataFrame, touched: DataFrame): (DataFrame, DataFrame) = (
-    Dedup.docShingleSets(deltaDocs)
-      .unionByName(oldSets.join(touched, Seq("doc_id"), "left_anti")),
-    Dedup.minhashBands(Dedup.shingleStream(deltaDocs))
-      .unionByName(oldBands.join(touched, Seq("doc_id"), "left_anti")))
+      deltaDocs: DataFrame, touched: DataFrame): (DataFrame, DataFrame) = {
+    // touched is the delta-sized key set; the standing index is
+    // corpus-sized — broadcast the keys so the standing side streams
+    // through the anti-join exchange-free (§3.1; the snapshotFold
+    // posture made explicit, r15)
+    val t = touched.hint("broadcast")
+    (Dedup.docShingleSets(deltaDocs)
+      .unionByName(oldSets.join(t, Seq("doc_id"), "left_anti")),
+      Dedup.minhashBands(Dedup.shingleStream(deltaDocs))
+        .unionByName(oldBands.join(t, Seq("doc_id"), "left_anti")))
+  }
 
   /** q149 — the near-dup BAND-INDEX fold as an oracle-gated query on
     * the q144 fixture: old index derived from the old snapshot, delta
@@ -2193,9 +2199,12 @@ object Corpus {
   def foldLmIndex(oldDocGrams: DataFrame, oldC12: DataFrame,
       oldC1: DataFrame, deltaDocs: DataFrame,
       touched: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val removed = oldDocGrams.join(touched, Seq("doc_id"), "left_semi")
+    // delta-sized key set vs the corpus-sized standing half:
+    // broadcast the keys (§3.1, the foldNeardupIndex posture)
+    val t = touched.hint("broadcast")
+    val removed = oldDocGrams.join(t, Seq("doc_id"), "left_semi")
     val added = TextOps.docGramCounts(deltaDocs)
-    val docGrams = oldDocGrams.join(touched, Seq("doc_id"), "left_anti")
+    val docGrams = oldDocGrams.join(t, Seq("doc_id"), "left_anti")
       .unionByName(added)
     def foldCounts(old: DataFrame, cName: String,
                    keys: Seq[String]): DataFrame = {

@@ -50,7 +50,38 @@ object Tables {
           s"events.ts has unsupported physical type $other; expected LongType (nanos-as-long), TIMESTAMP_NTZ, or TIMESTAMP")
     }
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  /** The corpus reader spreads a sub-parallelism scan across the
+    * session's shuffle parallelism before returning it (r15): the
+    * small-SF corpus is ONE parquet file = one input split, so every
+    * text pipeline's first stage — tokenize / explode / partial
+    * aggregation, the expensive per-byte work — ran on a single task
+    * regardless of core count (q48's whole char-bigram chain was one
+    * task; every cached token/gram table materialized single-threaded
+    * and pinned a 1-partition cache that kept downstream stages
+    * serial until their first exchange). The guard keeps this
+    * scale-correct: an at-scale corpus already carries ≥ parallelism
+    * splits and passes through untouched — no full-corpus exchange is
+    * ever added where the scan is already wide. The explicit partition
+    * count (the session's own shuffle parallelism, not a constant)
+    * keeps AQE from coalescing the tiny-bytes exchange back to one
+    * partition — AQE sizes on exchange bytes and cannot see the
+    * ~1000× downstream expansion. Hash-partitioning on doc_id is
+    * deterministic (no round-robin retry hazard, SPARK-38388) and
+    * lets downstream doc_id joins/aggregations reuse the partitioning
+    * (measured: the doc_id key beat a derived-hash key by ~25% across
+    * the text family — the reuse, not just the spread, is the win).
+    * Caveat this interacts with: two filtered branches of this scan
+    * both report HashPartitioning(doc_id, n), and a standing-index
+    * join under their union then executed with mismatched child
+    * partition counts ("Can't zip RDDs", q149b) — fixed at the fold
+    * sites by broadcasting the delta-sized touched key set, which is
+    * the right join shape there anyway. */
+  def documents(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "documents")
+    val n = spark.sessionState.conf.numShufflePartitions
+    if (raw.rdd.getNumPartitions >= n) raw
+    else raw.repartition(n, col("doc_id"))
+  }
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
   /**
