@@ -842,8 +842,11 @@ object Similarity {
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= TOP_K)
         .select(col("q_id"), col("n_id"))
       val hits = exact.join(pq, Seq("q_id", "n_id")).count()
-      val nq = q.count()
-      val nCorpus = e.count()
+      // one scalar agg for both fixture counts (r15 — §2.6, the q151
+      // action-merging posture)
+      val nRow = e.agg(count(lit(1)).as("n"),
+        count(when(qPred, 1)).as("nq")).collect()(0)
+      val (nCorpus, nq) = (nRow.getLong(0), nRow.getLong(1))
       val recall = hits.toDouble / (nq * TOP_K)
       import spark.implicits._
       Seq((nq, nCorpus, TOP_K, if (recall >= PQ_RECALL_FLOOR) 1 else 0))
@@ -1101,8 +1104,10 @@ object Similarity {
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= TOP_K)
         .select(col("q_id"), col("n_id"))
       val hits = exact.join(ann, Seq("q_id", "n_id")).count()
-      val nq = q.count()
-      val nCorpus = e.count()
+      // one scalar agg for both fixture counts (r15 — §2.6)
+      val nRow = e.agg(count(lit(1)).as("n"),
+        count(when(qPred, 1)).as("nq")).collect()(0)
+      val (nCorpus, nq) = (nRow.getLong(0), nRow.getLong(1))
       // fixture precondition, asserted loudly: a cohort-less or
       // sub-k corpus would make recall NaN / structurally deflated,
       // and the oracle's pinned recall_ok=1 would then read as a
@@ -1166,29 +1171,40 @@ object Similarity {
     try {
       val qPred = col("vec_id") % 25 === 0
       val probes = ivfPqProbes(centsOf(e, IVF_SEEDS).count())
+      // the two composed pipelines ride ONE action as a tagged union
+      // (r15): their stages overlap inside a single job instead of
+      // running as two serial collect()s, and the exact baseline is
+      // consumed once so it needs no scoped cache. A second action
+      // folds the two fixture counts into one scalar agg. 4 serial
+      // actions → 2 (§2.6 — q151 is latency-bound: 2 000 vectors,
+      // 80 queries).
       val res = ivfPqResidualTopK(e, IVF_SEEDS, probes, qPred, TOP_K)
-        .select(col("q_id"), col("n_id"))
+        .select(col("q_id"), col("n_id"), lit(1).as("is_res"))
       val raw = ivfPqTopK(e, IVF_SEEDS, probes, qPred, TOP_K)
-        .select(col("q_id"), col("n_id"))
+        .select(col("q_id"), col("n_id"), lit(0).as("is_res"))
       val q = e.filter(qPred).select(col("vec_id").as("q_id"), col("v").as("qv"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("d2").asc, col("n_id").asc)
       val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
           sqDistArr(col("qv"), col("v")).as("d2"))
         .withColumn("rk", row_number().over(w)).filter(col("rk") <= TOP_K)
-        .select(col("q_id"), col("n_id")).cache()
-      try {
-        val resHits = exact.join(res, Seq("q_id", "n_id")).count()
-        val rawHits = exact.join(raw, Seq("q_id", "n_id")).count()
-        val nq = q.count()
-        val nCorpus = e.count()
-        require(nq > 0 && nCorpus > TOP_K,
-          s"q151: degenerate fixture (nq=$nq, n=$nCorpus)")
-        import spark.implicits._
-        Seq((nq, nCorpus, TOP_K, probes,
-          if (resHits > rawHits) 1 else 0))
-          .toDF("n_queries", "n_corpus", "k", "probes", "residual_wins")
-      } finally exact.unpersist()
+        .select(col("q_id"), col("n_id"))
+      val hitRow = exact.join(res.unionByName(raw), Seq("q_id", "n_id"))
+        .agg(sum(col("is_res")).as("res_hits"),
+          sum(lit(1) - col("is_res")).as("raw_hits"))
+        .collect()(0)
+      val (resHits, rawHits) =
+        (Option(hitRow.get(0)).fold(0L)(_.asInstanceOf[Long]),
+          Option(hitRow.get(1)).fold(0L)(_.asInstanceOf[Long]))
+      val nRow = e.agg(count(lit(1)).as("n"),
+        count(when(qPred, 1)).as("nq")).collect()(0)
+      val (nCorpus, nq) = (nRow.getLong(0), nRow.getLong(1))
+      require(nq > 0 && nCorpus > TOP_K,
+        s"q151: degenerate fixture (nq=$nq, n=$nCorpus)")
+      import spark.implicits._
+      Seq((nq, nCorpus, TOP_K, probes,
+        if (resHits > rawHits) 1 else 0))
+        .toDF("n_queries", "n_corpus", "k", "probes", "residual_wins")
     } finally e.unpersist()
   }
 
