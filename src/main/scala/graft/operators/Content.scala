@@ -327,8 +327,12 @@ object Content {
           .join(itemVec.select(col("i").as("j"), col("v")), Seq("j"))
           .join(sigs, Seq("v"))
           .select(col("u"), col("band_id"), col("bucket")).distinct()
-        // co-occupant vectors of those buckets — (band, bucket) keyed
-        val candVecs = userBuckets.join(sigs, Seq("band_id", "bucket"))
+        // co-occupant vectors of those buckets — the probe set is
+        // cohort-bounded (≤ |cohort|·bands·buckets rows — the nbSide
+        // broadcast argument), so broadcast it and let the signature
+        // table stream through exchange-free (r15, §3.1)
+        val candVecs = sigs.join(userBuckets.hint("broadcast"),
+            Seq("band_id", "bucket"))
           .select(col("u"), col("v")).distinct()
         val pairs = candVecs.join(vecs.select(col("v"), col("fv").as("vi")), Seq("v"))
           .join(rated, Seq("u"))

@@ -683,9 +683,20 @@ object Recommender {
     * plan-dedup gives q17 and q33's item child ONE materialization.
     * Bench-harness scoping: library callers manage their own caching
     * (pass any sims via `simsSource`), so nothing pins executor memory
-    * behind a library call. */
+    * behind a library call.
+    *
+    * Cached PARTITIONED BY i (r15): the kNN scoring join broadcasts
+    * the cohort side, so the candidate stream inherits this layout —
+    * and Hash(i) satisfies every downstream clustering requirement
+    * ((i,u) window, (u,i) aggregate), so the exploded 39M-row
+    * candidate exchange disappears entirely; the per-(i,u) sort
+    * becomes partition-local CPU with no serialization, and the only
+    * exchanges left in the hot path are the rated anti-join's small
+    * side and the partial-group-limit-pruned final top-k (§2.4 —
+    * remove shuffles outright; one 25M-row exchange at cache build,
+    * once per session, replaces a 39M-row exchange per query). */
   private[graft] def itemSimsCached(spark: SparkSession, dir: String): DataFrame =
-    itemSims(Tables.ratingsCached(spark, dir)).cache()
+    itemSims(Tables.ratingsCached(spark, dir)).repartition(col("i")).cache()
 
   /** R5: item-based kNN top-5 for the `user_id % 20 = 0` cohort.
     * Neighbors of a candidate item are the items the user actually
@@ -763,7 +774,14 @@ object Recommender {
     // the one-row-per-(u,i) aggregate, whose groupBy partitioning the
     // anti-join then reuses with no new exchange (r15, guide §2.4;
     // the same order userKnnTopK has always used).
-    val wNb = Window.partitionBy(col("u"), col("i"))
+    // partition columns listed (i, u), not (u, i): grouping is
+    // set-based (identical rows, ranks and sums either way), but the
+    // window's sort key leads with its first partition column, and i
+    // (catalog-sized) gives the sorter a discriminating radix prefix
+    // where the cohort-sized u left almost every comparison to the
+    // full-row comparator (r15 — the exchange+sort of the exploded
+    // candidate stream is q17's dominant stage)
+    val wNb = Window.partitionBy(col("i"), col("u"))
       .orderBy(col("sim").desc, col("j").asc)
     val scored = cand.withColumn("nrk", row_number().over(wNb))
       .filter(col("nrk") <= kNeighbors)
