@@ -242,6 +242,8 @@ object Bench {
     val loads = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
     // per repeat: [wall_s, own_cpu_s, host_cpu_s, gc_s, host_sys_s] deltas
     val cpuAttr = scala.collection.mutable.ArrayBuffer[(Double, Double, Double, Double, Double)]()
+    // per repeat: (n_cached_rdds, mem_bytes, disk_bytes) at repeat end
+    val cacheCensus = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
     for (r <- 1 to repeats) {
       val load0 = hostLoad()
       val (w0, o0, (h0, s0), g0) = (System.nanoTime(), ownCpuS(), hostBusyS(), gcS())
@@ -271,6 +273,14 @@ object Bench {
       runsCpu += runCpu.toMap
       runs += run
       loads += ((load0, hostLoad()))
+      // resident cache census at each repeat's end (r15, VERDICT r14
+      // #4): [n_cached_rdds, cached_mem_bytes, cached_disk_bytes] —
+      // additive artifact field; the eviction question must be
+      // answerable from the committed artifact, not a separate probe
+      cacheCensus += {
+        val infos = spark.sparkContext.getRDDStorageInfo
+        (infos.length, infos.map(_.memSize).sum, infos.map(_.diskSize).sum)
+      }
       val (h1, s1) = hostBusyS()
       cpuAttr += (((System.nanoTime() - w0) / 1e9,
         ownCpuS() - o0, h1 - h0, gcS() - g0, s1 - s0))
@@ -325,8 +335,11 @@ object Bench {
       val cpuFloorsJson = names.flatMap { case (n, _) =>
         curCpuFloors.get(n).map(v => "\"" + n + "\":" + f3(v)) }
         .mkString("{", ",", "}")
+      val censusJson = cacheCensus.map { case (n, m, dk) => s"[$n,$m,$dk]" }
+        .mkString("[", ",", "]")
       val fileJson = s"""{"metric":"total","unit":"sec","sf":"${esc(sfDir)}",""" +
         s""""repeats_done":$r,"repeats_target":$repeats,""" +
+        s""""cached_rdds_mem_disk":$censusJson,""" +
         s""""band_or_regression":"$diag","floors":$floorsJson,""" +
         s""""floors_cpu":$cpuFloorsJson,"queries_cpu":$cpuMedJson,""" +
         s""""host_loadavg":$loadsJson,"cpu_attr":$attrJson,""" +

@@ -38,7 +38,7 @@ object Hybrid {
     val r = Tables.ratingsCached(spark, dir)
     val ua = Recommender.userKnnTopK(r, Recommender.K_NEIGHBORS, K_ITEMS,
       targetUsers = Some(col("user_id") % 20 === 0),
-      dotsSource = Some(Recommender.userDotsCached(spark, dir)))
+      simsSource = Some(Recommender.userCosSimsCached(spark, dir)))
     // the item child is q17's exact plan; it deliberately does NOT
     // cache its RESULT — a result cache would also satisfy q17 itself
     // (CacheManager plan-dedup), turning that query's bench median into

@@ -84,7 +84,23 @@ object Recommender {
     * without densifying. */
   private def q16(spark: SparkSession, dir: String): DataFrame =
     userKnnTopK(Tables.ratingsCached(spark, dir), K_NEIGHBORS, K_ITEMS,
+      simsSource = Some(userCosSimsCached(spark, dir)))
+
+  /** Session-cached mirrored COSINE user-sims over the shared ratings
+    * view, PARTITIONED BY u (r15) — the itemSimsCached posture on the
+    * user side: the neighbor window's clustering requirement is
+    * satisfied straight off the cache, so the all-users kNN pays no
+    * pair-table exchange per query and the partial WindowGroupLimit
+    * prunes each user's co-located rows to the neighbor cap in place.
+    * Its half-dots subtree plan-dedupes onto [[userDotsCached]], so
+    * the expensive pair aggregation is still built exactly once per
+    * session; only the kernel projection and the u-layout are new
+    * bytes. Cosine only — the dense Pearson/InvEuclidean cohort runs
+    * (q59/q63) keep the dots+moments algebra. */
+  private[graft] def userCosSimsCached(spark: SparkSession, dir: String): DataFrame =
+    userSims(Tables.ratingsCached(spark, dir),
       dotsSource = Some(userDotsCached(spark, dir)))
+      .repartition(col("u")).cache()
 
   /** q16's DIMSUM twin (VERDICT r10 next #1) — the user-side 100-TB
     * path run as an actual query: deterministic transposed-DIMSUM
