@@ -75,7 +75,12 @@ object Graph {
     * symmetrize or pre-trim). Returns `(node, rank)` with rank in
     * integer [[SCALE]]-units. */
   def pageRankFixedPoint(edges0: DataFrame, iters: Int): DataFrame = {
-    val edges = edges0.cache()
+    // cached PARTITIONED BY src (r15): the per-iteration rank join and
+    // the degree aggregation are both src-keyed, so neither ever
+    // re-exchanges the edge list — only the |V|-sized rank side moves
+    // per iteration (§2.4; the contribution transpose's dst shuffle is
+    // the one inherent exchange left)
+    val edges = edges0.repartition(col("src")).cache()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
     val n = deg.count() // one tiny driver scalar: |V|
     val base = SCALE / n
@@ -172,6 +177,9 @@ object Graph {
       .select(
         when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
         when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v"))
+      // cached PARTITIONED BY u (r15): the wedge stage is a self-join
+      // on u, so both sides read the one layout exchange-free (§2.4)
+      .repartition(col("u"))
       .cache()
     val wedges = oriented.toDF("u", "v")
       .join(oriented.toDF("u", "w"), Seq("u"))
